@@ -1,0 +1,111 @@
+"""Text-analysis expressions for large-scale training-data pipelines.
+
+Everything here is built-in-function-only (codegen-able, no UDFs):
+tokenization, word shingles, stopword/punctuation ratios, a language-ID
+heuristic, a quality score, and document fingerprints. Each has a matching
+ANSI-SQL formulation used by the DuckDB oracle — keep the two in sync
+(see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny embedded stopword lists for the n-gram/stopword language heuristic.
+STOPWORDS_EN = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be", "this",
+)
+STOPWORDS_DE = (
+    "der", "die", "das", "und", "oder", "von", "zu", "im", "ist", "es",
+    "dass", "für", "auf", "mit", "als", "war", "bei", "sein", "ein", "eine",
+)
+STOPWORDS_FR = (
+    "le", "la", "les", "et", "ou", "de", "à", "dans", "est", "il",
+    "que", "pour", "sur", "avec", "comme", "était", "par", "être", "un", "une",
+)
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize(col: Column | str) -> Column:
+    """Lowercase + collapse whitespace + trim: the canonical form used by
+    fingerprinting and exact dedup."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of the normalized text → array<string>.
+    Normalizing first guarantees no empty tokens (DuckDB-parity)."""
+    return F.split(normalize(col), " ")
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """n-word shingles as strings: sliding windows over ``tokens``.
+    Docs shorter than ``n`` words yield a single whole-doc shingle so no
+    document silently drops out of dedup."""
+    toks = tokens(col)
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column | str) -> Column:
+    return F.length(_c(col))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are ASCII punctuation."""
+    c = _c(col)
+    n_punct = F.length(c) - F.length(
+        F.regexp_replace(c, r"""[!-/:-@\[-`{-~]""", "")
+    )
+    return n_punct / F.greatest(F.length(c), F.lit(1))
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    """Fraction of tokens that are stopwords (array-filter, JVM-side)."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return n_sw / F.greatest(F.size(toks), F.lit(1))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-vote language heuristic: count hits per language list, pick
+    the argmax (en > de > fr on ties), 'und' (undetermined) when no hits."""
+    en = stopword_ratio(col, STOPWORDS_EN)
+    de = stopword_ratio(col, STOPWORDS_DE)
+    fr = stopword_ratio(col, STOPWORDS_FR)
+    return (
+        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de > 0), F.lit("de"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: rewards reasonable length and
+    stopword presence, penalizes punctuation soup. Deterministic and
+    SQL-portable (mirrored in the oracle)."""
+    n_tok = token_count(col)
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    sw_score = F.least(stopword_ratio(col) * F.lit(5.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(1.0) - punct_ratio(col) * F.lit(4.0), F.lit(0.0))
+    return (len_score * F.lit(0.4) + sw_score * F.lit(0.4) + punct_pen * F.lit(0.2))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: md5 of the normalized text (lowercased,
+    whitespace-collapsed) — stable under incidental formatting changes."""
+    return F.md5(normalize(col))

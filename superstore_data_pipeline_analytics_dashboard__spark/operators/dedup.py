@@ -1,0 +1,219 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all pure-DataFrame (no Python in the hot path):
+
+* exact        — hash-groupBy on a content fingerprint (one shuffle).
+* ngram-jaccard — exact Jaccard over word shingles via an inverted-index
+                 self-join (explode → join on shingle → count). Quadratic
+                 only within postings lists, so selective shingles
+                 (n≥3 words) keep it tractable; this is also the
+                 verification stage for MinHash candidates.
+* MinHash+LSH  — the 100 TB path: k hash functions over shingle hashes →
+                 b bands → candidates = docs sharing a band bucket →
+                 verify with exact Jaccard. Cost is linear in corpus size
+                 plus candidate pairs.
+* SimHash      — 64-bit near-dup signature via per-bit majority vote of
+                 token hashes; exact-match buckets on the signature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact near-identity dedup: fingerprint = md5(normalized text);
+    keep the lowest id as canonical, list the rest as duplicates.
+    Returns (fingerprint, keep_id, dup_ids, n_copies) for groups > 1."""
+    fp = df.select(F.col(id_col).alias("doc_id"), T.fingerprint(text_col).alias("fingerprint"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+            F.sort_array(F.collect_list("doc_id")).alias("all_ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct pairs + per-doc set size — the inverted
+    index both Jaccard and MinHash build on."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(T.word_shingles(text_col, n))).alias("shingle"),
+    )
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs over n-word shingles.
+
+    inverted index self-join: pairs sharing ≥1 shingle → |A∩B| = join count,
+    |A∪B| = |A|+|B|−|A∩B|. Shuffles on `shingle` then on the pair key; at
+    scale, hot shingles (boilerplate) should be pre-filtered by document
+    frequency — see `max_df` in minhash_lsh_candidates."""
+    sh = shingle_sets(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return (
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .withColumn("jaccard", jac.cast("decimal(9,6)"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(doc_id, sig: array<bigint>[num_hashes]) MinHash signatures.
+
+    The i-th "permutation" is the seeded hash xxhash64(i, shingle) — k
+    independent hash functions, all JVM-side; each min is one aggregate, so
+    the whole signature is a single groupBy pass (map-side partial
+    aggregation means the shuffle carries only partial mins)."""
+    sh = shingle_sets(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*aggs)
+    return sigs.select(
+        "doc_id", F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH banding: split the signature into `bands` bands of r rows; docs
+    sharing any band bucket become candidate pairs. Returns distinct
+    (doc_a, doc_b). With b=16, r=4 the S-curve threshold is
+    (1/b)^(1/r) ≈ 0.50 Jaccard."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.md5(F.concat_ws("_", F.lit(bi), *[
+                    F.col("sig")[bi * rows + j].cast("string") for j in range(rows)
+                ]))
+                for bi in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact-Jaccard verification.
+    Returns verified pairs with their Jaccard score."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
+    sh = shingle_sets(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+
+    # intersect sizes only for candidate pairs (semi-joined inverted index)
+    a = sh.withColumnRenamed("doc_id", "doc_a")
+    b = sh.withColumnRenamed("doc_id", "doc_b")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")), "doc_b")
+        .withColumn("jaccard", jac.cast("decimal(9,6)"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash: per-bit majority vote over xxhash64(token).
+
+    Pure DataFrame: explode tokens → for each bit, vote +1/−1 → sign of the
+    sum sets the bit. The 64 per-bit sums are 64 aggregate expressions in
+    one groupBy (partial aggregation applies). Returns (doc_id, simhash)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(T.tokens(text_col)).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b_{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b_{i}") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Docs sharing an identical SimHash signature (hamming distance 0
+    buckets; banding over signature bytes generalizes to distance ≤ k)."""
+    sigs = simhash(df, id_col, text_col)
+    return (
+        sigs.groupBy("simhash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs"),
+             F.sort_array(F.collect_list("doc_id")).alias("all_ids"))
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,1120 @@
+"""Query catalog: every SURVEY.md §2 operator exercised against the
+driver's synthetic star (TESTDATA.md), each with a DuckDB oracle.
+
+Parity conventions (driver hash-compares values after sorting columns by
+name — see __spark_entry__ docstring):
+
+* every output column is explicitly aliased, same name both sides;
+* timestamps are cast to DATE at first touch;
+* doubles are cast to DECIMAL at their source scale (no rounding), then
+  all arithmetic stays in DECIMAL (exact, engine-independent);
+* scale-reducing decimal casts always `round()` first: DuckDB's
+  decimal→decimal cast TRUNCATES while Spark's rounds HALF_UP; `round(x, s)`
+  rounds half-away-from-zero in both engines;
+* ratios divide as DOUBLE in both engines (DuckDB decimal division yields
+  DOUBLE anyway) and cast the result to a fixed DECIMAL;
+* oracle integer functions (year(), row_number(), len()) are cast to match
+  Spark's narrower types;
+* window ORDER BY is always a TOTAL order — synthetic lineitem has
+  duplicate (l_orderkey, l_linenumber) pairs by design, so tie-breaks
+  include l_partkey, l_suppkey, l_extendedprice.
+
+Scale notes per query are inline; dims are broadcast, fact-fact joins are
+shuffle joins that AQE can re-plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions import vectors as V
+from ..functions.cleaning import trim_nullif, zero_pad_postal
+from ..functions.dates import date_key, months_between_whole
+from ..functions.hashing import geo_hash_key, md5_prefix_long, scd2_hash_diff
+from ..operators import dedup as DD
+from ..operators import similarity as SIM
+from ..operators.append import idempotent_append, lateral_top1, semi_join
+from ..operators.date_spine import build_date_dim
+from ..operators.quality import load_issues
+from ..operators.scd2 import scd2_first_load, snapshot
+from ..operators.windows import dedup_keep_first, line_number, rank_top_k
+from ..sources.catalog import load_table
+
+# ---------------------------------------------------------------- helpers
+
+#: exact decimal money expressions shared by many queries (see module doc)
+_REV = (
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * "
+    "(CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))"
+)
+_COST = "CAST(0.8 AS DECIMAL(9,4)) * CAST(l_extendedprice AS DECIMAL(18,4))"
+_PROFIT = f"({_REV}) - ({_COST})"
+
+
+def _rev() -> Column:
+    return F.expr(_REV)
+
+
+def _profit() -> Column:
+    return F.expr(_PROFIT)
+
+
+def _dec2(col: Column) -> Column:
+    """Round-then-cast to DECIMAL(18,2) (see module doc on truncation)."""
+    return F.round(col, 2).cast("decimal(18,2)")
+
+
+def _sql_dec2(expr: str) -> str:
+    return f"CAST(round({expr}, 2) AS DECIMAL(18,2))"
+
+
+def _li(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "lineitem")
+
+
+def _ord(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("date")
+    )
+
+
+#: total order over lineitem rows (full-row distinctness verified)
+_LI_TIEBREAK = [
+    "l_orderkey",
+    "l_linenumber",
+    "l_partkey",
+    "l_suppkey",
+    "l_extendedprice",
+    "l_quantity",
+]
+_LI_TIEBREAK_SQL = ", ".join(_LI_TIEBREAK)
+
+
+# ---------------------------------------------------------------- queries
+# P1-P4/F1-F8: trim/nullif/upper/safe casts (staging typer shape)
+
+def q01_typed_staging(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    return c.select(
+        F.col("c_custkey").alias("cust_key"),
+        trim_nullif("c_name").alias("name_clean"),
+        F.upper("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("acctbal"),
+        F.col("c_nationkey").alias("nation_key"),
+    )
+
+
+Q01_SQL = """
+SELECT c_custkey AS cust_key,
+       nullif(trim(c_name), '') AS name_clean,
+       upper(c_mktsegment) AS segment,
+       CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+       c_nationkey AS nation_key
+FROM customer
+"""
+
+
+# R1/F7-F14: date spine + derived calendar columns
+
+def q02_date_dim(spark: SparkSession, sf: str) -> DataFrame:
+    lo = _ord(spark, sf).agg(F.min("o_orderdate")).first()[0]
+    hi = (
+        _li(spark, sf)
+        .agg(F.max(F.col("l_shipdate").cast("date")))
+        .first()[0]
+    )
+    return build_date_dim(spark, lo, hi)
+
+
+Q02_SQL = """
+WITH b AS (
+  SELECT (SELECT min(CAST(o_orderdate AS DATE)) FROM orders) AS lo,
+         (SELECT max(CAST(l_shipdate AS DATE)) FROM lineitem) AS hi
+), spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d FROM b
+)
+SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS DateKey,
+       d AS Date,
+       CAST(year(d) AS INT) AS Year,
+       CAST(quarter(d) AS INT) AS Quarter,
+       CAST(month(d) AS INT) AS Month,
+       CAST(day(d) AS INT) AS Day,
+       monthname(d) AS MonthName,
+       'Q' || CAST(quarter(d) AS VARCHAR) AS QuarterName,
+       CAST(weekofyear(d) AS INT) AS WeekOfYear,
+       dayname(d) IN ('Saturday', 'Sunday') AS IsWeekend
+FROM spine
+"""
+
+
+# W1: dedup keep-latest with deterministic total-order tie-break
+
+def q03_dedup_latest(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf).withColumn("ship_date", F.col("l_shipdate").cast("date"))
+    deduped = dedup_keep_first(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        [
+            F.desc("ship_date"),
+            F.desc("l_partkey"),
+            F.desc("l_suppkey"),
+            F.desc("l_extendedprice"),
+        ],
+    )
+    return deduped.select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("l_partkey").alias("part_key"),
+        F.col("l_suppkey").alias("supp_key"),
+        F.col("ship_date"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+    )
+
+
+Q03_SQL = """
+SELECT l_orderkey AS order_key,
+       l_linenumber AS line_no,
+       l_partkey AS part_key,
+       l_suppkey AS supp_key,
+       CAST(l_shipdate AS DATE) AS ship_date,
+       CAST(l_quantity AS DECIMAL(18,2)) AS qty
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY l_orderkey, l_linenumber
+      ORDER BY CAST(l_shipdate AS DATE) DESC, l_partkey DESC,
+               l_suppkey DESC, l_extendedprice DESC) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+# W2 + J2/J3/J11: fact build — line numbering + key resolution joins
+
+def q04_fact_build(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    orders = _ord(spark, sf)
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+
+    fact = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    fact = line_number(
+        fact,
+        ["l_orderkey"],
+        [F.asc(c) for c in ("l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice")],
+        out="order_line_no",
+    )
+    return fact.select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("order_line_no"),
+        date_key("o_orderdate").alias("order_date_key"),
+        date_key(F.col("l_shipdate").cast("date")).alias("ship_date_key"),
+        F.col("c_custkey").alias("customer_key"),
+        F.col("l_partkey").alias("part_key"),
+        F.col("n_name").alias("nation"),
+        F.col("r_name").alias("region"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        _dec2(_rev()).alias("revenue"),
+        _dec2(_profit()).alias("profit"),
+    )
+
+
+Q04_SQL = f"""
+SELECT l_orderkey AS order_key,
+       CAST(row_number() OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice) AS INT)
+         AS order_line_no,
+       CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS INT) AS order_date_key,
+       CAST(strftime(CAST(l_shipdate AS DATE), '%Y%m%d') AS INT) AS ship_date_key,
+       c_custkey AS customer_key,
+       l_partkey AS part_key,
+       n_name AS nation,
+       r_name AS region,
+       CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+       {_sql_dec2(_REV)} AS revenue,
+       {_sql_dec2(_PROFIT)} AS profit
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+"""
+
+
+# A8: category rollup with grand total (flagship — the reference's
+# PivotTable1 "By Category" reshaped onto p_brand)
+
+def q05_sales_by_brand_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    part = load_table(spark, sf, "part")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    agg = joined.rollup("p_brand").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_qty"),
+        _dec2(F.sum(_rev())).alias("revenue"),
+    )
+    return agg.select(
+        F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
+        "n_rows",
+        "sum_qty",
+        "revenue",
+    )
+
+
+Q05_SQL = f"""
+SELECT coalesce(p_brand, 'ALL') AS brand,
+       count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       {_sql_dec2(f"sum({_REV})")} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY ROLLUP (p_brand)
+"""
+
+
+# A9/A10: hierarchical year→month rollup with subtotals
+
+def q06_year_month_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    orders = _ord(spark, sf)
+    agg = (
+        orders.select(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("tp"),
+        )
+        .rollup("order_year", "order_month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("tp").cast("decimal(18,2)").alias("total_price"),
+        )
+    )
+    return agg.select(
+        F.coalesce("order_year", F.lit(-1)).alias("order_year"),
+        F.coalesce("order_month", F.lit(-1)).alias("order_month"),
+        "n_orders",
+        "total_price",
+    )
+
+
+Q06_SQL = """
+SELECT CAST(coalesce(order_year, -1) AS INT) AS order_year,
+       CAST(coalesce(order_month, -1) AS INT) AS order_month,
+       count(*) AS n_orders,
+       CAST(sum(tp) AS DECIMAL(18,2)) AS total_price
+FROM (
+  SELECT year(CAST(o_orderdate AS DATE)) AS order_year,
+         month(CAST(o_orderdate AS DATE)) AS order_month,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS tp
+  FROM orders
+)
+GROUP BY ROLLUP (order_year, order_month)
+"""
+
+
+# A11: slicer cross-filter → parameterized dashboard aggregate
+
+def dashboard(
+    spark: SparkSession,
+    sf: str,
+    regions: list[str] | None = None,
+    segments: list[str] | None = None,
+) -> DataFrame:
+    li = _li(spark, sf)
+    orders = _ord(spark, sf)
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    part = load_table(spark, sf, "part")
+
+    df = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    )
+    if regions:
+        df = df.filter(F.col("r_name").isin(regions))
+    if segments:
+        df = df.filter(F.col("c_mktsegment").isin(segments))
+    return df.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_qty"),
+        _dec2(F.sum(_rev())).alias("revenue"),
+    )
+
+
+def q07_slicer_dashboard(spark: SparkSession, sf: str) -> DataFrame:
+    return dashboard(
+        spark, sf, regions=["ASIA", "EUROPE"], segments=["BUILDING", "AUTOMOBILE"]
+    )
+
+
+Q07_SQL = f"""
+SELECT p_brand AS brand,
+       count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       {_sql_dec2(f"sum({_REV})")} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+JOIN part     ON l_partkey = p_partkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+  AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+GROUP BY p_brand
+"""
+
+
+# W3: rolling 30-row sum per region (total-order tie-break, see module doc)
+
+def q08_rolling_30row(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    orders = _ord(spark, sf)
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+
+    df = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("o_orderdate").alias("order_date"),
+            *[F.col(c) for c in _LI_TIEBREAK],
+            _dec2(_rev()).alias("revenue"),
+        )
+    )
+    w = (
+        Window.partitionBy("region")
+        .orderBy(F.asc("order_date"), *[F.asc(c) for c in _LI_TIEBREAK])
+        .rowsBetween(-29, Window.currentRow)
+    )
+    return df.select(
+        "region",
+        "order_date",
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("l_partkey").alias("part_key"),
+        F.col("l_suppkey").alias("supp_key"),
+        F.sum("revenue").over(w).cast("decimal(18,2)").alias("rolling_rev"),
+    )
+
+
+Q08_SQL = f"""
+SELECT region,
+       order_date,
+       l_orderkey AS order_key,
+       l_linenumber AS line_no,
+       l_partkey AS part_key,
+       l_suppkey AS supp_key,
+       CAST(sum(revenue) OVER (
+           PARTITION BY region
+           ORDER BY order_date, {_LI_TIEBREAK_SQL}
+           ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2))
+         AS rolling_rev
+FROM (
+  SELECT r_name AS region, CAST(o_orderdate AS DATE) AS order_date,
+         {_LI_TIEBREAK_SQL},
+         {_sql_dec2(_REV)} AS revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+)
+"""
+
+
+# W4/W5/O2: top-5 parts per brand by profit, with share-of-brand-total
+
+def q09_top5_parts_per_brand(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    part = load_table(spark, sf, "part")
+    grouped = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_partkey")
+        .agg(_dec2(F.sum(_profit())).alias("profit"))
+    )
+    # share is over the WHOLE brand, so compute it before the top-k filter
+    total = Window.partitionBy("p_brand")
+    share = (
+        F.col("profit").cast("double")
+        / F.nullif(F.sum(F.col("profit")).over(total).cast("double"), F.lit(0.0))
+    )
+    with_share = grouped.withColumn(
+        "profit_share", F.round(share, 6).cast("decimal(9,6)")
+    )
+    ranked = rank_top_k(
+        with_share, ["p_brand"], [F.desc("profit"), F.asc("p_partkey")], k=5, out="rnk"
+    )
+    return ranked.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("part_key"),
+        "profit",
+        F.col("rnk"),
+        "profit_share",
+    )
+
+
+Q09_SQL = f"""
+WITH grouped AS (
+  SELECT p_brand, p_partkey,
+         {_sql_dec2(f"sum({_PROFIT})")} AS profit
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, p_partkey
+), ranked AS (
+  SELECT p_brand, p_partkey, profit,
+         CAST(rank() OVER (PARTITION BY p_brand
+                           ORDER BY profit DESC, p_partkey) AS INT) AS rnk,
+         CAST(profit AS DOUBLE) /
+           nullif(CAST(sum(profit) OVER (PARTITION BY p_brand) AS DOUBLE), 0.0)
+           AS share
+  FROM grouped
+)
+SELECT p_brand AS brand, p_partkey AS part_key, profit, rnk,
+       CAST(round(share, 6) AS DECIMAL(9,6)) AS profit_share
+FROM ranked WHERE rnk <= 5
+"""
+
+
+# A5/F12: customer cohort — orders per (cohort month, months since cohort)
+
+def q10_customer_cohort(spark: SparkSession, sf: str) -> DataFrame:
+    orders = _ord(spark, sf)
+    first = orders.groupBy("o_custkey").agg(
+        F.min(F.trunc("o_orderdate", "month")).alias("cohort_month")
+    )
+    enriched = orders.join(first, "o_custkey").select(
+        "o_custkey",
+        "cohort_month",
+        months_between_whole(F.col("cohort_month"), F.col("o_orderdate")).alias(
+            "months_since"
+        ),
+    )
+    return enriched.groupBy("cohort_month", "months_since").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+Q10_SQL = """
+WITH first_order AS (
+  SELECT o_custkey,
+         CAST(date_trunc('month', min(CAST(o_orderdate AS DATE))) AS DATE)
+           AS cohort_month
+  FROM orders GROUP BY o_custkey
+)
+SELECT cohort_month,
+       CAST((year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)))
+          - (year(cohort_month) * 12 + month(cohort_month)) AS INT) AS months_since,
+       count(*) AS n_orders,
+       count(DISTINCT orders.o_custkey) AS n_customers
+FROM orders JOIN first_order ON orders.o_custkey = first_order.o_custkey
+GROUP BY 1, 2
+"""
+
+
+# J12/P5/F18/F19: suspicious-discount filter (self-anti-join reduced to a
+# filter on the unique line key — SURVEY.md §2.6 J12)
+
+def q11_suspicious_discounts(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    rev = _rev().cast("double")
+    margin = _profit().cast("double") / F.nullif(rev, F.lit(0.0))
+    df = li.withColumn("margin_d", margin).filter(
+        (F.col("l_discount") > 0)
+        & (
+            F.col("margin_d").isNull()
+            | ~F.col("margin_d").between(0.05, 0.50)
+        )
+    )
+    return df.select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("l_partkey").alias("part_key"),
+        F.col("l_suppkey").alias("supp_key"),
+        F.col("l_discount").cast("decimal(9,4)").alias("discount"),
+        F.col("margin_d").cast("decimal(9,6)").alias("margin"),
+    )
+
+
+Q11_SQL = f"""
+SELECT order_key, line_no, part_key, supp_key, discount,
+       CAST(margin_d AS DECIMAL(9,6)) AS margin
+FROM (
+  SELECT l_orderkey AS order_key, l_linenumber AS line_no,
+         l_partkey AS part_key, l_suppkey AS supp_key,
+         CAST(l_discount AS DECIMAL(9,4)) AS discount,
+         l_discount,
+         CAST({_PROFIT} AS DOUBLE) / nullif(CAST({_REV} AS DOUBLE), 0.0) AS margin_d
+  FROM lineitem
+)
+WHERE l_discount > 0
+  AND (margin_d IS NULL OR margin_d NOT BETWEEN 0.05 AND 0.50)
+"""
+
+
+# A3: QA load-issue counters — one conditional-aggregation pass per table
+
+def q12_qa_load_issues(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf).withColumn("ship_date", F.col("l_shipdate").cast("date"))
+    orders = _ord(spark, sf)
+    joined = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == orders["o_orderkey"],
+    )
+    qa_li = load_issues(
+        joined,
+        {
+            "HIGH_DISCOUNT": F.col("l_discount") >= 0.05,
+            "SHIP_BEFORE_ORDER": F.col("ship_date") < F.col("o_orderdate"),
+        },
+    )
+    qa_ord = load_issues(orders, {"NULL_DATES": F.col("o_orderdate").isNull()})
+    return qa_li.unionByName(qa_ord)
+
+
+Q12_SQL = """
+SELECT 'HIGH_DISCOUNT' AS IssueType, count(*) AS RowCount
+FROM lineitem WHERE l_discount >= 0.05
+UNION ALL
+SELECT 'SHIP_BEFORE_ORDER', count(*)
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE CAST(l_shipdate AS DATE) < CAST(o_orderdate AS DATE)
+UNION ALL
+SELECT 'NULL_DATES', count(*) FROM orders WHERE o_orderdate IS NULL
+"""
+
+
+# A4/J1/F5/F15: geography dim — distinct tuples, surrogate keys, MD5 HashKey
+
+def q13_geo_dim(spark: SparkSession, sf: str) -> DataFrame:
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    geo = (
+        nation.join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            zero_pad_postal(F.col("n_nationkey").cast("string")).alias("postal_code"),
+        )
+        .distinct()
+    )
+    w = Window.orderBy("nation", "region")
+    return geo.select(
+        F.row_number().over(w).alias("geo_key"),
+        "nation",
+        "region",
+        "postal_code",
+        geo_hash_key(F.col("nation"), F.col("region"), F.col("postal_code")).alias(
+            "hash_key"
+        ),
+    )
+
+
+Q13_SQL = """
+WITH geo AS (
+  SELECT DISTINCT n_name AS nation, r_name AS region,
+         lpad(CAST(n_nationkey AS VARCHAR), 5, '0') AS postal_code
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+)
+SELECT CAST(row_number() OVER (ORDER BY nation, region) AS INT) AS geo_key,
+       nation, region, postal_code,
+       md5(concat_ws('|', upper(coalesce(nation, '')),
+                          upper(coalesce(region, '')),
+                          upper(coalesce(postal_code, '')))) AS hash_key
+FROM geo
+"""
+
+
+# §2.10/A1/F15: SCD2 first load over the customer snapshot
+
+def q14_scd2_first_load(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer").withColumn(
+        "c_nationkey_str", F.col("c_nationkey").cast("string")
+    )
+    snap = snapshot(cust, "c_custkey", ["c_name", "c_mktsegment", "c_nationkey_str"])
+    dim = scd2_first_load(
+        snap, "c_custkey", ["c_name", "c_mktsegment", "c_nationkey_str"], "CustomerKey"
+    )
+    return dim.select(
+        F.col("CustomerKey"),
+        F.col("c_custkey").alias("CustomerID"),
+        F.col("c_name").alias("CustomerName"),
+        F.col("c_mktsegment").alias("Segment"),
+        F.col("c_nationkey_str").alias("NationKey"),
+        "EffectiveFrom",
+        "EffectiveTo",
+        "IsCurrent",
+        "HashDiff",
+    )
+
+
+Q14_SQL = """
+WITH snap AS (
+  SELECT c_custkey,
+         max(c_name) AS c_name,
+         max(c_mktsegment) AS c_mktsegment,
+         max(CAST(c_nationkey AS VARCHAR)) AS nk
+  FROM customer GROUP BY c_custkey
+)
+SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS INT) AS CustomerKey,
+       c_custkey AS CustomerID,
+       c_name AS CustomerName,
+       c_mktsegment AS Segment,
+       nk AS NationKey,
+       DATE '1900-01-01' AS EffectiveFrom,
+       DATE '9999-12-31' AS EffectiveTo,
+       TRUE AS IsCurrent,
+       sha256(concat_ws('|', upper(coalesce(c_name, '')),
+                             upper(coalesce(c_mktsegment, '')),
+                             upper(coalesce(nk, '')))) AS HashDiff
+FROM snap
+"""
+
+
+# S5/J7: idempotent fact append via left-anti join
+
+def q15_idempotent_append(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    existing = li.filter(F.col("l_orderkey") % 7 == 0)
+    keys = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+    fresh = idempotent_append(li, existing, keys)
+    return fresh.select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("l_partkey").alias("part_key"),
+        F.col("l_suppkey").alias("supp_key"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+    )
+
+
+Q15_SQL = """
+SELECT l_orderkey AS order_key, l_linenumber AS line_no,
+       l_partkey AS part_key, l_suppkey AS supp_key,
+       CAST(l_quantity AS DECIMAL(18,2)) AS qty
+FROM lineitem l
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem e
+  WHERE e.l_orderkey % 7 = 0
+    AND e.l_orderkey = l.l_orderkey AND e.l_linenumber = l.l_linenumber
+    AND e.l_partkey = l.l_partkey AND e.l_suppkey = l.l_suppkey
+)
+"""
+
+
+# J8: semi-join — customers active in 2000
+
+def q16_semi_join_active(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    active = (
+        _ord(spark, sf)
+        .filter(F.year("o_orderdate") == 2000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return semi_join(cust, active, ["c_custkey"]).select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+Q16_SQL = """
+SELECT c_custkey AS cust_key, c_name AS name, c_mktsegment AS segment
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND year(CAST(o.o_orderdate AS DATE)) = 2000
+)
+"""
+
+
+# J4/O1: lateral TOP(1) — latest order per customer (dedup-then-join)
+
+def q17_latest_order_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer").select(
+        F.col("c_custkey"), F.col("c_name")
+    )
+    orders = _ord(spark, sf).select(
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+    )
+    joined = lateral_top1(
+        cust,
+        orders,
+        ["c_custkey"],
+        [F.desc("o_orderdate"), F.desc("o_orderkey")],
+        how="inner",
+    )
+    return joined.select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_name").alias("name"),
+        F.col("o_orderkey").alias("latest_order_key"),
+        F.col("o_orderdate").alias("latest_order_date"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("latest_total"),
+    )
+
+
+Q17_SQL = """
+SELECT c_custkey AS cust_key, c_name AS name,
+       o_orderkey AS latest_order_key,
+       CAST(o_orderdate AS DATE) AS latest_order_date,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS latest_total
+FROM customer
+JOIN (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY CAST(o_orderdate AS DATE) DESC,
+                                     o_orderkey DESC) AS rn
+  FROM orders
+) o ON o.o_custkey = c_custkey AND o.rn = 1
+"""
+
+
+# J5/P10: left lateral lookup with null-safe compare (OUTER APPLY analog)
+
+def q18_nullsafe_geo_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    with_nation = cust.join(
+        F.broadcast(nation),
+        (cust["c_nationkey"] == nation["n_nationkey"])
+        & (cust["c_custkey"] % 100 != 0),
+        "left",
+    )
+    with_region = with_nation.join(
+        F.broadcast(region),
+        with_nation["n_regionkey"].eqNullSafe(region["r_regionkey"]),
+        "left",
+    )
+    return with_region.select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("n_name").alias("nation"),
+        F.col("r_name").alias("region"),
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey AS cust_key, n_name AS nation, r_name AS region
+FROM customer
+LEFT JOIN nation ON c_nationkey = n_nationkey AND c_custkey % 100 <> 0
+LEFT JOIN region ON n_regionkey IS NOT DISTINCT FROM r_regionkey
+"""
+
+
+# ---- training-data pipeline operators over documents / embeddings ------
+
+# exact dedup by content fingerprint (md5 of normalized text)
+
+def q19_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    fp = docs.select(
+        F.col("doc_id"), T.fingerprint("text").alias("fingerprint")
+    )
+    return fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+Q19_SQL = r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# exact n-gram Jaccard near-dup pairs (inverted-index self-join)
+
+def q20_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+
+
+Q20_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+           AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM toks, LATERAL (
+    SELECT unnest(list_transform(
+        generate_series(1, greatest(len(t) - 2, 1)),
+        i -> array_to_string(t[i:i+2], ' '))) AS shingle
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       sa.set_size AS size_a, sb.set_size AS size_b,
+       CAST(CAST(n_common AS DOUBLE) /
+            (sa.set_size + sb.set_size - n_common) AS DECIMAL(9,6)) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(CAST(n_common AS DOUBLE) /
+           (sa.set_size + sb.set_size - n_common) AS DECIMAL(9,6)) >= 0.2
+"""
+
+
+# language-ID heuristic (stopword votes)
+
+def q21_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        T.lang_id("text").alias("lang_pred"),
+    )
+
+
+def _sql_stopword_ratio(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"CAST(len(list_filter(t, x -> list_contains([{lst}], x))) AS DOUBLE)"
+        " / greatest(len(t), 1)"
+    )
+
+
+Q21_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+           AS t
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         {_sql_stopword_ratio(T.STOPWORDS_EN)} AS en,
+         {_sql_stopword_ratio(T.STOPWORDS_DE)} AS de,
+         {_sql_stopword_ratio(T.STOPWORDS_FR)} AS fr
+  FROM toks
+)
+SELECT doc_id, lang AS lang_declared,
+       CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+            WHEN de >= fr AND de > 0 THEN 'de'
+            WHEN fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred
+FROM scored
+"""
+
+
+# text quality scoring
+
+def q22_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.char_count("text").alias("n_chars"),
+        T.punct_ratio("text").cast("decimal(9,6)").alias("punct_ratio"),
+        T.stopword_ratio("text").cast("decimal(9,6)").alias("stopword_ratio"),
+        T.quality_score("text").cast("decimal(9,6)").alias("quality"),
+    )
+
+
+_SQL_EN = ", ".join(f"'{w}'" for w in T.STOPWORDS_EN)
+Q22_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+           AS t,
+         CAST(length(text) - length(
+             regexp_replace(text, '[!-/:-@\[-`{{-~]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct_r
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         CAST(len(t) AS INT) AS n_tokens,
+         CAST(length(text) AS INT) AS n_chars,
+         punct_r,
+         CAST(len(list_filter(t, x -> list_contains([{_SQL_EN}], x))) AS DOUBLE)
+           / greatest(len(t), 1) AS sw_r
+  FROM base
+)
+SELECT doc_id, n_tokens, n_chars,
+       CAST(punct_r AS DECIMAL(9,6)) AS punct_ratio,
+       CAST(sw_r AS DECIMAL(9,6)) AS stopword_ratio,
+       CAST(least(n_tokens / 100.0, 1.0) * 0.4
+          + least(sw_r * 5.0, 1.0) * 0.4
+          + greatest(1.0 - punct_r * 4.0, 0.0) * 0.2 AS DECIMAL(9,6)) AS quality
+FROM scored
+"""
+
+
+# token statistics (whitespace + word-regex counts)
+
+def q23_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    words = F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), 0)
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.size(words).alias("n_words"),
+        T.char_count("text").alias("n_chars"),
+    )
+
+
+Q23_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS INT)
+         AS n_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS INT) AS n_words,
+       CAST(length(text) AS INT) AS n_chars
+FROM documents
+"""
+
+
+# document fingerprinting: md5 + 60-bit integer fingerprint
+
+def q24_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        T.fingerprint("text").alias("fingerprint"),
+        md5_prefix_long(T.normalize("text")).alias("fp_long"),
+    )
+
+
+Q24_SQL = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+       CAST(('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),
+                            1, 15)) AS BIGINT) AS fp_long
+FROM documents
+"""
+
+
+# brute-force cosine top-k (exact ANN baseline)
+
+def q25_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return SIM.knn_bruteforce(emb, queries, k=10).drop("rnk")
+
+
+Q25_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv) /
+           nullif(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv)), 0.0) AS cs
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cs,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cs DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id,
+       CAST(round(cs, 6) AS DECIMAL(18,6)) AS cos_sim
+FROM ranked WHERE rn <= 10
+"""
+
+
+# ---- approximate / non-SQL-expressible operators (rows-only checks) ----
+
+def q26_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return DD.minhash_dedup(docs, "doc_id", "text", n=3, threshold=0.2)
+
+
+def q27_simhash_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    sigs = DD.simhash(docs, "doc_id", "text")
+    return sigs.select("doc_id", "simhash")
+
+
+def q28_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return SIM.knn_ivf(emb, queries, k=10, n_cells=16, nprobe=4)
+
+
+# ---------------------------------------------------------------- registry
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_typed_staging": q01_typed_staging,
+    "q02_date_dim": q02_date_dim,
+    "q03_dedup_latest": q03_dedup_latest,
+    "q04_fact_build": q04_fact_build,
+    "q05_sales_by_brand_rollup": q05_sales_by_brand_rollup,
+    "q06_year_month_rollup": q06_year_month_rollup,
+    "q07_slicer_dashboard": q07_slicer_dashboard,
+    "q08_rolling_30row": q08_rolling_30row,
+    "q09_top5_parts_per_brand": q09_top5_parts_per_brand,
+    "q10_customer_cohort": q10_customer_cohort,
+    "q11_suspicious_discounts": q11_suspicious_discounts,
+    "q12_qa_load_issues": q12_qa_load_issues,
+    "q13_geo_dim": q13_geo_dim,
+    "q14_scd2_first_load": q14_scd2_first_load,
+    "q15_idempotent_append": q15_idempotent_append,
+    "q16_semi_join_active": q16_semi_join_active,
+    "q17_latest_order_per_customer": q17_latest_order_per_customer,
+    "q18_nullsafe_geo_lookup": q18_nullsafe_geo_lookup,
+    "q19_exact_dedup": q19_exact_dedup,
+    "q20_ngram_jaccard_pairs": q20_ngram_jaccard_pairs,
+    "q21_lang_id": q21_lang_id,
+    "q22_text_quality": q22_text_quality,
+    "q23_token_stats": q23_token_stats,
+    "q24_doc_fingerprint": q24_doc_fingerprint,
+    "q25_knn_bruteforce": q25_knn_bruteforce,
+    "q26_minhash_dedup": q26_minhash_dedup,
+    "q27_simhash_buckets": q27_simhash_buckets,
+    "q28_knn_ivf": q28_knn_ivf,
+}
+
+ORACLES: dict[str, str] = {
+    "q01_typed_staging": Q01_SQL,
+    "q02_date_dim": Q02_SQL,
+    "q03_dedup_latest": Q03_SQL,
+    "q04_fact_build": Q04_SQL,
+    "q05_sales_by_brand_rollup": Q05_SQL,
+    "q06_year_month_rollup": Q06_SQL,
+    "q07_slicer_dashboard": Q07_SQL,
+    "q08_rolling_30row": Q08_SQL,
+    "q09_top5_parts_per_brand": Q09_SQL,
+    "q10_customer_cohort": Q10_SQL,
+    "q11_suspicious_discounts": Q11_SQL,
+    "q12_qa_load_issues": Q12_SQL,
+    "q13_geo_dim": Q13_SQL,
+    "q14_scd2_first_load": Q14_SQL,
+    "q15_idempotent_append": Q15_SQL,
+    "q16_semi_join_active": Q16_SQL,
+    "q17_latest_order_per_customer": Q17_SQL,
+    "q18_nullsafe_geo_lookup": Q18_SQL,
+    "q19_exact_dedup": Q19_SQL,
+    "q20_ngram_jaccard_pairs": Q20_SQL,
+    "q21_lang_id": Q21_SQL,
+    "q22_text_quality": Q22_SQL,
+    "q23_token_stats": Q23_SQL,
+    "q24_doc_fingerprint": Q24_SQL,
+    "q25_knn_bruteforce": Q25_SQL,
+    # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only checks.
+}

@@ -1,0 +1,49 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Settings chosen for a 1000-executor / 100 TB deployment but harmless on
+``local[*]``: AQE (runtime coalescing + skew-join splitting), broadcast
+threshold sized for our ≤ few-MB dimensions, UTC session time so parquet
+timestamps agree with the DuckDB oracle, and Arrow for any pandas exchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "superstore-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster leave it unset and let spark-submit provide it.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime partition coalescing, skew-join splitting, plan re-opt.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # All reference dims are tiny (≤ ~2.5k rows) → broadcast-hash joins.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Deterministic timestamp semantics vs the DuckDB oracle.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for any mapInPandas/applyInPandas exchange (vectorized).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,50 @@
+"""Catalog over the driver's synthetic star schema (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet each under ``{sf_dir}/``.
+
+Scale notes: ``lineitem``/``orders``/``events`` are the fact-sized tables;
+everything else is dimension-sized and safe to broadcast. Readers never
+``collect``; filters/projections stay declarative so parquet pushdown and
+column pruning apply (verify with ``df.explain``: ``PushedFilters``,
+``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: tables small enough to broadcast at any scale factor we target
+DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every synthetic-star table as a DataFrame keyed by name."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load and register each table as a temp view (for ``spark.sql``)."""
+    dfs = load_star(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
