@@ -1,0 +1,210 @@
+"""Unit tests per operator family (SURVEY.md §2 IDs) on tiny literal
+frames — the reference's implicit checks formalized (SURVEY.md §5)."""
+
+import datetime as dt
+from decimal import Decimal
+
+from pyspark.sql import Row, functions as F
+
+from superstore_data_pipeline_analytics_dashboard__spark.functions.cleaning import (
+    trim_nullif, zero_pad_postal, strip_trailing_semicolon,
+)
+from superstore_data_pipeline_analytics_dashboard__spark.functions.dates import us_week
+from superstore_data_pipeline_analytics_dashboard__spark.operators.append import (
+    idempotent_append, lateral_top1, semi_join,
+)
+from superstore_data_pipeline_analytics_dashboard__spark.operators.date_spine import (
+    build_date_dim, date_spine,
+)
+from superstore_data_pipeline_analytics_dashboard__spark.operators.dedup import (
+    exact_duplicates, minhash_dedup, ngram_jaccard_pairs, simhash_duplicates,
+)
+from superstore_data_pipeline_analytics_dashboard__spark.operators.scd2 import (
+    scd2_apply, scd2_first_load, snapshot,
+)
+from superstore_data_pipeline_analytics_dashboard__spark.operators.windows import (
+    dedup_keep_first, rolling_sum,
+)
+
+
+def test_trim_nullif(spark):
+    df = spark.createDataFrame([("  x  ",), ("   ",), (None,)], ["v"])
+    got = [r[0] for r in df.select(trim_nullif("v")).collect()]
+    assert got == ["x", None, None]
+
+
+def test_zero_pad_postal(spark):
+    df = spark.createDataFrame([("1040",), ("90210",), (" 10 40",), (None,)], ["v"])
+    got = [r[0] for r in df.select(zero_pad_postal("v")).collect()]
+    assert got == ["01040", "90210", "01040", None]
+
+
+def test_strip_trailing_semicolon(spark):
+    df = spark.createDataFrame([("41.9136;",), ("7.5",), ("a;b;",)], ["v"])
+    got = [r[0] for r in df.select(strip_trailing_semicolon("v")).collect()]
+    assert got == ["41.9136", "7.5", "a;b"]
+
+
+def test_us_week_matches_tsql_datefirst7(spark):
+    """T-SQL DATEPART(WEEK) golden values (DATEFIRST 7 default):
+    Jan 1 is always week 1; weeks break on Sunday."""
+    cases = {
+        "2014-01-01": 1, "2014-01-04": 1, "2014-01-05": 2,
+        "2016-01-01": 1, "2016-01-02": 1, "2016-01-03": 2,
+        "2017-12-31": 53, "2015-12-31": 53,
+    }
+    df = spark.createDataFrame([(d,) for d in cases], ["d"]).select(
+        F.col("d"), us_week(F.col("d").cast("date")).alias("w")
+    )
+    got = {r["d"]: r["w"] for r in df.collect()}
+    assert got == cases
+
+
+def test_date_spine_inclusive_bounds(spark):
+    df = date_spine(spark, dt.date(2020, 2, 27), dt.date(2020, 3, 2))
+    days = sorted(str(r[0]) for r in df.collect())
+    assert days == ["2020-02-27", "2020-02-28", "2020-02-29", "2020-03-01", "2020-03-02"]
+
+
+def test_build_date_dim_derived_cols(spark):
+    row = build_date_dim(spark, "2020-08-01", "2020-08-01").first()
+    assert row["DateKey"] == 20200801
+    assert row["Year"] == 2020 and row["Quarter"] == 3 and row["Month"] == 8
+    assert row["MonthName"] == "August" and row["QuarterName"] == "Q3"
+    assert row["IsWeekend"] is True  # a Saturday
+
+
+def test_dedup_keep_first_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 1, 20), ("a", 2, 5), ("b", 1, 7)], ["k1", "k2", "v"]
+    )
+    out = dedup_keep_first(df, ["k1", "k2"], [F.desc("v")])
+    got = {(r["k1"], r["k2"]): r["v"] for r in out.collect()}
+    assert got == {("a", 1): 20, ("a", 2): 5, ("b", 1): 7}
+
+
+def test_rolling_sum_frame(spark):
+    df = spark.createDataFrame(
+        [("r", i, 1.0) for i in range(5)], ["g", "i", "v"]
+    )
+    out = rolling_sum(df, ["g"], [F.asc("i")], {"v": "s"}, frame_rows=3)
+    got = [r["s"] for r in out.orderBy("i").collect()]
+    assert got == [1.0, 2.0, 3.0, 3.0, 3.0]
+
+
+def test_idempotent_append_and_semi_join(spark):
+    new = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], ["k", "v"])
+    existing = spark.createDataFrame([(2, "old")], ["k", "v"])
+    assert {r["k"] for r in idempotent_append(new, existing, ["k"]).collect()} == {1, 3}
+    assert {r["k"] for r in semi_join(new, existing, ["k"]).collect()} == {2}
+
+
+def test_lateral_top1_inner_and_left(spark):
+    left = spark.createDataFrame([(1,), (2,)], ["k"])
+    right = spark.createDataFrame(
+        [(1, dt.date(2020, 1, 1), "old"), (1, dt.date(2021, 1, 1), "new")],
+        ["k", "d", "v"],
+    )
+    inner = lateral_top1(left, right, ["k"], [F.desc("d")], how="inner")
+    assert [(r["k"], r["v"]) for r in inner.collect()] == [(1, "new")]
+    outer = lateral_top1(left, right, ["k"], [F.desc("d")], how="left")
+    got = {r["k"]: r["v"] for r in outer.collect()}
+    assert got == {1: "new", 2: None}
+
+
+# ---------------------------------------------------------------- SCD2
+
+_ATTRS = ["name", "seg"]
+
+
+def _snap(spark, rows):
+    df = spark.createDataFrame(rows, ["cid", "name", "seg"])
+    return snapshot(df, "cid", _ATTRS)
+
+
+def test_scd2_first_load_shape(spark):
+    dim = scd2_first_load(_snap(spark, [("c1", "Ann", "A"), ("c2", "Bob", "B")]),
+                          "cid", _ATTRS, "Key")
+    rows = {r["cid"]: r for r in dim.collect()}
+    assert rows["c1"]["Key"] == 1 and rows["c2"]["Key"] == 2
+    assert all(r["IsCurrent"] for r in rows.values())
+    assert str(rows["c1"]["EffectiveFrom"]) == "1900-01-01"
+    assert str(rows["c1"]["EffectiveTo"]) == "9999-12-31"
+
+
+def test_scd2_apply_change_new_unchanged(spark):
+    """F4 fixture semantics: changed key expires + gets a new current row;
+    new key inserted open-ended; unchanged carried; departed kept."""
+    dim = scd2_first_load(
+        _snap(spark, [("c1", "Ann", "A"), ("c2", "Bob", "B"), ("c3", "Cat", "C")]),
+        "cid", _ATTRS, "Key",
+    )
+    day2 = _snap(spark, [("c1", "Ann", "A2"), ("c2", "Bob", "B"), ("c4", "Dee", "D")])
+    out = scd2_apply(dim, day2, "cid", _ATTRS, "Key", as_of=dt.date(2020, 6, 1)).cache()
+
+    # c1 changed: one expired row + one current row effective 2020-06-01
+    c1 = sorted(out.filter(F.col("cid") == "c1").collect(), key=lambda r: r["IsCurrent"])
+    assert len(c1) == 2
+    assert c1[0]["IsCurrent"] is False and str(c1[0]["EffectiveTo"]) == "2020-06-01"
+    assert c1[1]["IsCurrent"] is True and str(c1[1]["EffectiveFrom"]) == "2020-06-01"
+    assert c1[1]["seg"] == "A2"
+    # c2 unchanged: single current row
+    c2 = out.filter(F.col("cid") == "c2").collect()
+    assert len(c2) == 1 and c2[0]["IsCurrent"] is True
+    # c3 departed: kept current (reference keeps it)
+    c3 = out.filter(F.col("cid") == "c3").collect()
+    assert len(c3) == 1 and c3[0]["IsCurrent"] is True
+    # c4 new: open-ended validity
+    c4 = out.filter(F.col("cid") == "c4").collect()
+    assert len(c4) == 1 and str(c4[0]["EffectiveFrom"]) == "1900-01-01"
+    # exactly one current row per key; surrogate keys unique
+    cur = out.filter(F.col("IsCurrent")).groupBy("cid").count()
+    assert cur.filter(F.col("count") > 1).count() == 0
+    assert out.select("Key").distinct().count() == out.count()
+
+
+def test_scd2_apply_idempotent(spark):
+    dim = scd2_first_load(_snap(spark, [("c1", "Ann", "A")]), "cid", _ATTRS, "Key")
+    same = _snap(spark, [("c1", "Ann", "A")])
+    out = scd2_apply(dim, same, "cid", _ATTRS, "Key", as_of=dt.date(2020, 6, 1))
+    assert out.count() == 1
+    assert out.first()["IsCurrent"] is True
+
+
+# ---------------------------------------------------------------- dedup ops
+
+_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat today"),    # near dup of 1
+    (4, "completely different words appear here with nothing shared"),
+]
+
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(_DOCS, ["doc_id", "text"])
+    out = exact_duplicates(df, "doc_id", "text").collect()
+    assert len(out) == 1
+    assert out[0]["keep_id"] == 1 and out[0]["n_copies"] == 2
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    df = spark.createDataFrame(_DOCS, ["doc_id", "text"])
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.3).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_dedup_agrees_with_exact(spark):
+    df = spark.createDataFrame(_DOCS, ["doc_id", "text"])
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             minhash_dedup(df, "doc_id", "text", n=3, threshold=0.3).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_exact_dup_same_signature(spark):
+    df = spark.createDataFrame(_DOCS, ["doc_id", "text"])
+    out = simhash_duplicates(df, "doc_id", "text").collect()
+    assert len(out) == 1 and out[0]["all_ids"] == [1, 2]
