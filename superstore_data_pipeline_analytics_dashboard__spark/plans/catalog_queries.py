@@ -1038,6 +1038,149 @@ FROM ranked WHERE rn <= 10
 """
 
 
+# ---- event-stream table (batch equivalents of streaming/incremental) ---
+
+# A3/A5-shape: per-type event stats + JSON props extraction
+
+def q29_event_type_stats(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("decimal(18,2)")
+        .alias("sum_value"),
+        F.avg(F.get_json_object("props", "$.k").cast("int")).alias("avg_k_d"),
+    ).withColumn("avg_k", F.round(F.col("avg_k_d"), 4).cast("decimal(18,4)")).drop("avg_k_d")
+
+
+Q29_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS sum_value,
+       CAST(round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4)
+            AS DECIMAL(18,4)) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+# windowed QA counters, batch form (streaming/incremental.windowed_counts)
+
+def q30_event_daily_counts(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("event_day"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+Q30_SQL = """
+SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS event_day,
+       event_type, count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+# gap-based sessionization, batch form (streaming/incremental.sessionize):
+# lag → new-session flag → running sum → per-session aggregate
+
+def q31_sessionize_batch(spark: SparkSession, sf: str, gap_minutes: int = 30) -> DataFrame:
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "event_id", "value")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    with_prev = ev.withColumn("prev_ts", F.lag("ts").over(w_order))
+    flagged = with_prev.withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_micros("ts") - F.unix_micros("prev_ts") > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_no",
+        F.sum("is_new").over(w_order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("decimal(18,2)")
+        .alias("sum_value"),
+    )
+
+
+Q31_SQL = """
+WITH flagged AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+         CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                OR epoch_us(CAST(ts AS TIMESTAMP))
+                   - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+), numbered AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS sum_value
+FROM numbered GROUP BY user_id, session_no
+"""
+
+
+# supplier revenue: top-3 suppliers per nation (J11 + W4 over supplier)
+
+def q32_top_suppliers_per_nation(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    agg = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name", "s_suppkey", "s_name")
+        .agg(_dec2(F.sum(_rev())).alias("revenue"))
+    )
+    ranked = rank_top_k(
+        agg, ["n_name"], [F.desc("revenue"), F.asc("s_suppkey")], k=3, out="rnk"
+    )
+    return ranked.select(
+        F.col("n_name").alias("nation"),
+        F.col("s_suppkey").alias("supp_key"),
+        F.col("s_name").alias("supplier"),
+        "revenue",
+        "rnk",
+    )
+
+
+Q32_SQL = f"""
+WITH agg AS (
+  SELECT n_name, s_suppkey, s_name,
+         {_sql_dec2(f"sum({_REV})")} AS revenue
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  GROUP BY n_name, s_suppkey, s_name
+)
+SELECT n_name AS nation, s_suppkey AS supp_key, s_name AS supplier, revenue,
+       rnk
+FROM (
+  SELECT *, CAST(rank() OVER (PARTITION BY n_name
+                              ORDER BY revenue DESC, s_suppkey) AS INT) AS rnk
+  FROM agg
+) WHERE rnk <= 3
+"""
+
+
 # ---- approximate / non-SQL-expressible operators (rows-only checks) ----
 
 def q26_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -1085,6 +1228,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_token_stats": q23_token_stats,
     "q24_doc_fingerprint": q24_doc_fingerprint,
     "q25_knn_bruteforce": q25_knn_bruteforce,
+    "q29_event_type_stats": q29_event_type_stats,
+    "q30_event_daily_counts": q30_event_daily_counts,
+    "q31_sessionize_batch": q31_sessionize_batch,
+    "q32_top_suppliers_per_nation": q32_top_suppliers_per_nation,
     "q26_minhash_dedup": q26_minhash_dedup,
     "q27_simhash_buckets": q27_simhash_buckets,
     "q28_knn_ivf": q28_knn_ivf,
@@ -1116,5 +1263,9 @@ ORACLES: dict[str, str] = {
     "q23_token_stats": Q23_SQL,
     "q24_doc_fingerprint": Q24_SQL,
     "q25_knn_bruteforce": Q25_SQL,
+    "q29_event_type_stats": Q29_SQL,
+    "q30_event_daily_counts": Q30_SQL,
+    "q31_sessionize_batch": Q31_SQL,
+    "q32_top_suppliers_per_nation": Q32_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only checks.
 }

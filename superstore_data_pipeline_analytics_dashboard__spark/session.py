@@ -41,6 +41,9 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Deterministic timestamp semantics vs the DuckDB oracle.
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS) which Spark cannot read
+        # natively; read as BIGINT nanos, converted in sources.catalog.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Arrow for any mapInPandas/applyInPandas exchange (vectorized).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

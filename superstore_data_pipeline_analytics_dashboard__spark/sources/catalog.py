@@ -13,6 +13,7 @@ column pruning apply (verify with ``df.explain``: ``PushedFilters``,
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -34,7 +35,13 @@ DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as bigint under nanosAsLong (session.py);
+        # integer-truncate to micros (ns values overflow double precision)
+        # — the same conversion DuckDB applies.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,128 @@
+"""Structured Streaming extensions (SURVEY.md §2.12, §7 step 10).
+
+The reference is batch-only; its natural streaming surfaces are:
+
+* incremental fact append — S5's idempotent NOT-EXISTS append becomes
+  ``dropDuplicates`` on the line key with a watermark (exactly-once per
+  key within the lateness window) + foreachBatch left-anti against the
+  sink for keys older than the watermark;
+* windowed QA counters — A3's rule counts as sliding-window aggregates;
+* sessionization — classic stateful stream op over the events table
+  (gap-based sessions via session_window; no Python state needed).
+
+All sources are schema'd file streams (parquet) so the same code runs on
+a directory drop-zone locally and on cloud object storage at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, schema: str = EVENTS_SCHEMA
+) -> DataFrame:
+    """File-drop event stream (one parquet file per micro-batch input)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] = ("event_id",),
+    ts_col: str = "ts",
+    lateness: str = "10 minutes",
+) -> DataFrame:
+    """W1-as-a-stream: watermark + dropDuplicates on the natural key.
+    State is bounded by the watermark (keys older than `lateness` are
+    evicted — the batch left-anti in `start_idempotent_append` covers
+    replays beyond it)."""
+    return events.withWatermark(ts_col, lateness).dropDuplicates(list(keys))
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    ts_col: str = "ts",
+    lateness: str = "10 minutes",
+) -> DataFrame:
+    """A3-as-a-stream: per-window, per-type counts + value sums with late
+    data handled by the watermark."""
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    return (
+        events.withWatermark(ts_col, lateness)
+        .groupBy(win.alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    lateness: str = "10 minutes",
+) -> DataFrame:
+    """Gap-based sessionization per user via session_window — the built-in
+    stateful operator (no applyInPandasWithState needed for gap sessions;
+    use that only for custom state machines)."""
+    return (
+        events.withWatermark(ts_col, lateness)
+        .groupBy(F.session_window(ts_col, gap).alias("sess"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.min(ts_col).alias("first_event"),
+            F.max(ts_col).alias("last_event"),
+        )
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+            "first_event",
+            "last_event",
+        )
+    )
+
+
+def start_idempotent_append(
+    stream: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    keys: list[str] = ("event_id",),
+) -> StreamingQuery:
+    """S5-as-a-stream: exactly-once-per-key append. In-window dupes are
+    dropped by dedup_stream upstream; each micro-batch also left-antis
+    against the sink so replays beyond the watermark stay idempotent
+    (the reference's NOT EXISTS, per batch)."""
+
+    def _append(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            existing = spark.read.parquet(sink_path).select(*keys).distinct()
+            fresh = batch.join(existing, list(keys), "left_anti")
+        except Exception:  # first batch: sink does not exist yet
+            fresh = batch
+        fresh.write.mode("append").parquet(sink_path)
+
+    return (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
