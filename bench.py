@@ -30,6 +30,10 @@ def main() -> None:
     spark = get_spark(app_name="superstore-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm up the JVM + parquet footer caches so the first timed query is
+    # not charged session startup
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in QUERIES.items():

@@ -60,16 +60,21 @@ def ngram_jaccard_pairs(
     """Exact Jaccard-similar pairs over n-word shingles.
 
     inverted index self-join: pairs sharing ≥1 shingle → |A∩B| = join count,
-    |A∪B| = |A|+|B|−|A∩B|. Shuffles on `shingle` then on the pair key; at
+    |A∪B| = |A|+|B|−|A∩B|. The join key is xxhash64(shingle), not the
+    string — 8-byte shuffle rows instead of ~25-byte (64-bit collisions are
+    ~1e-8 at millions of shingles; use minhash_dedup when approximation is
+    acceptable anyway). Shuffles on the hash then on the pair key; at
     scale, hot shingles (boilerplate) should be pre-filtered by document
     frequency — see `max_df` in minhash_lsh_candidates."""
-    sh = shingle_sets(df, id_col, text_col, n)
+    sh = shingle_sets(df, id_col, text_col, n).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
 
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
@@ -160,7 +165,9 @@ def minhash_dedup(
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verification.
     Returns verified pairs with their Jaccard score."""
     cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
-    sh = shingle_sets(df, id_col, text_col, n)
+    sh = shingle_sets(df, id_col, text_col, n).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
 
     # intersect sizes only for candidate pairs (semi-joined inverted index)
@@ -168,7 +175,7 @@ def minhash_dedup(
     b = sh.withColumnRenamed("doc_id", "doc_b")
     inter = (
         cands.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
+        .join(b, ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )

@@ -283,6 +283,24 @@ def build_product_dim(stg: DataFrame, subcategory: DataFrame, category: DataFram
     )
 
 
+def apply_customer_delta(dim_customer: DataFrame, stg2: DataFrame, as_of) -> DataFrame:
+    """Incremental SCD2 run for a second staged batch (FIXTURES.md F4):
+    changed customers expire + get a new current row effective `as_of`,
+    new customers insert open-ended, unchanged/departed carry through.
+    One full-outer join on CustomerID (operators.scd2.scd2_apply)."""
+    from ..operators.scd2 import scd2_apply, snapshot
+
+    snap = snapshot(
+        stg2.filter(F.col("CustomerID").isNotNull()),
+        "CustomerID",
+        ["CustomerName", "Segment", "Region"],
+    )
+    return scd2_apply(
+        dim_customer, snap, "CustomerID",
+        ["CustomerName", "Segment", "Region"], "CustomerKey", as_of=as_of,
+    )
+
+
 # -------------------------------------------------------------- fact
 
 def build_fact(stg: DataFrame, dims: dict[str, DataFrame]) -> DataFrame:

@@ -17,6 +17,7 @@ def get_spark(
     app_name: str = "superstore-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    warehouse_dir: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's defaults.
 
@@ -49,4 +50,6 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if warehouse_dir:
+        builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
     return builder.getOrCreate()

@@ -13,8 +13,13 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark(app_name="superstore-tests", master="local[8]", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    s = get_spark(
+        app_name="superstore-tests",
+        master="local[8]",
+        shuffle_partitions=8,
+        warehouse_dir=str(tmp_path_factory.mktemp("warehouse")),
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
 

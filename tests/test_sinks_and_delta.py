@@ -1,0 +1,70 @@
+"""Namespace sinks (S4-S7) + superstore SCD2 delta batch (F4)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from superstore_data_pipeline_analytics_dashboard__spark.plans import (
+    superstore_pipeline as P,
+)
+from superstore_data_pipeline_analytics_dashboard__spark.sources import sinks
+
+
+def test_namespaces_and_idempotent_fact_append(spark, superstore_layers):
+    sinks.ensure_namespaces(spark)
+    sinks.drop_star(spark)
+
+    sinks.save_star_catalog(spark, superstore_layers)
+    n1 = spark.table("fact.sales").count()
+    assert n1 == 9986
+
+    # appending the same fact again must be a no-op (S5 NOT EXISTS guard)
+    sinks.append_idempotent(
+        superstore_layers["fact"], "fact.sales", ["OrderID", "OrderLineNo"]
+    )
+    assert spark.table("fact.sales").count() == n1
+    assert spark.table("dim.customer").count() == 793
+    assert spark.table("qa.load_issues").count() == 3
+    sinks.drop_star(spark)
+
+
+def test_superstore_scd2_delta_batch(spark, superstore_layers):
+    """Simulate day-2: one segment change, one brand-new customer."""
+    stg = superstore_layers["stg"]
+    dim = superstore_layers["dim_customer"]
+
+    changed = (
+        stg.filter(F.col("CustomerID") == "AA-10315")
+        .withColumn("Segment", F.lit("CHANGED-SEG"))
+    )
+    new_cust = (
+        stg.limit(1)
+        .withColumn("CustomerID", F.lit("ZZ-99999"))
+        .withColumn("CustomerName", F.lit("Zed New"))
+    )
+    # unchanged slice keeps everyone else current through the merge
+    stg2 = stg.unionByName(changed).unionByName(new_cust).filter(
+        (F.col("CustomerID") != "AA-10315") | (F.col("Segment") == "CHANGED-SEG")
+    )
+    out = P.apply_customer_delta(dim, stg2, as_of=dt.date(2020, 6, 1)).cache()
+
+    aa = out.filter(F.col("CustomerID") == "AA-10315").collect()
+    assert len(aa) == 2
+    cur = [r for r in aa if r["IsCurrent"]][0]
+    old = [r for r in aa if not r["IsCurrent"]][0]
+    assert cur["Segment"] == "CHANGED-SEG"
+    assert str(cur["EffectiveFrom"]) == "2020-06-01"
+    assert str(old["EffectiveTo"]) == "2020-06-01"
+
+    zz = out.filter(F.col("CustomerID") == "ZZ-99999").collect()
+    assert len(zz) == 1 and zz[0]["IsCurrent"]
+
+    # everyone else untouched; exactly one current row per key
+    assert out.count() == 793 + 2  # 793 originals + 1 new version + 1 new key
+    assert (
+        out.filter(F.col("IsCurrent")).groupBy("CustomerID").count()
+        .filter(F.col("count") > 1).count() == 0
+    )
+    # surrogate keys remain unique
+    assert out.select("CustomerKey").distinct().count() == out.count()

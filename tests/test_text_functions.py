@@ -1,0 +1,68 @@
+"""Text-analysis expression tests (functions.text): tokenization,
+shingles, ratios, language ID, quality, fingerprints."""
+
+from pyspark.sql import functions as F
+
+from superstore_data_pipeline_analytics_dashboard__spark.functions import text as T
+
+
+def _one(spark, text, col):
+    return spark.createDataFrame([(text,)], ["text"]).select(col.alias("v")).first()["v"]
+
+
+def test_normalize_collapses_whitespace_and_case(spark):
+    assert _one(spark, "  Hello\t WORLD  \n", T.normalize("text")) == "hello world"
+
+
+def test_tokens_no_empty_strings(spark):
+    got = _one(spark, "  a  b   c ", T.tokens("text"))
+    assert got == ["a", "b", "c"]
+
+
+def test_word_shingles(spark):
+    got = _one(spark, "a b c d", T.word_shingles("text", 3))
+    assert got == ["a b c", "b c d"]
+
+
+def test_word_shingles_short_doc_whole_doc(spark):
+    assert _one(spark, "a b", T.word_shingles("text", 3)) == ["a b"]
+
+
+def test_token_and_char_count(spark):
+    assert _one(spark, "one two three", T.token_count("text")) == 3
+    assert _one(spark, "abc", T.char_count("text")) == 3
+
+
+def test_punct_ratio(spark):
+    assert _one(spark, "ab!?", T.punct_ratio("text")) == 0.5
+    assert _one(spark, "abcd", T.punct_ratio("text")) == 0.0
+
+
+def test_stopword_ratio(spark):
+    assert _one(spark, "the cat and the dog", T.stopword_ratio("text")) == 0.6
+
+
+def test_lang_id_votes(spark):
+    assert _one(spark, "the cat is on the mat", T.lang_id("text")) == "en"
+    assert _one(spark, "der hund und die katze im haus", T.lang_id("text")) == "de"
+    assert _one(spark, "le chat est dans la maison", T.lang_id("text")) == "fr"
+    assert _one(spark, "xyzzy plugh zork", T.lang_id("text")) == "und"
+
+
+def test_quality_score_orders_sensibly(spark):
+    good = "the quick brown fox jumps over the lazy dog and runs away " * 3
+    bad = "!!! ??? ### $$$ %%%"
+    df = spark.createDataFrame([(1, good), (2, bad)], ["id", "text"]).select(
+        "id", T.quality_score("text").alias("q")
+    )
+    got = {r["id"]: r["q"] for r in df.collect()}
+    assert got[1] > got[2]
+    assert 0.0 <= got[2] <= got[1] <= 1.0
+
+
+def test_fingerprint_stable_under_formatting(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("hello world",), ("HELLO\tWORLD",), ("other",)], ["text"]
+    ).select(T.fingerprint("text").alias("f"))
+    fps = [r["f"] for r in df.collect()]
+    assert fps[0] == fps[1] == fps[2] != fps[3]
