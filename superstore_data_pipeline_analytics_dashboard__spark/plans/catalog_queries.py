@@ -1181,7 +1181,98 @@ FROM (
 """
 
 
+# embedding-cosine near-duplicate pairs (the vector tier of dedup):
+# exact all-pairs baseline — O(n²) dot products, JVM-side. The scale path
+# is q28-style bucketing (sign-LSH) feeding the same verification.
+
+def q33_embedding_neardup(spark: SparkSession, sf: str, threshold: float = 0.40) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = V.cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cos_d"))
+        .filter(F.col("cos_d") >= threshold)
+        .select(
+            "id_a", "id_b",
+            F.round("cos_d", 6).cast("decimal(18,6)").alias("cos_sim"),
+        )
+    )
+
+
+Q33_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(round(
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+           nullif(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 0.0),
+         6) AS DECIMAL(18,6)) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        nullif(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 0.0)
+      >= 0.40
+"""
+
+
+# A8+ surface: CUBE over (region, segment) — grouping-sets support the
+# reference's pivot engine implies but cannot express
+
+def q34_cube_region_segment(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    orders = _ord(spark, sf)
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    df = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    agg = df.cube("r_name", "c_mktsegment").agg(
+        F.count("*").alias("n_rows"),
+        _dec2(F.sum(_rev())).alias("revenue"),
+    )
+    return agg.select(
+        F.coalesce("r_name", F.lit("ALL")).alias("region"),
+        F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+        "n_rows",
+        "revenue",
+    )
+
+
+Q34_SQL = f"""
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(c_mktsegment, 'ALL') AS segment,
+       count(*) AS n_rows,
+       {_sql_dec2(f"sum({_REV})")} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY CUBE (r_name, c_mktsegment)
+"""
+
+
 # ---- approximate / non-SQL-expressible operators (rows-only checks) ----
+
+
+def q35_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_count_distinct (HLL) per brand — approximate by design, so
+    rows-only: the paired exact counts let the driver see the error band."""
+    li = _li(spark, sf)
+    part = load_table(spark, sf, "part")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+        )
+    )
 
 def q26_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
@@ -1232,9 +1323,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q30_event_daily_counts": q30_event_daily_counts,
     "q31_sessionize_batch": q31_sessionize_batch,
     "q32_top_suppliers_per_nation": q32_top_suppliers_per_nation,
+    "q33_embedding_neardup": q33_embedding_neardup,
+    "q34_cube_region_segment": q34_cube_region_segment,
     "q26_minhash_dedup": q26_minhash_dedup,
     "q27_simhash_buckets": q27_simhash_buckets,
     "q28_knn_ivf": q28_knn_ivf,
+    "q35_approx_distinct": q35_approx_distinct,
 }
 
 ORACLES: dict[str, str] = {
@@ -1267,5 +1361,7 @@ ORACLES: dict[str, str] = {
     "q30_event_daily_counts": Q30_SQL,
     "q31_sessionize_batch": Q31_SQL,
     "q32_top_suppliers_per_nation": Q32_SQL,
-    # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only checks.
+    "q33_embedding_neardup": Q33_SQL,
+    "q34_cube_region_segment": Q34_SQL,
+    # q26-q28, q35 are approximate (MinHash/SimHash/IVF/HLL) — rows-only.
 }
