@@ -59,6 +59,25 @@ def append_idempotent(
     fresh.write.mode("append").format("parquet").saveAsTable(name)
 
 
+def save_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 16,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """S4 at scale — bucketed managed table: co-locates join/agg keys at
+    write time so later joins on `bucket_cols` between tables bucketed the
+    same way run WITHOUT a shuffle (the Spark analog of the reference's
+    clustered index on the natural key, SQLproject1.sql:723-736)."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
+
+
 def save_star_catalog(spark: SparkSession, layers: dict[str, DataFrame]) -> None:
     """Materialize the whole superstore star into the namespaced catalog
     (the reference's end state): dims overwrite, fact appends idempotently

@@ -1,0 +1,64 @@
+"""Plan-shape assertions: the scale checklist (pushdown, pruning,
+broadcast, codegen) enforced by tests, not hope. If Catalyst stops
+producing these shapes after a refactor, these fail."""
+
+import pytest
+
+from superstore_data_pipeline_analytics_dashboard__spark.plans import catalog_queries as Q
+from tests.conftest import SF_SMOKE
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    qe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return qe.explainString(mode)
+
+
+def test_slicer_filters_push_to_scan(spark):
+    plan = _formatted(Q.q07_slicer_dashboard(spark, SF_SMOKE))
+    assert "In(r_name, [ASIA,EUROPE" in plan
+    assert "In(c_mktsegment, [AUTOMOBILE,BUILDING" in plan
+
+
+def test_rollup_prunes_columns(spark):
+    """q05 projects 2 part columns + 4 lineitem columns — the scan must
+    not read more."""
+    plan = _formatted(Q.q05_sales_by_brand_rollup(spark, SF_SMOKE))
+    assert "ReadSchema: struct<l_partkey:bigint,l_quantity:double," \
+           "l_extendedprice:double,l_discount:double>" in plan
+    assert "ReadSchema: struct<p_partkey:bigint,p_brand:string>" in plan
+
+
+def test_dims_broadcast_in_fact_build(spark):
+    plan = _executed_plan(Q.q04_fact_build(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # everything broadcastable at this SF
+
+
+def test_semi_and_anti_joins_stay_semi_anti(spark):
+    semi = _executed_plan(Q.q16_semi_join_active(spark, SF_SMOKE))
+    assert "LeftSemi" in semi
+    anti = _executed_plan(Q.q15_idempotent_append(spark, SF_SMOKE))
+    assert "LeftAnti" in anti
+
+
+def test_whole_stage_codegen_covers_hot_path(spark):
+    """The staging-typer projection must run inside WholeStageCodegen
+    (no Python, no interpreted expressions)."""
+    plan = _executed_plan(Q.q01_typed_staging(spark, SF_SMOKE))
+    # "*(n)" prefixes mark WholeStageCodegen stages in the plan tree
+    assert "*(1)" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_no_python_udfs_anywhere_in_catalog(spark):
+    """Only multimodal (not in the catalog) may cross into Python."""
+    for name, fn in Q.QUERIES.items():
+        plan = _executed_plan(fn(spark, SF_SMOKE))
+        assert "BatchEvalPython" not in plan, name
