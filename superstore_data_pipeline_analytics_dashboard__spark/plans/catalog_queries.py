@@ -1187,17 +1187,10 @@ FROM (
 
 def q33_embedding_neardup(spark: SparkSession, sf: str, threshold: float = 0.40) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = V.cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))
-    return (
-        pairs.select("id_a", "id_b", cos.alias("cos_d"))
-        .filter(F.col("cos_d") >= threshold)
-        .select(
-            "id_a", "id_b",
-            F.round("cos_d", 6).cast("decimal(18,6)").alias("cos_sim"),
-        )
+    pairs = SIM.all_pairs_cosine(emb, threshold)
+    return pairs.select(
+        "id_a", "id_b",
+        F.round("cos_d", 6).cast("decimal(18,6)").alias("cos_sim"),
     )
 
 

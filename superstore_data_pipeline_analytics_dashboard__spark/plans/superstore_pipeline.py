@@ -515,6 +515,33 @@ def excel_compat_table(spark: SparkSession, csv_path: str) -> DataFrame:
     )
 
 
+def dashboard_superstore(
+    layers: dict[str, DataFrame],
+    regions: list[str] | None = None,
+    segments: list[str] | None = None,
+) -> dict[str, DataFrame]:
+    """Entry point 3 (SURVEY.md §3.3): the slicer-filtered dashboard.
+    Region + Segment slicers (A11) filter the staged table before both
+    pivot aggregates recompute — exactly the pivot-cache dataflow, with
+    `layers['stg']` cached as the pivot-cache analog."""
+    t = layers["stg"]
+    if regions:
+        t = t.filter(F.col("Region").isin(regions))
+    if segments:
+        t = t.filter(F.col("Segment").isin(segments))
+    return {
+        "by_category": pivot_by_category(t),
+        "by_year_month": pivot_by_year_month(t),
+    }
+
+
+def register_star_views(spark: SparkSession, layers: dict[str, DataFrame]) -> None:
+    """Expose every layer + analytical view to `spark.sql` (the serving
+    surface the reference gives via qa.v_* views, SQLproject1.sql:626-716)."""
+    for name, df in layers.items():
+        df.createOrReplaceTempView(name)
+
+
 # -------------------------------------------------------------- runner
 
 def run(spark: SparkSession, csv_path: str) -> dict[str, DataFrame]:

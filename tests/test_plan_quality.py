@@ -58,7 +58,12 @@ def test_whole_stage_codegen_covers_hot_path(spark):
 
 
 def test_no_python_udfs_anywhere_in_catalog(spark):
-    """Only multimodal (not in the catalog) may cross into Python."""
+    """No row-at-a-time Python anywhere. Arrow-batched MapInPandas is
+    allowed ONLY where documented as the right tool (q33's all-pairs
+    BLAS block — see similarity.all_pairs_cosine) and multimodal."""
+    arrow_allowed = {"q33_embedding_neardup"}
     for name, fn in Q.QUERIES.items():
         plan = _executed_plan(fn(spark, SF_SMOKE))
         assert "BatchEvalPython" not in plan, name
+        if name not in arrow_allowed:
+            assert "MapInPandas" not in plan, name

@@ -150,3 +150,35 @@ def test_views_shape(superstore_layers):
     assert top.select("SubCategory").distinct().count() == 17
     sus = superstore_layers["v_suspicious_discounts"]
     assert sus.filter(F.col("Discount") <= 0).count() == 0
+
+
+def test_slicer_dashboard_filters_both_pivots(spark, superstore_layers):
+    """A11: slicers cross-filter both pivots; filtered counts must sum to
+    the slice, not the whole table."""
+    out = P.dashboard_superstore(
+        superstore_layers, regions=["West"], segments=["Consumer"]
+    )
+    by_cat = {r["Category"]: r for r in out["by_category"].collect()}
+    expected = (
+        superstore_layers["stg"]
+        .filter((F.col("Region") == "West") & (F.col("Segment") == "Consumer"))
+        .count()
+    )
+    assert by_cat["Grand Total"]["CountOfSales"] == expected
+    ym = out["by_year_month"]
+    grand = [r for r in ym.collect() if r["OrderYear"] == -1][0]
+    assert grand["CountOfSales"] == expected
+
+
+def test_register_star_views_sql_surface(spark, superstore_layers):
+    P.register_star_views(spark, superstore_layers)
+    row = spark.sql("""
+        SELECT count(*) AS n
+        FROM fact JOIN dim_date d ON d.DateKey = fact.OrderDateKey
+        WHERE d.Year = 2017
+    """).first()
+    assert row["n"] == 3310
+    top = spark.sql(
+        "SELECT count(DISTINCT SubCategory) AS n FROM v_top_products_by_subcat"
+    ).first()
+    assert top["n"] == 17
