@@ -1250,6 +1250,71 @@ GROUP BY CUBE (r_name, c_mktsegment)
 """
 
 
+# lag/lead surface (beyond the reference's window census): per-customer
+# order cadence — days since previous order, days until next
+
+def q36_order_cadence(spark: SparkSession, sf: str) -> DataFrame:
+    orders = _ord(spark, sf)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_orderdate").alias("order_date"),
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("days_since_prev"),
+        F.datediff(
+            F.lead("o_orderdate").over(w), F.col("o_orderdate")
+        ).alias("days_until_next"),
+        F.ntile(4).over(w).alias("cadence_quartile"),
+    )
+
+
+Q36_SQL = """
+SELECT o_custkey AS cust_key,
+       o_orderkey AS order_key,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(date_diff('day',
+            lag(CAST(o_orderdate AS DATE)) OVER w,
+            CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev,
+       CAST(date_diff('day',
+            CAST(o_orderdate AS DATE),
+            lead(CAST(o_orderdate AS DATE)) OVER w) AS INT) AS days_until_next,
+       CAST(ntile(4) OVER w AS INT) AS cadence_quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+"""
+
+
+# exact percentiles (A-family breadth): median / p90 order value per segment
+
+def q37_order_value_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    orders = _ord(spark, sf)
+    cust = load_table(spark, sf, "customer")
+    joined = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4)
+        .cast("decimal(18,4)")
+        .alias("median_value"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4)
+        .cast("decimal(18,4)")
+        .alias("p90_value"),
+    )
+
+
+Q37_SQL = """
+SELECT c_mktsegment AS segment,
+       count(*) AS n_orders,
+       CAST(round(quantile_cont(o_totalprice, 0.5), 4) AS DECIMAL(18,4)) AS median_value,
+       CAST(round(quantile_cont(o_totalprice, 0.9), 4) AS DECIMAL(18,4)) AS p90_value
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 # ---- approximate / non-SQL-expressible operators (rows-only checks) ----
 
 
@@ -1318,6 +1383,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_top_suppliers_per_nation": q32_top_suppliers_per_nation,
     "q33_embedding_neardup": q33_embedding_neardup,
     "q34_cube_region_segment": q34_cube_region_segment,
+    "q36_order_cadence": q36_order_cadence,
+    "q37_order_value_percentiles": q37_order_value_percentiles,
     "q26_minhash_dedup": q26_minhash_dedup,
     "q27_simhash_buckets": q27_simhash_buckets,
     "q28_knn_ivf": q28_knn_ivf,
@@ -1356,5 +1423,7 @@ ORACLES: dict[str, str] = {
     "q32_top_suppliers_per_nation": Q32_SQL,
     "q33_embedding_neardup": Q33_SQL,
     "q34_cube_region_segment": Q34_SQL,
+    "q36_order_cadence": Q36_SQL,
+    "q37_order_value_percentiles": Q37_SQL,
     # q26-q28, q35 are approximate (MinHash/SimHash/IVF/HLL) — rows-only.
 }

@@ -135,3 +135,53 @@ def read_superstore_csv(
         .withColumn("IngestedAt", F.current_timestamp())
         .withColumn("SourceFile", F.lit(path))
     )
+
+
+def read_superstore_csv_with_quarantine(
+    spark: SparkSession, path: str, encoding: str = "windows-1252"
+) -> dict[str, DataFrame]:
+    """Recovery with a bad-record channel (the reference has none — its
+    BULK INSERT just aborts into CATCH, SQLproject1.sql:125-127).
+
+    Returns {"good": 21-col DataFrame, "quarantine": (line, reason)}.
+    A record quarantines when the repaired line still fails to yield the
+    key fields (Order ID / Product ID) — short rows, runaway quotes,
+    non-record garbage. Both outputs derive from ONE scan (the filter
+    splits a cached narrow projection, no second read)."""
+    lines = read_lines(spark, path, encoding)
+    body = lines.filter(~F.col("value").startswith("Row ID"))
+    repaired = body.select(
+        F.col("value").alias("raw_line"),
+        repair_line(F.col("value")).alias("line"),
+    )
+    parsed = repaired.select(
+        "raw_line",
+        F.from_csv(
+            F.col("line"),
+            _SCHEMA_DDL,
+            {"sep": ",", "quote": '"', "escape": '"', "mode": "PERMISSIVE"},
+        ).alias("r"),
+    )
+    is_bad = (
+        F.col("r").isNull()
+        | F.col("r.Order_ID").isNull()
+        | F.col("r.Product_ID").isNull()
+    )
+    flat = parsed.withColumn("__bad", is_bad)
+    good = flat.filter(~F.col("__bad")).select(
+        *[F.col(f"r.`{safe}`").alias(orig) for safe, orig in zip(_SAFE, CSV_COLUMNS)]
+    )
+    good = (
+        good.withColumn("SourceRowNum", F.col("Row ID").try_cast("int"))
+        .drop("Row ID")
+        .withColumn("IngestedAt", F.current_timestamp())
+        .withColumn("SourceFile", F.lit(path))
+    )
+    quarantine = flat.filter(F.col("__bad")).select(
+        F.col("raw_line").alias("line"),
+        F.when(F.col("r").isNull(), F.lit("UNPARSEABLE"))
+        .when(F.col("r.Order_ID").isNull(), F.lit("MISSING_ORDER_ID"))
+        .otherwise(F.lit("MISSING_PRODUCT_ID"))
+        .alias("reason"),
+    )
+    return {"good": good, "quarantine": quarantine}

@@ -67,3 +67,41 @@ def test_field_level_equality_vs_python_csv(spark):
 def test_excel_compat_drops_double_encoded_rows(spark):
     compat = read_superstore_csv(spark, REFERENCE_CSV, compat_excel=True)
     assert compat.count() == 7484
+
+
+def test_quarantine_channel(spark, tmp_path_factory):
+    """Good rows pass through; short/garbage rows land in quarantine with
+    a reason, and nothing is silently dropped."""
+    from superstore_data_pipeline_analytics_dashboard__spark.sources.messy_csv import (
+        read_superstore_csv_with_quarantine,
+    )
+
+    header = (
+        "Row ID,Order ID,Order Date,Ship Date,Ship Mode,Customer ID,"
+        "Customer Name,Segment,Country,City,State,Postal Code,Region,"
+        "Product ID,Category,Sub-Category,Product Name,Sales,Quantity,"
+        "Discount,Profit;"
+    )
+    good = "1,CA-1,1/5/2020,1/7/2020,First,AA,Ann,Cons,US,Bos,MA,1040,E,P-1,Fur,Ch,Chair,10,1,0,2.5;"
+    short = "2,CA-2,1/5/2020;"
+    garbage = "this is not a record at all"
+    content = "\r\n".join([header, good, short, garbage]) + "\r\n"
+    p = tmp_path_factory.mktemp("quar") / "m.csv"
+    p.write_bytes(content.encode("cp1252"))
+
+    out = read_superstore_csv_with_quarantine(spark, str(p))
+    assert out["good"].count() == 1
+    quar = {r["reason"] for r in out["quarantine"].collect()}
+    assert out["quarantine"].count() == 2
+    assert quar <= {"UNPARSEABLE", "MISSING_ORDER_ID", "MISSING_PRODUCT_ID"}
+
+
+def test_quarantine_empty_on_reference_file(spark):
+    """The reference corpus recovers fully — quarantine must be empty."""
+    from superstore_data_pipeline_analytics_dashboard__spark.sources.messy_csv import (
+        read_superstore_csv_with_quarantine,
+    )
+
+    out = read_superstore_csv_with_quarantine(spark, REFERENCE_CSV)
+    assert out["quarantine"].count() == 0
+    assert out["good"].count() == 9994

@@ -87,3 +87,28 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS stg.li_bucketed")
         spark.sql("DROP TABLE IF EXISTS stg.ord_bucketed")
+
+
+def test_partitioned_fact_prunes_partitions(spark, superstore_layers, tmp_path_factory):
+    """write_star partitions the fact by OrderYearMonth; a month filter
+    must show up as a PartitionFilter (scan prunes directories), the Spark
+    analog of the reference's IX_Fact_Date index seek."""
+    out = str(tmp_path_factory.mktemp("star"))
+    sinks_dir = out + "/fact_sales"
+    from superstore_data_pipeline_analytics_dashboard__spark.plans import (
+        superstore_pipeline as P,
+    )
+
+    P.write_star(superstore_layers, out)
+    fact = spark.read.parquet(sinks_dir)
+    q = fact.filter(F.col("OrderYearMonth") == 201703)
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters: [isnotnull(OrderYearMonth" in plan
+    # pruned scan answers correctly
+    march = q.count()
+    expected = superstore_layers["fact"].filter(
+        (F.col("OrderDateKey") >= 20170301) & (F.col("OrderDateKey") <= 20170331)
+    ).count()
+    assert march == expected > 0

@@ -68,6 +68,7 @@ def test_fact_grain_and_fk_completeness(superstore_layers):
     assert fact.count() == 9986
     # UQ_OrderLine (SQLproject1.sql:379)
     assert fact.select("OrderID", "OrderLineNo").distinct().count() == 9986
+    assert fact.select("SalesKey").distinct().count() == 9986
     for k in ("OrderDateKey", "ShipDateKey", "CustomerKey", "ProductKey",
               "ShipModeKey", "GeographyKey"):
         assert fact.filter(F.col(k).isNull()).count() == 0, k
