@@ -105,6 +105,22 @@ def quality_score(col: Column | str) -> Column:
     return (len_score * F.lit(0.4) + sw_score * F.lit(0.4) + punct_pen * F.lit(0.2))
 
 
+#: GPT-2-style pre-tokenizer pattern: contractions, letter runs, digit
+#: runs, punctuation runs, whitespace — \p classes behave identically in
+#: Java (Spark) and RE2 (DuckDB) regex engines (verified).
+BPE_ISH_PATTERN = r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """BPE-ish pre-tokenization (the unit a byte-pair encoder would merge
+    within) — a better LLM-cost proxy than whitespace tokens."""
+    return F.regexp_extract_all(_c(col), F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    return F.size(bpe_ish_tokens(col))
+
+
 def fingerprint(col: Column | str) -> Column:
     """Content fingerprint: md5 of the normalized text (lowercased,
     whitespace-collapsed) — stable under incidental formatting changes."""

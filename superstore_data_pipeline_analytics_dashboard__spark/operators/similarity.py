@@ -154,6 +154,31 @@ def seed_centroids(
     )
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_cells: int,
+    max_iter: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF centroids via MLlib k-means (the idiomatic Spark answer to an
+    iterative algorithm — Lloyd's iterations run as distributed aggregates
+    under the hood, no driver-side loop over rows). Returns
+    (centroid_id, `vec_col`) shaped like seed_centroids."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ml_df = vectors.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, maxIter=max_iter, seed=seed).fit(ml_df)
+    spark = vectors.sparkSession
+    rows = [
+        (i + 1, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(rows, f"centroid_id INT, {vec_col} ARRAY<DOUBLE>")
+
+
 def knn_ivf(
     vectors: DataFrame,
     query: DataFrame,
@@ -162,11 +187,16 @@ def knn_ivf(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: str = "seed",
 ) -> DataFrame:
     """Approximate top-k: route each query to its `nprobe` nearest cells,
     brute-force only inside those cells. Search cost ≈ nprobe/n_cells of
-    exact."""
-    cents = seed_centroids(vectors, n_cells, id_col, vec_col)
+    exact. `centroids`: 'seed' (deterministic lowest-id seeds) or
+    'kmeans' (MLlib Lloyd's — better cell balance → better recall)."""
+    if centroids == "kmeans":
+        cents = kmeans_centroids(vectors, n_cells, vec_col=vec_col)
+    else:
+        cents = seed_centroids(vectors, n_cells, id_col, vec_col)
     assigned = ivf_assign(vectors, cents, id_col, vec_col)
 
     q = query.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))

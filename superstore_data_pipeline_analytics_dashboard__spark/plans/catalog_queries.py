@@ -974,16 +974,20 @@ def q23_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         T.token_count("text").alias("n_tokens"),
         F.size(words).alias("n_words"),
+        T.bpe_ish_token_count("text").alias("n_bpe_tokens"),
         T.char_count("text").alias("n_chars"),
     )
 
 
-Q23_SQL = r"""
+_BPE_SQL_LIT = T.BPE_ISH_PATTERN.replace("'", "''")
+Q23_SQL = rf"""
 SELECT doc_id,
        CAST(len(regexp_split_to_array(
            trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS INT)
          AS n_tokens,
        CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS INT) AS n_words,
+       CAST(len(regexp_extract_all(text, '{_BPE_SQL_LIT}', 0)) AS INT)
+         AS n_bpe_tokens,
        CAST(length(text) AS INT) AS n_chars
 FROM documents
 """

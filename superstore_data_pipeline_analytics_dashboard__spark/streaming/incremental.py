@@ -100,6 +100,54 @@ def sessionize(
     )
 
 
+def cumulative_threshold_alerts(
+    events: DataFrame,
+    threshold: float = 100.0,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: emit one
+    alert row each time a user's CUMULATIVE value crosses another multiple
+    of `threshold`. This is a genuine state machine — neither windowed
+    aggregation nor session_window expresses "running total across the
+    whole stream with emission on crossings", so this is the documented
+    escape hatch (Arrow-batched; state = one row per user).
+
+    State: (cum_value double, n_alerts int). Emits
+    (user_id, alert_no, cum_value, crossed_at)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            cum, n_alerts = state.get
+        else:
+            cum, n_alerts = 0.0, 0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for v, ts in zip(pdf["value"], pdf["ts"]):
+                cum += float(v)
+                while cum >= (n_alerts + 1) * threshold:
+                    n_alerts += 1
+                    out.append((user_id, n_alerts, cum, ts))
+        state.update((cum, n_alerts))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "alert_no", "cum_value", "crossed_at"]
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id BIGINT, alert_no INT, cum_value DOUBLE, "
+                         "crossed_at TIMESTAMP",
+        stateStructType="cum_value DOUBLE, n_alerts INT",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def start_idempotent_append(
     stream: DataFrame,
     sink_path: str,

@@ -57,3 +57,35 @@ def test_ivf_recall_vs_bruteforce(spark):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_kmeans_centroids_shape_and_determinism(spark):
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    emb = _emb(spark)
+    c1 = kmeans_centroids(emb, 8)
+    assert c1.count() == 8
+    row = c1.first()
+    assert len(row["embedding"]) == 64
+    c2 = kmeans_centroids(emb, 8)
+    assert sorted(map(tuple, (r["embedding"] for r in c1.collect()))) == sorted(
+        map(tuple, (r["embedding"] for r in c2.collect()))
+    )
+
+
+def test_ivf_kmeans_recall_not_worse_than_seed(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in knn_bruteforce(emb, q, k=10).collect()}
+    seed = {(r["query_id"], r["neighbor_id"])
+            for r in knn_ivf(emb, q, k=10, n_cells=8, nprobe=4).collect()}
+    km = {(r["query_id"], r["neighbor_id"])
+          for r in knn_ivf(emb, q, k=10, n_cells=8, nprobe=4, centroids="kmeans").collect()}
+    recall_seed = len(exact & seed) / len(exact)
+    recall_km = len(exact & km) / len(exact)
+    assert recall_km >= 0.5
+    # kmeans cells should not be dramatically worse than naive seeds
+    assert recall_km >= recall_seed - 0.2, (recall_km, recall_seed)

@@ -86,3 +86,39 @@ def test_idempotent_append_exactly_once(spark, event_drop_zone, tmpdir):
     q2.awaitTermination(120)
     n2 = spark.read.parquet(sink).count()
     assert n2 == n1, f"replay duplicated rows: {n1} -> {n2}"
+
+
+def test_cumulative_threshold_alerts_stateful(spark, event_drop_zone):
+    """The custom applyInPandasWithState operator: alert counts must match
+    a batch recomputation of cumulative-threshold crossings."""
+    stream = S.read_event_stream(spark, str(event_drop_zone))
+    alerts = S.cumulative_threshold_alerts(stream, threshold=100.0)
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("alerts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT user_id, max(alert_no) AS n FROM alerts GROUP BY user_id"
+    ).collect()
+    got_map = {r["user_id"]: r["n"] for r in got}
+
+    batch = spark.read.parquet(str(event_drop_zone)).groupBy("user_id").agg(
+        F.sum("value").alias("total")
+    )
+    expected = {
+        r["user_id"]: int(r["total"] // 100.0)
+        for r in batch.collect()
+        if r["total"] >= 100.0
+    }
+    assert got_map == expected
+    # alert numbers are dense per user starting at 1
+    dense = spark.sql("""
+        SELECT user_id, count(*) c, max(alert_no) m, min(alert_no) lo
+        FROM alerts GROUP BY user_id
+    """).collect()
+    assert all(r["c"] == r["m"] and r["lo"] == 1 for r in dense)
+    q.stop()
