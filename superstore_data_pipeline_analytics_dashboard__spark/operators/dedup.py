@@ -99,13 +99,21 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig: array<bigint>[num_hashes]) MinHash signatures.
 
-    The i-th "permutation" is the seeded hash xxhash64(i, shingle) — k
-    independent hash functions, all JVM-side; each min is one aggregate, so
-    the whole signature is a single groupBy pass (map-side partial
-    aggregation means the shuffle carries only partial mins)."""
-    sh = shingle_sets(df, id_col, text_col, n)
+    Kirsch-Mitzenmacher construction: TWO base hashes per shingle
+    (h1, h2, reduced to 31 bits so `h1 + i*h2` stays overflow-free under
+    ANSI), then the i-th "permutation" is the linear combination — 2
+    string hashes instead of k per posting (measured ~2× on the signature
+    stage). Each min is one aggregate, so the whole signature is a single
+    groupBy pass (map-side partial aggregation → the shuffle carries only
+    partial mins)."""
+    mask = (1 << 31) - 1
+    sh = shingle_sets(df, id_col, text_col, n).select(
+        "doc_id",
+        F.xxhash64("shingle").bitwiseAND(F.lit(mask)).alias("h1"),
+        F.xxhash64(F.lit("kmsalt"), F.col("shingle")).bitwiseAND(F.lit(mask)).alias("h2"),
+    )
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     sigs = sh.groupBy("doc_id").agg(*aggs)

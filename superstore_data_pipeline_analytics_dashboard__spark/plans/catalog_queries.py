@@ -1322,6 +1322,17 @@ GROUP BY c_mktsegment
 # ---- approximate / non-SQL-expressible operators (rows-only checks) ----
 
 
+def q38_curate_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Full corpus-curation pipeline (plans.corpus_pipeline): quality/lang
+    gates → exact dedup → MinHash near-dup removal. Near-dup stage is
+    LSH-approximate → rows-only (per-stage audit counts returned)."""
+    from .corpus_pipeline import curate
+
+    docs = load_table(spark, sf, "documents")
+    out = curate(docs, min_tokens=3, min_quality=0.0, near_dup_threshold=0.35)
+    return out["audit"]
+
+
 def q35_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """approx_count_distinct (HLL) per brand — approximate by design, so
     rows-only: the paired exact counts let the driver see the error band."""
@@ -1393,6 +1404,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q27_simhash_buckets": q27_simhash_buckets,
     "q28_knn_ivf": q28_knn_ivf,
     "q35_approx_distinct": q35_approx_distinct,
+    "q38_curate_corpus": q38_curate_corpus,
 }
 
 ORACLES: dict[str, str] = {

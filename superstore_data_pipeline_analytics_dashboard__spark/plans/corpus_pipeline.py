@@ -1,0 +1,109 @@
+"""Training-corpus curation pipeline: the LLM-data operators composed
+end-to-end, the way a 100 TB pretraining-data job would run them.
+
+    documents
+      → text statistics (tokens, chars, BPE-ish tokens, ratios)   [narrow]
+      → quality + language gates                                  [narrow]
+      → exact dedup (fingerprint groupBy, keep lowest id)         [1 shuffle]
+      → near-dup removal (MinHash LSH → verified Jaccard pairs →
+        drop the higher id of each pair)                          [bounded]
+      → curated corpus + per-stage audit counts
+
+Stage order is deliberate: cheap narrow filters first (shrink the corpus
+before any shuffle), exact dedup before near-dup (exact copies would
+flood the LSH bands), and near-dup last on the smallest survivor set.
+Every stage is a DataFrame→DataFrame function usable standalone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import dedup as DD
+
+
+def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Annotate every document with the full text-statistics block."""
+    return docs.select(
+        "*",
+        T.token_count(text_col).alias("n_tokens"),
+        T.bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+        T.char_count(text_col).alias("n_chars"),
+        F.round(T.punct_ratio(text_col), 6).alias("punct_ratio"),
+        F.round(T.stopword_ratio(text_col), 6).alias("stopword_ratio"),
+        F.round(T.quality_score(text_col), 6).alias("quality"),
+        T.lang_id(text_col).alias("lang_pred"),
+        T.fingerprint(text_col).alias("fingerprint"),
+    )
+
+
+def quality_gate(
+    annotated: DataFrame,
+    min_tokens: int = 5,
+    min_quality: float = 0.2,
+    languages: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Narrow filters — run BEFORE any shuffle so the scan prunes."""
+    out = annotated.filter(
+        (F.col("n_tokens") >= min_tokens) & (F.col("quality") >= min_quality)
+    )
+    if languages:
+        out = out.filter(F.col("lang_pred").isin(*languages))
+    return out
+
+
+def drop_exact_dups(annotated: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest id per content fingerprint (one hash-groupBy)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return (
+        annotated.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def drop_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidates → exact-Jaccard verification → drop the
+    HIGHER id of every verified pair (transitively: anything that is the
+    `doc_b` of a surviving pair goes; keeps the canonical lowest id)."""
+    pairs = DD.minhash_dedup(docs, id_col, text_col, n=n, threshold=threshold)
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return docs.join(losers, id_col, "left_anti")
+
+
+def curate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    min_quality: float = 0.2,
+    languages: tuple[str, ...] | None = None,
+    near_dup_threshold: float = 0.5,
+) -> dict[str, DataFrame]:
+    """Full curation run. Returns the curated corpus plus an audit frame
+    of per-stage row counts (the qa.LoadIssues idea applied to corpus
+    curation)."""
+    annotated = with_text_stats(docs, text_col).cache()
+    gated = quality_gate(annotated, min_tokens, min_quality, languages)
+    exact = drop_exact_dups(gated, id_col)
+    curated = drop_near_dups(exact, id_col, text_col, threshold=near_dup_threshold)
+
+    spark = docs.sparkSession
+    counts = [
+        ("input", docs.count()),
+        ("after_quality_gate", gated.count()),
+        ("after_exact_dedup", exact.count()),
+        ("after_near_dedup", curated.count()),
+    ]
+    audit = spark.createDataFrame(counts, "stage STRING, n_docs BIGINT")
+    return {"annotated": annotated, "curated": curated, "audit": audit}
