@@ -55,12 +55,16 @@ def strip_trailing_semicolon(col: Column | str) -> Column:
 
 
 def zero_pad_postal(col: Column | str, width: int = 5) -> Column:
-    """``RIGHT('00000' + code, 5)`` zero-pad after space-strip —
-    SQLproject1.sql:430-435 (P9/F5). NULL-safe: NULL stays NULL."""
+    """``RIGHT('00000' + code, max(5, LEN(code)))`` zero-pad after
+    space-strip — SQLproject1.sql:430-435 (P9/F5). Codes already ≥ width
+    chars pass through UNCHANGED (lpad alone would truncate a ZIP+4 to its
+    first 5 chars, diverging from the reference). NULL-safe."""
     c = F.col(col) if isinstance(col, str) else col
     cleaned = F.nullif(strip_spaces(c), F.lit(""))
     return F.when(cleaned.isNull(), F.lit(None).cast("string")).otherwise(
-        F.lpad(cleaned, width, "0")
+        F.when(F.length(cleaned) >= width, cleaned).otherwise(
+            F.lpad(cleaned, width, "0")
+        )
     )
 
 

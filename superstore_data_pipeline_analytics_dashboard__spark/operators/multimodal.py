@@ -53,7 +53,10 @@ def _decode_image(content: bytes) -> tuple[int, int, bytes]:
 
         img = Image.open(BytesIO(content))
         return img.width, img.height, img.tobytes()
-    except ImportError:
+    except Exception:
+        # PIL missing OR payload not a real image — fall through to the
+        # FAKE container either way (a FAKEIMG payload must decode even
+        # on hosts that do have codecs installed).
         pass
     if content.startswith(b"FAKEIMG|"):
         _, w, h, payload = content.split(b"|", 3)

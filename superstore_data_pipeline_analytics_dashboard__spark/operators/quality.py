@@ -14,18 +14,24 @@ from pyspark.sql import functions as F
 
 def load_issues(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     """One row per named rule: (IssueType string, RowCount bigint).
-    `rules` maps issue name → boolean predicate Column."""
+    `rules` maps issue name → boolean predicate Column. The unpivot is
+    built from Column expressions (no SQL-string interpolation, so rule
+    names may contain quotes/backticks; empty rules → empty frame)."""
+    if not rules:
+        return df.sparkSession.createDataFrame(
+            [], "IssueType STRING, RowCount BIGINT"
+        )
     aggs = [
-        F.sum(F.when(pred, 1).otherwise(0)).cast("bigint").alias(name)
-        for name, pred in rules.items()
+        F.sum(F.when(pred, 1).otherwise(0)).cast("bigint").alias(f"__r{i}")
+        for i, pred in enumerate(rules.values())
     ]
     wide = df.agg(*aggs)
-    stacked = wide.select(
-        F.expr(
-            "stack({n}, {args}) as (IssueType, RowCount)".format(
-                n=len(rules),
-                args=", ".join(f"'{name}', `{name}`" for name in rules),
-            )
+    pairs = F.array(*[
+        F.struct(
+            F.lit(name).alias("IssueType"), F.col(f"__r{i}").alias("RowCount")
         )
+        for i, name in enumerate(rules)
+    ])
+    return wide.select(F.explode(pairs).alias("kv")).select(
+        "kv.IssueType", "kv.RowCount"
     )
-    return stacked

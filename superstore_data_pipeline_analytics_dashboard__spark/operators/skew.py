@@ -63,7 +63,18 @@ def salted_join(
     right rows are replicated once per salt value; the join adds the salt
     to the key so one hot key spreads across `salt` reducers. Memory cost:
     right side ×`salt` — use only when right is small-ish but above the
-    broadcast threshold."""
+    broadcast threshold.
+
+    Only inner/left-flavored joins are valid: a right/full outer would
+    emit one null-extended row PER UNMATCHED REPLICA of the right side."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; got how={how!r} — "
+            "right/full outer joins would duplicate unmatched right rows "
+            "once per salt replica"
+        )
     l = left.withColumn("__salt", (F.rand(seed) * salt).cast("int"))
     r = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

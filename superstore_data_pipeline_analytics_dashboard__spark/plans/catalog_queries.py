@@ -572,19 +572,20 @@ WHERE l_discount > 0
 def q12_qa_load_issues(spark: SparkSession, sf: str) -> DataFrame:
     li = _li(spark, sf).withColumn("ship_date", F.col("l_shipdate").cast("date"))
     orders = _ord(spark, sf)
+    # HIGH_DISCOUNT is counted on BARE lineitem (matching the oracle):
+    # counting it on the join would silently depend on referential
+    # integrity / o_orderkey uniqueness. Only the cross-table rule uses
+    # the joined frame.
     joined = li.join(
         orders.select("o_orderkey", "o_orderdate"),
         li["l_orderkey"] == orders["o_orderkey"],
     )
-    qa_li = load_issues(
-        joined,
-        {
-            "HIGH_DISCOUNT": F.col("l_discount") >= 0.05,
-            "SHIP_BEFORE_ORDER": F.col("ship_date") < F.col("o_orderdate"),
-        },
+    qa_li = load_issues(li, {"HIGH_DISCOUNT": F.col("l_discount") >= 0.05})
+    qa_join = load_issues(
+        joined, {"SHIP_BEFORE_ORDER": F.col("ship_date") < F.col("o_orderdate")}
     )
     qa_ord = load_issues(orders, {"NULL_DATES": F.col("o_orderdate").isNull()})
-    return qa_li.unionByName(qa_ord)
+    return qa_li.unionByName(qa_join).unionByName(qa_ord)
 
 
 Q12_SQL = """
@@ -1191,25 +1192,28 @@ FROM (
 
 def q33_embedding_neardup(spark: SparkSession, sf: str, threshold: float = 0.40) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
-    pairs = SIM.all_pairs_cosine(emb, threshold)
+    # over-collect slightly below threshold, then apply the DEFINING filter
+    # on the 6-dp ROUNDED value — membership is then decided on the same
+    # quantity both engines output, not on raw doubles that differ by an
+    # ulp between BLAS and sequential summation
+    pairs = SIM.all_pairs_cosine(emb, threshold - 1e-4)
     return pairs.select(
         "id_a", "id_b",
         F.round("cos_d", 6).cast("decimal(18,6)").alias("cos_sim"),
-    )
+    ).filter(F.col("cos_sim") >= threshold)
 
 
 Q33_SQL = """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       CAST(round(
-         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-           nullif(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 0.0),
-         6) AS DECIMAL(18,6)) AS cos_sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-        nullif(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 0.0)
-      >= 0.40
+WITH scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(round(
+           list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             nullif(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 0.0),
+           6) AS DECIMAL(18,6)) AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.40
 """
 
 

@@ -95,8 +95,13 @@ def curate(
     curation)."""
     annotated = with_text_stats(docs, text_col).cache()
     gated = quality_gate(annotated, min_tokens, min_quality, languages)
-    exact = drop_exact_dups(gated, id_col)
-    curated = drop_near_dups(exact, id_col, text_col, threshold=near_dup_threshold)
+    exact = drop_exact_dups(gated, id_col).cache()
+    # cached BEFORE counting: the LSH near-dup DAG is the expensive stage
+    # and callers will act on `curated` again — without the cache the
+    # audit count would execute the whole pipeline twice
+    curated = drop_near_dups(
+        exact, id_col, text_col, threshold=near_dup_threshold
+    ).cache()
 
     spark = docs.sparkSession
     counts = [

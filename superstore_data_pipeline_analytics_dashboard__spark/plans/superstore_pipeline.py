@@ -461,15 +461,20 @@ def v_suspicious_discounts(fact: DataFrame) -> DataFrame:
 def pivot_by_category(stg_or_table: DataFrame) -> DataFrame:
     """PivotTable1 "By Category" (A8): count of Sales, count of Profit,
     sum of Quantity, with rollup grand total."""
+    # grouping() discriminates the rollup total from a genuine NULL
+    # Category base group (coalesce alone would conflate them)
     return (
         stg_or_table.rollup("Category")
         .agg(
             F.count("Sales").alias("CountOfSales"),
             F.count("Profit").alias("CountOfProfit"),
             F.sum("Quantity").alias("SumOfQuantity"),
+            F.grouping("Category").alias("__g"),
         )
         .select(
-            F.coalesce("Category", F.lit("Grand Total")).alias("Category"),
+            F.when(F.col("__g") == 1, F.lit("Grand Total"))
+            .otherwise(F.coalesce("Category", F.lit("(null)")))
+            .alias("Category"),
             "CountOfSales",
             "CountOfProfit",
             "SumOfQuantity",
@@ -483,16 +488,24 @@ def pivot_by_year_month(stg_or_table: DataFrame) -> DataFrame:
     df = stg_or_table.withColumn("OrderYear", F.year("OrderDate")).withColumn(
         "OrderMonth", F.month("OrderDate")
     )
+    # grouping() discriminates subtotal rows from genuine NULL-date base
+    # groups (qa_issues anticipates NULL OrderDate rows)
     return (
         df.rollup("OrderYear", "OrderMonth")
         .agg(
             F.count("Sales").alias("CountOfSales"),
             F.count("Profit").alias("CountOfProfit"),
             F.sum("Quantity").alias("SumOfQuantity"),
+            F.grouping("OrderYear").alias("__gy"),
+            F.grouping("OrderMonth").alias("__gm"),
         )
         .select(
-            F.coalesce("OrderYear", F.lit(-1)).alias("OrderYear"),
-            F.coalesce("OrderMonth", F.lit(-1)).alias("OrderMonth"),
+            F.when(F.col("__gy") == 1, F.lit(-1))
+            .otherwise(F.coalesce("OrderYear", F.lit(-2)))
+            .alias("OrderYear"),
+            F.when(F.col("__gm") == 1, F.lit(-1))
+            .otherwise(F.coalesce("OrderMonth", F.lit(-2)))
+            .alias("OrderMonth"),
             "CountOfSales",
             "CountOfProfit",
             "SumOfQuantity",
@@ -514,7 +527,6 @@ def excel_compat_table(spark: SparkSession, csv_path: str) -> DataFrame:
         .withColumn("Order Month Number", F.month(od))
         .withColumnRenamed("Sales", "SalesText")
         .withColumn("Sales", F.col("SalesText"))
-        .withColumn("Profit", F.col("Profit"))
         .withColumn("Quantity", F.col("Quantity").try_cast("int"))
     )
 

@@ -107,7 +107,6 @@ def read_superstore_csv(
     hash-match the reference's published pivot goldens (SURVEY.md §1.4).
     """
     lines = read_lines(spark, path, encoding)
-    header = F.lit(";")  # header line starts with "Row ID"
     body = lines.filter(~F.col("value").startswith("Row ID"))
 
     if compat_excel:

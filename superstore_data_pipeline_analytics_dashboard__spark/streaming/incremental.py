@@ -160,11 +160,19 @@ def start_idempotent_append(
     (the reference's NOT EXISTS, per batch)."""
 
     def _append(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch.sparkSession
         try:
             existing = spark.read.parquet(sink_path).select(*keys).distinct()
             fresh = batch.join(existing, list(keys), "left_anti")
-        except Exception:  # first batch: sink does not exist yet
+        except AnalysisException as e:
+            # ONLY a missing sink selects the first-batch path; any other
+            # read failure (corrupt footer, transient storage error) must
+            # abort the batch — swallowing it would skip the anti-join and
+            # append duplicates into an exactly-once sink.
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
             fresh = batch
         fresh.write.mode("append").parquet(sink_path)
 
