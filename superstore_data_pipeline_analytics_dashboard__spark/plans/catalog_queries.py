@@ -1258,6 +1258,67 @@ GROUP BY CUBE (r_name, c_mktsegment)
 """
 
 
+# S1 as a catalog entry: the messy-line repair expression proven on
+# synthetic corruption — wrap each document's text like the reference's
+# double-encoded rows (quotes doubled, outer wrap, trailing ';'), repair,
+# and emit whether recovery is byte-exact.
+
+def q39_messy_line_repair(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.messy_csv import repair_line
+
+    docs = load_table(spark, sf, "documents")
+    quoted = F.concat(
+        F.lit('"'),
+        F.replace(F.col("text"), F.lit('"'), F.lit('""')),
+        F.lit('";'),
+    )
+    messed = docs.select("doc_id", "text", quoted.alias("messy"))
+    return messed.select(
+        "doc_id",
+        repair_line(F.col("messy")).alias("recovered"),
+        (repair_line(F.col("messy")) == F.col("text")).alias("roundtrip_ok"),
+    )
+
+
+Q39_SQL = r"""
+SELECT doc_id,
+       replace(regexp_replace(regexp_replace(
+           '"' || replace(text, '"', '""') || '";',
+           ';$', ''), '^"(.*)"$', '\1'), '""', '"') AS recovered,
+       replace(regexp_replace(regexp_replace(
+           '"' || replace(text, '"', '""') || '";',
+           ';$', ''), '^"(.*)"$', '\1'), '""', '"') = text AS roundtrip_ok
+FROM documents
+"""
+
+
+# polynomial rolling hash (Rabin-Karp) document fingerprint — the
+# "rolling hash" tier of fingerprinting; one higher-order aggregate pass
+
+_RH_MOD = 2147483647  # 2^31 - 1: acc*256+255 < 2^39, ANSI-safe in BIGINT
+
+
+def q40_rolling_hash(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    codes = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("bigint"))
+    rh = F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * F.lit(256) + c) % F.lit(_RH_MOD),
+    )
+    return docs.select("doc_id", rh.alias("rolling_hash"))
+
+
+Q40_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+         (a, b) -> (a * 256 + b) % {_RH_MOD}) AS rolling_hash
+FROM documents
+"""
+
+
 # lag/lead surface (beyond the reference's window census): per-customer
 # order cadence — days since previous order, days until next
 
@@ -1404,6 +1465,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q34_cube_region_segment": q34_cube_region_segment,
     "q36_order_cadence": q36_order_cadence,
     "q37_order_value_percentiles": q37_order_value_percentiles,
+    "q39_messy_line_repair": q39_messy_line_repair,
+    "q40_rolling_hash": q40_rolling_hash,
     "q26_minhash_dedup": q26_minhash_dedup,
     "q27_simhash_buckets": q27_simhash_buckets,
     "q28_knn_ivf": q28_knn_ivf,
@@ -1445,5 +1508,7 @@ ORACLES: dict[str, str] = {
     "q34_cube_region_segment": Q34_SQL,
     "q36_order_cadence": Q36_SQL,
     "q37_order_value_percentiles": Q37_SQL,
+    "q39_messy_line_repair": Q39_SQL,
+    "q40_rolling_hash": Q40_SQL,
     # q26-q28, q35 are approximate (MinHash/SimHash/IVF/HLL) — rows-only.
 }
