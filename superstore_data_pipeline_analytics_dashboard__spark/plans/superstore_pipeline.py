@@ -604,6 +604,11 @@ def write_star(layers: dict[str, DataFrame], out_dir: str) -> None:
     (
         layers["fact"]
         .withColumn("OrderYearMonth", (F.col("OrderDateKey") / 100).cast("int"))
+        # sort within each month partition so parquet row-group min/max on
+        # OrderDateKey and CustomerKey skip files inside a partition too
+        # (day-level predicates prune beyond directory pruning)
+        .repartition("OrderYearMonth")
+        .sortWithinPartitions("OrderDateKey", "CustomerKey")
         .write.mode("overwrite")
         .partitionBy("OrderYearMonth")
         .parquet(f"{out_dir}/fact_sales")
