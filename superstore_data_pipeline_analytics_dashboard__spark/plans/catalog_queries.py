@@ -1384,6 +1384,109 @@ GROUP BY c_mktsegment
 """
 
 
+# market-basket: part pairs co-purchased in the same order (self-join on
+# the order key, pair-grouped — the classic frequent-pair shape)
+
+def q41_copurchase_pairs(spark: SparkSession, sf: str, min_orders: int = 2) -> DataFrame:
+    li = _li(spark, sf).select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= min_orders)
+    )
+
+
+Q41_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+FROM op a JOIN op b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+# month-over-month revenue change: lag over an aggregated series
+
+def q42_revenue_mom(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    orders = _ord(spark, sf)
+    monthly = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.trunc("o_orderdate", "month").alias("month"))
+        .agg(_dec2(F.sum(_rev())).alias("revenue"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    mom = (F.col("revenue").cast("double") - prev.cast("double")) / F.nullif(
+        prev.cast("double"), F.lit(0.0)
+    )
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(mom, 6).cast("decimal(18,6)").alias("mom_change"),
+    )
+
+
+Q42_SQL = f"""
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,
+         {_sql_dec2(f"sum({_REV})")} AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+)
+SELECT month, revenue,
+       CAST(round((CAST(revenue AS DOUBLE) - CAST(lag(revenue) OVER w AS DOUBLE))
+                  / nullif(CAST(lag(revenue) OVER w AS DOUBLE), 0.0), 6)
+            AS DECIMAL(18,6)) AS mom_change
+FROM monthly
+WINDOW w AS (ORDER BY month)
+"""
+
+
+# blocked fuzzy matching: near-identical part names within a (brand, size)
+# block via Levenshtein — entity-resolution shape with explicit blocking
+# so the quadratic edit-distance work stays inside small blocks
+
+def q43_fuzzy_part_names(spark: SparkSession, sf: str, max_dist: int = 8) -> DataFrame:
+    part = load_table(spark, sf, "part").select("p_partkey", "p_name", "p_brand", "p_size")
+    a = part.alias("a")
+    b = part.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    )
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return pairs.select(
+        F.col("a.p_partkey").alias("part_a"),
+        F.col("b.p_partkey").alias("part_b"),
+        F.col("a.p_brand").alias("brand"),
+        dist.alias("edit_dist"),
+    ).filter(F.col("edit_dist") <= max_dist)
+
+
+Q43_SQL = """
+SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+       a.p_brand AS brand,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 8
+"""
+
+
 # ---- approximate / non-SQL-expressible operators (rows-only checks) ----
 
 
@@ -1394,7 +1497,10 @@ def q38_curate_corpus(spark: SparkSession, sf: str) -> DataFrame:
     from .corpus_pipeline import curate
 
     docs = load_table(spark, sf, "documents")
-    out = curate(docs, min_tokens=3, min_quality=0.0, near_dup_threshold=0.35)
+    out = curate(
+        docs, min_tokens=3, min_quality=0.0, near_dup_threshold=0.35,
+        num_hashes=32, bands=8,
+    )
     return out["audit"]
 
 
@@ -1467,6 +1573,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_order_value_percentiles": q37_order_value_percentiles,
     "q39_messy_line_repair": q39_messy_line_repair,
     "q40_rolling_hash": q40_rolling_hash,
+    "q41_copurchase_pairs": q41_copurchase_pairs,
+    "q42_revenue_mom": q42_revenue_mom,
+    "q43_fuzzy_part_names": q43_fuzzy_part_names,
     "q26_minhash_dedup": q26_minhash_dedup,
     "q27_simhash_buckets": q27_simhash_buckets,
     "q28_knn_ivf": q28_knn_ivf,
@@ -1510,5 +1619,8 @@ ORACLES: dict[str, str] = {
     "q37_order_value_percentiles": Q37_SQL,
     "q39_messy_line_repair": Q39_SQL,
     "q40_rolling_hash": Q40_SQL,
+    "q41_copurchase_pairs": Q41_SQL,
+    "q42_revenue_mom": Q42_SQL,
+    "q43_fuzzy_part_names": Q43_SQL,
     # q26-q28, q35 are approximate (MinHash/SimHash/IVF/HLL) — rows-only.
 }

@@ -72,11 +72,19 @@ def drop_near_dups(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
 ) -> DataFrame:
     """MinHash-LSH candidates → exact-Jaccard verification → drop the
     HIGHER id of every verified pair (transitively: anything that is the
-    `doc_b` of a surviving pair goes; keeps the canonical lowest id)."""
-    pairs = DD.minhash_dedup(docs, id_col, text_col, n=n, threshold=threshold)
+    `doc_b` of a surviving pair goes; keeps the canonical lowest id).
+    num_hashes/bands trade signature cost against the LSH S-curve —
+    (64, 16) targets ~0.5 Jaccard, (32, 8) halves signature work for the
+    same band width."""
+    pairs = DD.minhash_dedup(
+        docs, id_col, text_col, n=n, threshold=threshold,
+        num_hashes=num_hashes, bands=bands,
+    )
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return docs.join(losers, id_col, "left_anti")
 
@@ -89,6 +97,8 @@ def curate(
     min_quality: float = 0.2,
     languages: tuple[str, ...] | None = None,
     near_dup_threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
 ) -> dict[str, DataFrame]:
     """Full curation run. Returns the curated corpus plus an audit frame
     of per-stage row counts (the qa.LoadIssues idea applied to corpus
@@ -100,7 +110,8 @@ def curate(
     # and callers will act on `curated` again — without the cache the
     # audit count would execute the whole pipeline twice
     curated = drop_near_dups(
-        exact, id_col, text_col, threshold=near_dup_threshold
+        exact, id_col, text_col, threshold=near_dup_threshold,
+        num_hashes=num_hashes, bands=bands,
     ).cache()
 
     spark = docs.sparkSession
