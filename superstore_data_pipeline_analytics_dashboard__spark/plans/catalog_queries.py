@@ -1487,6 +1487,59 @@ WHERE levenshtein(a.p_name, b.p_name) <= 8
 """
 
 
+# set operations (U-family beyond the reference's UNION ALL):
+# INTERSECT / EXCEPT with set semantics in both engines
+
+def q44_set_ops_active_customers(spark: SparkSession, sf: str) -> DataFrame:
+    orders = _ord(spark, sf)
+    y99 = orders.filter(F.year("o_orderdate") == 1999).select("o_custkey")
+    y00 = orders.filter(F.year("o_orderdate") == 2000).select("o_custkey")
+    both = y99.intersect(y00).select(
+        F.col("o_custkey").alias("cust_key"), F.lit("BOTH").alias("cohort")
+    )
+    # subtract = SQL EXCEPT (set semantics); exceptAll would leave
+    # duplicates of both-year customers behind since y99 is a bag
+    only99 = y99.subtract(y00).select(
+        F.col("o_custkey").alias("cust_key"), F.lit("ONLY_1999").alias("cohort")
+    )
+    return both.unionByName(only99)
+
+
+Q44_SQL = """
+WITH y99 AS (SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1999),
+     y00 AS (SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 2000)
+SELECT o_custkey AS cust_key, 'BOTH' AS cohort FROM (SELECT * FROM y99 INTERSECT SELECT * FROM y00)
+UNION ALL
+SELECT o_custkey AS cust_key, 'ONLY_1999' AS cohort FROM (SELECT * FROM y99 EXCEPT SELECT * FROM y00)
+"""
+
+
+# explicit GROUPING SETS through the Spark SQL surface (the engine's
+# second front door — temp views + spark.sql; A8-A10 generalized)
+
+def q45_grouping_sets_sql(spark: SparkSession, sf: str) -> DataFrame:
+    _li(spark, sf).createOrReplaceTempView("q45_lineitem")
+    load_table(spark, sf, "part").createOrReplaceTempView("q45_part")
+    return spark.sql(f"""
+        SELECT coalesce(p_brand, 'ALL') AS brand,
+               coalesce(l_returnflag, 'ALL') AS return_flag,
+               count(*) AS n_rows,
+               CAST(round(sum({_REV}), 2) AS DECIMAL(18,2)) AS revenue
+        FROM q45_lineitem JOIN q45_part ON l_partkey = p_partkey
+        GROUP BY GROUPING SETS ((p_brand), (l_returnflag), (p_brand, l_returnflag))
+    """)
+
+
+Q45_SQL = f"""
+SELECT coalesce(p_brand, 'ALL') AS brand,
+       coalesce(l_returnflag, 'ALL') AS return_flag,
+       count(*) AS n_rows,
+       {_sql_dec2(f"sum({_REV})")} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY GROUPING SETS ((p_brand), (l_returnflag), (p_brand, l_returnflag))
+"""
+
+
 # ---- approximate / non-SQL-expressible operators (rows-only checks) ----
 
 
@@ -1576,6 +1629,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q41_copurchase_pairs": q41_copurchase_pairs,
     "q42_revenue_mom": q42_revenue_mom,
     "q43_fuzzy_part_names": q43_fuzzy_part_names,
+    "q44_set_ops_active_customers": q44_set_ops_active_customers,
+    "q45_grouping_sets_sql": q45_grouping_sets_sql,
     "q26_minhash_dedup": q26_minhash_dedup,
     "q27_simhash_buckets": q27_simhash_buckets,
     "q28_knn_ivf": q28_knn_ivf,
@@ -1622,5 +1677,7 @@ ORACLES: dict[str, str] = {
     "q41_copurchase_pairs": Q41_SQL,
     "q42_revenue_mom": Q42_SQL,
     "q43_fuzzy_part_names": Q43_SQL,
+    "q44_set_ops_active_customers": Q44_SQL,
+    "q45_grouping_sets_sql": Q45_SQL,
     # q26-q28, q35 are approximate (MinHash/SimHash/IVF/HLL) — rows-only.
 }
