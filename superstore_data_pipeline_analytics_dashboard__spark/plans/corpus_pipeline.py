@@ -25,16 +25,39 @@ from ..operators import dedup as DD
 
 
 def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Annotate every document with the full text-statistics block."""
-    return docs.select(
+    """Annotate every document with the full text-statistics block.
+
+    Tokenization and the per-language stopword ratios are projected once
+    and every stat derives from them — the one-shot forms would re-run the
+    regex normalize + split ~10× per row (token count, 3 stopword ratios,
+    quality's three parts, fingerprint)."""
+    staged = docs.select(
         "*",
-        T.token_count(text_col).alias("n_tokens"),
+        T.tokens(text_col).alias("__toks"),
+        T.punct_ratio(text_col).alias("__punct"),
+    ).select(
+        "*",
+        F.size("__toks").alias("n_tokens"),
+        T.stopword_ratio_from_tokens(F.col("__toks"), T.STOPWORDS_EN).alias("__sw_en"),
+        T.stopword_ratio_from_tokens(F.col("__toks"), T.STOPWORDS_DE).alias("__sw_de"),
+        T.stopword_ratio_from_tokens(F.col("__toks"), T.STOPWORDS_FR).alias("__sw_fr"),
+    )
+    return staged.select(
+        *docs.columns,
+        "n_tokens",
         T.bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
         T.char_count(text_col).alias("n_chars"),
-        F.round(T.punct_ratio(text_col), 6).alias("punct_ratio"),
-        F.round(T.stopword_ratio(text_col), 6).alias("stopword_ratio"),
-        F.round(T.quality_score(text_col), 6).alias("quality"),
-        T.lang_id(text_col).alias("lang_pred"),
+        F.round(F.col("__punct"), 6).alias("punct_ratio"),
+        F.round(F.col("__sw_en"), 6).alias("stopword_ratio"),
+        F.round(
+            T.quality_score_from_parts(
+                F.col("n_tokens"), F.col("__sw_en"), F.col("__punct")
+            ),
+            6,
+        ).alias("quality"),
+        T.lang_id_from_ratios(
+            F.col("__sw_en"), F.col("__sw_de"), F.col("__sw_fr")
+        ).alias("lang_pred"),
         T.fingerprint(text_col).alias("fingerprint"),
     )
 
@@ -103,7 +126,9 @@ def curate(
     """Full curation run. Returns the curated corpus plus an audit frame
     of per-stage row counts (the qa.LoadIssues idea applied to corpus
     curation)."""
-    annotated = with_text_stats(docs, text_col).cache()
+    from ..operators.dedup import _parallelize
+
+    annotated = with_text_stats(_parallelize(docs), text_col).cache()
     gated = quality_gate(annotated, min_tokens, min_quality, languages)
     exact = drop_exact_dups(gated, id_col).cache()
     # cached BEFORE counting: the LSH near-dup DAG is the expensive stage
