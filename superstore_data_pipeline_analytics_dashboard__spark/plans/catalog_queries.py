@@ -1540,6 +1540,80 @@ GROUP BY GROUPING SETS ((p_brand), (l_returnflag), (p_brand, l_returnflag))
 """
 
 
+# as-of join (operators.joins.asof_join): latest click at-or-before each
+# purchase, per user — the union+window rewrite, one shuffle, no UDF.
+# DuckDB has a native ASOF JOIN, which is the oracle.
+
+def q46_asof_click_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.joins import asof_join
+
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    joined = asof_join(purchases, clicks, on="user_id", left_time="ts", right_time="click_ts")
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+        "click_id",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+
+
+Q46_SQL = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts AS click_ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts, p.value AS purchase_value,
+       c.click_id, epoch_us(p.ts) - epoch_us(c.click_ts) AS gap_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+"""
+
+
+# range join (operators.joins.banded_range_join): price-band interval join
+# bucketized into an equi hash join — never a nested loop over fact × bands.
+
+_PRICE_BANDS = [
+    ("budget", 0.0, 25000.0),
+    ("mid", 25000.0, 60000.0),
+    ("premium", 60000.0, 90000.0),
+    ("luxury", 90000.0, 130000.0),
+]
+
+
+def q47_price_band_join(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.joins import banded_range_join
+
+    li = _li(spark, sf)
+    bands = spark.createDataFrame(_PRICE_BANDS, "band STRING, lo DOUBLE, hi DOUBLE")
+    joined = banded_range_join(li, bands, "l_extendedprice", bucket_width=5000.0)
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_rows"),
+        _dec2(F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))).alias("gross"),
+    )
+
+
+_BANDS_SQL = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)
+
+Q47_SQL = f"""
+SELECT band, count(*) AS n_rows,
+       {_sql_dec2("sum(CAST(l_extendedprice AS DECIMAL(18,4)))")} AS gross
+FROM lineitem
+JOIN (VALUES {_BANDS_SQL}) AS bands(band, lo, hi)
+  ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY band
+"""
+
+
 # ---- approximate / non-SQL-expressible operators (rows-only checks) ----
 
 
@@ -1631,6 +1705,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_fuzzy_part_names": q43_fuzzy_part_names,
     "q44_set_ops_active_customers": q44_set_ops_active_customers,
     "q45_grouping_sets_sql": q45_grouping_sets_sql,
+    "q46_asof_click_attribution": q46_asof_click_attribution,
+    "q47_price_band_join": q47_price_band_join,
     "q26_minhash_dedup": q26_minhash_dedup,
     "q27_simhash_buckets": q27_simhash_buckets,
     "q28_knn_ivf": q28_knn_ivf,
@@ -1679,5 +1755,7 @@ ORACLES: dict[str, str] = {
     "q43_fuzzy_part_names": Q43_SQL,
     "q44_set_ops_active_customers": Q44_SQL,
     "q45_grouping_sets_sql": Q45_SQL,
+    "q46_asof_click_attribution": Q46_SQL,
+    "q47_price_band_join": Q47_SQL,
     # q26-q28, q35 are approximate (MinHash/SimHash/IVF/HLL) — rows-only.
 }

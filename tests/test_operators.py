@@ -208,3 +208,59 @@ def test_simhash_exact_dup_same_signature(spark):
     df = spark.createDataFrame(_DOCS, ["doc_id", "text"])
     out = simhash_duplicates(df, "doc_id", "text").collect()
     assert len(out) == 1 and out[0]["all_ids"] == [1, 2]
+
+
+# ---- as-of join / banded range join (operators.joins) ----
+
+def test_asof_join_backward_inclusive(spark):
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c"), (3, 7, "d")],
+        "k INT, t INT, lbl STRING",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 15, "r15"), (1, 25, "r25"), (2, 9, "r9")],
+        "k INT, rt INT, rv STRING",
+    )
+    out = {r["lbl"]: (r["rv"], r["rt"]) for r in
+           asof_join(left, right, on="k", left_time="t", right_time="rt").collect()}
+    assert out["a"] == ("r10", 10)      # equal timestamps match (inclusive)
+    assert out["b"] == ("r15", 15)      # latest at-or-before, not r25
+    assert out["c"] == (None, None)     # right row is after the left row
+    assert out["d"] == (None, None)     # key has no right rows at all
+
+
+def test_asof_join_keeps_all_left_rows_and_columns(spark):
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 100, 9.5)], "k INT, t INT, payload DOUBLE")
+    right = spark.createDataFrame([(1, 90, "x")], "k INT, rt INT, rv STRING")
+    rows = asof_join(left, right, on="k", left_time="t", right_time="rt").collect()
+    assert len(rows) == 1
+    assert rows[0].asDict() == {"k": 1, "t": 100, "payload": 9.5, "rt": 90, "rv": "x"}
+
+
+def test_banded_range_join_edges_and_overlap(spark):
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.joins import (
+        banded_range_join,
+    )
+
+    facts = spark.createDataFrame(
+        [(1, 0.0), (2, 9.99), (3, 10.0), (4, 25.0), (5, 99.0)], "id INT, v DOUBLE"
+    )
+    bands = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("high", 10.0, 50.0), ("wide", 5.0, 30.0)],
+        "band STRING, lo DOUBLE, hi DOUBLE",
+    )
+    got = sorted(
+        (r["id"], r["band"])
+        for r in banded_range_join(facts, bands, "v", bucket_width=7.0).collect()
+    )
+    assert got == [
+        (1, "low"),            # lo edge inclusive
+        (2, "low"), (2, "wide"),
+        (3, "high"), (3, "wide"),   # hi edge exclusive: 10.0 leaves "low"
+        (4, "high"), (4, "wide"),
+        # id=5 (99.0) matches nothing
+    ]
