@@ -1,1 +1,1 @@
-from . import append, date_spine, dedup, joins, quality, scd2, similarity, windows  # noqa: F401
+from . import append, date_spine, dedup, graph, joins, quality, scd2, similarity, windows  # noqa: F401

@@ -1614,6 +1614,91 @@ GROUP BY band
 """
 
 
+# deterministic train/val/test split (functions.sampling): md5-bucket
+# assignment — reproducible across runs, cluster sizes, and engines
+# (random sample() could never be oracle-checked).
+
+def q48_deterministic_split(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.sampling import deterministic_split
+
+    docs = load_table(spark, sf, "documents")
+    labeled = docs.withColumn("split", deterministic_split("doc_id"))
+    return labeled.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+    )
+
+
+Q48_SQL = """
+WITH labeled AS (
+  SELECT lang, text,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
+           AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 900 THEN 'train'
+            WHEN bucket < 950 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n_docs, sum(length(text)) AS sum_chars
+FROM labeled
+GROUP BY 1, 2
+"""
+
+
+# connected components over the near-dup graph (operators.graph):
+# pairwise similarity → transitive dup clusters, canonical = min id.
+# Spark side is iterative min-label propagation (localCheckpoint per
+# round); the oracle is DuckDB's recursive CTE computing min reachable id.
+
+def q49_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    return dedup_clusters(pairs.select("doc_a", "doc_b"))
+
+
+Q49_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+           AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM toks, LATERAL (
+    SELECT unnest(list_transform(
+        generate_series(1, greatest(len(t) - 2, 1)),
+        i -> array_to_string(t[i:i+2], ' '))) AS shingle
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(CAST(n_common AS DOUBLE) /
+             (sa.set_size + sb.set_size - n_common) AS DECIMAL(9,6)) >= 0.3
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach(node, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node AS doc_id, min(lbl) AS component_id,
+       node = min(lbl) AS is_canonical
+FROM reach GROUP BY node
+"""
+
+
 # ---- approximate / non-SQL-expressible operators (rows-only checks) ----
 
 
@@ -1707,6 +1792,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_grouping_sets_sql": q45_grouping_sets_sql,
     "q46_asof_click_attribution": q46_asof_click_attribution,
     "q47_price_band_join": q47_price_band_join,
+    "q48_deterministic_split": q48_deterministic_split,
+    "q49_dedup_clusters": q49_dedup_clusters,
     "q26_minhash_dedup": q26_minhash_dedup,
     "q27_simhash_buckets": q27_simhash_buckets,
     "q28_knn_ivf": q28_knn_ivf,
@@ -1757,5 +1844,7 @@ ORACLES: dict[str, str] = {
     "q45_grouping_sets_sql": Q45_SQL,
     "q46_asof_click_attribution": Q46_SQL,
     "q47_price_band_join": Q47_SQL,
+    "q48_deterministic_split": Q48_SQL,
+    "q49_dedup_clusters": Q49_SQL,
     # q26-q28, q35 are approximate (MinHash/SimHash/IVF/HLL) — rows-only.
 }

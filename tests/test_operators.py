@@ -264,3 +264,63 @@ def test_banded_range_join_edges_and_overlap(spark):
         (4, "high"), (4, "wide"),
         # id=5 (99.0) matches nothing
     ]
+
+
+# ---- connected components / deterministic sampling ----
+
+def test_connected_components_chain_and_islands(spark):
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.graph import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4 (only adjacent pairs), separate pair 10-11
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "src BIGINT, dst BIGINT"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_transitive_canonical(spark):
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.graph import (
+        dedup_clusters,
+    )
+
+    # a~b and b~c but never a~c: pairwise drop-higher-id would keep c
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a BIGINT, doc_b BIGINT")
+    rows = {r["doc_id"]: (r["component_id"], r["is_canonical"])
+            for r in dedup_clusters(pairs).collect()}
+    assert rows == {1: (1, True), 2: (1, False), 3: (1, False)}
+
+
+def test_deterministic_split_stable_and_complete(spark):
+    from superstore_data_pipeline_analytics_dashboard__spark.functions.sampling import (
+        deterministic_split, deterministic_sample, hash_bucket,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).withColumn("split", deterministic_split("id"))
+    counts = {r["split"]: r["count"] for r in df.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 800            # ~90%
+    # identical assignment on re-computation (content-derived, no seed state)
+    again = spark.range(1000).withColumn("split", deterministic_split("id"))
+    assert df.exceptAll(again).count() == 0
+    # growing the corpus never reassigns existing rows
+    bigger = spark.range(2000).withColumn("split", deterministic_split("id"))
+    assert bigger.filter(F.col("id") < 1000).exceptAll(again).count() == 0
+    # sample mask is deterministic and ~fraction-sized
+    kept = spark.range(10000).filter(deterministic_sample("id", 0.1)).count()
+    assert 800 < kept < 1200
+    assert spark.range(10).select(hash_bucket("id", 7).alias("b")) \
+        .filter((F.col("b") < 0) | (F.col("b") >= 7)).count() == 0
+
+
+def test_deterministic_split_rejects_bad_weights(spark):
+    import pytest
+    from superstore_data_pipeline_analytics_dashboard__spark.functions.sampling import (
+        deterministic_split,
+    )
+
+    with pytest.raises(ValueError):
+        deterministic_split("id", splits=(("a", 0.5), ("b", 0.2)))
