@@ -57,11 +57,13 @@ def connected_components(
         nbr = sym.join(labels, sym["u"] == labels["node"]).select(
             F.col("v").alias("node"), F.col("component")
         )
+        # lazy checkpoint: the convergence count below is the action that
+        # materializes it, so each round costs ONE job, not two
         new_labels = (
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -71,6 +73,9 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            # labels are checkpointed (independent of sym's lineage), so the
+            # edge cache can be released before handing the result back
+            sym.unpersist()
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 

@@ -1699,6 +1699,69 @@ FROM reach GROUP BY node
 """
 
 
+# relational PIVOT (A8's wide form as a first-class operator): long → wide
+# with an explicit value list so the output schema is static — at scale an
+# implicit pivot would need a full distinct scan just to learn the columns.
+
+def q50_pivot_returnflag(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    part = load_table(spark, sf, "part")
+    wide = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")))
+    )
+    return wide.select(
+        "brand",
+        F.col("A").alias("qty_a"),
+        F.col("N").alias("qty_n"),
+        F.col("R").alias("qty_r"),
+    )
+
+
+Q50_SQL = """
+SELECT p_brand AS brand,
+       CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+            AS DECIMAL(28,2)) AS qty_a,
+       CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+            AS DECIMAL(28,2)) AS qty_n,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+            AS DECIMAL(28,2)) AS qty_r
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# UNPIVOT/melt (wide → long): the inverse surface, static column list again.
+
+def q51_unpivot_measures(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    wide = li.groupBy(F.col("l_returnflag").alias("return_flag")).agg(
+        _dec2(F.sum(F.col("l_quantity").cast("decimal(18,4)"))).alias("total_qty"),
+        _dec2(F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))).alias("total_price"),
+    )
+    return wide.unpivot(
+        ids=["return_flag"],
+        values=["total_qty", "total_price"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+Q51_SQL = """
+WITH wide AS (
+  SELECT l_returnflag AS return_flag,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS total_qty,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS total_price
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT return_flag, 'total_qty' AS measure, total_qty AS value FROM wide
+UNION ALL
+SELECT return_flag, 'total_price' AS measure, total_price AS value FROM wide
+"""
+
+
 # ---- approximate / non-SQL-expressible operators (rows-only checks) ----
 
 
@@ -1794,6 +1857,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q47_price_band_join": q47_price_band_join,
     "q48_deterministic_split": q48_deterministic_split,
     "q49_dedup_clusters": q49_dedup_clusters,
+    "q50_pivot_returnflag": q50_pivot_returnflag,
+    "q51_unpivot_measures": q51_unpivot_measures,
     "q26_minhash_dedup": q26_minhash_dedup,
     "q27_simhash_buckets": q27_simhash_buckets,
     "q28_knn_ivf": q28_knn_ivf,
@@ -1846,5 +1911,7 @@ ORACLES: dict[str, str] = {
     "q47_price_band_join": Q47_SQL,
     "q48_deterministic_split": Q48_SQL,
     "q49_dedup_clusters": Q49_SQL,
+    "q50_pivot_returnflag": Q50_SQL,
+    "q51_unpivot_measures": Q51_SQL,
     # q26-q28, q35 are approximate (MinHash/SimHash/IVF/HLL) — rows-only.
 }

@@ -98,17 +98,24 @@ def drop_near_dups(
     num_hashes: int = 64,
     bands: int = 16,
 ) -> DataFrame:
-    """MinHash-LSH candidates → exact-Jaccard verification → drop the
-    HIGHER id of every verified pair (transitively: anything that is the
-    `doc_b` of a surviving pair goes; keeps the canonical lowest id).
-    num_hashes/bands trade signature cost against the LSH S-curve —
-    (64, 16) targets ~0.5 Jaccard, (32, 8) halves signature work for the
-    same band width."""
+    """MinHash-LSH candidates → exact-Jaccard verification → connected
+    components over the verified pairs → keep only each component's
+    canonical (lowest-id) doc. Clustering, not pairwise drop-higher-id:
+    on a chain a~b, b~c with no (a,c) pair, the pairwise rule would keep
+    both a and c. num_hashes/bands trade signature cost against the LSH
+    S-curve — (64, 16) targets ~0.5 Jaccard, (32, 8) halves signature
+    work for the same band width."""
+    from ..operators.graph import dedup_clusters
+
     pairs = DD.minhash_dedup(
         docs, id_col, text_col, n=n, threshold=threshold,
         num_hashes=num_hashes, bands=bands,
     )
-    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    losers = (
+        dedup_clusters(pairs.select("doc_a", "doc_b"))
+        .filter(~F.col("is_canonical"))
+        .select(F.col("doc_id").alias(id_col))
+    )
     return docs.join(losers, id_col, "left_anti")
 
 
