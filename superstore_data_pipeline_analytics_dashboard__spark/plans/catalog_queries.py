@@ -1762,6 +1762,97 @@ SELECT return_flag, 'total_price' AS measure, total_price AS value FROM wide
 """
 
 
+# RANGE window frame (value-based, vs q08's ROWS frame): rolling 7-DAY
+# revenue over a daily series WITH DATE GAPS — a ROWS frame would wrongly
+# span gaps. Ordering on the integer day key (days since epoch) gives
+# identical RANGE semantics in Spark (`rangeBetween`) and DuckDB without
+# relying on interval-frame support. One shuffle (the groupBy); the window
+# re-sorts within partitions only.
+
+def q52_rolling_range_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    orders = _ord(spark, sf)
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("order_date"),
+    ).agg(
+        _dec2(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).alias("day_revenue")
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy(F.unix_date(F.col("order_date")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "priority",
+        "order_date",
+        "day_revenue",
+        F.sum("day_revenue").over(w).cast("decimal(28,2)").alias("rev_7day"),
+    )
+
+
+Q52_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority,
+         CAST(o_orderdate AS DATE) AS order_date,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS day_revenue
+  FROM orders GROUP BY 1, 2
+)
+SELECT priority, order_date, day_revenue,
+       CAST(sum(day_revenue) OVER (
+            PARTITION BY priority
+            ORDER BY order_date - DATE '1970-01-01'
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS rev_7day
+FROM daily
+"""
+
+
+# distribution windows: percent_rank / cume_dist over a TOTAL order, plus
+# first/last_value with an explicit unbounded ROWS frame (default window
+# frames stop at CURRENT ROW for last_value — the classic silent-wrong).
+
+def q53_supplier_revenue_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    supp = load_table(spark, sf, "supplier")
+    rev = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("nation_key"),
+            F.col("s_suppkey").alias("supp_key"),
+        )
+        .agg(_dec2(F.sum(_rev())).alias("revenue"))
+    )
+    w = Window.partitionBy("nation_key").orderBy("revenue", "supp_key")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return rev.select(
+        "nation_key",
+        "supp_key",
+        "revenue",
+        F.round(F.percent_rank().over(w), 6).cast("decimal(9,6)").alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).cast("decimal(9,6)").alias("cume"),
+        F.first("revenue").over(full).alias("nation_min_rev"),
+        F.last("revenue").over(full).alias("nation_max_rev"),
+    )
+
+
+Q53_SQL = f"""
+WITH rev AS (
+  SELECT s_nationkey AS nation_key, s_suppkey AS supp_key,
+         {_sql_dec2(f"sum({_REV})")} AS revenue
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+)
+SELECT nation_key, supp_key, revenue,
+       CAST(round(percent_rank() OVER w, 6) AS DECIMAL(9,6)) AS pct_rank,
+       CAST(round(cume_dist() OVER w, 6) AS DECIMAL(9,6)) AS cume,
+       first_value(revenue) OVER wf AS nation_min_rev,
+       last_value(revenue) OVER wf AS nation_max_rev
+FROM rev
+WINDOW w AS (PARTITION BY nation_key ORDER BY revenue, supp_key),
+       wf AS (PARTITION BY nation_key ORDER BY revenue, supp_key
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 # ---- approximate / non-SQL-expressible operators (rows-only checks) ----
 
 
@@ -1859,6 +1950,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_dedup_clusters": q49_dedup_clusters,
     "q50_pivot_returnflag": q50_pivot_returnflag,
     "q51_unpivot_measures": q51_unpivot_measures,
+    "q52_rolling_range_revenue": q52_rolling_range_revenue,
+    "q53_supplier_revenue_distribution": q53_supplier_revenue_distribution,
     "q26_minhash_dedup": q26_minhash_dedup,
     "q27_simhash_buckets": q27_simhash_buckets,
     "q28_knn_ivf": q28_knn_ivf,
@@ -1913,5 +2006,7 @@ ORACLES: dict[str, str] = {
     "q49_dedup_clusters": Q49_SQL,
     "q50_pivot_returnflag": Q50_SQL,
     "q51_unpivot_measures": Q51_SQL,
+    "q52_rolling_range_revenue": Q52_SQL,
+    "q53_supplier_revenue_distribution": Q53_SQL,
     # q26-q28, q35 are approximate (MinHash/SimHash/IVF/HLL) — rows-only.
 }
