@@ -1853,6 +1853,293 @@ WINDOW w AS (PARTITION BY nation_key ORDER BY revenue, supp_key),
 """
 
 
+# correlated scalar subquery at fact scale (J10, TPC-H Q17 shape): lines
+# whose quantity is below half the per-part average. Spark expresses the
+# decorrelated form directly — one per-part aggregate (single shuffle,
+# map-side partials) joined back to lineitem; Catalyst would produce the
+# same plan from the correlated SQL. The membership test is kept in exact
+# DECIMAL arithmetic (2*qty*cnt < sum_qty ⟺ qty < 0.5*avg) so the
+# boundary never depends on double summation order across engines.
+
+def q54_small_quantity_parts(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    part = load_table(spark, sf, "part")
+    qty = F.col("l_quantity").cast("decimal(9,2)")
+    per_part = li.groupBy("l_partkey").agg(
+        F.count("*").alias("cnt"), F.sum(qty).alias("sum_qty")
+    )
+    small = li.join(per_part, "l_partkey").filter(
+        qty * F.lit(2) * F.col("cnt").cast("decimal(18,0)") < F.col("sum_qty")
+    )
+    return (
+        small.join(F.broadcast(part), small["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").alias("n_small_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("small_revenue"),
+        )
+    )
+
+
+Q54_SQL = """
+SELECT p_brand AS brand,
+       count(*) AS n_small_lines,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+         AS small_revenue
+FROM lineitem l JOIN part ON l.l_partkey = p_partkey
+WHERE CAST(l.l_quantity AS DECIMAL(9,2)) * 2
+        * (SELECT count(*) FROM lineitem x WHERE x.l_partkey = l.l_partkey)
+      < (SELECT sum(CAST(x.l_quantity AS DECIMAL(9,2)))
+         FROM lineitem x WHERE x.l_partkey = l.l_partkey)
+GROUP BY p_brand
+"""
+
+
+# conditional aggregation share (TPC-H Q14 shape): promo revenue share per
+# ship month. One pass — the CASE folds into the partial aggregate, so the
+# shuffle carries two decimals per (month, mapper). The ratio divides the
+# ROUNDED sums as doubles (engine-identical inputs → identical quotient).
+
+def q55_promo_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    part = load_table(spark, sf, "part")
+    ship_month = (
+        F.year(F.col("l_shipdate").cast("date")) * 100
+        + F.month(F.col("l_shipdate").cast("date"))
+    ).cast("int")
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    out = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(ship_month.alias("ship_month"))
+        .agg(
+            _dec2(F.sum(promo)).alias("promo_revenue"),
+            _dec2(F.sum(_rev())).alias("total_revenue"),
+        )
+    )
+    share = F.col("promo_revenue").cast("double") / F.col("total_revenue").cast("double")
+    return out.withColumn("promo_share", F.round(share, 6).cast("decimal(9,6)"))
+
+
+Q55_SQL = f"""
+WITH m AS (
+  SELECT CAST(year(CAST(l_shipdate AS DATE)) * 100
+              + month(CAST(l_shipdate AS DATE)) AS INT) AS ship_month,
+         {_sql_dec2(f"sum(CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE CAST(0 AS DECIMAL(18,4)) END)")}
+           AS promo_revenue,
+         {_sql_dec2(f"sum({_REV})")} AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT ship_month, promo_revenue, total_revenue,
+       CAST(round(CAST(promo_revenue AS DOUBLE) / CAST(total_revenue AS DOUBLE), 6)
+            AS DECIMAL(9,6)) AS promo_share
+FROM m
+"""
+
+
+# ntile deciles over per-customer spend. The global ntile needs a single
+# ordered partition — fine for the customer-grain rollup (rows ≪ fact), and
+# the right 100 TB pattern is exactly this: aggregate first, rank the small
+# result. (For fact-grain deciles use percent_rank over pre-aggregated
+# buckets or approx quantile boundaries instead.)
+
+def q56_spend_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    orders = _ord(spark, sf)
+    spend = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.col("o_custkey").alias("cust_key"))
+        .agg(_dec2(F.sum(_rev())).alias("spend"))
+    )
+    w = Window.orderBy("spend", "cust_key")
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("spend").alias("min_spend"),
+            F.max("spend").alias("max_spend"),
+            F.sum("spend").cast("decimal(18,2)").alias("sum_spend"),
+        )
+    )
+
+
+Q56_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey AS cust_key, {_sql_dec2(f"sum({_REV})")} AS spend
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+), ranked AS (
+  SELECT cust_key, spend,
+         CAST(ntile(10) OVER (ORDER BY spend, cust_key) AS INT) AS decile
+  FROM spend
+)
+SELECT decile, count(*) AS n_customers,
+       min(spend) AS min_spend, max(spend) AS max_spend,
+       CAST(sum(spend) AS DECIMAL(18,2)) AS sum_spend
+FROM ranked GROUP BY decile
+"""
+
+
+# stratified deterministic sampling (sampleBy semantics, reproducible):
+# per-stratum rates via the same content-hash buckets as q48 — no seed, no
+# coordination, identical row set on any cluster size and in the oracle.
+
+def q57_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.sampling import hash_bucket
+
+    cust = load_table(spark, sf, "customer")
+    bucket = hash_bucket(F.col("c_custkey"), 1000)
+    thresh = (
+        F.when(F.col("c_mktsegment") == "BUILDING", F.lit(500))
+        .when(F.col("c_mktsegment") == "MACHINERY", F.lit(250))
+        .otherwise(F.lit(100))
+    )
+    return (
+        cust.filter(bucket < thresh)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_bal"),
+        )
+    )
+
+
+Q57_SQL = """
+WITH b AS (
+  SELECT c_mktsegment, c_acctbal,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 1000 AS bucket
+  FROM customer
+)
+SELECT c_mktsegment AS segment, count(*) AS n_sampled,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
+FROM b
+WHERE bucket < CASE c_mktsegment WHEN 'BUILDING' THEN 500
+                                 WHEN 'MACHINERY' THEN 250
+                                 ELSE 100 END
+GROUP BY c_mktsegment
+"""
+
+
+# hopping (sliding) event windows — the batch twin of
+# readStream.groupBy(window(ts, '1 hour', '30 minutes')). Each event lands
+# in exactly slide/len = 2 windows; Spark's window() aligns starts to the
+# epoch, reproduced in the oracle with pure integer epoch arithmetic (no
+# timezone dependence under the UTC session).
+
+def q58_hopping_window_counts(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("decimal(18,2)")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+Q58_SQL = """
+SELECT TIMESTAMP '1970-01-01 00:00:00'
+         + (CAST(floor((epoch(CAST(ts AS TIMESTAMP)) - off) / 3600) AS BIGINT)
+            * 3600 + off) * INTERVAL 1 SECOND AS win_start,
+       event_type, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS sum_value
+FROM events CROSS JOIN (SELECT unnest([0, 1800]) AS off) offs
+GROUP BY 1, 2
+"""
+
+
+# global top-k with a total order (O-family): TakeOrderedAndProject — each
+# partition keeps its local top-k, the driver merges k·p rows; no global
+# sort of the fact ever happens. The rounded revenue is the sort key in
+# BOTH engines, with the full lineitem tie-break making the set unique.
+
+def q59_global_topk(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    ranked = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        _dec2(_rev()).alias("revenue"),
+        F.col("l_extendedprice").alias("__ep"),
+        F.col("l_quantity").alias("__q"),
+    ).orderBy(
+        F.desc("revenue"),
+        *[c for c in _LI_TIEBREAK if c not in ("l_extendedprice", "l_quantity")],
+        F.col("__ep"),
+        F.col("__q"),
+    )
+    return ranked.limit(100).drop("__ep", "__q")
+
+
+Q59_SQL = f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       {_sql_dec2(_REV)} AS revenue
+FROM lineitem
+ORDER BY revenue DESC, l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         l_extendedprice, l_quantity
+LIMIT 100
+"""
+
+
+# combined EXISTS / NOT EXISTS at fact scale (J8 + J7, TPC-H Q4/Q21 shape):
+# orders with a late-shipped line and no returned line. Both subqueries
+# compile to one LeftSemi and one LeftAnti against the same scan — no
+# materialized subquery results.
+
+def q60_late_unreturned_orders(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    orders = _ord(spark, sf)
+    late = li.select(
+        F.col("l_orderkey").alias("lk"), F.col("l_shipdate").cast("date").alias("ship_d")
+    )
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("rk")
+    )
+    with_late = orders.join(
+        late,
+        (orders["o_orderkey"] == late["lk"])
+        & (late["ship_d"] > F.date_add(orders["o_orderdate"], 30)),
+        "left_semi",
+    )
+    kept = with_late.join(returned, with_late["o_orderkey"] == returned["rk"], "left_anti")
+    return kept.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n_orders"),
+        _dec2(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).alias("sum_price"),
+    )
+
+
+Q60_SQL = """
+SELECT o_orderpriority AS priority, count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DECIMAL(18,2))
+         AS sum_price
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 30)
+  AND NOT EXISTS (SELECT 1 FROM lineitem r
+                  WHERE r.l_orderkey = o.o_orderkey AND r.l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
 # ---- approximate / non-SQL-expressible operators (rows-only checks) ----
 
 
@@ -1952,6 +2239,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51_unpivot_measures": q51_unpivot_measures,
     "q52_rolling_range_revenue": q52_rolling_range_revenue,
     "q53_supplier_revenue_distribution": q53_supplier_revenue_distribution,
+    "q54_small_quantity_parts": q54_small_quantity_parts,
+    "q55_promo_revenue_share": q55_promo_revenue_share,
+    "q56_spend_deciles": q56_spend_deciles,
+    "q57_stratified_sample": q57_stratified_sample,
+    "q58_hopping_window_counts": q58_hopping_window_counts,
+    "q59_global_topk": q59_global_topk,
+    "q60_late_unreturned_orders": q60_late_unreturned_orders,
     "q26_minhash_dedup": q26_minhash_dedup,
     "q27_simhash_buckets": q27_simhash_buckets,
     "q28_knn_ivf": q28_knn_ivf,
@@ -2008,5 +2302,12 @@ ORACLES: dict[str, str] = {
     "q51_unpivot_measures": Q51_SQL,
     "q52_rolling_range_revenue": Q52_SQL,
     "q53_supplier_revenue_distribution": Q53_SQL,
+    "q54_small_quantity_parts": Q54_SQL,
+    "q55_promo_revenue_share": Q55_SQL,
+    "q56_spend_deciles": Q56_SQL,
+    "q57_stratified_sample": Q57_SQL,
+    "q58_hopping_window_counts": Q58_SQL,
+    "q59_global_topk": Q59_SQL,
+    "q60_late_unreturned_orders": Q60_SQL,
     # q26-q28, q35 are approximate (MinHash/SimHash/IVF/HLL) — rows-only.
 }

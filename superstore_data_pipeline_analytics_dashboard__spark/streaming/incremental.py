@@ -148,6 +148,60 @@ def cumulative_threshold_alerts(
     )
 
 
+def click_purchase_attribution(
+    events: DataFrame,
+    within_seconds: int = 3600,
+    lateness: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to every click
+    by the same user in the preceding ``within_seconds`` window (the
+    streaming twin of the batch as-of join in q46 — that one keeps only
+    the latest click; a streaming as-of needs the candidate set first,
+    which is exactly this join).
+
+    Both inputs carry a watermark and the join condition bounds
+    ``purchase_ts`` to ``[click_ts, click_ts + within]``, so Spark can
+    evict click state once the purchase watermark passes
+    ``click_ts + within`` and purchase state once the click watermark
+    passes ``purchase_ts`` — bounded state on BOTH sides, the requirement
+    for running this unbounded at scale."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", lateness)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", lateness)
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {int(within_seconds)} SECONDS")
+        )
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def start_idempotent_append(
     stream: DataFrame,
     sink_path: str,

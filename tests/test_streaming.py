@@ -88,6 +88,42 @@ def test_idempotent_append_exactly_once(spark, event_drop_zone, tmpdir):
     assert n2 == n1, f"replay duplicated rows: {n1} -> {n2}"
 
 
+def test_stream_stream_interval_join_matches_batch(spark, event_drop_zone):
+    """The stream-stream interval join must produce exactly the pairs the
+    equivalent batch join produces over the same input."""
+    stream = S.read_event_stream(spark, str(event_drop_zone))
+    joined = S.click_purchase_attribution(stream, within_seconds=3600)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attributed")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT click_id, purchase_id FROM attributed").collect()
+    }
+
+    ev = spark.read.parquet(str(event_drop_zone))
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    batch = c.join(
+        p,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 3600 SECONDS")),
+    )
+    expected = {(r["cid"], r["pid"]) for r in batch.collect()}
+    assert got == expected and len(got) > 0
+    q.stop()
+
+
 def test_cumulative_threshold_alerts_stateful(spark, event_drop_zone):
     """The custom applyInPandasWithState operator: alert counts must match
     a batch recomputation of cumulative-threshold crossings."""
