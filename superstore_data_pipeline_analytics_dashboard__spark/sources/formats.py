@@ -1,0 +1,92 @@
+"""Format-agnostic readers/writers (SURVEY.md §2.1 S1-S4 generalized).
+
+The reference reads exactly one format (messy CSV — see ``messy_csv.py``
+for that recovery path) and materializes tables. A complete engine has to
+ingest and emit the interchange formats a data platform actually meets:
+
+* **parquet** — the default columnar store (pushdown, pruning, min-max);
+* **ORC** — the other columnar format Spark ships a vectorized reader for;
+* **JSON-lines** — interchange with services/log pipelines; schema is
+  ALWAYS passed explicitly (schema inference = an extra full scan at
+  100 TB, and silently wrong types on sparse columns);
+* **CSV** — well-formed exports (for the reference's corrupted CSV the
+  repair pre-pass in ``messy_csv.read_superstore_csv`` is the entry).
+
+Write-side knobs that matter at scale and are easy to get wrong:
+
+* ``maxRecordsPerFile`` bounds file size without a repartition;
+* explicit partition columns → directory pruning for free;
+* compression: snappy for parquet/orc (splittable, cheap to decode),
+  gzip only for final JSON/CSV exports that leave the cluster.
+
+Lossiness note, enforced in tests: CSV carries no type metadata, so a
+round-trip needs the schema re-applied on read; JSON-lines keeps numbers
+and strings but renders timestamps as ISO strings (Spark reads them back
+with ``timestampFormat``); parquet/ORC round-trip every Spark type
+including decimals exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_COLUMNAR = {"parquet", "orc"}
+_TEXTUAL = {"json", "csv"}
+FORMATS = _COLUMNAR | _TEXTUAL
+
+#: ISO-8601 with micros — what we write and what we parse back
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """Read ``path`` in ``fmt``. For textual formats a schema is REQUIRED
+    (inference costs a second full scan and mistypes sparse columns); for
+    columnar formats the file's own schema wins and ``schema`` is ignored.
+    """
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; expected one of {sorted(FORMATS)}")
+    reader = spark.read
+    if fmt in _TEXTUAL:
+        if schema is None:
+            raise ValueError(f"{fmt} reads require an explicit schema at scale")
+        reader = reader.schema(schema)
+    if fmt == "json":
+        reader = reader.option("timestampFormat", _TS_FMT)
+    if fmt == "csv":
+        reader = reader.option("header", True).option("timestampFormat", _TS_FMT)
+    return reader.format(fmt).load(path)
+
+
+def write_any(
+    df: DataFrame,
+    path: str,
+    fmt: str,
+    partition_by: Sequence[str] | None = None,
+    max_records_per_file: int | None = None,
+    compression: str | None = None,
+) -> None:
+    """Write ``df`` to ``path`` in ``fmt``. ``max_records_per_file`` bounds
+    output file size without forcing a repartition shuffle — the lever for
+    "no 10 GB files, no 10k tiny files" at scale."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; expected one of {sorted(FORMATS)}")
+    writer = df.write.mode("overwrite").format(fmt)
+    if fmt == "json":
+        writer = writer.option("timestampFormat", _TS_FMT)
+    if fmt == "csv":
+        writer = writer.option("header", True).option("timestampFormat", _TS_FMT)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.save(path)

@@ -1,0 +1,92 @@
+"""Format round-trips (sources.formats): parquet/ORC must round-trip every
+type exactly; JSON-lines and CSV must round-trip given the explicit schema
+(including timestamps through the ISO format both directions)."""
+
+import shutil
+import tempfile
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from superstore_data_pipeline_analytics_dashboard__spark.sources import formats as FM
+from superstore_data_pipeline_analytics_dashboard__spark.sources.catalog import (
+    load_table,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp()
+    yield Path(d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture()
+def typed_frame(spark):
+    """A frame exercising the types that break naive round-trips:
+    decimal, date, timestamp, boolean, double, nullable string."""
+    ev = load_table(spark, SF_SMOKE, "events").limit(500)
+    return ev.select(
+        "event_id",
+        "ts",
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+        F.col("value").cast("decimal(18,4)").alias("value_dec"),
+        "value",
+        (F.col("event_id") % 2 == 0).alias("flag"),
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("props"))
+        .alias("maybe_props"),
+    )
+
+
+def _sorted_rows(df):
+    return [tuple(r) for r in df.orderBy("event_id").collect()]
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc"])
+def test_columnar_roundtrip_exact(spark, tmpdir, typed_frame, fmt):
+    path = str(tmpdir / fmt)
+    FM.write_any(typed_frame, path, fmt)
+    back = FM.read_any(spark, path, fmt)
+    assert back.schema == typed_frame.schema
+    assert _sorted_rows(back) == _sorted_rows(typed_frame)
+
+
+@pytest.mark.parametrize("fmt", ["json", "csv"])
+def test_textual_roundtrip_with_schema(spark, tmpdir, typed_frame, fmt):
+    path = str(tmpdir / fmt)
+    FM.write_any(typed_frame, path, fmt)
+    back = FM.read_any(spark, path, fmt, schema=typed_frame.schema)
+    assert back.schema == typed_frame.schema
+    assert _sorted_rows(back) == _sorted_rows(typed_frame)
+
+
+def test_textual_read_requires_schema(spark, tmpdir, typed_frame):
+    path = str(tmpdir / "j")
+    FM.write_any(typed_frame, path, "json")
+    with pytest.raises(ValueError, match="explicit schema"):
+        FM.read_any(spark, path, "json")
+
+
+def test_max_records_per_file_bounds_output(spark, tmpdir, typed_frame):
+    path = tmpdir / "bounded"
+    FM.write_any(typed_frame.coalesce(1), str(path), "parquet",
+                 max_records_per_file=100)
+    files = list(path.glob("*.parquet"))
+    assert len(files) >= 5  # 500 rows / 100 per file
+    total = FM.read_any(spark, str(path), "parquet").count()
+    assert total == typed_frame.count()
+
+
+def test_partitioned_write_prunes_directories(spark, tmpdir, typed_frame):
+    path = tmpdir / "parts"
+    FM.write_any(typed_frame, str(path), "parquet", partition_by=["event_type"])
+    assert (path / "event_type=click").exists()
+    one = FM.read_any(spark, str(path), "parquet").filter(
+        F.col("event_type") == "click"
+    )
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan

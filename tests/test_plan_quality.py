@@ -57,6 +57,37 @@ def test_whole_stage_codegen_covers_hot_path(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_global_topk_is_take_ordered_not_full_sort(spark):
+    """q59 must compile to TakeOrderedAndProject (per-partition top-k,
+    driver merges k·p rows) — a global Sort of the fact would be the
+    wrong plan at any scale."""
+    plan = _executed_plan(Q.q59_global_topk(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_exists_notexists_compile_to_semi_and_anti(spark):
+    """q60's EXISTS/NOT EXISTS pair must stay one LeftSemi + one LeftAnti
+    — no materialized subquery results."""
+    plan = _executed_plan(Q.q60_late_unreturned_orders(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_correlated_subquery_shape_single_aggregate(spark):
+    """q54 (decorrelated Q17): exactly one per-part aggregate pass over
+    lineitem feeding the join — the naive plan would scan lineitem once
+    per subquery."""
+    plan = _executed_plan(Q.q54_small_quantity_parts(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan  # part side broadcast
+    # lineitem is scanned exactly twice (one shared per-part aggregate +
+    # the probe side); the naive correlated plan would scan it three times
+    # (once per subquery) or worse, once per outer row
+    assert plan.count("lineitem.parquet") == 2
+    # both subqueries fused into ONE per-part aggregate (count+sum together)
+    assert "functions=[partial_count(1), partial_sum" in plan
+
+
 def test_no_python_udfs_anywhere_in_catalog(spark):
     """No row-at-a-time Python anywhere. Arrow-batched MapInPandas is
     allowed ONLY where documented as the right tool (q33's all-pairs
