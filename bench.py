@@ -31,8 +31,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm up the JVM + parquet footer caches so the first timed query is
-    # not charged session startup
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # not charged session startup or first-touch footer reads (events also
+    # pays a one-time nanos-timestamp branch on first load)
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
     timings: dict[str, float] = {}
     total = 0.0
