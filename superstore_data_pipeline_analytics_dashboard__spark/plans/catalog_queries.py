@@ -2140,6 +2140,39 @@ GROUP BY o_orderpriority
 """
 
 
+# Bloom-filter semi-join reduction (operators.prefilter): the fact is
+# pre-filtered by a Bloom filter of the selective dim subset's keys INSIDE
+# the scan stage, before any Exchange — the explicit form of Catalyst's
+# runtime bloom filter (whose size thresholds target clusters). False
+# positives are removed by the exact join that follows, so the composed
+# result is byte-identical to the plain join — which is exactly what the
+# oracle checks.
+
+def q61_bloom_semi_reduction(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.prefilter import bloom_prefilter
+
+    li = _li(spark, sf)
+    supp = load_table(spark, sf, "supplier").filter(F.col("s_acctbal") >= 9000.0)
+    pruned = bloom_prefilter(li, "l_suppkey", supp.select("s_suppkey"), "s_suppkey")
+    return (
+        pruned.join(F.broadcast(supp), pruned["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("nation_key"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            _dec2(F.sum(_rev())).alias("revenue"),
+        )
+    )
+
+
+Q61_SQL = f"""
+SELECT s_nationkey AS nation_key, count(*) AS n_lines,
+       {_sql_dec2(f"sum({_REV})")} AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_acctbal >= 9000.0
+GROUP BY s_nationkey
+"""
+
+
 # ---- approximate / non-SQL-expressible operators (rows-only checks) ----
 
 
@@ -2246,6 +2279,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_hopping_window_counts": q58_hopping_window_counts,
     "q59_global_topk": q59_global_topk,
     "q60_late_unreturned_orders": q60_late_unreturned_orders,
+    "q61_bloom_semi_reduction": q61_bloom_semi_reduction,
     "q26_minhash_dedup": q26_minhash_dedup,
     "q27_simhash_buckets": q27_simhash_buckets,
     "q28_knn_ivf": q28_knn_ivf,
@@ -2309,5 +2343,6 @@ ORACLES: dict[str, str] = {
     "q58_hopping_window_counts": Q58_SQL,
     "q59_global_topk": Q59_SQL,
     "q60_late_unreturned_orders": Q60_SQL,
+    "q61_bloom_semi_reduction": Q61_SQL,
     # q26-q28, q35 are approximate (MinHash/SimHash/IVF/HLL) — rows-only.
 }
