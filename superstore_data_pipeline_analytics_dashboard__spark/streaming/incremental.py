@@ -16,6 +16,8 @@ a directory drop-zone locally and on cloud object storage at scale.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -199,6 +201,58 @@ def click_purchase_attribution(
         "purchase_id",
         "purchase_ts",
         "purchase_value",
+    )
+
+
+def start_rollup_maintenance(
+    events: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    keys: Sequence[str] = ("event_type",),
+) -> StreamingQuery:
+    """Incrementally-maintained serving rollup — the streaming form of the
+    reference's pivot cache (SURVEY.md §3.3): a per-key (count, sum)
+    table kept current as events arrive, so dashboard reads never touch
+    the fact.
+
+    The unwatermarked groupBy keeps running totals per key; with
+    ``update`` output each micro-batch delivers only the keys that
+    changed, and foreachBatch merges them into the parquet serving table
+    (replace-changed-keys = read sink, anti-join the updated keys, union,
+    rewrite). On Delta/Iceberg the merge becomes ``MERGE INTO`` and the
+    rewrite disappears; on plain parquet the serving table is small by
+    construction (it's a rollup), so the rewrite is cheap at any fact
+    scale. State is one row per key — bounded by rollup cardinality, not
+    by the stream."""
+    rollup = events.groupBy(*keys).agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+
+    key_cols = list(keys)
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch.sparkSession
+        try:
+            current = spark.read.parquet(sink_path)
+            merged = current.join(
+                batch.select(*key_cols), key_cols, "left_anti"
+            ).unionByName(batch)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            merged = batch
+        # materialize BEFORE overwriting the path being read
+        merged.localCheckpoint().write.mode("overwrite").parquet(sink_path)
+
+    return (
+        rollup.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )
 
 

@@ -124,6 +124,42 @@ def test_stream_stream_interval_join_matches_batch(spark, event_drop_zone):
     q.stop()
 
 
+def test_rollup_maintenance_matches_batch(spark, tmpdir):
+    """The incrementally-maintained rollup must equal a batch groupBy of
+    the full input — across MULTIPLE micro-batches (maxFilesPerTrigger=1
+    over a multi-file drop zone forces several merge rounds)."""
+    from superstore_data_pipeline_analytics_dashboard__spark.sources.catalog import (
+        load_table,
+    )
+
+    drop = tmpdir / "in"
+    load_table(spark, SF_SMOKE, "events").repartition(4).write.parquet(str(drop))
+
+    stream = (
+        spark.readStream.schema(S.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    sink = str(tmpdir / "serving")
+    q = S.start_rollup_maintenance(
+        stream, sink, str(tmpdir / "ckpt"), keys=("event_type",)
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["event_type"]: (r["n_events"], round(r["sum_value"], 6))
+        for r in spark.read.parquet(sink).collect()
+    }
+    expected = {
+        r["event_type"]: (r["n"], round(r["s"], 6))
+        for r in spark.read.parquet(str(drop))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == expected and len(got) >= 3
+
+
 def test_cumulative_threshold_alerts_stateful(spark, event_drop_zone):
     """The custom applyInPandasWithState operator: alert counts must match
     a batch recomputation of cumulative-threshold crossings."""
