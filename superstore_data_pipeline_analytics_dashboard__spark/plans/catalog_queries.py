@@ -2173,6 +2173,66 @@ GROUP BY s_nationkey
 """
 
 
+# equi-width histogram (A-family surface): constant-divisor bucketing is
+# one narrow projection + one aggregation — the scan-side shape that a
+# dashboard distribution chart needs at any scale (no sort, no window).
+
+def q62_price_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    orders = _ord(spark, sf)
+    bucket = F.floor(F.col("o_totalprice") / F.lit(25000.0)).cast("int")
+    return (
+        orders.groupBy(bucket.alias("price_bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec2(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).alias("sum_price"),
+        )
+    )
+
+
+Q62_SQL = """
+SELECT CAST(floor(o_totalprice / 25000.0) AS INT) AS price_bucket,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DECIMAL(18,2))
+         AS sum_price
+FROM orders GROUP BY 1
+"""
+
+
+# higher-order array functions over the embedding column (F-family): the
+# JVM-side lambda path (transform/aggregate/array ops) — norms and stats
+# without exploding 64 rows per vector and without Python. The lambda
+# accumulates in DOUBLE in declaration order in both engines, so the fold
+# is bit-identical and round(6) is safely inside the error margin.
+
+def q63_embedding_norms(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    sq_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    max_abs = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("n_dims"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.round(max_abs, 6).alias("max_abs"),
+    )
+
+
+Q63_SQL = """
+SELECT vec_id, label,
+       CAST(len(embedding) AS INT) AS n_dims,
+       round(sqrt(list_aggregate(
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           'sum')), 6) AS l2_norm,
+       round(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6)
+         AS max_abs
+FROM embeddings
+"""
+
+
 # ---- approximate / non-SQL-expressible operators (rows-only checks) ----
 
 
@@ -2280,6 +2340,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q59_global_topk": q59_global_topk,
     "q60_late_unreturned_orders": q60_late_unreturned_orders,
     "q61_bloom_semi_reduction": q61_bloom_semi_reduction,
+    "q62_price_histogram": q62_price_histogram,
+    "q63_embedding_norms": q63_embedding_norms,
     "q26_minhash_dedup": q26_minhash_dedup,
     "q27_simhash_buckets": q27_simhash_buckets,
     "q28_knn_ivf": q28_knn_ivf,
@@ -2344,5 +2406,7 @@ ORACLES: dict[str, str] = {
     "q59_global_topk": Q59_SQL,
     "q60_late_unreturned_orders": Q60_SQL,
     "q61_bloom_semi_reduction": Q61_SQL,
+    "q62_price_histogram": Q62_SQL,
+    "q63_embedding_norms": Q63_SQL,
     # q26-q28, q35 are approximate (MinHash/SimHash/IVF/HLL) — rows-only.
 }
