@@ -2233,6 +2233,112 @@ FROM embeddings
 """
 
 
+# the canonical pricing summary (TPC-H Q1 shape): eight aggregates over
+# one scan in one pass — partial aggregation absorbs nearly everything
+# map-side (2 group keys × 8 accumulators per mapper reach the shuffle).
+# Sums accumulate in exact DECIMAL; averages divide the ROUNDED sums as
+# doubles so both engines compute the identical quotient.
+
+def q64_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    charge = F.expr(
+        f"({_REV}) * (CAST(1 AS DECIMAL(9,4)) + CAST(l_tax AS DECIMAL(9,4)))"
+    )
+    agg = (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02"))
+        .groupBy(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
+        .agg(
+            _dec2(F.sum(F.col("l_quantity").cast("decimal(9,2)"))).alias("sum_qty"),
+            _dec2(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))).alias("sum_base"),
+            _dec2(F.sum(_rev())).alias("sum_disc"),
+            _dec2(F.sum(charge)).alias("sum_charge"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+    return (
+        agg.withColumn(
+            "avg_qty",
+            F.round(F.col("sum_qty").cast("double") / F.col("n_lines"), 4).cast(
+                "decimal(18,4)"
+            ),
+        )
+        .withColumn(
+            "avg_price",
+            F.round(F.col("sum_base").cast("double") / F.col("n_lines"), 4).cast(
+                "decimal(18,4)"
+            ),
+        )
+    )
+
+
+Q64_SQL = f"""
+WITH agg AS (
+  SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+         {_sql_dec2("sum(CAST(l_quantity AS DECIMAL(9,2)))")} AS sum_qty,
+         {_sql_dec2("sum(CAST(l_extendedprice AS DECIMAL(18,2)))")} AS sum_base,
+         {_sql_dec2(f"sum({_REV})")} AS sum_disc,
+         {_sql_dec2(f"sum(({_REV}) * (CAST(1 AS DECIMAL(9,4)) + CAST(l_tax AS DECIMAL(9,4))))")}
+           AS sum_charge,
+         count(*) AS n_lines
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+  GROUP BY 1, 2
+)
+SELECT returnflag, linestatus, sum_qty, sum_base, sum_disc, sum_charge, n_lines,
+       CAST(round(CAST(sum_qty AS DOUBLE) / n_lines, 4) AS DECIMAL(18,4)) AS avg_qty,
+       CAST(round(CAST(sum_base AS DOUBLE) / n_lines, 4) AS DECIMAL(18,4)) AS avg_price
+FROM agg
+"""
+
+
+# shipping-priority top-k (TPC-H Q3 shape): selective filters on both
+# fact sides + dim semi-filter, aggregate revenue per order, global top
+# 10 — filters push to every scan, the dim broadcasts, and the final
+# top-k is TakeOrderedAndProject over the aggregated (small) result.
+
+def q65_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    orders = _ord(spark, sf)
+    cust = load_table(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cutoff = F.lit("1997-01-01").cast("date")
+    rev = (
+        li.filter(F.col("l_shipdate").cast("date") > cutoff)
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"], "left_semi")
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(_dec2(F.sum(_rev())).alias("revenue"))
+    )
+    return rev.orderBy(F.desc("revenue"), "orderkey").limit(10)
+
+
+Q65_SQL = f"""
+SELECT l_orderkey AS orderkey,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       o_orderpriority AS priority,
+       {_sql_dec2(f"sum({_REV})")} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE CAST(l_shipdate AS DATE) > DATE '1997-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, orderkey
+LIMIT 10
+"""
+
+
 # ---- approximate / non-SQL-expressible operators (rows-only checks) ----
 
 
@@ -2342,6 +2448,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61_bloom_semi_reduction": q61_bloom_semi_reduction,
     "q62_price_histogram": q62_price_histogram,
     "q63_embedding_norms": q63_embedding_norms,
+    "q64_pricing_summary": q64_pricing_summary,
+    "q65_shipping_priority": q65_shipping_priority,
     "q26_minhash_dedup": q26_minhash_dedup,
     "q27_simhash_buckets": q27_simhash_buckets,
     "q28_knn_ivf": q28_knn_ivf,
@@ -2408,5 +2516,7 @@ ORACLES: dict[str, str] = {
     "q61_bloom_semi_reduction": Q61_SQL,
     "q62_price_histogram": Q62_SQL,
     "q63_embedding_norms": Q63_SQL,
+    "q64_pricing_summary": Q64_SQL,
+    "q65_shipping_priority": Q65_SQL,
     # q26-q28, q35 are approximate (MinHash/SimHash/IVF/HLL) — rows-only.
 }
