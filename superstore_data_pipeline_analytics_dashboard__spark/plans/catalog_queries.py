@@ -2339,6 +2339,38 @@ LIMIT 10
 """
 
 
+# skew-safe two-phase aggregation (operators.skew): events has 5 hot
+# event_type keys — the exact shape where one reducer would absorb the
+# whole table at scale. The salt spreads each key over 32 partial groups;
+# the merge removes it, so the result is IDENTICAL to the plain groupBy
+# (decimal sums are associative) — which is what the oracle checks.
+
+def q66_salted_skew_agg(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.skew import salted_agg
+
+    ev = load_table(spark, sf, "events").withColumn(
+        "v", F.col("value").cast("decimal(18,4)")
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {"c": F.count("*"), "s": F.sum("v")},
+        {"c": F.sum("c"), "s": F.sum("s")},
+    )
+    return out.select(
+        "event_type",
+        F.col("c").alias("n_events"),
+        F.round(F.col("s"), 2).cast("decimal(18,2)").alias("sum_value"),
+    )
+
+
+Q66_SQL = """
+SELECT event_type, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 # ---- approximate / non-SQL-expressible operators (rows-only checks) ----
 
 
@@ -2450,6 +2482,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_embedding_norms": q63_embedding_norms,
     "q64_pricing_summary": q64_pricing_summary,
     "q65_shipping_priority": q65_shipping_priority,
+    "q66_salted_skew_agg": q66_salted_skew_agg,
     "q26_minhash_dedup": q26_minhash_dedup,
     "q27_simhash_buckets": q27_simhash_buckets,
     "q28_knn_ivf": q28_knn_ivf,
@@ -2518,5 +2551,6 @@ ORACLES: dict[str, str] = {
     "q63_embedding_norms": Q63_SQL,
     "q64_pricing_summary": Q64_SQL,
     "q65_shipping_priority": Q65_SQL,
+    "q66_salted_skew_agg": Q66_SQL,
     # q26-q28, q35 are approximate (MinHash/SimHash/IVF/HLL) — rows-only.
 }
