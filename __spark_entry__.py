@@ -5,8 +5,9 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
-Queries q26-q28 (MinHash-LSH dedup, SimHash, IVF-ANN) are approximate by
-construction and have no exact SQL oracle → rows-only checks.
+Queries q26-q28 (MinHash-LSH dedup, SimHash, IVF-ANN), q35 (HLL), q38
+(LSH-based curation) and q67 (binary multimodal decode) are approximate
+or non-SQL-expressible by construction → rows-only checks.
 """
 
 from __future__ import annotations

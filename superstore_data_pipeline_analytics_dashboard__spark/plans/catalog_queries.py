@@ -2402,6 +2402,23 @@ def q35_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
 
+def q67_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing end-to-end (operators.multimodal): documents
+    wrapped into the deterministic FAKEIMG binary container, decoded and
+    featurized through Arrow-batched mapInPandas. The decode is the
+    documented stub (no codec libs in this env); the schema, batch
+    iteration, and binary-column handling are the real 100 TB path. Not
+    SQL-expressible (byte-level decode) → rows-only check."""
+    from ..operators.multimodal import extract_image_features
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit("FAKEIMG|32|16|"), F.col("text")).cast("binary").alias("content"),
+    )
+    return extract_image_features(media)
+
+
 def q26_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return DD.minhash_dedup(docs, "doc_id", "text", n=3, threshold=0.2)
@@ -2488,6 +2505,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q28_knn_ivf": q28_knn_ivf,
     "q35_approx_distinct": q35_approx_distinct,
     "q38_curate_corpus": q38_curate_corpus,
+    "q67_multimodal_features": q67_multimodal_features,
 }
 
 ORACLES: dict[str, str] = {
