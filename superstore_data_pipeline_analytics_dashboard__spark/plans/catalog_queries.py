@@ -2371,6 +2371,34 @@ FROM events GROUP BY event_type
 """
 
 
+# MapType surface: semi-structured props parsed into map<string,string>
+# and exploded to (key, value) grain — the schema-on-read shape for event
+# properties whose keys are not known at write time. from_json +
+# explode stay JVM-side; at scale prefer promoting hot keys to real
+# columns at ingest and keeping the map only for the long tail.
+
+def q68_json_map_explode(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    m = F.from_json("props", "map<string,string>")
+    return (
+        ev.select(F.explode(m))
+        .groupBy(F.col("key").alias("prop_key"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.expr("try_cast(value AS INT)")).alias("sum_int_val"),
+        )
+    )
+
+
+Q68_SQL = """
+SELECT u.k AS prop_key, count(*) AS n_rows,
+       CAST(sum(TRY_CAST(json_extract_string(e.props, '$.' || u.k) AS INT))
+            AS BIGINT) AS sum_int_val
+FROM events e, unnest(json_keys(e.props)) AS u(k)
+GROUP BY 1
+"""
+
+
 # ---- approximate / non-SQL-expressible operators (rows-only checks) ----
 
 
@@ -2500,6 +2528,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q64_pricing_summary": q64_pricing_summary,
     "q65_shipping_priority": q65_shipping_priority,
     "q66_salted_skew_agg": q66_salted_skew_agg,
+    "q68_json_map_explode": q68_json_map_explode,
     "q26_minhash_dedup": q26_minhash_dedup,
     "q27_simhash_buckets": q27_simhash_buckets,
     "q28_knn_ivf": q28_knn_ivf,
@@ -2570,5 +2599,6 @@ ORACLES: dict[str, str] = {
     "q64_pricing_summary": Q64_SQL,
     "q65_shipping_priority": Q65_SQL,
     "q66_salted_skew_agg": Q66_SQL,
+    "q68_json_map_explode": Q68_SQL,
     # q26-q28, q35 are approximate (MinHash/SimHash/IVF/HLL) — rows-only.
 }
