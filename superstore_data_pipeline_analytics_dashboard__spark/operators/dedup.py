@@ -51,19 +51,28 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def shingle_sets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    tokens_col: str | None = None,
+) -> DataFrame:
     """(doc_id, shingle) distinct pairs — the inverted index both Jaccard
     and MinHash build on.
 
     Tokenization is projected into a real column before shingling so the
     regex normalize + split runs once per document, not once per shingle
-    window. A small input (fewer scan partitions than cores — e.g. one
-    parquet file) is repartitioned first: shingling is the CPU-heavy
-    narrow stage, and a single-file scan would otherwise pin it to one
-    core while 31 idle. At 100 TB the scan already has thousands of
-    splits and the repartition is skipped."""
+    window; callers that already hold a token-array column (e.g. the
+    curation pipeline's text-stats pass) pass it as ``tokens_col`` and the
+    tokenize is skipped entirely. A small input (fewer scan partitions
+    than cores — e.g. one parquet file) is repartitioned first: shingling
+    is the CPU-heavy narrow stage, and a single-file scan would otherwise
+    pin it to one core while 31 idle. At 100 TB the scan already has
+    thousands of splits and the repartition is skipped."""
+    toks = F.col(tokens_col) if tokens_col else T.tokens(text_col)
     return _parallelize(df).select(
-        F.col(id_col).alias("doc_id"), T.tokens(text_col).alias("__toks")
+        F.col(id_col).alias("doc_id"), toks.alias("__toks")
     ).select(
         "doc_id",
         F.explode(F.array_distinct(T.shingles_from_tokens(F.col("__toks"), n))).alias("shingle"),
@@ -128,11 +137,17 @@ def minhash_signatures(
     return _signatures_from_hashed(sh, num_hashes)
 
 
-def hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def hashed_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    tokens_col: str | None = None,
+) -> DataFrame:
     """(doc_id, sh: bigint) — the inverted index with 8-byte shingle keys.
     The single expensive artifact of the near-dup pipeline; computed once
     and shared between signature generation and Jaccard verification."""
-    return shingle_sets(df, id_col, text_col, n).select(
+    return shingle_sets(df, id_col, text_col, n, tokens_col).select(
         "doc_id", F.xxhash64("shingle").alias("sh")
     )
 
@@ -209,6 +224,7 @@ def minhash_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verification.
     Returns verified pairs with their Jaccard score.
@@ -217,7 +233,7 @@ def minhash_dedup(
     set sizes, and both sides of the verification join all read it, so
     without the persist the tokenize→shingle→hash stage would run four
     times (it is the dominant cost of the whole pipeline)."""
-    sh = hashed_shingles(df, id_col, text_col, n).persist()
+    sh = hashed_shingles(df, id_col, text_col, n, tokens_col).persist()
     sigs = _signatures_from_hashed(sh, num_hashes)
     cands = _candidates_from_sigs(sigs, num_hashes, bands)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))

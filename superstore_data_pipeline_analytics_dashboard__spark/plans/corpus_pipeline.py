@@ -24,13 +24,18 @@ from ..functions import text as T
 from ..operators import dedup as DD
 
 
-def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def with_text_stats(
+    docs: DataFrame, text_col: str = "text", keep_tokens: bool = False
+) -> DataFrame:
     """Annotate every document with the full text-statistics block.
 
     Tokenization and the per-language stopword ratios are projected once
     and every stat derives from them — the one-shot forms would re-run the
     regex normalize + split ~10× per row (token count, 3 stopword ratios,
-    quality's three parts, fingerprint)."""
+    quality's three parts, fingerprint). With ``keep_tokens`` the token
+    array survives as ``__toks`` so a downstream shingle stage can skip
+    its own tokenize (costs cache width ≈ the text column again — worth
+    it when near-dup follows, skip it when only the stats are needed)."""
     staged = docs.select(
         "*",
         T.tokens(text_col).alias("__toks"),
@@ -44,6 +49,7 @@ def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return staged.select(
         *docs.columns,
+        *(["__toks"] if keep_tokens else []),
         "n_tokens",
         T.bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
         T.char_count(text_col).alias("n_chars"),
@@ -97,6 +103,7 @@ def drop_near_dups(
     threshold: float = 0.5,
     num_hashes: int = 64,
     bands: int = 16,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates → exact-Jaccard verification → connected
     components over the verified pairs → keep only each component's
@@ -109,7 +116,7 @@ def drop_near_dups(
 
     pairs = DD.minhash_dedup(
         docs, id_col, text_col, n=n, threshold=threshold,
-        num_hashes=num_hashes, bands=bands,
+        num_hashes=num_hashes, bands=bands, tokens_col=tokens_col,
     )
     losers = (
         dedup_clusters(pairs.select("doc_a", "doc_b"))
@@ -135,6 +142,12 @@ def curate(
     curation)."""
     from ..operators.dedup import _parallelize
 
+    # NOT threading tokens into the shingle stage, deliberately: keeping
+    # __toks through the exact-dedup window makes every shuffle row carry
+    # the token array, and the measured cost (19.9 s vs 11.5 s at sf0.1)
+    # dwarfs the one regex tokenize it saves. Re-tokenizing the (smaller,
+    # post-dedup) survivor set is the cheaper side of the trade — use
+    # `tokens_col` only when no shuffle sits between tokenize and shingle.
     annotated = with_text_stats(_parallelize(docs), text_col).cache()
     gated = quality_gate(annotated, min_tokens, min_quality, languages)
     exact = drop_exact_dups(gated, id_col).cache()
