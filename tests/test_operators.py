@@ -324,3 +324,22 @@ def test_deterministic_split_rejects_bad_weights(spark):
 
     with pytest.raises(ValueError):
         deterministic_split("id", splits=(("a", 0.5), ("b", 0.2)))
+
+
+def test_shingle_sets_tokens_col_equivalent(spark):
+    """A precomputed token column must yield the identical shingle index
+    as the internal tokenize (the tokens_col fast path for shuffle-free
+    callers)."""
+    from superstore_data_pipeline_analytics_dashboard__spark.functions import text as T
+    from superstore_data_pipeline_analytics_dashboard__spark.operators import dedup as DD
+    from superstore_data_pipeline_analytics_dashboard__spark.sources.catalog import (
+        load_table,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 200)
+    a = DD.shingle_sets(docs, "doc_id", "text")
+    b = DD.shingle_sets(
+        docs.withColumn("toks", T.tokens("text")), "doc_id", "text", tokens_col="toks"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
