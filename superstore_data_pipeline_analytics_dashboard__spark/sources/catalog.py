@@ -35,11 +35,16 @@ DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark
+        # rejects at schema inference unless nanosAsLong is on. The conf is
+        # a runtime SQLConf, and callers (the driver gate included) hand us
+        # vanilla sessions — so set it here, not at session build time.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as bigint under nanosAsLong (session.py);
-        # integer-truncate to micros (ns values overflow double precision)
-        # — the same conversion DuckDB applies.
+        # nanos read as bigint; integer-truncate to micros (ns values
+        # overflow double precision) — the same conversion DuckDB applies.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
