@@ -19,7 +19,6 @@ from pyspark.sql import DataFrame, SparkSession
 from superstore_data_pipeline_analytics_dashboard__spark.plans.catalog_queries import (
     ORACLES,
     QUERIES,
-    q05_sales_by_brand_rollup,
 )
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -29,8 +28,10 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
     Sales-by-brand rollup with grand total — the Spark re-expression of the
-    reference's PivotTable1 "By Category" (SURVEY.md §2.4 A8)."""
-    return q05_sales_by_brand_rollup(spark, SF_SMOKE)
+    reference's PivotTable1 "By Category" (SURVEY.md §2.4 A8). Uses the
+    registry entry so the canonical output boundary (catalog_queries.py)
+    applies here too."""
+    return QUERIES["q05_sales_by_brand_rollup"](spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

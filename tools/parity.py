@@ -1,77 +1,141 @@
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
-Runs every ``queries()[name]`` on Spark and the matching ``oracle_sql()``
-on DuckDB over the same parquet tables, then compares row count, column
-names, and an order-insensitive value comparison (sorted rows, stringified
-with stable formatting).
+Round-1 lesson (VERDICT.md "What's wrong" #2, ADVICE #3): the driver's
+value-hash is sensitive to the CLIENT TYPE REPRESENTATION — a Spark
+DECIMAL(18,2) and a DuckDB DECIMAL(38,2) hash differently even when every
+value is equal, and a DuckDB HUGEINT sum differs from a Spark BIGINT sum.
+A string-normalized compare (round 1's ``_norm_cell``) was green while the
+driver was red 27 times.  This replica is therefore STRICTER than any
+plausible driver hash:
+
+* the SparkSession is **vanilla** — no engine configs — so any
+  session-dependence (e.g. the events nanos read) surfaces locally;
+* both results are pulled through **Arrow** and the canonical Arrow type
+  of every column must match exactly (decimal precision included);
+* float cells must be **bit-identical** (struct-packed), not repr-equal;
+* the only deliberate leniency is timestamp tz-annotation (Spark exports
+  tz-aware instants, DuckDB naive ones; instants are compared in UTC).
 
 Usage: python tools/parity.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime
+import math
+import struct
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import duckdb
+import pyarrow as pa
 
-from superstore_data_pipeline_analytics_dashboard__spark.session import get_spark
 from superstore_data_pipeline_analytics_dashboard__spark.sources.catalog import TABLES
+
+# ---------------------------------------------------------------- types
+
+
+def canon_type(t: pa.DataType) -> str:
+    """Canonical cross-client name for an Arrow type.
+
+    Collapses large_* storage variants (a client-side detail) but keeps
+    every semantic property: integer width, decimal precision AND scale,
+    float width.  DuckDB HUGEINT surfaces as decimal128(38,0) and
+    therefore (correctly) fails to match Spark's int64.
+    """
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"  # tz-annotation leniency; values compared in UTC
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    if pa.types.is_map(t):
+        return f"map<{canon_type(t.key_type)},{canon_type(t.item_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{canon_type(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    return str(t)
 
 
 def _norm_cell(v):
-    import datetime
-    import decimal
-    import math
-
+    """Canonical, type-tagged form of one cell for exact comparison."""
     if v is None:
-        return "NULL"
+        return "∅"
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    if isinstance(v, decimal.Decimal):
-        return str(v)
+            return ("f", "nan")
+        return ("f", struct.pack("<d", v))
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, datetime.datetime):
-        return v.date().isoformat() if v.time() == datetime.time() else v.isoformat()
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return ("ts", v.isoformat())
     if isinstance(v, datetime.date):
-        return v.isoformat()
-    if isinstance(v, bool):
-        return "true" if v else "false"
+        return ("d", v.isoformat())
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
-    return str(v)
+        return ("l",) + tuple(_norm_cell(x) for x in v)
+    if isinstance(v, dict):
+        return ("m",) + tuple(
+            (k, _norm_cell(x)) for k, x in sorted(v.items(), key=lambda kv: str(kv[0]))
+        )
+    if isinstance(v, (bytes, bytearray)):
+        return ("y", bytes(v))
+    # Decimal and str both stringify scale-faithfully
+    return (type(v).__name__, str(v))
 
 
-def _normalize(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for row in rows:
-        out.append(tuple(_norm_cell(row[i]) for i in order))
-    out.sort()
+def _rows(table: pa.Table) -> list[tuple]:
+    cols = sorted(table.column_names)
+    data = [table.column(c).to_pylist() for c in cols]
+    out = [tuple(_norm_cell(col[i]) for col in data) for i in range(table.num_rows)]
+    out.sort(key=repr)
     return out
 
 
-def compare(name, spark_df, con, sql) -> list[str]:
-    problems = []
-    s_cols = [c.lower() for c in spark_df.columns]
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    rel = con.execute(sql)
-    d_cols = [d[0].lower() for d in rel.description]
-    d_rows = rel.fetchall()
+def compare(name: str, spark_df, con, sql: str) -> list[str]:
+    problems: list[str] = []
+    s_tab = spark_df.toArrow()
+    d_tab = con.execute(sql).arrow()
 
-    if sorted(s_cols) != sorted(d_cols):
+    s_cols = {c.lower() for c in s_tab.column_names}
+    d_cols = {c.lower() for c in d_tab.column_names}
+    if s_cols != d_cols:
         problems.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
         return problems
-    if len(s_rows) != len(d_rows):
-        problems.append(f"row count differs: spark={len(s_rows)} duck={len(d_rows)}")
-    sn = _normalize(s_rows, s_cols)
-    dn = _normalize(d_rows, d_cols)
+
+    s_types = {f.name.lower(): canon_type(f.type) for f in s_tab.schema}
+    d_types = {f.name.lower(): canon_type(f.type) for f in d_tab.schema}
+    for c in sorted(s_cols):
+        if s_types[c] != d_types[c]:
+            problems.append(f"type of {c!r} differs: spark={s_types[c]} duck={d_types[c]}")
+        for side, t in (("spark", s_types[c]), ("duck", d_types[c])):
+            # decimals reach pandas as Decimal objects on one client and
+            # float64 on the other — banned at the canonical boundary
+            if "decimal" in t:
+                problems.append(f"banned boundary type on {side}: {c!r} is {t}")
+    if problems:
+        return problems
+
+    if s_tab.num_rows != d_tab.num_rows:
+        problems.append(f"row count differs: spark={s_tab.num_rows} duck={d_tab.num_rows}")
+        return problems
+
+    sn, dn = _rows(s_tab), _rows(d_tab)
     if sn != dn:
-        diff_s = [r for r in sn if r not in set(dn)][:3]
-        diff_d = [r for r in dn if r not in set(sn)][:3]
+        dset, sset = set(map(repr, dn)), set(map(repr, sn))
+        diff_s = [r for r in sn if repr(r) not in dset][:3]
+        diff_d = [r for r in dn if repr(r) not in sset][:3]
         problems.append(f"values differ; spark-only={diff_s} duck-only={diff_d}")
     return problems
 
@@ -85,7 +149,15 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
-    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    # vanilla session on purpose — the driver gate builds its own; any
+    # engine-config dependence must fail HERE, not in CORRECTNESS_r{N}
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
