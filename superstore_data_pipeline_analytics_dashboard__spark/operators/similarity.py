@@ -64,52 +64,101 @@ def all_pairs_cosine(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """All-pairs cosine similarity ≥ threshold (the vector tier of dedup).
+    """All-pairs cosine similarity ≥ threshold (the vector tier of dedup),
+    block-partitioned so NOTHING is materialized on the driver.
 
     Expression-tree attempts are pathological here: a zip_with/aggregate
     lambda runs interpreted per pair (84 s at sf0.1), an unrolled
     element_at chain still pays per-element null/bounds checks (34 s), and
-    64 flattened scalar columns blow up Catalyst's optimizer. This is the
-    one shape where the right tool is Arrow + BLAS: broadcast the (n×d)
-    matrix, stream row-blocks through mapInPandas, and emit each block's
-    similarity row against the whole matrix (~3 s at sf0.1, and scales by
-    blocking: each task does a (block×d)·(d×n) matmul).
+    64 flattened scalar columns blow up Catalyst's optimizer. The right
+    tool is Arrow + BLAS — but round 1's collect()+broadcast of the whole
+    (n×d) matrix was a driver OOM at 100 TB (VERDICT.md "What's wrong" #3).
 
-    BLAS reduction order differs from a sequential sum by ~1 ulp; output
-    is rounded to 6 decimals so the DuckDB oracle still hash-matches.
-    At true scale, partition the matrix into column blocks and join block
-    pairs (or pre-bucket with sign-LSH — see q28's IVF analog)."""
+    Block design: each vector lands in block ``vid % n_blocks``; a tiny
+    broadcast table of the B(B+1)/2 unordered block pairs replicates each
+    row to the pairs it participates in; a cogroup on (bi, bj) hands every
+    block pair's two sub-matrices to one Arrow task that runs a single
+    (n/B × d)·(d × n/B) GEMM. Costs, all bounded and driver-free:
+
+    * shuffle volume  = B·n rows (each row appears in B block pairs);
+    * tasks           = B(B+1)/2, embarrassingly parallel;
+    * task memory     = 2·(n/B)·d·8 bytes — pick n_blocks so a block pair
+      fits an executor; at 1000 executors scale B with sqrt(n).
+
+    The GEMM computes full-d dot products exactly as the broadcast form
+    did; BLAS reduction order differs from a sequential sum by ~1 ulp, so
+    callers decide threshold membership on the ROUNDED value (q33).
+    An LSH/IVF candidate prefilter (q26-q28 machinery) can replace the
+    all-pairs block grid when the corpus outgrows even the blocked form."""
     import numpy as np
     import pandas as pd
 
     spark = vectors.sparkSession
-    rows = vectors.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-    b_norms = spark.sparkContext.broadcast(norms)
+    blocks = vectors.select(
+        F.col(id_col).cast("bigint").alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    pair_keys = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi INT, bj INT",
+    )
+    left = blocks.join(F.broadcast(pair_keys), blocks["blk"] == pair_keys["bi"]).select(
+        "bi", "bj", "vid", "vec"
+    )
+    # distinct column names on the right branch: both sides share the
+    # blocks/pair_keys lineage and Spark's self-join check rejects
+    # same-name references (cogroup aligns keys by position, not name)
+    rblocks = blocks.select(
+        F.col("vid").alias("rvid"), F.col("vec").alias("rvec"), F.col("blk").alias("rblk")
+    )
+    rpairs = pair_keys.select(F.col("bi").alias("rbi"), F.col("bj").alias("rbj"))
+    right = rblocks.join(F.broadcast(rpairs), rblocks["rblk"] == rpairs["rbj"]).select(
+        "rbi", "rbj", "rvid", "rvec"
+    )
 
-    def gen(batches):
-        all_ids, all_mat, all_norms = b_ids.value, b_mat.value, b_norms.value
-        for pdf in batches:
-            block = np.array(list(pdf[vec_col]), dtype=np.float64)
-            block_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            block_norms = np.sqrt((block * block).sum(axis=1))
-            sims = (block @ all_mat.T) / np.outer(block_norms, all_norms)
-            out_a, out_b, out_s = [], [], []
-            for i in range(len(block_ids)):
-                mask = (sims[i] >= threshold) & (all_ids > block_ids[i])
-                js = np.nonzero(mask)[0]
-                out_a.extend([block_ids[i]] * len(js))
-                out_b.extend(all_ids[js])
-                out_s.extend(sims[i][js])
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_d": out_s})
+    def gemm(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": np.array([], dtype=np.int64),
+                "id_b": np.array([], dtype=np.int64),
+                "cos_d": np.array([], dtype=np.float64),
+            }
+        )
+        if lpdf.empty or rpdf.empty:
+            return empty
+        a_ids = lpdf["vid"].to_numpy(dtype=np.int64)
+        b_ids = rpdf["rvid"].to_numpy(dtype=np.int64)
+        a_mat = np.array(list(lpdf["vec"]), dtype=np.float64)
+        b_mat = np.array(list(rpdf["rvec"]), dtype=np.float64)
+        a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+        b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
+        sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
+        mask = sims >= threshold
+        if key[0] == key[1]:
+            # diagonal block: both orientations present — keep a < b once
+            mask &= a_ids[:, None] < b_ids[None, :]
+        else:
+            mask &= a_ids[:, None] != b_ids[None, :]
+        ii, jj = np.nonzero(mask)
+        if len(ii) == 0:
+            return empty
+        pa, pb = a_ids[ii], b_ids[jj]
+        return pd.DataFrame(
+            {
+                # off-diagonal pairs arrive in one orientation; normalize
+                "id_a": np.minimum(pa, pb),
+                "id_b": np.maximum(pa, pb),
+                "cos_d": sims[ii, jj],
+            }
+        )
 
-    return vectors.select(id_col, vec_col).mapInPandas(
-        gen, schema="id_a BIGINT, id_b BIGINT, cos_d DOUBLE"
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("rbi", "rbj"))
+        .applyInPandas(gemm, schema="id_a BIGINT, id_b BIGINT, cos_d DOUBLE")
     )
 
 
