@@ -63,6 +63,83 @@ def rolling_sum(
     return out
 
 
+def rolling_sum_bucketed(
+    df: DataFrame,
+    partition: Sequence[str],
+    order: Sequence[Column],
+    measures: dict[str, str],
+    bucket: Column,
+    frame_rows: int = 30,
+) -> DataFrame:
+    """W3 at scale — frame-preserving de-skew of :func:`rolling_sum`.
+
+    A ROWS-frame window keyed only by a low-cardinality ``partition``
+    (q08's 5 regions) serializes into a handful of giant sorted partitions
+    at 100 TB (VERDICT.md "What's wrong" #4). This rewrite re-keys the
+    window to (partition, bucket) — e.g. bucket = yyyyMM of the order
+    date — and keeps frames exact by CARRYING the last ``frame_rows - 1``
+    rows of each bucket into the next populated bucket: a carried row
+    sorts before the next bucket's own rows (its order columns are
+    strictly smaller), contributes to their frames, and is dropped from
+    the output. Rows deeper than ``frame_rows - 1`` into a bucket never
+    see carried rows (outside their frame), so results equal the
+    single-partition form exactly — decimal sums are order-independent.
+
+    Precondition (asserted nowhere, documented here and in PERF.md):
+    every populated (partition, bucket) group must hold at least
+    ``frame_rows - 1`` rows; otherwise a frame could span three buckets.
+    Pick the bucket granularity so this holds with slack — at 100 TB a
+    month of one region is millions of rows, not 29.
+
+    Cost: one extra small window pass to find bucket tails + a distinct
+    over (partition, bucket) for the next-populated-bucket map (tiny,
+    broadcast); parallelism goes from |partition| to |partition × bucket|.
+
+    ``order`` is a sequence of ASCENDING sort keys forming a total order
+    (plain columns or names — the tail-finding pass reverses them); the
+    ``bucket`` expression must be monotone in that order (e.g. yyyyMM of
+    the leading date key).
+    """
+    carry_n = frame_rows - 1
+    asc = [F.col(c) if isinstance(c, str) else c for c in order]
+    tagged = df.withColumn("__bkt", bucket.cast("long"))
+
+    # last carry_n rows of each (partition, bucket): row_number from the end
+    w_end = Window.partitionBy(*partition, "__bkt").orderBy(*[c.desc() for c in asc])
+
+    # map each populated bucket to the NEXT populated bucket per partition
+    # (distinct first — |partition × bucket| rows, dimension-sized)
+    w_next = Window.partitionBy(*partition).orderBy("__bkt")
+    nxt = (
+        tagged.select(*partition, "__bkt")
+        .distinct()
+        .withColumn("__next_bkt", F.lead("__bkt").over(w_next))
+        .filter(F.col("__next_bkt").isNotNull())
+    )
+
+    tails = (
+        tagged.withColumn("__rn_end", F.row_number().over(w_end))
+        .filter(F.col("__rn_end") <= carry_n)
+        .drop("__rn_end")
+        .join(F.broadcast(nxt), [*partition, "__bkt"])
+        .withColumn("__bkt", F.col("__next_bkt"))
+        .drop("__next_bkt")
+        .withColumn("__carry", F.lit(True))
+    )
+    main = tagged.withColumn("__carry", F.lit(False))
+    unioned = main.unionByName(tails)
+
+    w = (
+        Window.partitionBy(*partition, "__bkt")
+        .orderBy(*asc)
+        .rowsBetween(-carry_n, Window.currentRow)
+    )
+    out = unioned
+    for src, dst in measures.items():
+        out = out.withColumn(dst, F.sum(src).over(w))
+    return out.filter(~F.col("__carry")).drop("__bkt", "__carry")
+
+
 def rank_top_k(
     df: DataFrame,
     partition: Sequence[str],

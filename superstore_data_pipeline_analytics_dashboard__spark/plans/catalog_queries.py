@@ -43,7 +43,12 @@ from ..operators.append import idempotent_append, lateral_top1, semi_join
 from ..operators.date_spine import build_date_dim
 from ..operators.quality import load_issues
 from ..operators.scd2 import scd2_first_load, snapshot
-from ..operators.windows import dedup_keep_first, line_number, rank_top_k
+from ..operators.windows import (
+    dedup_keep_first,
+    line_number,
+    rank_top_k,
+    rolling_sum_bucketed,
+)
 from ..sources.catalog import load_table
 
 # ---------------------------------------------------------------- helpers
@@ -399,19 +404,25 @@ def q08_rolling_30row(spark: SparkSession, sf: str) -> DataFrame:
             _dec2(_rev()).alias("revenue"),
         )
     )
-    w = (
-        Window.partitionBy("region")
-        .orderBy(F.asc("order_date"), *[F.asc(c) for c in _LI_TIEBREAK])
-        .rowsBetween(-29, Window.currentRow)
+    # de-skewed frame: 5 region partitions would serialize at 100 TB, so
+    # the window is re-keyed to (region, yyyyMM) with exact frame carry —
+    # see windows.rolling_sum_bucketed (VERDICT r1 "What's wrong" #4)
+    rolled = rolling_sum_bucketed(
+        df,
+        ["region"],
+        ["order_date", *_LI_TIEBREAK],
+        {"revenue": "rolling_rev"},
+        bucket=F.year("order_date") * 100 + F.month("order_date"),
+        frame_rows=30,
     )
-    return df.select(
+    return rolled.select(
         "region",
         "order_date",
         F.col("l_orderkey").alias("order_key"),
         F.col("l_linenumber").alias("line_no"),
         F.col("l_partkey").alias("part_key"),
         F.col("l_suppkey").alias("supp_key"),
-        F.sum("revenue").over(w).cast("decimal(18,2)").alias("rolling_rev"),
+        F.col("rolling_rev").cast("decimal(18,2)").alias("rolling_rev"),
     )
 
 

@@ -23,7 +23,7 @@ from superstore_data_pipeline_analytics_dashboard__spark.operators.scd2 import (
     scd2_apply, scd2_first_load, snapshot,
 )
 from superstore_data_pipeline_analytics_dashboard__spark.operators.windows import (
-    dedup_keep_first, rolling_sum,
+    dedup_keep_first, rolling_sum, rolling_sum_bucketed,
 )
 
 
@@ -90,6 +90,52 @@ def test_rolling_sum_frame(spark):
     out = rolling_sum(df, ["g"], [F.asc("i")], {"v": "s"}, frame_rows=3)
     got = [r["s"] for r in out.orderBy("i").collect()]
     assert got == [1.0, 2.0, 3.0, 3.0, 3.0]
+
+
+def test_rolling_sum_bucketed_equals_plain(spark):
+    """Frame-carry de-skew must be value-identical to the single-partition
+    window — including rows in the first frame_rows-1 positions of a
+    bucket (their frames reach into the previous bucket's tail) and
+    across a GAP in populated buckets (bucket 3 absent)."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        ("g1" if i % 3 else "g2", i, (i * 37) % 10 + 1, float(rnd.randint(1, 9)))
+        for i in range(200)
+    ]
+    # bucket key with a hole: bucket = i // 40, skipping bucket 3 entirely
+    rows = [(g, i, b, v) for (g, i, b, v) in rows if not (120 <= i < 160)]
+    df = spark.createDataFrame(rows, ["g", "i", "b", "v"])
+    plain = rolling_sum(df.withColumn("b", (F.col("i") / 40).cast("int")),
+                        ["g"], [F.asc("i")], {"v": "s"}, frame_rows=8)
+    bucketed = rolling_sum_bucketed(
+        df, ["g"], ["i"], {"v": "s"},
+        bucket=(F.col("i") / 40).cast("int"), frame_rows=8,
+    )
+    p = {(r["g"], r["i"]): r["s"] for r in plain.collect()}
+    q = {(r["g"], r["i"]): r["s"] for r in bucketed.collect()}
+    assert p == q
+
+
+def test_rolling_sum_bucketed_window_is_rekeyed(spark):
+    """The physical Window must partition on (partition, bucket) — the
+    de-skew exists precisely so parallelism is |partition × bucket|, not
+    |partition| (VERDICT r1 #4)."""
+    df = spark.createDataFrame(
+        [("r", i, float(i)) for i in range(50)], ["g", "i", "v"]
+    )
+    out = rolling_sum_bucketed(
+        df, ["g"], ["i"], {"v": "s"},
+        bucket=(F.col("i") / 10).cast("int"), frame_rows=5,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    rolling_windows = [
+        ln for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "sum(" in ln
+    ]
+    assert rolling_windows, plan
+    assert all("__bkt" in ln for ln in rolling_windows), plan
 
 
 def test_idempotent_append_and_semi_join(spark):
