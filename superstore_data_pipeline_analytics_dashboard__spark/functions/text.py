@@ -39,8 +39,14 @@ def normalize(col: Column | str) -> Column:
 
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization of the normalized text → array<string>.
-    Normalizing first guarantees no empty tokens (DuckDB-parity)."""
-    return F.split(normalize(col), " ")
+
+    Normalizing handles interior runs, but splitting an EMPTY normalized
+    string still yields one empty element — so an empty/whitespace-only
+    document would count 1 token, skew quality_score, and share a single
+    "" shingle across every empty doc (ADVICE r1). The array_remove
+    guarantees genuinely-empty docs tokenize to []; the oracle mirrors it
+    with ``list_filter(..., x -> x <> '')``."""
+    return F.array_remove(F.split(normalize(col), " "), "")
 
 
 def shingles_from_tokens(toks: Column, n: int = 3) -> Column:

@@ -866,7 +866,8 @@ def q20_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 Q20_SQL = r"""
 WITH toks AS (
   SELECT doc_id,
-         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+         list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x <> '')
            AS t
   FROM documents
 ), sh AS (
@@ -917,7 +918,8 @@ def _sql_stopword_ratio(words: tuple[str, ...]) -> str:
 Q21_SQL = rf"""
 WITH toks AS (
   SELECT doc_id, lang,
-         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+         list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x <> '')
            AS t
   FROM documents
 ), scored AS (
@@ -954,7 +956,8 @@ _SQL_EN = ", ".join(f"'{w}'" for w in T.STOPWORDS_EN)
 Q22_SQL = rf"""
 WITH base AS (
   SELECT doc_id, text,
-         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+         list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x <> '')
            AS t,
          CAST(length(text) - length(
              regexp_replace(text, '[!-/:-@\[-`{{-~]', '', 'g')) AS DOUBLE)
@@ -1674,7 +1677,8 @@ def q49_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 Q49_SQL = r"""
 WITH RECURSIVE toks AS (
   SELECT doc_id,
-         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+         list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x <> '')
            AS t
   FROM documents
 ), sh AS (
@@ -2391,10 +2395,17 @@ FROM events GROUP BY event_type
 # columns at ingest and keeping the map only for the long tail.
 
 def q68_json_map_explode(spark: SparkSession, sf: str) -> DataFrame:
+    # malformed-props guard must be SYMMETRIC (ADVICE r1): Spark's
+    # from_json returns a NULL map for anything that isn't a JSON object
+    # (silently dropped by explode), while DuckDB's json_keys RAISES on
+    # invalid JSON — so both sides filter on the same validity predicate
+    # before exploding (DuckDB: json_valid AND json_type = 'OBJECT').
     ev = load_table(spark, sf, "events")
     m = F.from_json("props", "map<string,string>")
     return (
-        ev.select(F.explode(m))
+        ev.withColumn("__m", m)
+        .filter(F.col("__m").isNotNull())
+        .select(F.explode("__m"))
         .groupBy(F.col("key").alias("prop_key"))
         .agg(
             F.count("*").alias("n_rows"),
@@ -2408,6 +2419,7 @@ SELECT u.k AS prop_key, count(*) AS n_rows,
        CAST(sum(TRY_CAST(json_extract_string(e.props, '$.' || u.k) AS INT))
             AS BIGINT) AS sum_int_val
 FROM events e, unnest(json_keys(e.props)) AS u(k)
+WHERE json_valid(e.props) AND json_type(e.props::JSON) = 'OBJECT'
 GROUP BY 1
 """
 

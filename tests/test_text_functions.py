@@ -19,6 +19,19 @@ def test_tokens_no_empty_strings(spark):
     assert got == ["a", "b", "c"]
 
 
+def test_tokens_empty_doc_yields_empty_array(spark):
+    """ADVICE r1: an empty/whitespace-only doc must tokenize to [], not
+    [""] — otherwise token_count=1 skews quality and every empty doc
+    shares one "" shingle, inflating LSH candidate pairs."""
+    assert _one(spark, "", T.tokens("text")) == []
+    assert _one(spark, "   \t\n ", T.tokens("text")) == []
+    assert _one(spark, "", T.token_count("text")) == 0
+    # quality score of an empty doc: len 0, sw 0, punct 0 → 0.2 from the
+    # punct-penalty term only
+    q = _one(spark, "", T.quality_score("text"))
+    assert abs(q - 0.2) < 1e-12
+
+
 def test_word_shingles(spark):
     got = _one(spark, "a b c d", T.word_shingles("text", 3))
     assert got == ["a b c", "b c d"]
