@@ -79,12 +79,34 @@ def shingle_sets(
     )
 
 
+def max_df_filter(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles that occur in more than ``max_df`` documents.
+
+    Boilerplate shingles (headers, licence blocks, navigation chrome) are
+    the skew killers of every inverted-index stage: a shingle shared by a
+    million documents contributes ~10¹² intersection rows to the pair
+    join and one giant postings partition. Document-frequency filtering
+    is the standard fix (it also *improves* near-dup quality — ubiquitous
+    shingles carry no similarity signal). One extra groupBy on the 8-byte
+    key with a map-side-combined count, then a broadcast-able semi-join
+    when the hot set is small; Spark plans it as a shuffled semi-join
+    otherwise, still keyed by the 8-byte hash."""
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("sh")
+    )
+    return sh.join(hot, "sh", "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over n-word shingles.
 
@@ -93,9 +115,14 @@ def ngram_jaccard_pairs(
     string — 8-byte shuffle rows instead of ~25-byte (64-bit collisions are
     ~1e-8 at millions of shingles; use minhash_dedup when approximation is
     acceptable anyway). Shuffles on the hash then on the pair key; at
-    scale, hot shingles (boilerplate) should be pre-filtered by document
-    frequency — see `max_df` in minhash_lsh_candidates."""
-    sh = hashed_shingles(df, id_col, text_col, n).persist()
+    scale, pass ``max_df`` so hot boilerplate shingles (the skewed
+    postings lists) are dropped before the self-join — set sizes are then
+    computed over the FILTERED index so Jaccard stays an exact similarity
+    over the retained shingle space."""
+    sh = hashed_shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        sh = max_df_filter(sh, max_df)
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
 
     a = sh.alias("a")
@@ -225,6 +252,7 @@ def minhash_dedup(
     bands: int = 16,
     threshold: float = 0.5,
     tokens_col: str | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verification.
     Returns verified pairs with their Jaccard score.
@@ -232,8 +260,16 @@ def minhash_dedup(
     The hashed shingle index is built ONCE and persisted — signatures,
     set sizes, and both sides of the verification join all read it, so
     without the persist the tokenize→shingle→hash stage would run four
-    times (it is the dominant cost of the whole pipeline)."""
-    sh = hashed_shingles(df, id_col, text_col, n, tokens_col).persist()
+    times (it is the dominant cost of the whole pipeline).
+
+    ``max_df`` (recommended at corpus scale) drops shingles occurring in
+    more than that many documents BEFORE signatures and verification —
+    see :func:`max_df_filter`. Signatures, candidates, and Jaccard then
+    all operate consistently on the filtered shingle space."""
+    sh = hashed_shingles(df, id_col, text_col, n, tokens_col)
+    if max_df is not None:
+        sh = max_df_filter(sh, max_df)
+    sh = sh.persist()
     sigs = _signatures_from_hashed(sh, num_hashes)
     cands = _candidates_from_sigs(sigs, num_hashes, bands)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))

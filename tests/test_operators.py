@@ -250,6 +250,58 @@ def test_minhash_dedup_agrees_with_exact(spark):
     assert not any(4 in p for p in pairs)
 
 
+def test_max_df_filter_drops_boilerplate_shingles(spark):
+    """A shingle present in every doc (licence-header boilerplate) must be
+    dropped at max_df, shrinking the candidate pair space; docs related
+    ONLY through boilerplate stop pairing, genuinely similar docs keep
+    their pairs."""
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.dedup import (
+        hashed_shingles, max_df_filter, ngram_jaccard_pairs,
+    )
+
+    boiler = "licensed under the apache license version two"
+    docs = [
+        (1, boiler + " alpha beta gamma delta epsilon"),
+        (2, boiler + " alpha beta gamma delta zeta"),
+        (3, boiler + " completely different words entirely here"),
+        (4, boiler + " nothing shared with anything else at all"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sh = hashed_shingles(df, "doc_id", "text", n=3)
+    filtered = max_df_filter(sh, max_df=3)
+    # every shingle of the 7-word boilerplate prefix occurs in all 4 docs
+    assert filtered.count() < sh.count()
+    assert filtered.groupBy("sh").count().filter(F.col("count") > 3).count() == 0
+
+    unfiltered_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.2).collect()
+    }
+    filtered_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.2, max_df=3
+        ).collect()
+    }
+    assert (1, 2) in filtered_pairs           # real similarity survives
+    assert (3, 4) not in filtered_pairs       # boilerplate-only pair gone
+    assert filtered_pairs <= unfiltered_pairs
+
+
+def test_minhash_dedup_max_df_consistent(spark):
+    """minhash_dedup(max_df=...) must agree with exact Jaccard over the
+    same filtered shingle space (signatures, candidates, and verification
+    all see the filtered index)."""
+    df = spark.createDataFrame(_DOCS, ["doc_id", "text"])
+    lsh = {(r["doc_a"], r["doc_b"]) for r in
+           minhash_dedup(df, "doc_id", "text", n=3, threshold=0.3,
+                         max_df=len(_DOCS)).collect()}
+    plain = {(r["doc_a"], r["doc_b"]) for r in
+             minhash_dedup(df, "doc_id", "text", n=3, threshold=0.3).collect()}
+    # max_df = corpus size filters nothing: identical results
+    assert lsh == plain
+
+
 def test_simhash_exact_dup_same_signature(spark):
     df = spark.createDataFrame(_DOCS, ["doc_id", "text"])
     out = simhash_duplicates(df, "doc_id", "text").collect()
