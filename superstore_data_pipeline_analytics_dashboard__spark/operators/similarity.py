@@ -162,6 +162,89 @@ def all_pairs_cosine(
     )
 
 
+def sign_lsh_neardup(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-dup pairs via random-hyperplane (sign) LSH with
+    banding, verified by exact cosine — the scale path past even the
+    blocked all-pairs grid, for the high-similarity regime.
+
+    Sign-LSH collision probability per bit is 1 − θ/π, so banding
+    n_planes=16 into 4 bands of 4 bits gives ~96 % recall at cos ≈ 0.9
+    while random pairs (cos ≈ 0) collide with probability ~4·(1/2)⁴ ≈ 25 %
+    per band-space — and every collision is then EXACTLY verified, so
+    precision is 1 and only recall is approximate. Use this instead of
+    :func:`all_pairs_cosine` when n² block pairs stop being affordable;
+    candidate volume is linear in n plus true-near-dup pairs.
+
+    Plan shape: one linear mapInPandas GEMM projects each vector onto the
+    16 hyperplanes (deterministic seeded planes, regenerated identically
+    inside every task — no driver materialization, nothing broadcast);
+    explode to (band, bucket); self-join on equal buckets; distinct;
+    exact-cosine verify JVM-side. All shuffles carry 8-byte ids + small
+    buckets, never the vectors — the verify join re-reads them by id."""
+    import numpy as np
+    import pandas as pd
+
+    r = n_planes // bands
+
+    def signatures(batches):
+        # planes derived from the seed alone → identical in every task
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame({"vid": [], "band": [], "bucket": []})
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            planes = np.random.default_rng(seed).standard_normal((mat.shape[1], n_planes))
+            bits = (mat @ planes) >= 0.0
+            vids = pdf[id_col].to_numpy(dtype=np.int64)
+            out_v, out_band, out_bucket = [], [], []
+            for bi in range(bands):
+                chunk = bits[:, bi * r : (bi + 1) * r]
+                buckets = chunk.dot(1 << np.arange(r)).astype(np.int64)
+                out_v.extend(vids)
+                out_band.extend([bi] * len(vids))
+                out_bucket.extend(buckets)
+            yield pd.DataFrame({"vid": out_v, "band": out_band, "bucket": out_bucket})
+
+    sigs = vectors.select(id_col, vec_col).mapInPandas(
+        signatures, schema="vid BIGINT, band INT, bucket BIGINT"
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .distinct()
+    )
+    va = vectors.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("__va")
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("__vb")
+    )
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            V.cosine(F.col("__va"), F.col("__vb")).alias("cos_d"),
+        )
+        .filter(F.col("cos_d") >= threshold)
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,

@@ -91,6 +91,36 @@ def test_all_pairs_cosine_block_count_invariant(spark):
     assert one == many and len(one) > 0
 
 
+def test_sign_lsh_neardup_finds_planted_pairs(spark):
+    """Plant near-identical vectors; sign-LSH must recover them (recall at
+    cos≈0.99 with 4 bands of 4 bits is ~1-(1-0.96)^4), every reported
+    pair must verify exactly (precision 1), and the pair set must be a
+    subset of the exact all-pairs result at the same threshold."""
+    import numpy as np
+
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.similarity import (
+        all_pairs_cosine, sign_lsh_neardup,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 32))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        if i < 10:  # 10 planted near-dups: tiny perturbation of base[i]
+            w = v + 0.01 * rng.standard_normal(32)
+            rows.append((100 + i, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    got = {(r["id_a"], r["id_b"]) for r in sign_lsh_neardup(df, 0.95).collect()}
+    exact = {(r["id_a"], r["id_b"])
+             for r in all_pairs_cosine(df, 0.95, n_blocks=4).collect()}
+    planted = {(i, 100 + i) for i in range(10)}
+    assert planted <= exact
+    assert got <= exact                      # exact verification: no false pairs
+    assert len(got & planted) >= 9           # ≥90% recall on planted pairs
+
+
 def test_ivf_assign_total(spark):
     emb = _emb(spark)
     cents = seed_centroids(emb, 8)
