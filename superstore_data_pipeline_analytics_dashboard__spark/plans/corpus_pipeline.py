@@ -104,6 +104,7 @@ def drop_near_dups(
     num_hashes: int = 64,
     bands: int = 16,
     tokens_col: str | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates → exact-Jaccard verification → connected
     components over the verified pairs → keep only each component's
@@ -111,12 +112,15 @@ def drop_near_dups(
     on a chain a~b, b~c with no (a,c) pair, the pairwise rule would keep
     both a and c. num_hashes/bands trade signature cost against the LSH
     S-curve — (64, 16) targets ~0.5 Jaccard, (32, 8) halves signature
-    work for the same band width."""
+    work for the same band width. ``max_df`` (recommended at corpus
+    scale) drops boilerplate shingles before signatures — see
+    ``dedup.max_df_filter``."""
     from ..operators.graph import dedup_clusters
 
     pairs = DD.minhash_dedup(
         docs, id_col, text_col, n=n, threshold=threshold,
         num_hashes=num_hashes, bands=bands, tokens_col=tokens_col,
+        max_df=max_df,
     )
     losers = (
         dedup_clusters(pairs.select("doc_a", "doc_b"))
@@ -136,6 +140,7 @@ def curate(
     near_dup_threshold: float = 0.5,
     num_hashes: int = 64,
     bands: int = 16,
+    max_df: int | None = None,
 ) -> dict[str, DataFrame]:
     """Full curation run. Returns the curated corpus plus an audit frame
     of per-stage row counts (the qa.LoadIssues idea applied to corpus
@@ -156,7 +161,7 @@ def curate(
     # audit count would execute the whole pipeline twice
     curated = drop_near_dups(
         exact, id_col, text_col, threshold=near_dup_threshold,
-        num_hashes=num_hashes, bands=bands,
+        num_hashes=num_hashes, bands=bands, max_df=max_df,
     ).cache()
 
     spark = docs.sparkSession
