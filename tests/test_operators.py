@@ -118,6 +118,32 @@ def test_rolling_sum_bucketed_equals_plain(spark):
     assert p == q
 
 
+def test_rolling_sum_bucketed_sparse_buckets(spark):
+    """Buckets SMALLER than the frame: every frame spans several buckets,
+    so carries must come from the last frame_rows-1 rows of the GLOBAL
+    order, not just the previous bucket (the round-2 q08 parity bug:
+    months with <29 rows truncated frames that reach two+ buckets back).
+    Bucket occupancy here is 1-3 rows vs a frame of 8, with ragged,
+    per-group-different bucket membership."""
+    import random
+
+    rnd = random.Random(13)
+    rows = []
+    for i in range(120):
+        g = "g1" if rnd.random() < 0.7 else "g2"
+        rows.append((g, i, i // 2, float(rnd.randint(1, 9))))
+    # ~2 rows per bucket before the group split leaves many (g, bucket)
+    # groups holding a single row
+    df = spark.createDataFrame(rows, ["g", "i", "b", "v"])
+    plain = rolling_sum(df, ["g"], [F.asc("i")], {"v": "s"}, frame_rows=8)
+    bucketed = rolling_sum_bucketed(
+        df, ["g"], ["i"], {"v": "s"}, bucket=F.col("b"), frame_rows=8,
+    )
+    p = {(r["g"], r["i"]): r["s"] for r in plain.collect()}
+    q = {(r["g"], r["i"]): r["s"] for r in bucketed.collect()}
+    assert p == q
+
+
 def test_rolling_sum_bucketed_window_is_rekeyed(spark):
     """The physical Window must partition on (partition, bucket) — the
     de-skew exists precisely so parallelism is |partition × bucket|, not
