@@ -2489,6 +2489,21 @@ def q28_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.knn_ivf(emb, queries, k=10, n_cells=16, nprobe=4)
 
 
+def q69_sign_lsh_neardup(spark: SparkSession, sf: str, threshold: float = 0.40) -> DataFrame:
+    """Linear-time tier of embedding near-dup (operators.similarity.
+    sign_lsh_neardup): banded random-hyperplane LSH candidates, exactly
+    verified by cosine — the path past q33's blocked all-pairs grid when
+    n² block pairs stop being affordable. Deterministic (seeded planes) so
+    the result is stable run-to-run, but recall < 1 by design → rows-only
+    (no exact-SQL oracle can reproduce the candidate set)."""
+    emb = load_table(spark, sf, "embeddings")
+    pairs = SIM.sign_lsh_neardup(emb, threshold - 1e-4)
+    return pairs.select(
+        "id_a", "id_b",
+        F.round("cos_d", 6).cast("double").alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -2689,6 +2704,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q41_copurchase_pairs": q41_copurchase_pairs,
     "q43_fuzzy_part_names": q43_fuzzy_part_names,
     "q44_set_ops_active_customers": q44_set_ops_active_customers,
+    # --- rows-only additions past the window (pinned by pytest) ---
+    "q69_sign_lsh_neardup": q69_sign_lsh_neardup,
 }
 
 ORACLES: dict[str, str] = {

@@ -125,8 +125,13 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
 def test_no_python_udfs_anywhere_in_catalog(spark):
     """No row-at-a-time Python anywhere. Arrow-batched MapInPandas is
     allowed ONLY where documented as the right tool (q33's all-pairs
-    BLAS block — see similarity.all_pairs_cosine) and multimodal."""
-    arrow_allowed = {"q33_embedding_neardup", "q67_multimodal_features"}
+    BLAS block and q69's hyperplane projection — see
+    similarity.all_pairs_cosine / sign_lsh_neardup) and multimodal."""
+    arrow_allowed = {
+        "q33_embedding_neardup",
+        "q67_multimodal_features",
+        "q69_sign_lsh_neardup",
+    }
     for name, fn in Q.QUERIES.items():
         plan = _executed_plan(fn(spark, SF_SMOKE))
         assert "BatchEvalPython" not in plan, name
