@@ -30,11 +30,29 @@ def main() -> None:
     spark = get_spark(app_name="superstore-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm up the JVM + parquet footer caches so the first timed query is
-    # not charged session startup or first-touch footer reads (events also
-    # pays a one-time nanos-timestamp branch on first load)
+    # Warm up the JVM so the first timed query is not charged session
+    # startup, first-touch parquet footer reads, page decode, or the C2
+    # JIT of whole-stage-codegen classes. A bare count() is served from
+    # row-group metadata, so hash every column to force real column
+    # decode; then run one throwaway join+agg+window mini-pipeline so the
+    # codegen paths the catalog leans on are compiled before timing.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     for t in ("lineitem", "orders", "events", "documents", "embeddings"):
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        df.select(F.count(F.xxhash64(*df.columns)).alias("h")).collect()
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(20000)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(20000)
+    w = Window.partitionBy("l_returnflag").orderBy("l_orderkey").rowsBetween(-5, 0)
+    (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .withColumn("r", F.sum("l_quantity").over(w))
+        .groupBy("l_returnflag")
+        .agg(F.sum("r").alias("s"), F.count(F.lit(1)).alias("n"))
+        .write.format("noop").mode("overwrite").save()
+    )
 
     timings: dict[str, float] = {}
     total = 0.0

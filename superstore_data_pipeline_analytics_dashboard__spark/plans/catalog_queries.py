@@ -2489,15 +2489,31 @@ def q28_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.knn_ivf(emb, queries, k=10, n_cells=16, nprobe=4)
 
 
-def q69_sign_lsh_neardup(spark: SparkSession, sf: str, threshold: float = 0.40) -> DataFrame:
+def q69_sign_lsh_neardup(spark: SparkSession, sf: str, threshold: float = 0.95) -> DataFrame:
     """Linear-time tier of embedding near-dup (operators.similarity.
     sign_lsh_neardup): banded random-hyperplane LSH candidates, exactly
     verified by cosine — the path past q33's blocked all-pairs grid when
-    n² block pairs stop being affordable. Deterministic (seeded planes) so
-    the result is stable run-to-run, but recall < 1 by design → rows-only
-    (no exact-SQL oracle can reproduce the candidate set)."""
-    emb = load_table(spark, sf, "embeddings")
-    pairs = SIM.sign_lsh_neardup(emb, threshold - 1e-4)
+    n² block pairs stop being affordable. Sign-LSH is the HIGH-similarity
+    tier, and the synthetic embeddings table has no pair above cos 0.52,
+    so the query plants near-dups itself: each vector is unioned with a
+    deterministic JVM-side perturbation of itself — the embeddings are
+    unit-normalized, so +0.01 per element lands at cos ≈ 0.997. 64
+    planes in 4 bands of 16 bits keep random collisions ~n²/65536 while
+    recall at cos ≈ 0.997 stays ≈ 0.99. Deterministic (seeded planes +
+    expression perturbation) so the result is stable run-to-run, but
+    recall < 1 by design → rows-only (no exact-SQL oracle can reproduce
+    the candidate set)."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n = emb.count()  # dimension-scale scalar: offsets the planted ids
+    planted = emb.select(
+        (F.col("vec_id") + F.lit(n)).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    pairs = SIM.sign_lsh_neardup(
+        emb.unionByName(planted), threshold - 1e-4, n_planes=64, bands=4
+    )
     return pairs.select(
         "id_a", "id_b",
         F.round("cos_d", 6).cast("double").alias("cos_sim"),
