@@ -30,7 +30,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import DecimalType
+from pyspark.sql.types import DecimalType, TimestampNTZType, TimestampType
 
 from ..functions import text as T
 from ..functions import vectors as V
@@ -1090,11 +1090,16 @@ FROM events GROUP BY event_type
 
 def q30_event_daily_counts(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
+    # UTC calendar day computed ARITHMETICALLY from the instant
+    # (epoch-days), never via date_trunc/cast on a TIMESTAMP — those
+    # resolve in the session timezone, and the driver's session tz is
+    # unknown (a New-York session shifts evening events to the next day
+    # while the DuckDB oracle reads naive UTC wall-clock)
+    event_day = F.date_from_unix_date(
+        F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast("int")
+    )
     return (
-        ev.groupBy(
-            F.date_trunc("day", "ts").cast("date").alias("event_day"),
-            "event_type",
-        )
+        ev.groupBy(event_day.alias("event_day"), "event_type")
         .agg(F.count("*").alias("n_events"))
     )
 
@@ -2535,33 +2540,52 @@ def q69_sign_lsh_neardup(spark: SparkSession, sf: str, threshold: float = 0.95) 
 #  * every DECIMAL output column  -> DOUBLE  (both engines produce the
 #    nearest double of the same exact rational, so equal decimals stay
 #    bit-identical doubles);
-#  * every DuckDB-widened integer -> BIGINT, matching Spark's sum type.
+#  * every DuckDB-widened integer -> BIGINT, matching Spark's sum type;
+#  * every TIMESTAMP output column -> BIGINT epoch MICROSECONDS
+#    (`unix_micros` / DuckDB `epoch_us`). Spark exports TIMESTAMP as a
+#    tz-AWARE client value and renders it in the SESSION timezone, while
+#    DuckDB exports naive UTC wall-clock — both representation-unstable
+#    under an unknown driver session. Epoch micros of the same instant is
+#    the identical int64 in any session timezone on both clients.
 
 def _canon_query(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
-    """Wrap a catalog query so final DECIMAL columns leave as DOUBLE."""
+    """Wrap a catalog query so final DECIMAL columns leave as DOUBLE and
+    final TIMESTAMP columns leave as epoch-microsecond BIGINT."""
+
+    def canon_col(f):
+        if isinstance(f.dataType, DecimalType):
+            return F.col(f.name).cast("double").alias(f.name)
+        if isinstance(f.dataType, TimestampType):
+            return F.unix_micros(F.col(f.name)).alias(f.name)
+        if isinstance(f.dataType, TimestampNTZType):
+            # NTZ wall-clock is engine-portable already; pin it to the
+            # UTC instant so the boundary type is one int64 everywhere
+            return F.unix_micros(F.to_utc_timestamp(f.name, "UTC")).alias(f.name)
+        return F.col(f.name)
 
     @functools.wraps(fn)
     def run(spark: SparkSession, sf: str) -> DataFrame:
         df = fn(spark, sf)
-        if any(isinstance(f.dataType, DecimalType) for f in df.schema.fields):
-            df = df.select(
-                *[
-                    F.col(f.name).cast("double").alias(f.name)
-                    if isinstance(f.dataType, DecimalType)
-                    else F.col(f.name)
-                    for f in df.schema.fields
-                ]
-            )
+        if any(
+            isinstance(f.dataType, (DecimalType, TimestampType, TimestampNTZType))
+            for f in df.schema.fields
+        ):
+            df = df.select(*[canon_col(f) for f in df.schema.fields])
         return df
 
     return run
 
 
 def _canon_sql(sql: str, casts: dict[str, str]) -> str:
-    """Wrap an oracle so its DECIMAL/HUGEINT outputs leave as DOUBLE/BIGINT."""
-    reps = ", ".join(f"CAST({c} AS {t}) AS {c}" for c, t in casts.items())
+    """Wrap an oracle so its DECIMAL/HUGEINT outputs leave as
+    DOUBLE/BIGINT and its TIMESTAMP outputs as epoch-microsecond BIGINT
+    (type token ``EPOCH_US``)."""
+    reps = ", ".join(
+        f"epoch_us({c}) AS {c}" if t == "EPOCH_US" else f"CAST({c} AS {t}) AS {c}"
+        for c, t in casts.items()
+    )
     return f"SELECT * REPLACE ({reps})\nFROM (\n{sql}\n) AS canon"
 
 
@@ -2587,7 +2611,8 @@ _CANON_SQL_CASTS: dict[str, dict[str, str]] = {
     },
     "q25_knn_bruteforce": {"cos_sim": "DOUBLE"},
     "q29_event_type_stats": {"sum_value": "DOUBLE", "avg_k": "DOUBLE"},
-    "q31_sessionize_batch": {"session_no": "BIGINT", "sum_value": "DOUBLE"},
+    "q31_sessionize_batch": {"session_no": "BIGINT", "sum_value": "DOUBLE", "session_start": "EPOCH_US", "session_end": "EPOCH_US"},
+    "q46_asof_click_attribution": {"purchase_ts": "EPOCH_US"},
     "q32_top_suppliers_per_nation": {"revenue": "DOUBLE"},
     "q33_embedding_neardup": {"cos_sim": "DOUBLE"},
     "q34_cube_region_segment": {"revenue": "DOUBLE"},
@@ -2618,7 +2643,7 @@ _CANON_SQL_CASTS: dict[str, dict[str, str]] = {
         "sum_spend": "DOUBLE",
     },
     "q57_stratified_sample": {"sum_bal": "DOUBLE"},
-    "q58_hopping_window_counts": {"sum_value": "DOUBLE"},
+    "q58_hopping_window_counts": {"sum_value": "DOUBLE", "win_start": "EPOCH_US"},
     "q59_global_topk": {"revenue": "DOUBLE"},
     "q60_late_unreturned_orders": {"sum_price": "DOUBLE"},
     "q61_bloom_semi_reduction": {"revenue": "DOUBLE"},

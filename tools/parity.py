@@ -13,8 +13,11 @@ plausible driver hash:
 * both results are pulled through **Arrow** and the canonical Arrow type
   of every column must match exactly (decimal precision included);
 * float cells must be **bit-identical** (struct-packed), not repr-equal;
-* the only deliberate leniency is timestamp tz-annotation (Spark exports
-  tz-aware instants, DuckDB naive ones; instants are compared in UTC).
+* TIMESTAMP columns are BANNED at the boundary outright (like DECIMAL):
+  Spark exports tz-aware instants rendered in the SESSION timezone,
+  DuckDB naive UTC wall-clock — both driver-representation-unstable.
+  The canonical boundary converts them to epoch-microsecond BIGINT
+  (`unix_micros` / `epoch_us`) on both sides.
 
 Usage: python tools/parity.py [sf_dir] [query ...]
 """
@@ -52,7 +55,7 @@ def canon_type(t: pa.DataType) -> str:
     if pa.types.is_large_binary(t) or pa.types.is_binary(t):
         return "binary"
     if pa.types.is_timestamp(t):
-        return "timestamp"  # tz-annotation leniency; values compared in UTC
+        return "timestamp"  # banned at the boundary — see compare()
     if pa.types.is_date(t):
         return "date"
     if pa.types.is_large_list(t) or pa.types.is_list(t):
@@ -121,8 +124,10 @@ def compare(name: str, spark_df, con, sql: str) -> list[str]:
             problems.append(f"type of {c!r} differs: spark={s_types[c]} duck={d_types[c]}")
         for side, t in (("spark", s_types[c]), ("duck", d_types[c])):
             # decimals reach pandas as Decimal objects on one client and
-            # float64 on the other — banned at the canonical boundary
-            if "decimal" in t:
+            # float64 on the other; timestamps render session-tz-aware on
+            # Spark and naive-UTC on DuckDB — both banned at the
+            # canonical boundary (epoch-us BIGINT instead for timestamps)
+            if "decimal" in t or "timestamp" in t:
                 problems.append(f"banned boundary type on {side}: {c!r} is {t}")
     if problems:
         return problems
@@ -150,12 +155,17 @@ def main():
     oracles = entrymod.oracle_sql()
 
     # vanilla session on purpose — the driver gate builds its own; any
-    # engine-config dependence must fail HERE, not in CORRECTNESS_r{N}
+    # engine-config dependence must fail HERE, not in CORRECTNESS_r{N}.
+    # The one deliberate config is a HOSTILE session timezone: the
+    # driver's tz is unknown, so any query whose result depends on it
+    # (e.g. deriving a calendar date from a TIMESTAMP instant — round-2's
+    # q30 bug) must mismatch the UTC-wall-clock DuckDB oracle locally.
     from pyspark.sql import SparkSession
 
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "America/New_York")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
