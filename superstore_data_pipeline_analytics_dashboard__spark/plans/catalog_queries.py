@@ -265,10 +265,17 @@ def q05_sales_by_brand_rollup(spark: SparkSession, sf: str) -> DataFrame:
     li = _li(spark, sf)
     part = load_table(spark, sf, "part")
     joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-    agg = joined.rollup("p_brand").agg(
-        F.count("*").alias("n_rows"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_qty"),
-        _dec2(F.sum(_rev())).alias("revenue"),
+    # pre-aggregate per brand before the rollup Expand (see q34): the
+    # grouping sets then run over |brand| rows, not the joined fact
+    base = joined.groupBy("p_brand").agg(
+        F.count("*").alias("__n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__q"),
+        F.sum(_rev()).alias("__s"),
+    )
+    agg = base.rollup("p_brand").agg(
+        F.sum("__n").alias("n_rows"),
+        F.sum("__q").cast("decimal(18,2)").alias("sum_qty"),
+        _dec2(F.sum("__s")).alias("revenue"),
     )
     return agg.select(
         F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
@@ -292,17 +299,19 @@ GROUP BY ROLLUP (p_brand)
 
 def q06_year_month_rollup(spark: SparkSession, sf: str) -> DataFrame:
     orders = _ord(spark, sf)
-    agg = (
+    # pre-aggregate per (year, month) before the rollup Expand (see q34)
+    base = (
         orders.select(
             F.year("o_orderdate").alias("order_year"),
             F.month("o_orderdate").alias("order_month"),
             F.col("o_totalprice").cast("decimal(18,2)").alias("tp"),
         )
-        .rollup("order_year", "order_month")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.sum("tp").cast("decimal(18,2)").alias("total_price"),
-        )
+        .groupBy("order_year", "order_month")
+        .agg(F.count("*").alias("__n"), F.sum("tp").alias("__s"))
+    )
+    agg = base.rollup("order_year", "order_month").agg(
+        F.sum("__n").alias("n_orders"),
+        F.sum("__s").cast("decimal(18,2)").alias("total_price"),
     )
     return agg.select(
         F.coalesce("order_year", F.lit(-1)).alias("order_year"),
@@ -1253,9 +1262,18 @@ def q34_cube_region_segment(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
     )
-    agg = df.cube("r_name", "c_mktsegment").agg(
-        F.count("*").alias("n_rows"),
-        _dec2(F.sum(_rev())).alias("revenue"),
+    # pre-aggregate at the base grain BEFORE the cube: Expand would
+    # otherwise replicate every fact row ×4 grouping sets into the
+    # shuffle; aggregating (region, segment) first cuts the expanded
+    # input from |fact| to |region × segment| rows, and DECIMAL partial
+    # sums / counts re-aggregate exactly (rounding stays at the output)
+    base = df.groupBy("r_name", "c_mktsegment").agg(
+        F.count("*").alias("__n"),
+        F.sum(_rev()).alias("__s"),
+    )
+    agg = base.cube("r_name", "c_mktsegment").agg(
+        F.sum("__n").alias("n_rows"),
+        _dec2(F.sum("__s")).alias("revenue"),
     )
     return agg.select(
         F.coalesce("r_name", F.lit("ALL")).alias("region"),
@@ -1541,12 +1559,22 @@ SELECT o_custkey AS cust_key, 'ONLY_1999' AS cohort FROM (SELECT * FROM y99 EXCE
 def q45_grouping_sets_sql(spark: SparkSession, sf: str) -> DataFrame:
     _li(spark, sf).createOrReplaceTempView("q45_lineitem")
     load_table(spark, sf, "part").createOrReplaceTempView("q45_part")
+    # same pre-aggregate-before-Expand rewrite as q34 (see comment there):
+    # the grouping sets run over |brand × returnflag| base rows, not the
+    # joined fact; DECIMAL partials merge exactly, count(*) = sum of
+    # per-group counts, rounding at the output only
     return spark.sql(f"""
+        WITH base AS (
+          SELECT p_brand, l_returnflag,
+                 count(*) AS n, sum({_REV}) AS s
+          FROM q45_lineitem JOIN q45_part ON l_partkey = p_partkey
+          GROUP BY p_brand, l_returnflag
+        )
         SELECT coalesce(p_brand, 'ALL') AS brand,
                coalesce(l_returnflag, 'ALL') AS return_flag,
-               count(*) AS n_rows,
-               CAST(round(sum({_REV}), 2) AS DECIMAL(18,2)) AS revenue
-        FROM q45_lineitem JOIN q45_part ON l_partkey = p_partkey
+               sum(n) AS n_rows,
+               CAST(round(sum(s), 2) AS DECIMAL(18,2)) AS revenue
+        FROM base
         GROUP BY GROUPING SETS ((p_brand), (l_returnflag), (p_brand, l_returnflag))
     """)
 
