@@ -77,92 +77,117 @@ def rolling_sum_bucketed(
     (q08's 5 regions) serializes into a handful of giant sorted partitions
     at 100 TB (VERDICT.md "What's wrong" #4). This rewrite re-keys the
     window to (partition, bucket) — e.g. bucket = yyyyMM of the order
-    date — and keeps frames exact by CARRYING, into each bucket B, the
-    last ``frame_rows - 1`` rows that precede B in the GLOBAL per-
-    partition order (they may span several sparse earlier buckets).
-    A carried row sorts before B's own rows (``bucket`` is monotone in
-    ``order``), contributes to their frames, and is dropped from the
-    output, so results equal the single-partition form exactly —
-    decimal sums are order-independent.
+    date, which must be monotone in ``order`` — so parallelism is
+    |partition × bucket|, then repairs the frames that cross a bucket
+    boundary with a dimension-sized fix-up join, in ONE fact-wide
+    shuffle+sort (the same single sort the skewed plain form pays):
 
-    Mechanics: candidate carries are each bucket's last ``frame_rows-1``
-    rows (a row deeper than that from its bucket's end can never be
-    within the last ``frame_rows-1`` global predecessors of a later
-    bucket). With C(b) = cumulative rows in buckets ≤ b and e = the
-    row's 1-based index from its bucket's end, the row's global index is
-    C(b) - e + 1, and it is carried into target bucket B (b < B) iff
-    ``C(b) - e + 1 > before(B) - (frame_rows-1)`` where before(B) =
-    rows strictly before B. Bucket counts are dimension-sized, so the
-    tails×targets range join broadcasts the target list.
+    1. One window pass keyed (partition, bucket) computes, per row, the
+       in-bucket rolling sum, its in-bucket index ``i`` (row_number) and
+       the bucket size ``cnt``. Only rows with ``i < frame_rows`` have
+       frames reaching before their bucket; only a bucket's last
+       ``frame_rows-1`` rows (``i > cnt-(frame_rows-1)``) can fall in a
+       later row's frame — both are ≤ frame_rows-1 rows per bucket,
+       i.e. dimension-sized slices of the persisted pass-1 output.
+    2. A bucket directory (count + rows-strictly-before per bucket, from
+       the one-row-per-bucket ``i = cnt`` slice) assigns each tail row
+       its GLOBAL per-partition index ``g = before + i``. A needy row
+       (index i in bucket B) is missing exactly its ``frame_rows - i``
+       global predecessors, i.e. tail rows with
+       ``g > before(B) - (frame_rows - i)`` — sparse earlier buckets
+       spanned correctly (the round-2 q08 parity bug). Summing matched
+       tails per needy row yields the missing-measure fix.
+    3. The fix (≤ frame_rows-1 rows per bucket) broadcast-joins back on
+       (partition, bucket, i) and adds to the in-bucket sum. Decimal/
+       integer sums are associative, so results equal the plain form
+       exactly; float measures may differ by re-association ulps.
 
-    Cost: one small window pass for bucket tails + a groupBy for bucket
-    counts; parallelism goes from |partition| to |partition × bucket|.
+    The pass-1 output is persisted (MEMORY_AND_DISK default) because the
+    directory/tails/needy slices and the final join all consume it; the
+    cache write replaces the old implementation's second fact-wide sort
+    (2.0× q08 wall at sf0.1) and, at cluster scale, is the cheaper of
+    the two (sequential local-disk write vs. full re-sort).
 
-    ``order`` is a sequence of ASCENDING sort keys forming a total order
-    (plain columns or names — the tail-finding pass reverses them); the
-    ``bucket`` expression must be monotone in that order (e.g. yyyyMM of
-    the leading date key).
+    ``order`` is a sequence of ASCENDING sort keys forming a total order.
     """
     carry_n = frame_rows - 1
     asc = [F.col(c) if isinstance(c, str) else c for c in order]
-    # three consumers below (bucket counts, bucket tails, the main window)
-    # would each re-execute the upstream plan — persist one materialization
-    # instead (at cluster scale: MEMORY_AND_DISK, same rationale as the
-    # multi-pass persist in graph.dedup_clusters)
-    tagged = df.withColumn("__bkt", bucket.cast("long")).persist()
+    srcs = list(dict.fromkeys(measures))
+    tagged = df.withColumn("__bkt", bucket.cast("long"))
 
-    # per-(partition, bucket) row counts and cumulative counts — these are
-    # dimension-sized (|partition × bucket| rows), windowing them is cheap
+    w_bkt = Window.partitionBy(*partition, "__bkt").orderBy(*asc)
+    w_frame = w_bkt.rowsBetween(-carry_n, Window.currentRow)
+    w_all = w_bkt.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    first = tagged.withColumn("__i", F.row_number().over(w_bkt)).withColumn(
+        "__cnt", F.count(F.lit(1)).over(w_all)
+    )
+    for src, dst in measures.items():
+        first = first.withColumn(dst, F.sum(src).over(w_frame))
+    first = first.persist()
+    dst_types = {dst: first.schema[dst].dataType for dst in measures.values()}
+
+    # bucket directory: one row per (partition, bucket) — count and the
+    # number of rows strictly before the bucket in global order
     w_cum = (
         Window.partitionBy(*partition)
         .orderBy("__bkt")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    counts = (
-        tagged.groupBy(*partition, "__bkt")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .withColumn("__cum", F.sum("__cnt").over(w_cum))
-    )
-    targets = counts.select(
-        *partition,
-        F.col("__bkt").alias("__tgt_bkt"),
-        (F.col("__cum") - F.col("__cnt")).alias("__before"),
+    stats = (
+        first.filter(F.col("__i") == F.col("__cnt"))
+        .select(*partition, "__bkt", "__cnt")
+        .withColumn("__before", F.sum("__cnt").over(w_cum) - F.col("__cnt"))
+        .select(*partition, "__bkt", "__before")
     )
 
-    # last carry_n rows of each (partition, bucket): row_number from the end
-    w_end = Window.partitionBy(*partition, "__bkt").orderBy(*[c.desc() for c in asc])
     tails = (
-        tagged.withColumn("__rn_end", F.row_number().over(w_end))
-        .filter(F.col("__rn_end") <= carry_n)
-        .join(counts.select(*partition, "__bkt", "__cum"), [*partition, "__bkt"])
-        .withColumn("__gidx", F.col("__cum") - F.col("__rn_end") + F.lit(1))
+        first.filter(F.col("__i") > F.col("__cnt") - carry_n)
+        .select(*partition, "__bkt", "__i", *srcs)
+        .join(F.broadcast(stats), [*partition, "__bkt"])
+        .withColumn("__g", F.col("__before") + F.col("__i"))
+        .drop("__before")
+        .alias("t")
     )
-    carried = (
-        tails.join(
-            F.broadcast(targets),
+    needy = (
+        first.filter(F.col("__i") <= carry_n)
+        .select(*partition, "__bkt", "__i")
+        .join(F.broadcast(stats), [*partition, "__bkt"])
+        .alias("n")
+    )
+    fix = (
+        needy.join(
+            F.broadcast(tails),
             [
-                *(tails[p] == targets[p] for p in partition),
-                tails["__bkt"] < targets["__tgt_bkt"],
-                tails["__gidx"] > targets["__before"] - F.lit(carry_n),
+                *(F.col(f"n.{p}") == F.col(f"t.{p}") for p in partition),
+                F.col("t.__bkt") < F.col("n.__bkt"),
+                F.col("t.__g")
+                > F.col("n.__before") - (F.lit(frame_rows) - F.col("n.__i")),
             ],
         )
-        .drop(*(targets[p] for p in partition))
-        .withColumn("__bkt", F.col("__tgt_bkt"))
-        .drop("__tgt_bkt", "__before", "__rn_end", "__cum", "__gidx")
-        .withColumn("__carry", F.lit(True))
+        .groupBy(
+            *(F.col(f"n.{p}").alias(p) for p in partition),
+            F.col("n.__bkt").alias("__bkt"),
+            F.col("n.__i").alias("__i"),
+        )
+        .agg(
+            *(
+                F.sum(F.col(f"t.{src}")).alias(f"__fix_{dst}")
+                for src, dst in measures.items()
+            )
+        )
     )
-    main = tagged.withColumn("__carry", F.lit(False))
-    unioned = main.unionByName(carried)
 
-    w = (
-        Window.partitionBy(*partition, "__bkt")
-        .orderBy(*asc)
-        .rowsBetween(-carry_n, Window.currentRow)
-    )
-    out = unioned
-    for src, dst in measures.items():
-        out = out.withColumn(dst, F.sum(src).over(w))
-    return out.filter(~F.col("__carry")).drop("__bkt", "__carry")
+    out = first.join(F.broadcast(fix), [*partition, "__bkt", "__i"], "left")
+    for dst in measures.values():
+        fixc = F.col(f"__fix_{dst}")
+        out = out.withColumn(
+            dst,
+            F.when(fixc.isNull(), F.col(dst))
+            .when(F.col(dst).isNull(), fixc)
+            .otherwise(F.col(dst) + fixc)
+            .cast(dst_types[dst]),
+        ).drop(f"__fix_{dst}")
+    return out.drop("__bkt", "__i", "__cnt")
 
 
 def rank_top_k(
