@@ -156,6 +156,46 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     return F.size(bpe_ish_tokens(col))
 
 
+def dup_ngram_frac(grams: Column) -> Column:
+    """Fraction of n-gram occurrences that repeat an earlier occurrence
+    within the same document — the MassiveText/Gopher "duplicate n-gram
+    fraction" repetition filter. Pure array expression (size vs
+    array_distinct size), so per-document repetition scoring is a narrow
+    projection: no explode, no shuffle, scales with bytes scanned."""
+    total = F.size(grams)
+    dup = (total - F.size(F.array_distinct(grams))).cast("double")
+    return dup / F.greatest(total, F.lit(1))
+
+
+def top_ngram_count(grams: Column) -> Column:
+    """Occurrence count of the document's MOST FREQUENT n-gram (the
+    numerator of Gopher's "top n-gram fraction" filter).
+
+    Computed as the longest equal-run of the sorted gram array — one
+    array_sort (O(m log m) per doc) plus a single aggregate fold, all
+    JVM-side. The explode + groupBy(doc, gram) formulation computes the
+    same thing but shuffles every gram occurrence; this form keeps
+    per-document stats shuffle-free so only the documents themselves are
+    ever scanned."""
+    srt = F.array_sort(grams)
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(srt, init, step, lambda acc: acc["best"])
+
+
 def fingerprint(col: Column | str) -> Column:
     """Content fingerprint: md5 of the normalized text (lowercased,
     whitespace-collapsed) — stable under incidental formatting changes."""

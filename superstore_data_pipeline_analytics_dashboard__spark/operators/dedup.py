@@ -144,6 +144,44 @@ def ngram_jaccard_pairs(
     )
 
 
+def benchmark_overlap(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document benchmark-contamination ratio: the fraction of a
+    corpus document's distinct n-gram shingles that also occur anywhere
+    in a benchmark/eval set — the standard train-test decontamination
+    check an LLM data pipeline runs before training.
+
+    Scale shape mirrors the near-dup inverted index: both sides reduce to
+    8-byte xxhash64 shingle keys (``hashed_shingles``), the benchmark side
+    is globally distinct (eval suites are tiny relative to the corpus, so
+    AQE broadcasts it; the shuffled-join fallback still only carries
+    8-byte keys), and the per-document rollup is one groupBy on doc_id.
+    Returns (doc_id, n_grams, n_contaminated, contamination) — ratio over
+    the doc's DISTINCT shingles, cast DECIMAL(9,6) like jaccard."""
+    c_sh = hashed_shingles(corpus, id_col, text_col, n)
+    b_sh = (
+        hashed_shingles(bench, id_col, text_col, n)
+        .select("sh")
+        .distinct()
+        .withColumn("__bench", F.lit(1))
+    )
+    ratio = F.col("n_contaminated").cast("double") / F.col("n_grams")
+    return (
+        c_sh.join(b_sh, "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("__bench").alias("n_contaminated"),
+        )
+        .withColumn("contamination", ratio.cast("decimal(9,6)"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

@@ -2553,6 +2553,106 @@ def q69_sign_lsh_neardup(spark: SparkSession, sf: str, threshold: float = 0.95) 
     ).filter(F.col("cos_sim") >= threshold)
 
 
+# LLM-pipeline: benchmark contamination + within-doc repetition (Gopher-style)
+
+def q70_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Train-test decontamination: fraction of each corpus document's
+    distinct 3-gram shingles that occur anywhere in the benchmark slice
+    (source = 'src0' stands in for the eval suite). Both sides shuffle
+    8-byte shingle hashes only (operators.dedup.benchmark_overlap)."""
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return DD.benchmark_overlap(corpus, bench, "doc_id", "text", n=3)
+
+
+Q70_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x <> '')
+           AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, source, shingle
+  FROM toks, LATERAL (
+    SELECT unnest(list_transform(
+        generate_series(1, greatest(len(t) - 2, 1)),
+        i -> array_to_string(t[i:i+2], ' '))) AS shingle
+  )
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE source = 'src0'
+)
+SELECT c.doc_id,
+       count(*) AS n_grams,
+       count(b.shingle) AS n_contaminated,
+       CAST(CAST(count(b.shingle) AS DOUBLE) / count(*) AS DECIMAL(9,6))
+         AS contamination
+FROM sh c LEFT JOIN bench b ON c.shingle = b.shingle
+WHERE c.source <> 'src0'
+GROUP BY 1
+"""
+
+
+def q71_doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document repetition stats (MassiveText/Gopher repetition
+    filters): duplicate-trigram fraction and top-bigram fraction, computed
+    entirely with higher-order array functions — a narrow projection with
+    ZERO shuffle (functions.text.dup_ngram_frac / top_ngram_count), so the
+    filter costs exactly one scan at any corpus size."""
+    docs = load_table(spark, sf, "documents")
+    toked = docs.select("doc_id", T.tokens("text").alias("__toks"))
+    g = toked.select(
+        "doc_id",
+        F.size("__toks").alias("n_tokens"),
+        T.shingles_from_tokens(F.col("__toks"), 2).alias("__g2"),
+        T.shingles_from_tokens(F.col("__toks"), 3).alias("__g3"),
+    )
+    return g.select(
+        "doc_id",
+        "n_tokens",
+        T.dup_ngram_frac(F.col("__g3")).cast("decimal(9,6)").alias("dup_tri_frac"),
+        (
+            T.top_ngram_count(F.col("__g2")).cast("double")
+            / F.greatest(F.size("__g2"), F.lit(1))
+        )
+        .cast("decimal(9,6)")
+        .alias("top_bi_frac"),
+    )
+
+
+Q71_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x <> '')
+           AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         CAST(len(t) AS INT) AS n_tokens,
+         list_transform(generate_series(1, greatest(len(t) - 1, 1)),
+                        i -> array_to_string(t[i:i+1], ' ')) AS g2,
+         list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                        i -> array_to_string(t[i:i+2], ' ')) AS g3
+  FROM toks
+), bi AS (
+  SELECT doc_id, b, count(*) AS c
+  FROM grams, LATERAL (SELECT unnest(g2) AS b)
+  GROUP BY 1, 2
+), top_bi AS (
+  SELECT doc_id, max(c) AS top_c FROM bi GROUP BY 1
+)
+SELECT g.doc_id,
+       g.n_tokens,
+       CAST(CAST(len(g.g3) - len(list_distinct(g.g3)) AS DOUBLE)
+            / greatest(len(g.g3), 1) AS DECIMAL(9,6)) AS dup_tri_frac,
+       CAST(CAST(t.top_c AS DOUBLE)
+            / greatest(len(g.g2), 1) AS DECIMAL(9,6)) AS top_bi_frac
+FROM grams g JOIN top_bi t USING (doc_id)
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -2686,6 +2786,8 @@ _CANON_SQL_CASTS: dict[str, dict[str, str]] = {
     },
     "q65_shipping_priority": {"revenue": "DOUBLE"},
     "q66_salted_skew_agg": {"sum_value": "DOUBLE"},
+    "q70_contamination_check": {"contamination": "DOUBLE"},
+    "q71_doc_repetition": {"dup_tri_frac": "DOUBLE", "top_bi_frac": "DOUBLE"},
 }
 
 
@@ -2773,8 +2875,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q41_copurchase_pairs": q41_copurchase_pairs,
     "q43_fuzzy_part_names": q43_fuzzy_part_names,
     "q44_set_ops_active_customers": q44_set_ops_active_customers,
-    # --- rows-only additions past the window (pinned by pytest) ---
+    # --- round-2 additions past the window (oracled; rotate into the
+    #     window once this round's never-audited queries have verdicts) ---
     "q69_sign_lsh_neardup": q69_sign_lsh_neardup,
+    "q70_contamination_check": q70_contamination_check,
+    "q71_doc_repetition": q71_doc_repetition,
 }
 
 ORACLES: dict[str, str] = {
@@ -2840,6 +2945,8 @@ ORACLES: dict[str, str] = {
     "q65_shipping_priority": Q65_SQL,
     "q66_salted_skew_agg": Q66_SQL,
     "q68_json_map_explode": Q68_SQL,
+    "q70_contamination_check": Q70_SQL,
+    "q71_doc_repetition": Q71_SQL,
     # q26-q28, q35 are approximate (MinHash/SimHash/IVF/HLL) — rows-only.
 }
 

@@ -17,7 +17,8 @@ from superstore_data_pipeline_analytics_dashboard__spark.operators.date_spine im
     build_date_dim, date_spine,
 )
 from superstore_data_pipeline_analytics_dashboard__spark.operators.dedup import (
-    exact_duplicates, minhash_dedup, ngram_jaccard_pairs, simhash_duplicates,
+    benchmark_overlap, exact_duplicates, minhash_dedup, ngram_jaccard_pairs,
+    simhash_duplicates,
 )
 from superstore_data_pipeline_analytics_dashboard__spark.operators.scd2 import (
     scd2_apply, scd2_first_load, snapshot,
@@ -467,3 +468,27 @@ def test_shingle_sets_tokens_col_equivalent(spark):
         docs.withColumn("toks", T.tokens("text")), "doc_id", "text", tokens_col="toks"
     )
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_benchmark_overlap_contamination_ratio(spark):
+    """Corpus doc 10 shares its full shingle set with bench doc 1
+    (contamination 1.0); doc 11 shares nothing (0.0); doc 12 overlaps on
+    exactly one of its three trigrams (1/3)."""
+    bench = spark.createDataFrame(
+        [(1, "the cat sat on the mat")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "the cat sat on the mat"),
+            (11, "completely different words here entirely"),
+            (12, "the cat sat somewhere else"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_contaminated"], float(r["contamination"]))
+        for r in benchmark_overlap(corpus, bench, "doc_id", "text", n=3).collect()
+    }
+    assert got[10][2] == 1.0 and got[10][0] == got[10][1] == 4
+    assert got[11] == (3, 0, 0.0)
+    assert got[12] == (3, 1, 0.333333)

@@ -79,3 +79,32 @@ def test_fingerprint_stable_under_formatting(spark):
     ).select(T.fingerprint("text").alias("f"))
     fps = [r["f"] for r in df.collect()]
     assert fps[0] == fps[1] == fps[2] != fps[3]
+
+
+def test_dup_ngram_frac_counts_repeats(spark):
+    """'a b a b a b' trigrams = [aba, bab, aba, bab]: 4 total, 2 distinct
+    -> duplicate fraction 0.5; an all-unique doc scores 0."""
+    rep = _one(spark, "a b a b a b", T.dup_ngram_frac(T.word_shingles("text", 3)))
+    uniq = _one(spark, "a b c d e f", T.dup_ngram_frac(T.word_shingles("text", 3)))
+    assert abs(rep - 0.5) < 1e-12
+    assert uniq == 0.0
+
+
+def test_top_ngram_count_longest_run(spark):
+    """'a b a b a b' bigrams = [ab, ba, ab, ba, ab] -> most frequent
+    bigram occurs 3 times; single-token and empty docs (whole-doc
+    fallback shingle) score 1."""
+    assert _one(spark, "a b a b a b", T.top_ngram_count(T.word_shingles("text", 2))) == 3
+    assert _one(spark, "solo", T.top_ngram_count(T.word_shingles("text", 2))) == 1
+    assert _one(spark, "", T.top_ngram_count(T.word_shingles("text", 2))) == 1
+
+
+def test_repetition_stats_are_shuffle_free(spark):
+    """The repetition filters exist to be a narrow projection — the plan
+    must contain no Exchange (no explode+groupBy formulation creep)."""
+    df = spark.createDataFrame([("a b a b",), ("x y z",)], ["text"]).select(
+        T.dup_ngram_frac(T.word_shingles("text", 3)).alias("d"),
+        T.top_ngram_count(T.word_shingles("text", 2)).alias("t"),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
