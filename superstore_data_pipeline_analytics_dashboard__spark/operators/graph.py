@@ -80,11 +80,104 @@ def connected_components(
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
-def dedup_clusters(pairs: DataFrame, left: str = "doc_a", right: str = "doc_b") -> DataFrame:
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    adversarial-diameter upgrade promised in the module doc.
+
+    Min-label propagation needs diameter rounds: a 10⁶-node chain means
+    10⁶ shuffles. The star algorithm converges in O(log² n) rounds on ANY
+    topology by rewiring the edge list itself each round:
+
+    * large-star — per neighborhood Γ(u), connect every LARGER neighbor
+      to m = min(Γ(u) ∪ {u});
+    * small-star — per node u over its smaller neighbors, connect them
+      (and u) to the minimum.
+
+    Both are one window-min over a partition key + a projection — the
+    same shuffle primitives as propagation, just on a shrinking edge
+    list. Convergence = the (count, xxhash64-sum) signature of the edge
+    list repeating, at which point the list IS the star forest
+    (node → component-min). Same output contract as
+    :func:`connected_components`."""
+    e = (
+        edges.select(
+            F.col(src).cast("bigint").alias("u"), F.col(dst).cast("bigint").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )  # canonical direction u > v, the small-star input shape
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def signature(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # 31-bit-reduced terms: a raw xxhash64 sum overflows BIGINT
+            # under ANSI after two adversarial terms
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1 << 31))).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    from pyspark.sql import Window
+
+    sig = signature(e)
+    for _ in range(max_iter):
+        # large-star: symmetric neighborhoods, larger neighbors re-point to
+        # the neighborhood minimum. Output keeps u > v invariant (v=m ≤ u).
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        w = Window.partitionBy("u")
+        ls = (
+            sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: all neighbors here are < u; point them AND u at the
+        # minimum of the closed neighborhood.
+        ss = ls.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+        e = (
+            ss.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(ss.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)  # signature() below materializes
+        )
+        new_sig = signature(e)
+        if new_sig == sig:
+            roots = e.select(F.col("v").alias("node")).distinct().withColumn(
+                "component", F.col("node")
+            )
+            return (
+                e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+                .unionByName(roots)
+                .distinct()
+            )
+        sig = new_sig
+    raise RuntimeError(f"connected_components_star did not converge in {max_iter} rounds")
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    left: str = "doc_a",
+    right: str = "doc_b",
+    algorithm: str = "propagation",
+) -> DataFrame:
     """Near-dup pairs → (doc_id, component_id, is_canonical): the full
     transitive closure of duplication, with the lowest id of each cluster
-    marked canonical (the row to keep)."""
-    comps = connected_components(pairs, src=left, dst=right)
+    marked canonical (the row to keep). ``algorithm``: 'propagation'
+    (min-label; rounds = diameter, the right default for cliques-ish
+    near-dup graphs) or 'star' (large/small-star; O(log² n) rounds,
+    the insurance path for adversarial chains)."""
+    cc = connected_components_star if algorithm == "star" else connected_components
+    comps = cc(pairs, src=left, dst=right)
     return comps.select(
         F.col("node").alias("doc_id"),
         F.col("component").alias("component_id"),

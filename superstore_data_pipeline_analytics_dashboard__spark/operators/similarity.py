@@ -245,6 +245,82 @@ def sign_lsh_neardup(
     )
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: str = "seed",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings, then prune near-duplicates
+    WITHIN each cluster only — the O(n²) pairwise comparison collapses to
+    Σ|cell|², and recall loss is confined to near-dups that straddle a
+    cell boundary (the paper's accepted trade).
+
+    Composition of the existing IVF machinery: centroids ('seed'
+    deterministic lowest-id, or 'kmeans' MLlib) → ``ivf_assign`` → one
+    Arrow task per cell runs a single GEMM over the cell's matrix and
+    applies the keep rule. Keep rule here is deterministic min-id: a
+    vector is dropped iff some SMALLER id in its cell is ≥ threshold
+    (the paper keeps a random/centroid-far exemplar; min-id makes the
+    result reproducible run-to-run).
+
+    Scale: task memory is |cell|·d·8 B + the |cell|² sim matrix — size
+    n_cells so the LARGEST cell fits an executor (at 100 TB: n_cells ≈
+    n/50k and k-means centroids for balance; re-shard a runaway cell by
+    sub-clustering it with the same operator). Shuffle = one partition
+    pass by cell; vectors shuffle once, ids/flags come back.
+
+    Returns (vec_id, cell, keep, near_id, near_sim): ``near_id`` is the
+    smaller-id in-cell vector that triggered the drop (NULL for keepers),
+    ``near_sim`` its cosine rounded to 6 places."""
+    import numpy as np
+    import pandas as pd
+
+    if centroids == "kmeans":
+        cents = kmeans_centroids(vectors, n_cells, vec_col=vec_col)
+    else:
+        cents = seed_centroids(vectors, n_cells, id_col, vec_col)
+    assigned = ivf_assign(vectors, cents, id_col, vec_col)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.array(list(pdf[vec_col].iloc[order]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        sims = (mat / norms[:, None]) @ (mat / norms[:, None]).T
+        n = len(ids)
+        keep = np.ones(n, dtype=bool)
+        near_id = np.full(n, -1, dtype=np.int64)
+        near_sim = np.full(n, np.nan, dtype=np.float64)
+        for i in range(1, n):
+            smaller = sims[i, :i]
+            j = int(np.argmax(smaller))
+            if round(float(smaller[j]), 6) >= threshold:
+                keep[i] = False
+                near_id[i] = ids[j]
+                near_sim[i] = round(float(smaller[j]), 6)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": pdf["cell"].iloc[0],
+                "keep": keep,
+                # true NULLs for keepers (NaN would surface as DOUBLE NaN)
+                "near_id": [None if k else int(v) for k, v in zip(keep, near_id)],
+                "near_sim": [None if k else float(s) for k, s in zip(keep, near_sim)],
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        prune,
+        schema="vec_id BIGINT, cell INT, keep BOOLEAN, near_id BIGINT, near_sim DOUBLE",
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,

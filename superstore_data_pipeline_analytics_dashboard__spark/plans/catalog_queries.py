@@ -2553,6 +2553,31 @@ def q69_sign_lsh_neardup(spark: SparkSession, sf: str, threshold: float = 0.95) 
     ).filter(F.col("cos_sim") >= threshold)
 
 
+def q72_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators.similarity.semantic_dedup):
+    IVF-cluster the embeddings, prune cosine-near-dups within each cell.
+    Near-dups are planted exactly as in q69 (deterministic +0.01
+    perturbation of every vector, cos ≈ 0.997) so the prune has real work;
+    clustering + per-cell GEMM is not SQL-expressible → rows-only. The
+    planted copy (id+n) must drop with its source as near_id; with seed
+    centroids the assignment is deterministic, so rows are stable."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n = emb.count()  # dimension-scale scalar: offsets the planted ids
+    planted = emb.select(
+        (F.col("vec_id") + F.lit(n)).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    out = SIM.semantic_dedup(
+        emb.unionByName(planted), threshold=0.99, n_cells=8, centroids="seed"
+    )
+    return out.select(
+        "vec_id", "cell", "keep", "near_id",
+        F.round("near_sim", 4).cast("double").alias("near_sim"),
+    )
+
+
 # LLM-pipeline: benchmark contamination + within-doc repetition (Gopher-style)
 
 def q70_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
@@ -2880,6 +2905,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q69_sign_lsh_neardup": q69_sign_lsh_neardup,
     "q70_contamination_check": q70_contamination_check,
     "q71_doc_repetition": q71_doc_repetition,
+    "q72_semantic_dedup": q72_semantic_dedup,  # rows-only (IVF + GEMM)
 }
 
 ORACLES: dict[str, str] = {

@@ -492,3 +492,44 @@ def test_benchmark_overlap_contamination_ratio(spark):
     assert got[10][2] == 1.0 and got[10][0] == got[10][1] == 4
     assert got[11] == (3, 0, 0.0)
     assert got[12] == (3, 1, 0.333333)
+
+
+def test_star_components_long_chain_and_agreement(spark):
+    """large-star/small-star must solve a 64-node CHAIN (diameter 63 —
+    min-label propagation's worst case would need 63 rounds) in its
+    O(log^2 n) round budget, and agree with the propagation algorithm on
+    a mixed graph of chains, cliques, and islands."""
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.graph import (
+        connected_components, connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src BIGINT, dst BIGINT"
+    )
+    got = {r["node"]: r["component"]
+           for r in connected_components_star(chain, max_iter=12).collect()}
+    assert got == {i: 0 for i in range(64)}
+
+    mixed_edges = (
+        [(i, i + 1) for i in range(100, 110)]          # chain
+        + [(a, b) for a in range(200, 205) for b in range(a + 1, 205)]  # clique
+        + [(300, 301)]                                  # island pair
+    )
+    mixed = spark.createDataFrame(mixed_edges, "src BIGINT, dst BIGINT")
+    star = {r["node"]: r["component"]
+            for r in connected_components_star(mixed).collect()}
+    prop = {r["node"]: r["component"]
+            for r in connected_components(mixed).collect()}
+    assert star == prop
+
+
+def test_dedup_clusters_star_algorithm_matches(spark):
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.graph import (
+        dedup_clusters,
+    )
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], "doc_a BIGINT, doc_b BIGINT")
+    rows = {r["doc_id"]: (r["component_id"], r["is_canonical"])
+            for r in dedup_clusters(pairs, algorithm="star").collect()}
+    assert rows == {1: (1, True), 2: (1, False), 3: (1, False),
+                    7: (7, True), 9: (7, False)}

@@ -170,3 +170,32 @@ def test_ivf_kmeans_recall_not_worse_than_seed(spark):
     assert recall_km >= 0.5
     # kmeans cells should not be dramatically worse than naive seeds
     assert recall_km >= recall_seed - 0.2, (recall_km, recall_seed)
+
+
+def test_semantic_dedup_prunes_within_cell_only(spark):
+    """Planted near-dup (unit vector + tiny perturbation, cos ~ 0.9997)
+    must be dropped with its smaller-id source recorded; orthogonal
+    vectors survive. Vectors engineered to land in the same cell via
+    seed centroids (cells seeded from the 4 lowest ids)."""
+    import numpy as np
+
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    d = 8
+    rows = []
+    for i in range(4):  # four orthogonal seed vectors -> 4 cells
+        v = np.zeros(d); v[i] = 1.0
+        rows.append((i, [float(x) for x in v]))
+    dup = np.zeros(d); dup[1] = 1.0; dup[5] = 0.02   # near-dup of vec 1
+    rows.append((10, [float(x) for x in dup / np.linalg.norm(dup)]))
+    far = np.zeros(d); far[6] = 1.0; far[1] = 0.3    # same cell, not a dup
+    rows.append((11, [float(x) for x in far / np.linalg.norm(far)]))
+
+    df = spark.createDataFrame(rows, "vec_id BIGint, embedding ARRAY<DOUBLE>")
+    got = {r["vec_id"]: (r["keep"], r["near_id"])
+           for r in semantic_dedup(df, threshold=0.95, n_cells=4).collect()}
+    assert got[10] == (False, 1)
+    assert got[1][0] and got[11][0]
+    assert all(got[i][0] for i in range(4))
