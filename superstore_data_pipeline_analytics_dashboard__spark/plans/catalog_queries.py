@@ -41,6 +41,7 @@ from ..operators import dedup as DD
 from ..operators import similarity as SIM
 from ..operators.append import idempotent_append, lateral_top1, semi_join
 from ..operators.date_spine import build_date_dim
+from ..operators.packing import pack_concat_chunk
 from ..operators.quality import load_issues
 from ..operators.scd2 import scd2_first_load, snapshot
 from ..operators.windows import (
@@ -1008,8 +1009,9 @@ def q23_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 _BPE_SQL_LIT = T.BPE_ISH_PATTERN.replace("'", "''")
 Q23_SQL = rf"""
 SELECT doc_id,
-       CAST(len(regexp_split_to_array(
-           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS INT)
+       CAST(len(list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+           x -> x <> '')) AS INT)
          AS n_tokens,
        CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS INT) AS n_words,
        CAST(len(regexp_extract_all(text, '{_BPE_SQL_LIT}', 0)) AS INT)
@@ -1099,14 +1101,10 @@ FROM events GROUP BY event_type
 
 def q30_event_daily_counts(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
-    # UTC calendar day computed ARITHMETICALLY from the instant
-    # (epoch-days), never via date_trunc/cast on a TIMESTAMP — those
-    # resolve in the session timezone, and the driver's session tz is
-    # unknown (a New-York session shifts evening events to the next day
-    # while the DuckDB oracle reads naive UTC wall-clock)
-    event_day = F.date_from_unix_date(
-        F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast("int")
-    )
+    # ts is TIMESTAMP_NTZ (load_table contract): to_date on NTZ is pure
+    # wall-clock — no session-timezone resolution — matching the DuckDB
+    # oracle's cast of the naive UTC timestamp.
+    event_day = F.to_date("ts")
     return (
         ev.groupBy(event_day.alias("event_day"), "event_type")
         .agg(F.count("*").alias("n_events"))
@@ -1132,7 +1130,9 @@ def q31_sessionize_batch(spark: SparkSession, sf: str, gap_minutes: int = 30) ->
         "is_new",
         F.when(
             F.col("prev_ts").isNull()
-            | (F.unix_micros("ts") - F.unix_micros("prev_ts") > gap_us),
+            # timestampdiff is wall-clock on NTZ operands — the
+            # session-tz-proof gap (unix_micros would cast via session tz)
+            | (F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") > gap_us),
             1,
         ).otherwise(0),
     )
@@ -1610,7 +1610,8 @@ def q46_asof_click_attribution(spark: SparkSession, sf: str) -> DataFrame:
         F.col("ts").alias("purchase_ts"),
         F.col("value").alias("purchase_value"),
         "click_id",
-        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+        # wall-clock gap on NTZ operands (see q31 on timestampdiff)
+        F.expr("timestampdiff(MICROSECOND, click_ts, ts)").alias("gap_us"),
     )
 
 
@@ -2821,6 +2822,154 @@ FROM quant
 """
 
 
+# sequence packing (operators/packing.py): concat-and-chunk spans at a
+# 2048-token budget over 16 md5 shards. The window is a per-shard integer
+# running sum (16 independent cumulative scans — no global sort at 100 TB);
+# only (doc_id, n_tokens, shard) flows through the shuffle.
+
+def q75_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    staged = docs.select("doc_id", T.token_count("text").alias("n_tok"))
+    return pack_concat_chunk(staged, "n_tok", budget=2048, n_shards=16)
+
+
+Q75_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 16 AS INT) AS shard
+  FROM documents
+), spanned AS (
+  SELECT doc_id, n_tokens, shard,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS stream_begin
+  FROM toks
+)
+SELECT doc_id, n_tokens, shard, stream_begin,
+       CAST(stream_begin // 2048 AS BIGINT) AS first_seq,
+       CAST(CASE WHEN n_tokens > 0 THEN (stream_begin + n_tokens - 1) // 2048
+                 ELSE stream_begin // 2048 END AS BIGINT) AS last_seq,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN (stream_begin + n_tokens - 1) // 2048
+                      - stream_begin // 2048 + 1
+                 ELSE 0 END AS BIGINT) AS n_seqs
+FROM spanned
+"""
+
+
+# TF-IDF top terms per document: explode → per-doc term counts → document
+# frequency → score. The df table is vocab-sized (shuffle join on term,
+# never broadcast at 100 TB); the per-doc rank window partitions on
+# doc_id — maximal parallelism. The idf is kept RATIONAL (tf·N/df as one
+# double expression, identical op order both engines) instead of a log:
+# ln() last-bit behavior is libm-specific and would break bit-identical
+# float parity.
+
+def q76_tfidf_topterms(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    total = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * F.col("n_docs").cast("double")
+            / F.col("df").cast("double"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )
+
+
+Q76_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), total AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         CAST(t.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+           / CAST(d.df AS DOUBLE) AS score
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN total n
+), ranked AS (
+  SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+         score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term) AS INT) AS rnk
+  FROM scored
+)
+SELECT * FROM ranked WHERE rnk <= 3
+"""
+
+
+# source-mix rebalancing: per-source token share and the deterministic
+# downsample rate that flattens the mix to uniform-by-source — the "data
+# mixing" step before packing. One map-side-combined agg over the corpus,
+# a 1-row broadcast of the totals; rates feed functions.sampling
+# .deterministic_sample so the selected subset is reproducible.
+
+def q77_source_mix(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(T.token_count("text").cast("bigint")).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    target = F.col("tot_tokens").cast("double") / F.col("n_sources").cast("double")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double"))
+        .alias("token_share"),
+        F.least(F.lit(1.0), target / F.col("n_tokens").cast("double"))
+        .alias("sample_rate"),
+    )
+
+
+Q77_SQL = r"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+         count(*) AS n_sources
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS token_share,
+       least(1.0, CAST(tot_tokens AS DOUBLE) / CAST(n_sources AS DOUBLE)
+                    / CAST(n_tokens AS DOUBLE)) AS sample_rate
+FROM per CROSS JOIN tot
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -2856,9 +3005,15 @@ def _canon_query(
         if isinstance(f.dataType, TimestampType):
             return F.unix_micros(F.col(f.name)).alias(f.name)
         if isinstance(f.dataType, TimestampNTZType):
-            # NTZ wall-clock is engine-portable already; pin it to the
-            # UTC instant so the boundary type is one int64 everywhere
-            return F.unix_micros(F.to_utc_timestamp(f.name, "UTC")).alias(f.name)
+            # NTZ wall clock → epoch micros via timestampdiff, which is
+            # pure wall-clock arithmetic on NTZ operands. (to_utc_timestamp
+            # would first implicit-cast NTZ→TIMESTAMP through the SESSION
+            # timezone, shifting the value by the session offset — the
+            # round-2 q58 bug.)
+            return F.expr(
+                "timestampdiff(MICROSECOND,"
+                f" TIMESTAMP_NTZ'1970-01-01 00:00:00', `{f.name}`)"
+            ).alias(f.name)
         return F.col(f.name)
 
     @functools.wraps(fn)
@@ -3051,6 +3206,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q72_semantic_dedup": q72_semantic_dedup,  # rows-only (IVF + GEMM)
     "q73_pii_redaction": q73_pii_redaction,
     "q74_embedding_quant": q74_embedding_quant,
+    "q75_sequence_pack": q75_sequence_pack,
+    "q76_tfidf_topterms": q76_tfidf_topterms,
+    "q77_source_mix": q77_source_mix,
 }
 
 ORACLES: dict[str, str] = {
@@ -3120,6 +3278,9 @@ ORACLES: dict[str, str] = {
     "q71_doc_repetition": Q71_SQL,
     "q73_pii_redaction": Q73_SQL,
     "q74_embedding_quant": Q74_SQL,
+    "q75_sequence_pack": Q75_SQL,
+    "q76_tfidf_topterms": Q76_SQL,
+    "q77_source_mix": Q77_SQL,
     # q26-q28, q35 are approximate (MinHash/SimHash/IVF/HLL) — rows-only.
 }
 

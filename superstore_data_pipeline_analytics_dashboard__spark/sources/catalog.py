@@ -36,16 +36,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark
-        # rejects at schema inference unless nanosAsLong is on. The conf is
-        # a runtime SQLConf, and callers (the driver gate included) hand us
-        # vanilla sessions — so set it here, not at session build time.
+        # some testdata generations store ts as INT64 TIMESTAMP(NANOS),
+        # which Spark rejects at schema inference unless nanosAsLong is on.
+        # The conf is a runtime SQLConf, and callers (the driver gate
+        # included) hand us vanilla sessions — set it here, not at session
+        # build time.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos read as bigint; integer-truncate to micros (ns values
-        # overflow double precision) — the same conversion DuckDB applies.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        # Contract: events.ts is always TIMESTAMP_NTZ (UTC wall clock) no
+        # matter how the parquet encoded it. NTZ is the only timestamp
+        # type whose value survives an UNKNOWN session timezone (the
+        # driver gate builds its own session): every conversion below is
+        # pure integer arithmetic against an NTZ epoch literal — never a
+        # cast through TimestampType, which resolves in the session tz.
+        t = dict(df.dtypes).get("ts")
+        if t == "bigint":
+            # nanos-as-long: integer-truncate to micros (ns overflow
+            # double precision), then shift the NTZ epoch.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000,"
+                    " TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+                ),
+            )
+        elif t == "timestamp":
+            # instant micros: unix_micros of an instant is absolute
+            # (session-independent); re-anchor it as UTC wall clock.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, unix_micros(ts),"
+                    " TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+                ),
+            )
     return df
 
 

@@ -39,6 +39,20 @@ FORMATS = _COLUMNAR | _TEXTUAL
 
 #: ISO-8601 with micros — what we write and what we parse back
 _TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+#: NTZ wall clock has no offset designator; micros, not the default millis
+_TS_NTZ_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+def _ts_options(rw):
+    """Apply micros-precision timestamp formats to a reader or writer.
+
+    ``timestampFormat`` covers TIMESTAMP; TIMESTAMP_NTZ is governed by the
+    separate ``timestampNTZFormat`` option whose default truncates to
+    millis — events.ts (NTZ by the load_table contract) needs both set.
+    """
+    return rw.option("timestampFormat", _TS_FMT).option(
+        "timestampNTZFormat", _TS_NTZ_FMT
+    )
 
 
 def read_any(
@@ -59,9 +73,9 @@ def read_any(
             raise ValueError(f"{fmt} reads require an explicit schema at scale")
         reader = reader.schema(schema)
     if fmt == "json":
-        reader = reader.option("timestampFormat", _TS_FMT)
+        reader = _ts_options(reader)
     if fmt == "csv":
-        reader = reader.option("header", True).option("timestampFormat", _TS_FMT)
+        reader = _ts_options(reader.option("header", True))
     return reader.format(fmt).load(path)
 
 
@@ -80,9 +94,9 @@ def write_any(
         raise ValueError(f"unknown format {fmt!r}; expected one of {sorted(FORMATS)}")
     writer = df.write.mode("overwrite").format(fmt)
     if fmt == "json":
-        writer = writer.option("timestampFormat", _TS_FMT)
+        writer = _ts_options(writer)
     if fmt == "csv":
-        writer = writer.option("header", True).option("timestampFormat", _TS_FMT)
+        writer = _ts_options(writer.option("header", True))
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if max_records_per_file:

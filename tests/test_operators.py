@@ -533,3 +533,38 @@ def test_dedup_clusters_star_algorithm_matches(spark):
             for r in dedup_clusters(pairs, algorithm="star").collect()}
     assert rows == {1: (1, True), 2: (1, False), 3: (1, False),
                     7: (7, True), 9: (7, False)}
+
+
+def test_sequence_pack_span_invariants(spark):
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.packing import (
+        pack_concat_chunk,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, 100), (1, 0), (2, 5000), (3, 2048), (4, 1), (5, 2047), (6, 0), (7, 300)],
+        "doc_id BIGINT, n_tok INT",
+    )
+    rows = pack_concat_chunk(docs, "n_tok", budget=2048, n_shards=2).collect()
+    assert len(rows) == 8
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["doc_id"])
+        # streams are contiguous per shard: each doc starts where the
+        # previous one ended
+        offset = 0
+        for r in shard_rows:
+            assert r["stream_begin"] == offset
+            offset += r["n_tokens"]
+            if r["n_tokens"] == 0:
+                assert r["n_seqs"] == 0
+                assert r["first_seq"] == r["last_seq"]
+            else:
+                assert r["first_seq"] == r["stream_begin"] // 2048
+                assert r["last_seq"] == (r["stream_begin"] + r["n_tokens"] - 1) // 2048
+                assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1
+                assert r["n_seqs"] >= 1
+    # a 5000-token doc must straddle >= 3 sequences
+    doc2 = next(r for r in rows if r["doc_id"] == 2)
+    assert doc2["n_seqs"] >= 3
