@@ -568,3 +568,56 @@ def test_sequence_pack_span_invariants(spark):
     # a 5000-token doc must straddle >= 3 sequences
     doc2 = next(r for r in rows if r["doc_id"] == 2)
     assert doc2["n_seqs"] >= 3
+
+
+def test_sequence_pack_matches_python_reference(spark):
+    """Property: for random (doc_id, n_tokens) corpora the packer agrees
+    with a direct single-threaded reference implementation of
+    concat-and-chunk over the same md5 sharding."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.packing import (
+        pack_concat_chunk,
+    )
+
+    budget, n_shards = 7, 3
+
+    def ref(rows):
+        def shard_of(doc_id):
+            return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % n_shards
+
+        out = {}
+        offsets = {s: 0 for s in range(n_shards)}
+        for doc_id, tok in sorted(rows):
+            s = shard_of(doc_id)
+            begin = offsets[s]
+            offsets[s] += tok
+            first = begin // budget
+            last = (begin + tok - 1) // budget if tok > 0 else first
+            out[doc_id] = (tok, s, begin, first, last, last - first + 1 if tok > 0 else 0)
+        return out
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 10_000), st.integers(0, 40)),
+            min_size=1,
+            max_size=30,
+            unique_by=lambda t: t[0],
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def check(rows):
+        df = spark.createDataFrame(rows, "doc_id BIGINT, n_tok INT")
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"], r["shard"], r["stream_begin"],
+                r["first_seq"], r["last_seq"], r["n_seqs"],
+            )
+            for r in pack_concat_chunk(df, "n_tok", budget=budget, n_shards=n_shards).collect()
+        }
+        assert got == ref(rows)
+
+    check()
