@@ -137,3 +137,28 @@ def test_no_python_udfs_anywhere_in_catalog(spark):
         assert "BatchEvalPython" not in plan, name
         if name not in arrow_allowed:
             assert "MapInPandas" not in plan, name
+
+
+def test_sequence_pack_runs_per_shard_windows(spark):
+    """q75's running sum must partition by shard (independent per-shard
+    cumulative scans) — never collapse to a single-partition window."""
+    plan = _executed_plan(Q.QUERIES["q75_sequence_pack"](spark, SF_SMOKE))
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_tfidf_broadcasts_only_the_one_row_total(spark):
+    """q76 joins tf×df on term (vocab-sized — must stay a real join) and
+    crosses with the 1-row corpus total, which must be the broadcast side;
+    the rank window partitions on doc_id for full parallelism."""
+    plan = _executed_plan(Q.QUERIES["q76_tfidf_topterms"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "hashpartitioning(doc_id" in plan
+
+
+def test_source_mix_is_two_aggregates_and_a_broadcast(spark):
+    """q77: per-source agg (map-side combined), 1-row totals broadcast
+    back — no sort, no window, no Python."""
+    plan = _executed_plan(Q.QUERIES["q77_source_mix"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortExec" not in plan and "Window" not in plan
