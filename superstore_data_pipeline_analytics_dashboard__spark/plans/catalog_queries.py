@@ -2970,6 +2970,76 @@ FROM per CROSS JOIN tot
 """
 
 
+# ordered-step funnel (operators/funnel.py): view → click → purchase per
+# user, earliest-completion semantics. One Exchange on user_id for the
+# whole funnel (window chain + agg reuse the partitioning). The oracle
+# states the same semantics as a join chain of conditional MINs.
+
+def q78_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.funnel import funnel_stages
+
+    ev = load_table(spark, sf, "events")
+    return funnel_stages(ev, ["view", "click", "purchase"])
+
+
+Q78_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS view_ts
+  FROM events WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(e.ts) AS click_ts
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= v.view_ts GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts GROUP BY 1
+)
+SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+       CAST(CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+                 WHEN c.click_ts IS NOT NULL THEN 2
+                 ELSE 1 END AS INT) AS stage
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
+# join-key skew diagnostic: the top-20 heaviest keys of a prospective
+# join column with their row share — what you run BEFORE deciding between
+# plain shuffle, AQE skew split, and salting (operators/skew.py). A
+# map-side-combined count per key, then TakeOrderedAndProject of 20 rows;
+# the grand total rides along as a 1-row broadcast.
+
+def q79_heavy_join_keys(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    per_key = li.groupBy("l_partkey").agg(F.count("*").alias("n_rows"))
+    total = li.agg(F.count("*").alias("n_total"))
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("n_total").cast("double"))
+            .alias("row_share"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("l_partkey"))
+        .limit(20)
+    )
+
+
+Q79_SQL = """
+WITH per_key AS (
+  SELECT l_partkey, count(*) AS n_rows FROM lineitem GROUP BY 1
+), total AS (
+  SELECT count(*) AS n_total FROM lineitem
+)
+SELECT l_partkey, n_rows,
+       CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE) AS row_share
+FROM per_key CROSS JOIN total
+ORDER BY n_rows DESC, l_partkey ASC
+LIMIT 20
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -3110,6 +3180,11 @@ _CANON_SQL_CASTS: dict[str, dict[str, str]] = {
     "q65_shipping_priority": {"revenue": "DOUBLE"},
     "q66_salted_skew_agg": {"sum_value": "DOUBLE"},
     "q70_contamination_check": {"contamination": "DOUBLE"},
+    "q78_event_funnel": {
+        "view_ts": "EPOCH_US",
+        "click_ts": "EPOCH_US",
+        "purchase_ts": "EPOCH_US",
+    },
     "q71_doc_repetition": {"dup_tri_frac": "DOUBLE", "top_bi_frac": "DOUBLE"},
 }
 
@@ -3209,6 +3284,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_sequence_pack": q75_sequence_pack,
     "q76_tfidf_topterms": q76_tfidf_topterms,
     "q77_source_mix": q77_source_mix,
+    "q78_event_funnel": q78_event_funnel,
+    "q79_heavy_join_keys": q79_heavy_join_keys,
 }
 
 ORACLES: dict[str, str] = {
@@ -3281,6 +3358,8 @@ ORACLES: dict[str, str] = {
     "q75_sequence_pack": Q75_SQL,
     "q76_tfidf_topterms": Q76_SQL,
     "q77_source_mix": Q77_SQL,
+    "q78_event_funnel": Q78_SQL,
+    "q79_heavy_join_keys": Q79_SQL,
     # q26-q28, q35 are approximate (MinHash/SimHash/IVF/HLL) — rows-only.
 }
 

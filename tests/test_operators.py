@@ -621,3 +621,31 @@ def test_sequence_pack_matches_python_reference(spark):
         assert got == ref(rows)
 
     check()
+
+
+def test_funnel_stage_semantics(spark):
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.funnel import (
+        funnel_stages,
+    )
+
+    def ts(s):
+        return f"2024-01-01 00:00:{s:02d}"
+
+    rows = [
+        # u1 completes in order
+        (1, "view", ts(1)), (1, "click", ts(2)), (1, "purchase", ts(3)),
+        # u2: click BEFORE the first view must not count; no click after
+        (2, "click", ts(1)), (2, "view", ts(2)), (2, "purchase", ts(3)),
+        # u3: view only
+        (3, "view", ts(5)),
+        # u4: never viewed -> excluded entirely
+        (4, "purchase", ts(1)),
+        # u5: same-timestamp chain counts (at-or-after semantics)
+        (5, "view", ts(7)), (5, "click", ts(7)), (5, "purchase", ts(7)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id BIGINT, event_type STRING, raw STRING")
+    ev = ev.select("user_id", "event_type",
+                   F.col("raw").cast("timestamp_ntz").alias("ts"))
+    got = {r["user_id"]: r["stage"]
+           for r in funnel_stages(ev, ["view", "click", "purchase"]).collect()}
+    assert got == {1: 3, 2: 1, 3: 1, 5: 3}

@@ -162,3 +162,18 @@ def test_source_mix_is_two_aggregates_and_a_broadcast(spark):
     plan = _executed_plan(Q.QUERIES["q77_source_mix"](spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortExec" not in plan and "Window" not in plan
+
+
+def test_funnel_is_single_exchange_on_user(spark):
+    """q78's window chain + aggregate must reuse one hash partitioning on
+    user_id — one Exchange for the whole funnel, no joins."""
+    plan = _executed_plan(Q.QUERIES["q78_event_funnel"](spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_heavy_keys_is_topk_not_full_sort(spark):
+    """q79's top-20 must be TakeOrderedAndProject (per-partition k + merge),
+    never a global Sort of all keys."""
+    plan = _executed_plan(Q.QUERIES["q79_heavy_join_keys"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
