@@ -3040,6 +3040,67 @@ LIMIT 20
 """
 
 
+# count-min sketch (operators/sketches.py): heavy-hitter estimates as a
+# depth×width counting aggregation over engine-portable md5 hashes —
+# bounded mergeable state (≤ depth·width rows), probe = min over depth
+# counters, broadcast-joined. DETERMINISTIC in both engines, so unlike
+# KLL/theta this sketch is value-checked against the oracle.
+
+def q80_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sketches import cms_probe, cms_table
+
+    li = _li(spark, sf)
+    sketch = cms_table(li, "l_partkey", width=1024, depth=4)
+    probes = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_partkey") < 20)
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    return cms_probe(sketch, probes, "l_partkey", width=1024, depth=4)
+
+
+Q80_SQL = """
+WITH hrows AS (SELECT unnest([0, 1, 2, 3]) AS row),
+stacked AS (
+  SELECT r.row,
+         CAST(CAST(('0x' || substr(md5('cms' || r.row || ':'
+                    || CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 1024 AS INT) AS bucket
+  FROM lineitem CROSS JOIN hrows r
+), sk AS (
+  SELECT row, bucket, count(*) AS cnt FROM stacked GROUP BY 1, 2
+), probes AS (
+  SELECT p_partkey AS probe_key FROM part WHERE p_partkey < 20
+), pr AS (
+  SELECT probe_key, r.row,
+         CAST(CAST(('0x' || substr(md5('cms' || r.row || ':'
+                    || CAST(probe_key AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 1024 AS INT) AS bucket
+  FROM probes CROSS JOIN hrows r
+)
+SELECT probe_key, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est_count
+FROM pr LEFT JOIN sk USING (row, bucket)
+GROUP BY probe_key
+"""
+
+
+# KLL quantile sketch / theta distinct sketch: mergeable sublinear state
+# (the 100 TB path past exact percentiles and countDistinct). Estimates
+# are engine-internal → rows-only; tests pin accuracy vs exact answers.
+
+def q81_kll_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sketches import kll_quantiles
+
+    return kll_quantiles(_ord(spark, sf), "o_totalprice")
+
+
+def q82_theta_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sketches import theta_distinct_per_group
+
+    ev = load_table(spark, sf, "events")
+    return theta_distinct_per_group(ev, "event_type", "user_id")
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -3286,6 +3347,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q77_source_mix": q77_source_mix,
     "q78_event_funnel": q78_event_funnel,
     "q79_heavy_join_keys": q79_heavy_join_keys,
+    "q80_cms_heavy_hitters": q80_cms_heavy_hitters,
+    "q81_kll_quantiles": q81_kll_quantiles,  # rows-only (sketch internals)
+    "q82_theta_distinct": q82_theta_distinct,  # rows-only (sketch internals)
 }
 
 ORACLES: dict[str, str] = {
@@ -3360,6 +3424,7 @@ ORACLES: dict[str, str] = {
     "q77_source_mix": Q77_SQL,
     "q78_event_funnel": Q78_SQL,
     "q79_heavy_join_keys": Q79_SQL,
+    "q80_cms_heavy_hitters": Q80_SQL,
     # q26-q28, q35 are approximate (MinHash/SimHash/IVF/HLL) — rows-only.
 }
 
