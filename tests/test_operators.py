@@ -649,3 +649,31 @@ def test_funnel_stage_semantics(spark):
     got = {r["user_id"]: r["stage"]
            for r in funnel_stages(ev, ["view", "click", "purchase"]).collect()}
     assert got == {1: 3, 2: 1, 3: 1, 5: 3}
+
+
+def test_cdc_apply_semantics(spark):
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.cdc import (
+        apply_changelog,
+    )
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k BIGINT, name STRING, val DOUBLE",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, "U", 1),   # update
+            (3, "c", 30.0, "D", 1),    # delete
+            (4, "d", 40.0, "I", 1),    # insert
+            (5, "e", 50.0, "I", 1),    # insert then delete: last wins
+            (5, "e", 50.0, "D", 2),
+            (1, "a1", 11.0, "U", 1),   # two updates: seq 2 wins
+            (1, "a2", 12.0, "U", 2),
+        ],
+        "k BIGINT, name STRING, val DOUBLE, op STRING, seq INT",
+    )
+    got = {
+        r["k"]: (r["name"], r["val"])
+        for r in apply_changelog(snap, changes, "k", ["seq"]).collect()
+    }
+    assert got == {1: ("a2", 12.0), 2: ("b2", 21.0), 4: ("d", 40.0)}
