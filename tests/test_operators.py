@@ -677,3 +677,53 @@ def test_cdc_apply_semantics(spark):
         for r in apply_changelog(snap, changes, "k", ["seq"]).collect()
     }
     assert got == {1: ("a2", 12.0), 2: ("b2", 21.0), 4: ("d", 40.0)}
+
+
+def test_z2_matches_python_reference(spark):
+    from superstore_data_pipeline_analytics_dashboard__spark.functions.zorder import z2
+
+    def ref(a, b, bits=16):
+        z = 0
+        a &= (1 << bits) - 1
+        b &= (1 << bits) - 1
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    rows = [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535), (70000, 2), (123, 45678)]
+    df = spark.createDataFrame(rows, "a BIGINT, b BIGINT")
+    got = [r["z"] for r in df.select(z2("a", "b").alias("z")).collect()]
+    assert got == [ref(a, b) for a, b in rows]
+    # interleaving is a bijection on the masked domain: distinct masked
+    # inputs map to distinct keys
+    assert len(set(got)) == len(set((a & 0xFFFF, b & 0xFFFF) for a, b in rows))
+
+
+def test_zorder_layout_clusters_both_dims(spark):
+    """After a z-order write-ready sort, each partition's (a, b) ranges
+    must be tighter than the global range — the min-max skipping payoff."""
+    from superstore_data_pipeline_analytics_dashboard__spark.functions.zorder import (
+        zorder_write_ready,
+    )
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % 1024).alias("a"),
+        (F.col("id") * 97 % 1024).alias("b"),
+    )
+    parts = 16
+    ready = zorder_write_ready(df, "a", "b", bits=10, partitions=parts)
+    spans = (
+        ready.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("a") - F.min("a")).alias("sa"),
+            (F.max("b") - F.min("b")).alias("sb"),
+        )
+        .agg(F.avg("sa").alias("ma"), F.avg("sb").alias("mb"))
+        .first()
+    )
+    # random layout would give ~1023 span per partition in both dims;
+    # z-clustering must shrink BOTH well below that
+    assert spans["ma"] < 700 and spans["mb"] < 700, spans
