@@ -108,3 +108,30 @@ def test_repetition_stats_are_shuffle_free(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_token_chunks_cover_and_overlap(spark):
+    from superstore_data_pipeline_analytics_dashboard__spark.plans.catalog_queries import (
+        QUERIES,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["q86_token_chunks"](spark, SF_SMOKE).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        # stride spacing, full coverage, and >=1-token chunks
+        for i, c in enumerate(chunks):
+            assert c["chunk_id"] == i
+            assert c["begin_tok"] == i * 12
+            assert 1 <= c["n_chunk_tokens"] <= 16
+            assert len(c["chunk_text"].split(" ")) == c["n_chunk_tokens"]
+        # consecutive full chunks overlap by window - stride = 4 tokens
+        for a, b in zip(chunks, chunks[1:]):
+            if a["n_chunk_tokens"] == 16:
+                tail = a["chunk_text"].split(" ")[12:]
+                head = b["chunk_text"].split(" ")[: len(tail)]
+                assert tail == head
