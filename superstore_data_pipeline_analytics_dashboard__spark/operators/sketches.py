@@ -145,3 +145,42 @@ def cms_probe(
         0, subset=["cnt"]
     )
     return joined.groupBy("probe_key").agg(F.min("cnt").alias("est_count"))
+
+
+def hll_join_overlap(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    lgk: int = 14,
+) -> DataFrame:
+    """Estimate the distinct-key overlap between two join sides without
+    joining them: |A∩B| = |A| + |B| − |A∪B| by inclusion-exclusion over
+    HLL sketches. One map-side sketch pass per side, a union of two
+    1-sketch rows — sublinear state end-to-end. This is the planning
+    primitive behind "will this join explode / is a bloom filter worth
+    building": at 100 TB you answer it from KB of sketch, not a dry-run
+    join. Returns one row: est_left, est_right, est_union, est_overlap.
+    """
+    ls = left.select(F.col(key).alias("k")).agg(
+        F.hll_sketch_agg("k", F.lit(lgk)).alias("sk")
+    )
+    rs = right.select(F.col(key).alias("k")).agg(
+        F.hll_sketch_agg("k", F.lit(lgk)).alias("sk")
+    )
+    both = ls.unionByName(rs)
+    merged = both.agg(
+        F.hll_union_agg("sk").alias("u"),
+    )
+    singles = ls.select(F.hll_sketch_estimate("sk").alias("est_left")).crossJoin(
+        rs.select(F.hll_sketch_estimate("sk").alias("est_right"))
+    )
+    return singles.crossJoin(
+        merged.select(F.hll_sketch_estimate("u").alias("est_union"))
+    ).select(
+        "est_left",
+        "est_right",
+        "est_union",
+        (F.col("est_left") + F.col("est_right") - F.col("est_union")).alias(
+            "est_overlap"
+        ),
+    )

@@ -3101,6 +3101,17 @@ def q82_theta_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return theta_distinct_per_group(ev, "event_type", "user_id")
 
 
+def q87_join_overlap_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-size planning from KB of sketch: HLL inclusion-exclusion
+    estimate of the lineitem⋈orders key overlap (rows-only — HLL
+    estimates are engine-internal; test pins accuracy vs exact)."""
+    from ..operators.sketches import hll_join_overlap
+
+    li = _li(spark, sf).select(F.col("l_orderkey").alias("k"))
+    orders = load_table(spark, sf, "orders").select(F.col("o_orderkey").alias("k"))
+    return hll_join_overlap(li, orders, "k")
+
+
 # CDC changelog apply (operators/cdc.py): Debezium/Delta-CDF "apply
 # changes" semantics — latest change per key wins (window), then ONE
 # full-outer join against the snapshot. The changelog here is synthesized
@@ -3551,8 +3562,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q41_copurchase_pairs": q41_copurchase_pairs,
     "q43_fuzzy_part_names": q43_fuzzy_part_names,
     "q44_set_ops_active_customers": q44_set_ops_active_customers,
-    # --- round-2 additions past the window (oracled; rotate into the
-    #     window once this round's never-audited queries have verdicts) ---
+    # --- round-2 additions past the window (q69–q86; oracled unless
+    #     noted; NEXT ROUND: rotate these into the first-50 window in
+    #     place of queries that earn green verdicts this round) ---
     "q69_sign_lsh_neardup": q69_sign_lsh_neardup,
     "q70_contamination_check": q70_contamination_check,
     "q71_doc_repetition": q71_doc_repetition,
@@ -3571,6 +3583,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q84_length_outliers": q84_length_outliers,
     "q85_zorder_key": q85_zorder_key,
     "q86_token_chunks": q86_token_chunks,
+    "q87_join_overlap_estimate": q87_join_overlap_estimate,  # rows-only
 }
 
 ORACLES: dict[str, str] = {

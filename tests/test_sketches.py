@@ -89,3 +89,22 @@ def test_cms_overestimates_within_bound_and_merges(spark):
         .count()
         == 0
     )
+
+
+def test_hll_join_overlap_close_to_exact(spark):
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.sketches import (
+        hll_join_overlap,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    row = hll_join_overlap(li, orders, "k").first()
+    exact = li.intersect(orders).count()
+    assert abs(row["est_overlap"] - exact) <= max(5, 0.05 * exact), (
+        row["est_overlap"],
+        exact,
+    )
