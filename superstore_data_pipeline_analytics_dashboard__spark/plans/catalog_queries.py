@@ -3329,6 +3329,48 @@ FROM spans
 """
 
 
+# triangle counting (operators/graph.py `triangle_count`) over the
+# co-purchase graph: degree-ordered orientation bounds wedge volume at
+# O(m^1.5) regardless of skew (a star hub emits zero wedges), closure by
+# semi-join. Exact → fully oracle-checkable, unlike sampled counters.
+
+def q88_copurchase_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import triangle_count
+
+    edges = q41_copurchase_pairs(spark, sf).select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    )
+    return triangle_count(edges)
+
+
+Q88_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), und AS (
+  SELECT pa AS u, pb AS v FROM pairs UNION SELECT pb, pa FROM pairs
+), deg AS (SELECT u AS n, count(*) AS d FROM und GROUP BY 1),
+oriented AS (
+  SELECT e.u, e.v FROM und e
+  JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+  WHERE du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+), wedges AS (
+  SELECT w1.v AS a, w2.v AS b
+  FROM oriented w1 JOIN oriented w2 ON w1.u = w2.u AND w1.v < w2.v
+), closing AS (
+  SELECT u, v FROM oriented UNION ALL SELECT v, u FROM oriented
+), tris AS (
+  SELECT a, b FROM wedges w WHERE EXISTS (
+    SELECT 1 FROM closing c WHERE c.u = w.a AND c.v = w.b)
+)
+SELECT (SELECT count(*) FROM wedges) AS n_wedges,
+       (SELECT count(*) FROM tris) AS n_triangles
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -3584,6 +3626,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q85_zorder_key": q85_zorder_key,
     "q86_token_chunks": q86_token_chunks,
     "q87_join_overlap_estimate": q87_join_overlap_estimate,  # rows-only
+    "q88_copurchase_triangles": q88_copurchase_triangles,
 }
 
 ORACLES: dict[str, str] = {
@@ -3663,6 +3706,7 @@ ORACLES: dict[str, str] = {
     "q84_length_outliers": Q84_SQL,
     "q85_zorder_key": Q85_SQL,
     "q86_token_chunks": Q86_SQL,
+    "q88_copurchase_triangles": Q88_SQL,
     # q26-q28, q35 are approximate (MinHash/SimHash/IVF/HLL) — rows-only.
 }
 

@@ -727,3 +727,25 @@ def test_zorder_layout_clusters_both_dims(spark):
     # random layout would give ~1023 span per partition in both dims;
     # z-clustering must shrink BOTH well below that
     assert spans["ma"] < 700 and spans["mb"] < 700, spans
+
+
+def test_triangle_count_known_graphs(spark):
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.graph import (
+        triangle_count,
+    )
+
+    def count(edges):
+        df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+        r = triangle_count(df).first()
+        return r["n_triangles"], r["n_wedges"]
+
+    # K4: C(4,3)=4 triangles
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert count(k4)[0] == 4
+    # chain: none
+    assert count([(1, 2), (2, 3), (3, 4)])[0] == 0
+    # star: none, and the hub must emit ZERO wedges (degree orientation)
+    tris, wedges = count([(0, i) for i in range(1, 30)])
+    assert tris == 0 and wedges == 0
+    # triangle + pendant, duplicate/reversed edges tolerated
+    assert count([(1, 2), (2, 3), (1, 3), (3, 1), (3, 4)])[0] == 1
