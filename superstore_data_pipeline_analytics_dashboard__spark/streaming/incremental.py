@@ -22,8 +22,13 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+#: file schema: ts is TIMESTAMP_NTZ on disk (the batch catalog's
+#: load_table contract). Watermarks REQUIRE an instant TIMESTAMP
+#: ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]), so read_event_stream pins
+#: the UTC wall clock to an instant via pure epoch arithmetic — never an
+#: NTZ→TIMESTAMP cast, which resolves in the (unknown) session timezone.
 EVENTS_SCHEMA = (
-    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, "
     "value DOUBLE, props STRING"
 )
 
@@ -31,8 +36,21 @@ EVENTS_SCHEMA = (
 def read_event_stream(
     spark: SparkSession, path: str, schema: str = EVENTS_SCHEMA
 ) -> DataFrame:
-    """File-drop event stream (one parquet file per micro-batch input)."""
-    return spark.readStream.schema(schema).parquet(path)
+    """File-drop event stream (one parquet file per micro-batch input).
+    ``ts`` leaves as an instant TIMESTAMP (UTC wall clock pinned via
+    epoch micros) so watermarks/windows accept it on any session."""
+    df = spark.readStream.schema(schema).parquet(path)
+    if dict(df.dtypes).get("ts") == "timestamp_ntz":
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+                )
+            ),
+        )
+    return df
 
 
 def dedup_stream(
