@@ -3371,6 +3371,79 @@ SELECT (SELECT count(*) FROM wedges) AS n_wedges,
 """
 
 
+# source-mix APPLICATION: q77's uniform-mix rates applied as a
+# deterministic md5-bucket sample (functions/sampling.py), then audited
+# per source. The whole rebalance is two aggs + a broadcast + a narrow
+# filter — rerunnable with byte-identical output on any cluster size,
+# which is what makes the sampled corpus reproducible.
+
+def q89_apply_source_mix(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.sampling import hash_bucket
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", T.token_count("text").cast("bigint").alias("toks")
+    )
+    per = docs.groupBy("source").agg(
+        F.sum("toks").alias("n_tokens"), F.count("*").alias("n_docs")
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.count("*").alias("n_sources")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.col("tot_tokens").cast("double")
+        / F.col("n_sources").cast("double")
+        / F.col("n_tokens").cast("double"),
+    )
+    rates = per.crossJoin(F.broadcast(tot)).select(
+        "source", rate.alias("rate")
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(
+            hash_bucket(F.col("doc_id"), 100_000)
+            < F.round(F.col("rate") * 100_000).cast("int")
+        )
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("kept_docs"),
+        F.sum("toks").alias("kept_tokens"),
+    )
+
+
+Q89_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             x -> x <> '')) AS BIGINT) AS toks
+  FROM documents
+), per AS (
+  SELECT source, CAST(sum(toks) AS BIGINT) AS n_tokens,
+         count(*) AS n_docs
+  FROM docs GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+         count(*) AS n_sources
+  FROM per
+), rates AS (
+  SELECT source,
+         least(1.0, CAST(tot_tokens AS DOUBLE) / CAST(n_sources AS DOUBLE)
+                      / CAST(n_tokens AS DOUBLE)) AS rate
+  FROM per CROSS JOIN tot
+), kept AS (
+  SELECT d.source, d.toks
+  FROM docs d JOIN rates r USING (source)
+  WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 100000 AS INT)
+        < CAST(round(r.rate * 100000) AS INT)
+)
+SELECT source, count(*) AS kept_docs,
+       CAST(sum(toks) AS BIGINT) AS kept_tokens
+FROM kept GROUP BY source
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -3627,6 +3700,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q86_token_chunks": q86_token_chunks,
     "q87_join_overlap_estimate": q87_join_overlap_estimate,  # rows-only
     "q88_copurchase_triangles": q88_copurchase_triangles,
+    "q89_apply_source_mix": q89_apply_source_mix,
 }
 
 ORACLES: dict[str, str] = {
@@ -3707,6 +3781,7 @@ ORACLES: dict[str, str] = {
     "q85_zorder_key": Q85_SQL,
     "q86_token_chunks": Q86_SQL,
     "q88_copurchase_triangles": Q88_SQL,
+    "q89_apply_source_mix": Q89_SQL,
     # q26-q28, q35 are approximate (MinHash/SimHash/IVF/HLL) — rows-only.
 }
 
