@@ -3677,7 +3677,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q41_copurchase_pairs": q41_copurchase_pairs,
     "q43_fuzzy_part_names": q43_fuzzy_part_names,
     "q44_set_ops_active_customers": q44_set_ops_active_customers,
-    # --- round-2 additions past the window (q69–q86; oracled unless
+    # --- round-2 additions past the window (q69–q89; oracled unless
     #     noted; NEXT ROUND: rotate these into the first-50 window in
     #     place of queries that earn green verdicts this round) ---
     "q69_sign_lsh_neardup": q69_sign_lsh_neardup,
