@@ -749,3 +749,68 @@ def test_triangle_count_known_graphs(spark):
     assert tris == 0 and wedges == 0
     # triangle + pendant, duplicate/reversed edges tolerated
     assert count([(1, 2), (2, 3), (1, 3), (3, 1), (3, 4)])[0] == 1
+
+
+def test_funnel_matches_python_reference(spark):
+    """Property: funnel depth/timestamps agree with a direct per-user
+    Python evaluation of earliest-completion semantics on random event
+    sets (including duplicate timestamps and missing steps)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.funnel import (
+        funnel_stages,
+    )
+
+    steps = ["s1", "s2", "s3"]
+
+    def ref(rows):
+        by_user = {}
+        for u, t, ts in rows:
+            by_user.setdefault(u, []).append((t, ts))
+        out = {}
+        for u, evs in by_user.items():
+            prev, hit = None, []
+            for s in steps:
+                cand = [ts for (t, ts) in evs if t == s and (prev is None or ts >= prev)]
+                if not cand:
+                    break
+                prev = min(cand)
+                hit.append(prev)
+            if hit:
+                out[u] = (len(hit), hit)
+        return out
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 5),
+                st.sampled_from(steps),
+                st.integers(0, 20),
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    @settings(max_examples=12, deadline=None)
+    def check(rows):
+        df = spark.createDataFrame(
+            [(u, t, f"2024-01-01 00:00:{ts:02d}") for u, t, ts in rows],
+            "user_id BIGINT, event_type STRING, raw STRING",
+        ).select(
+            "user_id", "event_type", F.col("raw").cast("timestamp_ntz").alias("ts")
+        )
+        got = {}
+        for r in funnel_stages(df, steps).collect():
+            hits = [r[f"{s}_ts"] for s in steps if r[f"{s}_ts"] is not None]
+            got[r["user_id"]] = (r["stage"], [h.second for h in hits])
+        expect = {
+            u: (n, [ts.second if hasattr(ts, "second") else ts for ts in hit])
+            for u, (n, hit) in ref(
+                [(u, t, dtsec) for u, t, dtsec in rows]
+            ).items()
+        }
+        assert {u: v[0] for u, v in got.items()} == {u: v[0] for u, v in expect.items()}
+        assert got == expect
+
+    check()
