@@ -57,3 +57,72 @@ def test_unknown_payload_raises_not_implemented(spark):
     bad = spark.createDataFrame([(1, b"JPEGmaybe")], "media_id BIGINT, content BINARY")
     with pytest.raises(Exception, match="NotImplementedError|no image codec"):
         M.extract_image_features(bad).collect()
+
+
+def test_ppm_bmp_roundtrip_exact():
+    import numpy as np
+
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.multimodal import (
+        decode_bmp, decode_ppm, encode_bmp, encode_ppm,
+    )
+
+    rng = np.random.RandomState(3)
+    for w, h in [(1, 1), (3, 2), (5, 4), (7, 3)]:  # odd widths hit BMP row padding
+        px = rng.randint(0, 256, size=(h, w, 3)).astype("uint8")
+        assert (decode_ppm(encode_ppm(px)) == px).all()
+        assert (decode_bmp(encode_bmp(px)) == px).all()
+    # PPM header grammar: comments + arbitrary whitespace
+    px = np.arange(12, dtype="uint8").reshape(2, 2, 3)
+    hdr = b"P6 # comment\n# another\n 2\t2 \n255\n" + px.tobytes()
+    assert (decode_ppm(hdr) == px).all()
+
+
+def test_resize_real_formats_nearest():
+    import numpy as np
+
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.multimodal import (
+        decode_ppm, encode_bmp, resize_nearest,
+    )
+
+    # 4x4 checkerboard -> 2x2 must pick exact source pixels (0,0),(0,2),(2,0),(2,2)
+    px = np.zeros((4, 4, 3), dtype="uint8")
+    px[::2, ::2] = 255
+    small = resize_nearest(px, 2, 2)
+    assert (small == np.array([[[255]*3, [255]*3], [[255]*3, [255]*3]])).all()
+    assert small.shape == (2, 2, 3)
+    # upscale keeps blocks
+    big = resize_nearest(small, 4, 4)
+    assert (big == 255).all()
+    del encode_bmp, decode_ppm  # imported for the spark test below
+
+
+def test_real_decode_through_spark(spark):
+    import numpy as np
+
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.multimodal import (
+        decode_ppm, encode_bmp, encode_ppm, extract_image_features, make_fake_image,
+        resize_images,
+    )
+
+    rng = np.random.RandomState(11)
+    ppm_px = rng.randint(0, 256, size=(3, 5, 3)).astype("uint8")
+    bmp_px = rng.randint(0, 256, size=(4, 3, 3)).astype("uint8")
+    rows = [
+        (1, bytearray(encode_ppm(ppm_px))),
+        (2, bytearray(encode_bmp(bmp_px))),
+        (3, bytearray(make_fake_image(9, 9, b"\x01\x02\x03\x04"))),
+    ]
+    df = spark.createDataFrame(rows, "media_id BIGINT, content BINARY")
+
+    feats = {r["media_id"]: r for r in extract_image_features(df).collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (5, 3)
+    assert feats[1]["n_bytes"] == 5 * 3 * 3
+    assert (feats[2]["width"], feats[2]["height"]) == (3, 4)
+    assert feats[3]["n_bytes"] == 4  # fake payload length
+
+    resized = {r["media_id"]: r for r in resize_images(df, 2, 2).collect()}
+    got = decode_ppm(bytes(resized[1]["content"]))
+    ys = (np.arange(2) * 3) // 2
+    xs = (np.arange(2) * 5) // 2
+    assert (got == ppm_px[ys][:, xs]).all()
+    assert bytes(resized[3]["content"]).startswith(b"FAKEIMG|2|2|")
