@@ -2490,18 +2490,26 @@ def q35_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 def q67_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Multimodal plumbing end-to-end (operators.multimodal): documents
-    wrapped into the deterministic FAKEIMG binary container, decoded and
-    featurized through Arrow-batched mapInPandas. The decode is the
-    documented stub (no codec libs in this env); the schema, batch
-    iteration, and binary-column handling are the real 100 TB path. Not
-    SQL-expressible (byte-level decode) → rows-only check."""
+    """Multimodal end-to-end (operators.multimodal): even doc_ids become
+    VALID binary PPM images (header + text bytes padded to the exact
+    8×4×3 raster — built JVM-side, decoded by the REAL pure-numpy PPM
+    codec); odd doc_ids ride the FAKEIMG container (the documented stub
+    path for compressed formats). Both flow through the same
+    Arrow-batched mapInPandas featurizer — the 100 TB plan is identical
+    whichever codec fires. Not SQL-expressible (byte decode) →
+    rows-only check."""
     from ..operators.multimodal import extract_image_features
 
     docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    ppm = F.concat(
+        F.lit("P6\n8 4\n255\n"), F.rpad(F.substring("text", 1, 96), 96, "x")
+    )
+    fake = F.concat(F.lit("FAKEIMG|32|16|"), F.col("text"))
     media = docs.select(
         F.col("doc_id").alias("media_id"),
-        F.concat(F.lit("FAKEIMG|32|16|"), F.col("text")).cast("binary").alias("content"),
+        F.when(F.col("doc_id") % 2 == 0, ppm).otherwise(fake)
+        .cast("binary")
+        .alias("content"),
     )
     return extract_image_features(media)
 
