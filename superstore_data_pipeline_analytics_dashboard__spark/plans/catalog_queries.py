@@ -3452,6 +3452,59 @@ FROM kept GROUP BY source
 """
 
 
+# TPC-H Q9 shape (product-type profit by nation × year): the heaviest
+# analytic join in the catalog — lineitem ⋈ orders (fact-fact shuffle)
+# with part/supplier/nation broadcast, profit in exact DECIMAL, grouped
+# on (nation, year). The plan audit to watch: all three dims broadcast,
+# the p_type filter pushed to the part scan BEFORE its broadcast, one
+# shuffle for the fact join + one map-side-combined agg.
+
+def q90_profit_by_nation_year(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    orders = _ord(spark, sf)
+    part = load_table(spark, sf, "part").filter(
+        F.col("p_type").contains("DARD")  # STANDARD parts (~1/6 of the dim)
+    )
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.sum(_profit()).alias("profit_dec"),
+            F.count("*").alias("n_lines"),
+        )
+        .select(
+            "nation",
+            "o_year",
+            _dec2(F.col("profit_dec")).alias("sum_profit"),
+            "n_lines",
+        )
+    )
+
+
+Q90_SQL = f"""
+SELECT n_name AS nation,
+       CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+       {_sql_dec2(f"sum({_PROFIT})")} AS sum_profit,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type LIKE '%DARD%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -3597,6 +3650,7 @@ _CANON_SQL_CASTS: dict[str, dict[str, str]] = {
         "click_ts": "EPOCH_US",
         "purchase_ts": "EPOCH_US",
     },
+    "q90_profit_by_nation_year": {"sum_profit": "DOUBLE"},
     "q71_doc_repetition": {"dup_tri_frac": "DOUBLE", "top_bi_frac": "DOUBLE"},
 }
 
@@ -3709,6 +3763,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q87_join_overlap_estimate": q87_join_overlap_estimate,  # rows-only
     "q88_copurchase_triangles": q88_copurchase_triangles,
     "q89_apply_source_mix": q89_apply_source_mix,
+    "q90_profit_by_nation_year": q90_profit_by_nation_year,
 }
 
 ORACLES: dict[str, str] = {
@@ -3790,6 +3845,7 @@ ORACLES: dict[str, str] = {
     "q86_token_chunks": Q86_SQL,
     "q88_copurchase_triangles": Q88_SQL,
     "q89_apply_source_mix": Q89_SQL,
+    "q90_profit_by_nation_year": Q90_SQL,
     # q26-q28, q35 are approximate (MinHash/SimHash/IVF/HLL) — rows-only.
 }
 

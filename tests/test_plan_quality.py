@@ -177,3 +177,16 @@ def test_heavy_keys_is_topk_not_full_sort(spark):
     never a global Sort of all keys."""
     plan = _executed_plan(Q.QUERIES["q79_heavy_join_keys"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q90_broadcasts_dims_and_pushes_type_filter(spark):
+    """TPC-H Q9 shape: part/supplier/nation must broadcast, the p_type
+    filter must reach the part scan (PushedFilters or pre-broadcast
+    Filter), and the only Exchange joins the two facts."""
+    df = Q.QUERIES["q90_profit_by_nation_year"](spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    formatted = _formatted(df)
+    assert "Contains(p_type" in formatted or "p_type" in formatted.split(
+        "PushedFilters"
+    )[1].split("\n")[0]
