@@ -3505,6 +3505,69 @@ GROUP BY 1, 2
 """
 
 
+# TPC-H Q7 shape (bilateral volume): the same nation dim joins the fact
+# TWICE in different roles (supplier's nation via supplier, customer's
+# nation via orders→customer) — the role-played-dimension pattern. Both
+# roles broadcast; the nation-pair predicate prunes after the cheap
+# broadcasts; fact⋈fact (lineitem⋈orders) is the one shuffle.
+
+def q91_bilateral_volume(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    orders = _ord(spark, sf)
+    cust = load_table(spark, sf, "customer")
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").alias("l_year"),
+        )
+        .agg(F.sum(_rev()).alias("rev_dec"), F.count("*").alias("n_lines"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            _dec2(F.col("rev_dec")).alias("revenue"),
+            "n_lines",
+        )
+    )
+
+
+Q91_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS l_year,
+       {_sql_dec2(f"sum({_REV})")} AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -3651,6 +3714,7 @@ _CANON_SQL_CASTS: dict[str, dict[str, str]] = {
         "purchase_ts": "EPOCH_US",
     },
     "q90_profit_by_nation_year": {"sum_profit": "DOUBLE"},
+    "q91_bilateral_volume": {"revenue": "DOUBLE"},
     "q71_doc_repetition": {"dup_tri_frac": "DOUBLE", "top_bi_frac": "DOUBLE"},
 }
 
@@ -3764,6 +3828,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q88_copurchase_triangles": q88_copurchase_triangles,
     "q89_apply_source_mix": q89_apply_source_mix,
     "q90_profit_by_nation_year": q90_profit_by_nation_year,
+    "q91_bilateral_volume": q91_bilateral_volume,
 }
 
 ORACLES: dict[str, str] = {
@@ -3846,6 +3911,7 @@ ORACLES: dict[str, str] = {
     "q88_copurchase_triangles": Q88_SQL,
     "q89_apply_source_mix": Q89_SQL,
     "q90_profit_by_nation_year": Q90_SQL,
+    "q91_bilateral_volume": Q91_SQL,
     # q26-q28, q35 are approximate (MinHash/SimHash/IVF/HLL) — rows-only.
 }
 
