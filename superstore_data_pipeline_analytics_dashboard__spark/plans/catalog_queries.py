@@ -3568,6 +3568,67 @@ GROUP BY 1, 2, 3
 """
 
 
+# percent-of-parent hierarchy (region → nation): revenue per nation with
+# its share of the region subtotal and of the grand total — the
+# dashboard "% of parent" measure as windows OVER an aggregate (the agg
+# shrinks the data to |nations| rows first; the windows are free at that
+# size). Shares divide exact decimal sums as doubles (identical IEEE op
+# both engines).
+
+def q92_hierarchy_shares(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    orders = _ord(spark, sf)
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    per_nation = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(_rev()).alias("rev_dec"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    # shares divide 2-dp ROUNDED sums: rounded, the scaled integer value
+    # (cents) sits below 2^53, so the decimal→double cast is exact in
+    # both engines — an unrounded DECIMAL(38,8) sum casts with
+    # engine-specific last-ulp rounding (observed: DuckDB int128/10^8)
+    nat2 = F.round(F.col("rev_dec"), 2).cast("double")
+    region2 = F.round(F.sum("rev_dec").over(w_region), 2).cast("double")
+    total2 = F.round(F.sum("rev_dec").over(w_all), 2).cast("double")
+    return per_nation.select(
+        "region",
+        "nation",
+        _dec2(F.col("rev_dec")).alias("revenue"),
+        (nat2 / region2).alias("share_of_region"),
+        (nat2 / total2).alias("share_of_total"),
+    )
+
+
+Q92_SQL = f"""
+WITH per_nation AS (
+  SELECT r_name AS region, n_name AS nation,
+         sum({_REV}) AS rev_dec
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, nation,
+       {_sql_dec2("rev_dec")} AS revenue,
+       CAST(round(rev_dec, 2) AS DOUBLE)
+         / CAST(round(sum(rev_dec) OVER (PARTITION BY region), 2) AS DOUBLE)
+         AS share_of_region,
+       CAST(round(rev_dec, 2) AS DOUBLE)
+         / CAST(round(sum(rev_dec) OVER (), 2) AS DOUBLE) AS share_of_total
+FROM per_nation
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -3715,6 +3776,7 @@ _CANON_SQL_CASTS: dict[str, dict[str, str]] = {
     },
     "q90_profit_by_nation_year": {"sum_profit": "DOUBLE"},
     "q91_bilateral_volume": {"revenue": "DOUBLE"},
+    "q92_hierarchy_shares": {"revenue": "DOUBLE"},
     "q71_doc_repetition": {"dup_tri_frac": "DOUBLE", "top_bi_frac": "DOUBLE"},
 }
 
@@ -3829,6 +3891,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_apply_source_mix": q89_apply_source_mix,
     "q90_profit_by_nation_year": q90_profit_by_nation_year,
     "q91_bilateral_volume": q91_bilateral_volume,
+    "q92_hierarchy_shares": q92_hierarchy_shares,
 }
 
 ORACLES: dict[str, str] = {
@@ -3912,6 +3975,7 @@ ORACLES: dict[str, str] = {
     "q89_apply_source_mix": Q89_SQL,
     "q90_profit_by_nation_year": Q90_SQL,
     "q91_bilateral_volume": Q91_SQL,
+    "q92_hierarchy_shares": Q92_SQL,
     # q26-q28, q35 are approximate (MinHash/SimHash/IVF/HLL) — rows-only.
 }
 
