@@ -814,3 +814,28 @@ def test_funnel_matches_python_reference(spark):
         assert got == expect
 
     check()
+
+
+def test_merge_rollups_any_batch_order(spark):
+    """Partial rollups merged in any order/grouping equal the full
+    recompute exactly (decimal-exact mergeable state)."""
+    from decimal import Decimal
+
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.rollup import (
+        merge_rollups, partial_rollup,
+    )
+
+    rows = [(["a", "b"][i % 2], Decimal(f"{i}.{i % 10}1")) for i in range(40)]
+    df = spark.createDataFrame(rows, "k STRING, v DECIMAL(9,2)")
+    m = {"sv": F.col("v")}
+    full = partial_rollup(df, ["k"], m)
+    thirds = [
+        partial_rollup(df.filter(F.col("v") < 13), ["k"], m),
+        partial_rollup(df.filter((F.col("v") >= 13) & (F.col("v") < 27)), ["k"], m),
+        partial_rollup(df.filter(F.col("v") >= 27), ["k"], m),
+    ]
+    for order in ([0, 1, 2], [2, 0, 1]):
+        merged = merge_rollups([thirds[i] for i in order], ["k"])
+        got = {r["k"]: (r["sv"], r["n_rows"]) for r in merged.collect()}
+        want = {r["k"]: (r["sv"], r["n_rows"]) for r in full.collect()}
+        assert got == want
