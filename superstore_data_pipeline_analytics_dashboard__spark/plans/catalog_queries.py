@@ -3676,6 +3676,48 @@ GROUP BY 1, 2
 """
 
 
+# exact COUNT(DISTINCT) under ROLLUP: the expensive combination done
+# declaratively — Catalyst plans Expand (one replica per grouping set)
+# then a two-phase distinct aggregate; at scale the approx twin is the
+# sketch family (q35/q82, mergeable across grouping sets for free).
+
+def q94_distinct_under_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    orders = _ord(spark, sf)
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    joined = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    ).join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    return (
+        joined.rollup(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_buyers"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("nation"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("segment"), F.lit("ALL")).alias("segment"),
+            "n_buyers",
+            "n_orders",
+        )
+    )
+
+
+Q94_SQL = """
+SELECT coalesce(n_name, 'ALL') AS nation,
+       coalesce(c_mktsegment, 'ALL') AS segment,
+       count(DISTINCT o_custkey) AS n_buyers,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -3941,6 +3983,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q91_bilateral_volume": q91_bilateral_volume,
     "q92_hierarchy_shares": q92_hierarchy_shares,
     "q93_incremental_rollup": q93_incremental_rollup,
+    "q94_distinct_under_rollup": q94_distinct_under_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -4026,6 +4069,7 @@ ORACLES: dict[str, str] = {
     "q91_bilateral_volume": Q91_SQL,
     "q92_hierarchy_shares": Q92_SQL,
     "q93_incremental_rollup": Q93_SQL,
+    "q94_distinct_under_rollup": Q94_SQL,
     # q26-q28, q35 are approximate (MinHash/SimHash/IVF/HLL) — rows-only.
 }
 
