@@ -3718,6 +3718,53 @@ GROUP BY ROLLUP (n_name, c_mktsegment)
 """
 
 
+# nested complex types: per-customer order history as a SORTED
+# array<struct> (the denormalized document shape a serving layer or a
+# feature store materializes), plus fields computed by higher-order
+# functions over the nested array. sort_array gives the deterministic
+# total order that makes array<struct> hash-comparable across engines.
+
+def q95_order_history_nested(spark: SparkSession, sf: str) -> DataFrame:
+    orders = _ord(spark, sf).filter(F.col("o_custkey") < 200)
+    entry = F.struct(
+        F.col("o_orderdate").alias("d"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    nested = orders.groupBy(F.col("o_custkey").alias("cust_key")).agg(
+        F.sort_array(F.collect_list(entry)).alias("history"),
+        F.count("*").alias("n_orders"),
+    )
+    return nested.select(
+        "cust_key",
+        "history",
+        "n_orders",
+        F.element_at("history", 1).getField("d").alias("first_date"),
+        F.element_at("history", -1).getField("d").alias("last_date"),
+        F.size(F.filter("history", lambda e: e.getField("st") == "F")).alias(
+            "n_finished"
+        ),
+    )
+
+
+Q95_SQL = """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey AS k,
+         o_orderstatus AS st
+  FROM orders WHERE o_custkey < 200
+)
+SELECT o_custkey AS cust_key,
+       list(struct_pack(d := d, k := k, st := st)
+            ORDER BY d, k, st) AS history,
+       count(*) AS n_orders,
+       min(d) AS first_date,
+       max(d) AS last_date,
+       CAST(count(*) FILTER (WHERE st = 'F') AS INT) AS n_finished
+FROM o
+GROUP BY o_custkey
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -3984,6 +4031,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q92_hierarchy_shares": q92_hierarchy_shares,
     "q93_incremental_rollup": q93_incremental_rollup,
     "q94_distinct_under_rollup": q94_distinct_under_rollup,
+    "q95_order_history_nested": q95_order_history_nested,
 }
 
 ORACLES: dict[str, str] = {
@@ -4070,6 +4118,7 @@ ORACLES: dict[str, str] = {
     "q92_hierarchy_shares": Q92_SQL,
     "q93_incremental_rollup": Q93_SQL,
     "q94_distinct_under_rollup": Q94_SQL,
+    "q95_order_history_nested": Q95_SQL,
     # q26-q28, q35 are approximate (MinHash/SimHash/IVF/HLL) — rows-only.
 }
 
