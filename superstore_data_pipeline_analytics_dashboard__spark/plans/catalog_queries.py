@@ -3841,6 +3841,77 @@ FROM spine s LEFT JOIN daily ON s.region = daily.region AND s.day = daily.day
 """
 
 
+# distribution-drift check: lang × source contingency table with
+# chi-square contributions — the shift detector a corpus pipeline runs
+# between ingests. Expected counts and contributions are IEEE doubles
+# from exact integer marginals (identical op order both engines); the
+# chi2 TOTAL demonstrates deterministic double aggregation: each
+# contribution is rounded to 9 dp and summed in DECIMAL (exact, any
+# partition order) — a raw double SUM would be partition-order noise.
+
+def q97_drift_chi2(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("observed"))
+    rows = docs.groupBy("lang").agg(F.count("*").alias("row_tot"))
+    cols = docs.groupBy("source").agg(F.count("*").alias("col_tot"))
+    n = docs.agg(F.count("*").alias("n_tot"))
+    joined = (
+        cells.join(F.broadcast(rows), "lang")
+        .join(F.broadcast(cols), "source")
+        .crossJoin(F.broadcast(n))
+    )
+    expected = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("n_tot").cast("double")
+    )
+    contrib = (F.col("observed").cast("double") - expected) * (
+        F.col("observed").cast("double") - expected
+    ) / expected
+    with_c = joined.select(
+        "lang",
+        "source",
+        "observed",
+        expected.alias("expected"),
+        contrib.alias("contribution"),
+    )
+    total = F.sum(F.round(F.col("contribution"), 9).cast("decimal(28,9)")).over(
+        Window.partitionBy()
+    )
+    return with_c.withColumn("chi2_total", total.cast("double"))
+
+
+Q97_SQL = """
+WITH cells AS (
+  SELECT lang, source, count(*) AS observed FROM documents GROUP BY 1, 2
+), rows_t AS (
+  SELECT lang, count(*) AS row_tot FROM documents GROUP BY 1
+), cols_t AS (
+  SELECT source, count(*) AS col_tot FROM documents GROUP BY 1
+), n_t AS (
+  SELECT count(*) AS n_tot FROM documents
+), scored AS (
+  SELECT c.lang, c.source, c.observed,
+         CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+           / CAST(n_tot AS DOUBLE) AS expected,
+         (CAST(c.observed AS DOUBLE)
+            - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+              / CAST(n_tot AS DOUBLE))
+         * (CAST(c.observed AS DOUBLE)
+            - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+              / CAST(n_tot AS DOUBLE))
+         / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+            / CAST(n_tot AS DOUBLE)) AS contribution
+  FROM cells c JOIN rows_t USING (lang) JOIN cols_t USING (source)
+  CROSS JOIN n_t
+)
+SELECT lang, source, observed, expected, contribution,
+       CAST(sum(CAST(round(contribution, 9) AS DECIMAL(28,9))) OVER ()
+            AS DOUBLE) AS chi2_total
+FROM scored
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -4110,6 +4181,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q94_distinct_under_rollup": q94_distinct_under_rollup,
     "q95_order_history_nested": q95_order_history_nested,
     "q96_gap_filled_daily_revenue": q96_gap_filled_daily_revenue,
+    "q97_drift_chi2": q97_drift_chi2,
 }
 
 ORACLES: dict[str, str] = {
@@ -4198,6 +4270,7 @@ ORACLES: dict[str, str] = {
     "q94_distinct_under_rollup": Q94_SQL,
     "q95_order_history_nested": Q95_SQL,
     "q96_gap_filled_daily_revenue": Q96_SQL,
+    "q97_drift_chi2": Q97_SQL,
     # q26-q28, q35 are approximate (MinHash/SimHash/IVF/HLL) — rows-only.
 }
 
