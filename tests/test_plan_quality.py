@@ -190,3 +190,22 @@ def test_q90_broadcasts_dims_and_pushes_type_filter(spark):
     assert "Contains(p_type" in formatted or "p_type" in formatted.split(
         "PushedFilters"
     )[1].split("\n")[0]
+
+
+def test_window_queries_deterministic_across_partitioning(spark):
+    """The catalog's tie-break convention must make results identical
+    under different parallelism — rerun representative window/dedup/
+    packing queries with a different shuffle-partition count and compare
+    full row sets."""
+    names = ["q03_dedup_latest", "q08_rolling_30row", "q75_sequence_pack"]
+    base = {}
+    for n in names:
+        base[n] = sorted(map(repr, Q.QUERIES[n](spark, SF_SMOKE).collect()))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        for n in names:
+            again = sorted(map(repr, Q.QUERIES[n](spark, SF_SMOKE).collect()))
+            assert again == base[n], n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
