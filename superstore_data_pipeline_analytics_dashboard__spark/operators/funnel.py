@@ -57,8 +57,11 @@ def funnel_stages(
         *[F.min(c).alias(c) for c in ts_cols]
     )
     # deepest non-null step index (later steps are null-chained onto
-    # earlier ones, so the max non-null index IS the funnel depth)
+    # earlier ones, so the max non-null index IS the funnel depth). The
+    # F.lit(0) floor keeps greatest() valid for a 1-step funnel
+    # (F.greatest requires >= 2 columns).
     stage = F.greatest(
+        F.lit(0),
         *[
             F.when(F.col(c).isNotNull(), F.lit(i + 1)).otherwise(F.lit(0))
             for i, c in enumerate(ts_cols)

@@ -650,6 +650,12 @@ def test_funnel_stage_semantics(spark):
            for r in funnel_stages(ev, ["view", "click", "purchase"]).collect()}
     assert got == {1: 3, 2: 1, 3: 1, 5: 3}
 
+    # 1-step funnel is documented valid ("at least one step") — r2
+    # advisor found F.greatest() raising with a single column
+    one = {r["user_id"]: r["stage"]
+           for r in funnel_stages(ev, ["purchase"]).collect()}
+    assert one == {1: 1, 2: 1, 4: 1, 5: 1}
+
 
 def test_cdc_apply_semantics(spark):
     from superstore_data_pipeline_analytics_dashboard__spark.operators.cdc import (
