@@ -34,10 +34,25 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    driver_edge_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component
     id = the minimum node id in the component. Undirected: edges are
-    symmetrized internally. Raises if not converged after ``max_iter``."""
+    symmetrized internally. Raises if not converged after ``max_iter``.
+
+    Edge sets at or below ``driver_edge_threshold`` (distinct symmetrized
+    edges) take a driver union-find fast path: the VERIFIED near-dup pair
+    graph is orders of magnitude smaller than the corpus that produced it,
+    and each distributed propagation round costs join+groupBy+count jobs
+    whose fixed latency dwarfs the work for small graphs (measured 3.6 s
+    for a 238-edge graph at 32 threads). The bound mirrors Spark's own
+    broadcast-join reasoning — ≤1M edges ≈ tens of MB on the driver; the
+    count that guards it doubles as the cache materializer, so the
+    decision adds no extra job. Above the bound the iterative
+    min-label-propagation path runs unchanged (and
+    :func:`connected_components_star` remains the adversarial-diameter
+    insurance). Pass ``driver_edge_threshold=0`` to force the
+    distributed path (tests do)."""
     # persisted: every propagation round joins against sym, and without the
     # persist each round would re-execute the whole upstream pair-finding
     # DAG (measured: rounds cost ~1 s, the recomputed DAG ~3-10 s EACH)
@@ -47,6 +62,39 @@ def connected_components(
         .distinct()
         .persist()
     )
+    if sym.count() <= driver_edge_threshold:
+        import pyspark.sql.types as T
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in sym.collect():
+            u, v = r["u"], r["v"]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        rows = [(n, find(n)) for n in parent]
+        node_type = sym.schema["u"].dataType
+        out = edges.sparkSession.createDataFrame(
+            rows,
+            T.StructType(
+                [
+                    T.StructField("node", node_type, False),
+                    T.StructField("component", node_type, False),
+                ]
+            ),
+        )
+        sym.unpersist()
+        return out
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()

@@ -3970,6 +3970,180 @@ FROM scored
 """
 
 
+# customer order-count distribution (TPC-H Q13 shape): the one classic
+# decision-support shape the catalog lacked — a LEFT OUTER join whose
+# preserved side matters (zero-order customers must appear as c_count=0)
+# feeding a second aggregation over the first's result. Scale shape: one
+# shuffle on custkey for the outer-join+count (partial aggregation
+# applies), then the histogram groupBy is over ≤ max-order-count keys —
+# dimension-sized. No window, no sort.
+
+def q98_order_count_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    orders = _ord(spark, sf)
+    per_cust = (
+        cust.select("c_custkey")
+        .join(
+            orders.select("o_custkey", "o_orderkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("n_customers"))
+
+
+Q98_SQL = """
+SELECT c_count, count(*) AS n_customers
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) per_cust
+GROUP BY c_count
+"""
+
+
+# train/val/test split-leakage audit: the composition a pretraining
+# pipeline runs before shipping splits — exact near-dup pairs
+# (ngram_jaccard_pairs, the verification tier) whose endpoints land in
+# DIFFERENT deterministic splits. Split labels are recomputed from the
+# md5 bucket expression directly on the pair endpoints (the split is a
+# pure function of doc_id), so NO join against the corpus-sized labeled
+# table is needed — the only data past the pair-finding stage is the
+# pair list itself. At 100 TB the pair input comes from the LSH
+# candidate tier (q26) instead of the exact all-pairs index; the leakage
+# rollup is unchanged.
+
+def q99_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.sampling import deterministic_split
+
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    labeled = pairs.select(
+        "jaccard",
+        deterministic_split(F.col("doc_a")).alias("split_a"),
+        deterministic_split(F.col("doc_b")).alias("split_b"),
+    ).filter(F.col("split_a") != F.col("split_b"))
+    return labeled.groupBy(
+        F.least("split_a", "split_b").alias("split_lo"),
+        F.greatest("split_a", "split_b").alias("split_hi"),
+    ).agg(
+        F.count("*").alias("n_leaky_pairs"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
+_SPLIT_OF = """CASE
+  WHEN CAST(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 15)) AS BIGINT)
+         % 1000 < 900 THEN 'train'
+  WHEN CAST(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 15)) AS BIGINT)
+         % 1000 < 950 THEN 'val'
+  ELSE 'test' END"""
+
+Q99_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x <> '')
+           AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM toks, LATERAL (
+    SELECT unnest(list_transform(
+        generate_series(1, greatest(len(t) - 2, 1)),
+        i -> array_to_string(t[i:i+2], ' '))) AS shingle
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(CAST(n_common AS DOUBLE) /
+              (sa.set_size + sb.set_size - n_common) AS DECIMAL(9,6)) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(CAST(n_common AS DOUBLE) /
+             (sa.set_size + sb.set_size - n_common) AS DECIMAL(9,6)) >= 0.2
+), labeled AS (
+  SELECT jaccard,
+         {_SPLIT_OF.format(c='doc_a')} AS split_a,
+         {_SPLIT_OF.format(c='doc_b')} AS split_b
+  FROM pairs
+)
+SELECT least(split_a, split_b) AS split_lo,
+       greatest(split_a, split_b) AS split_hi,
+       count(*) AS n_leaky_pairs,
+       max(jaccard) AS max_jaccard
+FROM labeled
+WHERE split_a <> split_b
+GROUP BY 1, 2
+"""
+
+
+# event throttling / repeat collapse: at most one event per
+# (user, event_type) per tumbling window — the batch twin of
+# streaming.incremental.throttle_stream (watermark + window dedup; rate
+# limiting and alert-storm suppression). One Exchange on the composite
+# key; the first event is picked with a min-over-struct aggregate
+# (partial aggregation applies — NO window-sort over the fact). The
+# window boundary is pure epoch arithmetic on the NTZ wall clock, never
+# a session-timezone cast.
+
+def q100_event_throttle(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    )
+    win_us = 10 * 60 * 1_000_000
+    keyed = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        (us - (us % F.lit(win_us))).alias("window_start_us"),
+    )
+    first = F.min(F.struct("us", "event_id")).alias("first")
+    return (
+        keyed.groupBy("window_start_us", "user_id", "event_type")
+        .agg(first, F.count("*").alias("n_events"))
+        .select(
+            "window_start_us",
+            "user_id",
+            "event_type",
+            "n_events",
+            F.col("first.event_id").alias("first_event_id"),
+            F.col("first.us").alias("first_us"),
+        )
+    )
+
+
+Q100_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+         epoch_us(ts) - (epoch_us(ts) % 600000000) AS window_start_us
+  FROM events
+), w AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY window_start_us, user_id, event_type
+                            ORDER BY us, event_id) AS rn,
+         count(*) OVER (PARTITION BY window_start_us, user_id, event_type)
+           AS n_events
+  FROM e
+)
+SELECT window_start_us, user_id, event_type, n_events,
+       event_id AS first_event_id, us AS first_us
+FROM w
+WHERE rn = 1
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -4121,6 +4295,7 @@ _CANON_SQL_CASTS: dict[str, dict[str, str]] = {
     "q93_incremental_rollup": {"sum_qty": "DOUBLE", "revenue": "DOUBLE"},
     "q96_gap_filled_daily_revenue": {"revenue": "DOUBLE"},
     "q71_doc_repetition": {"dup_tri_frac": "DOUBLE", "top_bi_frac": "DOUBLE"},
+    "q99_split_leakage": {"max_jaccard": "DOUBLE"},
 }
 
 
@@ -4246,6 +4421,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q27_simhash_buckets": q27_simhash_buckets,
     "q28_knn_ivf": q28_knn_ivf,
     "q38_curate_corpus": q38_curate_corpus,
+    # --- round-3 additions (oracled; queued for the round-4 rotation) ---
+    "q98_order_count_histogram": q98_order_count_histogram,
+    "q99_split_leakage": q99_split_leakage,
+    "q100_event_throttle": q100_event_throttle,
 }
 
 ORACLES: dict[str, str] = {
@@ -4336,6 +4515,9 @@ ORACLES: dict[str, str] = {
     "q95_order_history_nested": Q95_SQL,
     "q96_gap_filled_daily_revenue": Q96_SQL,
     "q97_drift_chi2": Q97_SQL,
+    "q98_order_count_histogram": Q98_SQL,
+    "q99_split_leakage": Q99_SQL,
+    "q100_event_throttle": Q100_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
     # form in round 3, so it is oracled above.

@@ -66,6 +66,34 @@ def dedup_stream(
     return events.withWatermark(ts_col, lateness).dropDuplicates(list(keys))
 
 
+def throttle_stream(
+    events: DataFrame,
+    keys: Sequence[str] = ("user_id", "event_type"),
+    window: str = "10 minutes",
+    ts_col: str = "ts",
+    lateness: str = "10 minutes",
+) -> DataFrame:
+    """Repeat collapse / rate limiting: at most ONE surviving event per
+    key per tumbling window (alert-storm suppression, notification
+    throttling). The first event of each (key, window) group is picked
+    with a min-over-struct aggregate — a stateful windowed agg whose
+    state the watermark evicts, same bound as ``windowed_counts``.
+    Batch twin: catalog q100_event_throttle (oracled)."""
+    first = F.min(F.struct(ts_col, "event_id")).alias("first")
+    return (
+        events.withWatermark(ts_col, lateness)
+        .groupBy(F.window(ts_col, window).alias("win"), *[F.col(k) for k in keys])
+        .agg(first, F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            *keys,
+            F.col("n_events"),
+            F.col(f"first.{ts_col}").alias("first_ts"),
+            F.col("first.event_id").alias("first_event_id"),
+        )
+    )
+
+
 def windowed_counts(
     events: DataFrame,
     window: str = "1 hour",

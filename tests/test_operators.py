@@ -405,6 +405,12 @@ def test_connected_components_chain_and_islands(spark):
     got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
+    # the driver union-find fast path (default for small edge sets) and
+    # the distributed propagation loop must agree exactly
+    dist = {r["node"]: r["component"]
+            for r in connected_components(edges, driver_edge_threshold=0).collect()}
+    assert dist == got
+
 
 def test_dedup_clusters_transitive_canonical(spark):
     from superstore_data_pipeline_analytics_dashboard__spark.operators.graph import (

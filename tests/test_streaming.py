@@ -54,6 +54,39 @@ def test_windowed_counts_match_batch(spark, event_drop_zone):
     q.stop()
 
 
+def test_throttle_stream_matches_batch_twin(spark, event_drop_zone):
+    """Streaming repeat-collapse agrees with the batch q100 twin on the
+    same events: one survivor per (user, type, 10-min window), identical
+    first-event picks and group counts."""
+    stream = S.read_event_stream(spark, str(event_drop_zone))
+    q = _run_to_memory(S.throttle_stream(stream, window="10 minutes"), "throttled")
+    got = {
+        (r["user_id"], r["event_type"], r["window_start"]):
+            (r["n_events"], r["first_event_id"])
+        for r in spark.sql("SELECT * FROM throttled").collect()
+    }
+    from superstore_data_pipeline_analytics_dashboard__spark.plans import (
+        catalog_queries as Q,
+    )
+
+    want = {}
+    for r in Q.QUERIES["q100_event_throttle"](spark, SF_SMOKE).collect():
+        want[(r["user_id"], r["event_type"], r["window_start_us"])] = (
+            r["n_events"], r["first_event_id"],
+        )
+    # stream keys carry instant timestamps (naive datetimes rendered in
+    # the UTC session tz); batch twin carries epoch us — pin UTC
+    # explicitly so the host tz can't shift the comparison
+    import datetime as _dt
+
+    got_us = {
+        (u, t, int(ws.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)): v
+        for (u, t, ws), v in got.items()
+    }
+    assert got_us == want
+    q.stop()
+
+
 def test_sessionize_runs_and_bounds(spark, event_drop_zone):
     stream = S.read_event_stream(spark, str(event_drop_zone))
     q = _run_to_memory(S.sessionize(stream, gap="30 minutes"), "sessions")
