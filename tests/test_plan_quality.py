@@ -122,6 +122,26 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     assert joined.first()["total_qty"] is not None
 
 
+def test_no_complex_types_at_catalog_boundary(spark):
+    """The external gate canonicalizes results through pandas, which
+    cannot sort/hash list- or struct-typed cells (round-2's q67 crash:
+    TypeError: unhashable type 'list'). Every catalog query must emit
+    only scalar/string columns — arrays flatten to f0..fN or serialize
+    to sorted strings BEFORE the registry boundary."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = {}
+    for name, fn in Q.QUERIES.items():
+        bad = [
+            f.name
+            for f in fn(spark, SF_SMOKE).schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
 def test_no_python_udfs_anywhere_in_catalog(spark):
     """No row-at-a-time Python anywhere. Arrow-batched MapInPandas is
     allowed ONLY where documented as the right tool (q33's all-pairs
