@@ -2482,18 +2482,25 @@ def q35_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     rsd=0.01, i.e. a 5-sigma band — deterministic in Spark, literal TRUE
     in the oracle). r2 left this permanently ``no_oracle``; this split
     keeps the sketch in the plan while giving the driver a hashable
-    verdict. The raw estimate itself stays pinned by pytest."""
+    verdict. The raw estimate itself stays pinned by pytest.
+
+    The exact and approximate aggregates run as SEPARATE aggregations
+    joined on brand, never one mixed agg: combining a DISTINCT aggregate
+    with a high-precision HLL makes Catalyst expand every input row per
+    aggregate group and drag the 16k-register sketch buffer through the
+    sort-based ObjectHashAggregate fallback — measured 32 s vs 1.3 s
+    decoupled at sf0.1 (each aggregate alone is hash-based and
+    map-side-combined; the join is 25 brand keys)."""
     li = _li(spark, sf)
     part = load_table(spark, sf, "part")
-    agg = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .groupBy(F.col("p_brand").alias("brand"))
-        .agg(
-            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-            F.countDistinct("l_orderkey").alias("exact_orders"),
-        )
+    grouped = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    ).groupBy(F.col("p_brand").alias("brand"))
+    approx = grouped.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders")
     )
-    return agg.select(
+    exact = grouped.agg(F.countDistinct("l_orderkey").alias("exact_orders"))
+    return exact.join(approx, "brand").select(
         "brand",
         "exact_orders",
         (
