@@ -4151,6 +4151,45 @@ WHERE rn = 1
 """
 
 
+# sliding-window distinct counting, exact tier: distinct users active in
+# the trailing 7 days, per day. COUNT(DISTINCT) over a sliding frame has
+# no direct Spark window form — the scale pattern is to EXPLODE each
+# (user, active-day) pair into the ≤7 window-days it covers and reduce
+# the slide to a plain tumbling groupBy + count distinct (shuffle rows =
+# 7 × |distinct (user, day)|, independent of raw event volume after the
+# first distinct). The sketch tier for wider windows is theta/HLL merge
+# (q82/q87): union-merge per-day sketches instead of exploding. Days
+# derive from the NTZ wall clock (session-independent cast).
+
+def q101_rolling_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    user_days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    covered = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence("day", F.date_add("day", 6))
+        ).alias("window_day"),
+    )
+    return covered.groupBy("window_day").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+Q101_SQL = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), covered AS (
+  SELECT user_id, day + CAST(off AS INT) AS window_day
+  FROM user_days, LATERAL (SELECT unnest(generate_series(0, 6)) AS off)
+)
+SELECT window_day, count(DISTINCT user_id) AS n_users
+FROM covered
+GROUP BY window_day
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -4432,6 +4471,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q98_order_count_histogram": q98_order_count_histogram,
     "q99_split_leakage": q99_split_leakage,
     "q100_event_throttle": q100_event_throttle,
+    "q101_rolling_distinct_users": q101_rolling_distinct_users,
 }
 
 ORACLES: dict[str, str] = {
@@ -4525,6 +4565,7 @@ ORACLES: dict[str, str] = {
     "q98_order_count_histogram": Q98_SQL,
     "q99_split_leakage": Q99_SQL,
     "q100_event_throttle": Q100_SQL,
+    "q101_rolling_distinct_users": Q101_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
     # form in round 3, so it is oracled above.

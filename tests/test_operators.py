@@ -412,6 +412,20 @@ def test_connected_components_chain_and_islands(spark):
     assert dist == got
 
 
+def test_approx_distinct_estimate_within_band(spark):
+    """q35's contract: the rsd=0.01 HLL estimate lands within the 5%
+    error band of the exact distinct count for every brand (a 5-sigma
+    band — the hll_ok boolean the oracle certifies as literal TRUE)."""
+    from tests.conftest import SF_SMOKE
+
+    from superstore_data_pipeline_analytics_dashboard__spark.plans import (
+        catalog_queries as Q,
+    )
+
+    rows = Q.QUERIES["q35_approx_distinct"](spark, SF_SMOKE).collect()
+    assert rows and all(r["hll_ok"] for r in rows)
+
+
 def test_dedup_clusters_transitive_canonical(spark):
     from superstore_data_pipeline_analytics_dashboard__spark.operators.graph import (
         dedup_clusters,
