@@ -4190,6 +4190,35 @@ GROUP BY window_day
 """
 
 
+# video frame sampling (operators.multimodal.sample_frames): FAKEVID
+# containers built JVM-side from document text (the documented stub
+# path — a real codec drops into _decode_video without touching this
+# plan), frames sampled every_n inside the Arrow batch (grain change
+# with NO Spark explode, partitioning preserved). Byte-level decode is
+# not SQL-expressible → rows-only; the frame payload leaves as
+# deterministic scalars (length + md5), never binary, per the
+# scalar-only boundary contract.
+
+def q102_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    fake_vid = F.concat(F.lit("FAKEVID|8|16|8|"), F.col("text"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        fake_vid.cast("binary").alias("content"),
+    )
+    frames = sample_frames(media, every_n=2)
+    return frames.select(
+        "media_id",
+        "frame_no",
+        "width",
+        "height",
+        F.length("frame").alias("n_frame_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -4472,6 +4501,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q99_split_leakage": q99_split_leakage,
     "q100_event_throttle": q100_event_throttle,
     "q101_rolling_distinct_users": q101_rolling_distinct_users,
+    "q102_video_frame_sample": q102_video_frame_sample,  # rows-only (decode)
 }
 
 ORACLES: dict[str, str] = {

@@ -151,6 +151,7 @@ def test_no_python_udfs_anywhere_in_catalog(spark):
         "q33_embedding_neardup",
         "q67_multimodal_features",
         "q69_sign_lsh_neardup",
+        "q102_video_frame_sample",
     }
     for name, fn in Q.QUERIES.items():
         plan = _executed_plan(fn(spark, SF_SMOKE))
