@@ -214,3 +214,35 @@ def share_of_total(
     w = Window.partitionBy(*partition)
     share = F.col(measure) / F.nullif(F.sum(measure).over(w), F.lit(0))
     return df.withColumn(out, share.cast(f"decimal({scale[0]},{scale[1]})"))
+
+
+def rolling_distinct(
+    df: DataFrame,
+    id_col: str,
+    date_col: str,
+    window_days: int = 7,
+    out: str = "n_distinct",
+) -> DataFrame:
+    """Exact COUNT(DISTINCT id) over a trailing ``window_days``-day
+    window, per day: (window_day, n_distinct). No Spark window frame
+    supports DISTINCT aggregates, so the scale pattern is to EXPLODE
+    each distinct (id, day) pair into the ≤window_days window-days it
+    covers and reduce the slide to a tumbling groupBy + count distinct.
+    Shuffle volume is window_days × |distinct (id, day)| — independent
+    of raw row volume after the first distinct. For wide windows where
+    the explode factor hurts, the mergeable-sketch tier
+    (sketches.theta_distinct_per_group / HLL union) replaces exactness
+    with union-merge of per-day sketches. Catalog q101 is the oracled
+    instance over events."""
+    pairs = df.select(
+        F.col(id_col).alias("__id"), F.col(date_col).cast("date").alias("__day")
+    ).distinct()
+    covered = pairs.select(
+        "__id",
+        F.explode(
+            F.sequence("__day", F.date_add("__day", window_days - 1))
+        ).alias("window_day"),
+    )
+    return covered.groupBy("window_day").agg(
+        F.countDistinct("__id").alias(out)
+    )

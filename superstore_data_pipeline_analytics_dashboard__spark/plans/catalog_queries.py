@@ -4162,19 +4162,10 @@ WHERE rn = 1
 # derive from the NTZ wall clock (session-independent cast).
 
 def q101_rolling_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.windows import rolling_distinct
+
     ev = load_table(spark, sf, "events")
-    user_days = ev.select(
-        "user_id", F.col("ts").cast("date").alias("day")
-    ).distinct()
-    covered = user_days.select(
-        "user_id",
-        F.explode(
-            F.sequence("day", F.date_add("day", 6))
-        ).alias("window_day"),
-    )
-    return covered.groupBy("window_day").agg(
-        F.countDistinct("user_id").alias("n_users")
-    )
+    return rolling_distinct(ev, "user_id", "ts", window_days=7, out="n_users")
 
 
 Q101_SQL = """

@@ -777,6 +777,49 @@ def test_triangle_count_known_graphs(spark):
     assert count([(1, 2), (2, 3), (1, 3), (3, 1), (3, 4)])[0] == 1
 
 
+def test_rolling_distinct_matches_python_reference(spark):
+    """Property: the explode-into-covered-windows trick computes exactly
+    the trailing-k-day distinct count a direct per-day evaluation gives,
+    on random (id, day) sets with duplicates and gaps."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.windows import (
+        rolling_distinct,
+    )
+
+    base = dt.date(2024, 3, 1)
+    rows_strategy = st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 20)),  # (id, day offset)
+        min_size=1,
+        max_size=60,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(rows=rows_strategy)
+    def check(rows):
+        data = [(i, base + dt.timedelta(days=off)) for i, off in rows]
+        df = spark.createDataFrame(data, "uid BIGINT, day DATE")
+        got = {
+            r["window_day"]: r["n"]
+            for r in rolling_distinct(df, "uid", "day", window_days=3, out="n")
+            .collect()
+        }
+        # reference: for each day any id's window covers, distinct ids
+        # active in [day-2, day]
+        days = {d for _, d in data}
+        want = {}
+        for d in {d + dt.timedelta(days=k) for d in days for k in range(3)}:
+            ids = {i for i, dd in data if dt.timedelta(0) <= d - dd <= dt.timedelta(days=2)}
+            if ids:
+                want[d] = len(ids)
+        assert got == want
+
+    check()
+
+
 def test_funnel_matches_python_reference(spark):
     """Property: funnel depth/timestamps agree with a direct per-user
     Python evaluation of earliest-completion semantics on random event
