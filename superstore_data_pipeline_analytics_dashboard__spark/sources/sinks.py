@@ -78,10 +78,30 @@ def save_bucketed(
     writer.saveAsTable(name)
 
 
-def save_star_catalog(spark: SparkSession, layers: dict[str, DataFrame]) -> None:
+def analyze_table(
+    spark: SparkSession, name: str, columns: Sequence[str] | None = None
+) -> None:
+    """Collect catalog statistics for the cost-based optimizer — the
+    at-scale step the reference's ``UPDATE STATISTICS`` habit maps to.
+    Table-level stats (row count, size) always; with ``columns``, also
+    per-column NDV/min/max/null-count histogram inputs, which is what
+    lets Catalyst's CBO pick join orders and broadcast decisions on a
+    1000-executor plan instead of falling back to size heuristics.
+    Statistics are metadata-only: one scan, no data rewrite."""
+    spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}")
+
+
+def save_star_catalog(
+    spark: SparkSession, layers: dict[str, DataFrame], analyze: bool = False
+) -> None:
     """Materialize the whole superstore star into the namespaced catalog
     (the reference's end state): dims overwrite, fact appends idempotently
-    on (OrderID, OrderLineNo)."""
+    on (OrderID, OrderLineNo). With ``analyze``, collect CBO stats on the
+    fact and its join keys after the load (the production default; off in
+    quick tests)."""
     ensure_namespaces(spark)
     save_table(layers["stg"], "stg.superstore_typed")
     for dim in ("date", "shipmode", "category", "subcategory", "geography",
@@ -89,3 +109,5 @@ def save_star_catalog(spark: SparkSession, layers: dict[str, DataFrame]) -> None
         save_table(layers[f"dim_{dim}"], f"dim.{dim}")
     append_idempotent(layers["fact"], "fact.sales", ["OrderID", "OrderLineNo"])
     save_table(layers["qa_issues"], "qa.load_issues")
+    if analyze:
+        analyze_table(spark, "fact.sales", ["OrderID", "ProductKey", "CustomerKey"])

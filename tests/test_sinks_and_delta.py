@@ -26,6 +26,22 @@ def test_namespaces_and_idempotent_fact_append(spark, superstore_layers):
     assert spark.table("fact.sales").count() == n1
     assert spark.table("dim.customer").count() == 793
     assert spark.table("qa.load_issues").count() == 3
+
+    # CBO statistics: table rowCount + column NDV land in the catalog
+    # metadata (what lets the optimizer cost join orders at scale)
+    sinks.analyze_table(spark, "fact.sales", ["OrderID"])
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql("DESCRIBE TABLE EXTENDED fact.sales").collect()
+    }
+    assert "9986" in desc.get("Statistics", "")
+    col_stats = {
+        r["info_name"]: r["info_value"]
+        for r in spark.sql(
+            "DESCRIBE TABLE EXTENDED fact.sales OrderID"
+        ).collect()
+    }
+    assert col_stats.get("distinct_count") not in (None, "NULL")
     sinks.drop_star(spark)
 
 
