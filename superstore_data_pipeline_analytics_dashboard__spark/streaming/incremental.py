@@ -66,6 +66,27 @@ def dedup_stream(
     return events.withWatermark(ts_col, lateness).dropDuplicates(list(keys))
 
 
+def dedup_stream_within_watermark(
+    events: DataFrame,
+    keys: Sequence[str] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    lateness: str = "10 minutes",
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` — dedup on a BUSINESS key whose
+    duplicates arrive with *different* event times (retries, at-least-once
+    producers re-stamping on send). Plain ``dropDuplicates`` would treat
+    each re-stamp as distinct when the event time is part of the key, and
+    with the time excluded it could never evict state; the
+    within-watermark variant keeps a key's state only until the watermark
+    passes its first-seen time + delay, so duplicates inside the lateness
+    window collapse and state stays bounded. Use ``dedup_stream`` when a
+    stable unique id (event_id) exists; use this when only the business
+    key is stable."""
+    return events.withWatermark(ts_col, lateness).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def throttle_stream(
     events: DataFrame,
     keys: Sequence[str] = ("user_id", "event_type"),

@@ -54,6 +54,39 @@ def test_windowed_counts_match_batch(spark, event_drop_zone):
     q.stop()
 
 
+def test_dedup_within_watermark_collapses_restamped_duplicates(
+    spark, event_drop_zone, tmpdir
+):
+    """A producer retry re-stamps the same business key with a new event
+    time: dropDuplicatesWithinWatermark must keep ONE row per key while
+    plain per-(key, ts) identity would keep both."""
+    from superstore_data_pipeline_analytics_dashboard__spark.sources.catalog import (
+        load_table,
+    )
+
+    base = load_table(spark, SF_SMOKE, "events").limit(50)
+    # duplicate every event under the same business key, shifted 1 s
+    dup = base.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 SECOND"))
+    drop = tmpdir / "restamped"
+    base.unionByName(dup).coalesce(1).write.parquet(str(drop))
+
+    stream = S.read_event_stream(spark, str(drop))
+    q = (
+        S.dedup_stream_within_watermark(
+            stream, keys=["event_id"], lateness="10 minutes"
+        )
+        .writeStream.format("memory")
+        .queryName("wm_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("SELECT count(*) AS n FROM wm_dedup").first()["n"]
+    assert n == base.count()  # one survivor per event_id despite 2 ts stamps
+    q.stop()
+
+
 def test_throttle_stream_matches_batch_twin(spark, event_drop_zone):
     """Streaming repeat-collapse agrees with the batch q100 twin on the
     same events: one survivor per (user, type, 10-min window), identical
