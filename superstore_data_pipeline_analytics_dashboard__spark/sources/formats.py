@@ -79,6 +79,44 @@ def read_any(
     return reader.format(fmt).load(path)
 
 
+def read_parquet_evolved(
+    spark: SparkSession, *paths: str
+) -> DataFrame:
+    """Read parquet written under an EVOLVED schema (columns added over
+    time across partitions/loads): ``mergeSchema`` unions every file
+    footer's schema, so old files surface the new columns as NULL. Off
+    by default in Spark because footer merging costs one extra pass over
+    file metadata — turn it on only at schema boundaries like this, not
+    globally."""
+    return spark.read.option("mergeSchema", True).parquet(*paths)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_mb: int = 256,
+) -> int:
+    """Small-files compaction: rewrite ``src`` into ``dst`` with file
+    count sized from the ACTUAL on-disk bytes (Hadoop FS content
+    summary, storage-agnostic) over ``target_file_mb``. The classic
+    100 TB housekeeping op — streaming sinks and per-batch appends leave
+    thousands of KB-files whose per-file open/footer cost dominates later
+    scans. Returns the file count written. Writes to a NEW location; the
+    caller swaps directories once the write commits (never compact in
+    place — a failed overwrite of the live path loses data)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(src)
+    fs = jpath.getFileSystem(hconf)
+    n_bytes = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, -(-int(n_bytes) // (target_file_mb * 1024 * 1024)))
+    spark.read.parquet(src).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(dst)
+    return n_files
+
+
 def write_any(
     df: DataFrame,
     path: str,

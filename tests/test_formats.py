@@ -90,3 +90,32 @@ def test_partitioned_write_prunes_directories(spark, tmpdir, typed_frame):
     )
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(event_type" in plan
+
+
+def test_schema_evolution_merge_read(spark, tmpdir, typed_frame):
+    """Old files written before a column existed must surface it as NULL
+    under the merged-schema read, with new-file values intact."""
+    old = tmpdir / "evolved" / "load=1"
+    new = tmpdir / "evolved" / "load=2"
+    typed_frame.select("event_id", "event_type").write.parquet(str(old))
+    typed_frame.select("event_id", "event_type", "value").write.parquet(str(new))
+
+    merged = FM.read_parquet_evolved(spark, str(tmpdir / "evolved"))
+    assert "value" in merged.columns
+    n = typed_frame.count()
+    assert merged.count() == 2 * n
+    assert merged.filter(F.col("value").isNull()).count() == n
+
+
+def test_compact_parquet_reduces_file_count(spark, tmpdir, typed_frame):
+    """A many-tiny-files directory compacts to the byte-sized file count
+    with identical content."""
+    src = tmpdir / "tiny"
+    dst = tmpdir / "compacted"
+    typed_frame.repartition(50).write.parquet(str(src))
+    assert len(list(src.glob("*.parquet"))) == 50
+
+    n_files = FM.compact_parquet(spark, str(src), str(dst), target_file_mb=256)
+    assert n_files == 1  # 500 rows is far under one 256 MB target file
+    assert len(list(dst.glob("*.parquet"))) == 1
+    assert _sorted_rows(spark.read.parquet(str(dst))) == _sorted_rows(typed_frame)
