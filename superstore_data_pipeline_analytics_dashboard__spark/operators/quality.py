@@ -35,3 +35,23 @@ def load_issues(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     return wide.select(F.explode(pairs).alias("kv")).select(
         "kv.IssueType", "kv.RowCount"
     )
+
+
+def observe_issues(df: DataFrame, rules: dict[str, Column], name: str = "qa"):
+    """F20/A3 at zero extra cost: attach the QA rule counters to the
+    DataFrame as an ``Observation`` — the metrics are accumulated DURING
+    whatever action materializes ``df`` (the fact write, a sink append),
+    so the rules cost NO additional scan at all. ``load_issues`` is the
+    query form (one dedicated pass); this is the pipeline form.
+
+    Returns ``(df_observed, observation)``; read
+    ``observation.get`` AFTER an action on ``df_observed``. Keys:
+    ``n_rows`` plus one count per rule name."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.when(pred, 1).otherwise(0)).cast("bigint").alias(rule_name)
+        for rule_name, pred in rules.items()
+    ]
+    return df.observe(obs, *metrics), obs

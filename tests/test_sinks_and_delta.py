@@ -84,3 +84,28 @@ def test_superstore_scd2_delta_batch(spark, superstore_layers):
     )
     # surrogate keys remain unique
     assert out.select("CustomerKey").distinct().count() == out.count()
+
+
+def test_observe_issues_counts_during_write(spark, superstore_layers, tmp_path):
+    """QA counters via Observation accumulate during the sink write —
+    no dedicated counting scan — and agree with the dedicated-pass form."""
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.quality import (
+        load_issues,
+        observe_issues,
+    )
+
+    stg = superstore_layers["stg"]
+    rules = {
+        "null_postal": F.col("PostalCode").isNull(),
+        "nonpositive_sales": F.col("Sales") <= 0,
+    }
+    observed, obs = observe_issues(stg, rules)
+    observed.write.mode("overwrite").parquet(str(tmp_path / "observed_sink"))
+    got = obs.get
+    assert got["n_rows"] == stg.count()
+    direct = {
+        r["IssueType"]: r["RowCount"]
+        for r in load_issues(stg, rules).collect()
+    }
+    assert got["null_postal"] == direct["null_postal"]
+    assert got["nonpositive_sales"] == direct["nonpositive_sales"]
