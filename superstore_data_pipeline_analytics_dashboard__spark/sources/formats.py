@@ -31,6 +31,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _COLUMNAR = {"parquet", "orc"}
@@ -77,6 +78,40 @@ def read_any(
     if fmt == "csv":
         reader = _ts_options(reader.option("header", True))
     return reader.format(fmt).load(path)
+
+
+def read_json_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+) -> dict:
+    """JSON-lines with a bad-record channel (the S1/S2 recovery idea
+    applied to JSON): PERMISSIVE parse with ``columnNameOfCorruptRecord``
+    keeps malformed lines instead of dropping (DROPMALFORMED) or aborting
+    (FAILFAST), then ONE cached scan splits into
+    ``{"good": typed rows, "quarantine": (raw_line)}``. At 100 TB the
+    quarantine side is the audit trail a re-ingest reads — silently
+    dropped records are unrecoverable.
+
+    The corrupt-record column must be part of the read schema (Spark
+    requirement) and is stripped from the good side."""
+    corrupt = "__corrupt"
+    base = (
+        schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
+    )
+    full = base.add(corrupt, "string")
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .json(path)
+        .cache()
+    )
+    good = df.filter(F.col(corrupt).isNull()).drop(corrupt)
+    quarantine = df.filter(F.col(corrupt).isNotNull()).select(
+        F.col(corrupt).alias("raw_line")
+    )
+    return {"good": good, "quarantine": quarantine}
 
 
 def read_parquet_evolved(

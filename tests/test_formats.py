@@ -119,3 +119,25 @@ def test_compact_parquet_reduces_file_count(spark, tmpdir, typed_frame):
     assert n_files == 1  # 500 rows is far under one 256 MB target file
     assert len(list(dst.glob("*.parquet"))) == 1
     assert _sorted_rows(spark.read.parquet(str(dst))) == _sorted_rows(typed_frame)
+
+
+def test_json_quarantine_splits_bad_lines(spark, tmpdir):
+    """Malformed JSON lines land in the quarantine channel verbatim;
+    well-formed lines parse typed. One scan, no dropped records."""
+    path = tmpdir / "events.jsonl"
+    lines = [
+        '{"event_id": 1, "event_type": "click", "value": 1.5}',
+        '{"event_id": 2, "event_type": "view", "value": 2.0}',
+        '{"event_id": 3, "event_type": "view", "value": }',   # malformed
+        'not json at all',
+    ]
+    path.write_text("\n".join(lines))
+
+    out = FM.read_json_with_quarantine(
+        spark, str(path), "event_id BIGINT, event_type STRING, value DOUBLE"
+    )
+    good = {r["event_id"] for r in out["good"].collect()}
+    bad = [r["raw_line"] for r in out["quarantine"].collect()]
+    assert good == {1, 2}
+    assert len(bad) == 2 and "not json at all" in bad
+    assert "__corrupt" not in out["good"].columns
