@@ -4210,6 +4210,66 @@ def q102_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# temperature-scaled source mixing (alpha = 0.5): the multilingual /
+# multi-source sampling rule p_i ∝ share_i^alpha that upweights small
+# sources without letting any source dominate — the standard step
+# between q77's share computation and q89's sample application. alpha
+# is FIXED at 0.5 so the rescale is sqrt (IEEE correctly-rounded in
+# both engines); arbitrary pow() is libm-dependent and would break
+# cross-engine hashing. The normalizing sum over sources goes through
+# the q97 round-to-decimal trick so double summation order cannot leak
+# into the result.
+
+def q103_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(T.token_count("text").cast("bigint")).alias("n_tokens")
+    )
+    tot = per.agg(F.sum("n_tokens").alias("tot_tokens"))
+    shared = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double"))
+        .alias("share"),
+    )
+    w = F.round(F.sqrt("share"), 9)
+    weighted = shared.select("source", "n_tokens", "share", w.alias("temp_w"))
+    norm = weighted.agg(
+        F.sum(F.col("temp_w").cast("decimal(28,9)")).alias("z")
+    )
+    return weighted.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "n_tokens",
+        "share",
+        (F.col("temp_w") / F.col("z").cast("double")).alias("temp_share"),
+    )
+
+
+Q103_SQL = r"""
+WITH per AS (
+  SELECT source,
+         CAST(sum(len(list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM per
+), shared AS (
+  SELECT source, n_tokens,
+         CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS share
+  FROM per CROSS JOIN tot
+), weighted AS (
+  SELECT source, n_tokens, share, round(sqrt(share), 9) AS temp_w
+  FROM shared
+), norm AS (
+  SELECT sum(CAST(temp_w AS DECIMAL(28,9))) AS z FROM weighted
+)
+SELECT source, n_tokens, share,
+       temp_w / CAST(z AS DOUBLE) AS temp_share
+FROM weighted CROSS JOIN norm
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -4493,6 +4553,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q100_event_throttle": q100_event_throttle,
     "q101_rolling_distinct_users": q101_rolling_distinct_users,
     "q102_video_frame_sample": q102_video_frame_sample,  # rows-only (decode)
+    "q103_temperature_mix": q103_temperature_mix,
 }
 
 ORACLES: dict[str, str] = {
@@ -4587,6 +4648,7 @@ ORACLES: dict[str, str] = {
     "q99_split_leakage": Q99_SQL,
     "q100_event_throttle": Q100_SQL,
     "q101_rolling_distinct_users": Q101_SQL,
+    "q103_temperature_mix": Q103_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
     # form in round 3, so it is oracled above.
