@@ -34,7 +34,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
-    driver_edge_threshold: int = 1_000_000,
+    driver_edge_threshold: int = 100_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component
     id = the minimum node id in the component. Undirected: edges are
@@ -46,9 +46,13 @@ def connected_components(
     and each distributed propagation round costs join+groupBy+count jobs
     whose fixed latency dwarfs the work for small graphs (measured 3.6 s
     for a 238-edge graph at 32 threads). The bound mirrors Spark's own
-    broadcast-join reasoning — ≤1M edges ≈ tens of MB on the driver; the
-    count that guards it doubles as the cache materializer, so the
-    decision adds no extra job. Above the bound the iterative
+    broadcast-join reasoning, sized honestly for PYTHON object overhead:
+    collected ``Row``s cost ~100-200 bytes each and the parent dict ~100
+    bytes/node, so 100k edges ≈ tens of MB of driver heap — comfortable
+    at default driver sizing, where the previous 1M default could reach
+    hundreds of MB. The count that guards it doubles as the cache
+    materializer, so the decision adds no extra job. Above the bound the
+    iterative
     min-label-propagation path runs unchanged (and
     :func:`connected_components_star` remains the adversarial-diameter
     insurance). Pass ``driver_edge_threshold=0`` to force the

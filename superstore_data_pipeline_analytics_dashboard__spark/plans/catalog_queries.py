@@ -4019,27 +4019,18 @@ GROUP BY c_count
 # md5 bucket expression directly on the pair endpoints (the split is a
 # pure function of doc_id), so NO join against the corpus-sized labeled
 # table is needed — the only data past the pair-finding stage is the
-# pair list itself. At 100 TB the pair input comes from the LSH
-# candidate tier (q26) instead of the exact all-pairs index; the leakage
-# rollup is unchanged.
+# pair list itself. The audit is operators.dedup.split_leakage, which
+# takes the pair frame as a PARAMETER: this oracle-checked query feeds
+# it the exact tier; at 100 TB feed it minhash_dedup's verified pairs
+# instead (same output contract — tests pin that both tiers agree on
+# planted leaks).
 
 def q99_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
     from ..functions.sampling import deterministic_split
 
     docs = load_table(spark, sf, "documents")
     pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
-    labeled = pairs.select(
-        "jaccard",
-        deterministic_split(F.col("doc_a")).alias("split_a"),
-        deterministic_split(F.col("doc_b")).alias("split_b"),
-    ).filter(F.col("split_a") != F.col("split_b"))
-    return labeled.groupBy(
-        F.least("split_a", "split_b").alias("split_lo"),
-        F.greatest("split_a", "split_b").alias("split_hi"),
-    ).agg(
-        F.count("*").alias("n_leaky_pairs"),
-        F.max("jaccard").alias("max_jaccard"),
-    )
+    return DD.split_leakage(pairs, deterministic_split)
 
 
 _SPLIT_OF = """CASE
@@ -4217,8 +4208,13 @@ def q102_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
 # is FIXED at 0.5 so the rescale is sqrt (IEEE correctly-rounded in
 # both engines); arbitrary pow() is libm-dependent and would break
 # cross-engine hashing. The normalizing sum over sources goes through
-# the q97 round-to-decimal trick so double summation order cannot leak
-# into the result.
+# an explicit decimal CAST (not round(double, n)) so double summation
+# order cannot leak into the result: Spark's round() goes via the
+# double's shortest decimal string (BigDecimal HALF_UP) while DuckDB's
+# round() multiplies/rounds/divides in binary — a last-ulp divergence
+# waiting on the right input. cast(double as decimal) quantizes the
+# same IEEE value through each engine's decimal constructor instead,
+# matching the repo's exact-decimal-boundary philosophy (ADVICE r3).
 
 def q103_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
@@ -4232,7 +4228,7 @@ def q103_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double"))
         .alias("share"),
     )
-    w = F.round(F.sqrt("share"), 9)
+    w = F.sqrt("share").cast("decimal(18,9)")
     weighted = shared.select("source", "n_tokens", "share", w.alias("temp_w"))
     norm = weighted.agg(
         F.sum(F.col("temp_w").cast("decimal(28,9)")).alias("z")
@@ -4241,7 +4237,9 @@ def q103_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
         "source",
         "n_tokens",
         "share",
-        (F.col("temp_w") / F.col("z").cast("double")).alias("temp_share"),
+        (F.col("temp_w").cast("double") / F.col("z").cast("double")).alias(
+            "temp_share"
+        ),
     )
 
 
@@ -4259,13 +4257,14 @@ WITH per AS (
          CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS share
   FROM per CROSS JOIN tot
 ), weighted AS (
-  SELECT source, n_tokens, share, round(sqrt(share), 9) AS temp_w
+  SELECT source, n_tokens, share,
+         CAST(sqrt(share) AS DECIMAL(18,9)) AS temp_w
   FROM shared
 ), norm AS (
   SELECT sum(CAST(temp_w AS DECIMAL(28,9))) AS z FROM weighted
 )
 SELECT source, n_tokens, share,
-       temp_w / CAST(z AS DOUBLE) AS temp_share
+       CAST(temp_w AS DOUBLE) / CAST(z AS DOUBLE) AS temp_share
 FROM weighted CROSS JOIN norm
 """
 

@@ -32,7 +32,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 _COLUMNAR = {"parquet", "orc"}
 _TEXTUAL = {"json", "csv"}
@@ -94,12 +94,20 @@ def read_json_with_quarantine(
     dropped records are unrecoverable.
 
     The corrupt-record column must be part of the read schema (Spark
-    requirement) and is stripped from the good side."""
+    requirement) and is stripped from the good side.
+
+    The returned dict also carries ``"parsed"``: the cached parent both
+    splits filter — call ``parsed.unpersist()`` once both sides are
+    materialized, otherwise the parse stays pinned in executor storage
+    for the session. The caller-supplied ``StructType`` is never mutated
+    (``StructType.add`` mutates in place AND returns self, so the
+    obvious one-liner would permanently append ``__corrupt`` to the
+    caller's schema object)."""
     corrupt = "__corrupt"
     base = (
         schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
     )
-    full = base.add(corrupt, "string")
+    full = StructType(list(base.fields) + [StructField(corrupt, StringType())])
     df = (
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")
@@ -111,7 +119,7 @@ def read_json_with_quarantine(
     quarantine = df.filter(F.col(corrupt).isNotNull()).select(
         F.col(corrupt).alias("raw_line")
     )
-    return {"good": good, "quarantine": quarantine}
+    return {"good": good, "quarantine": quarantine, "parsed": df}
 
 
 def read_parquet_evolved(
@@ -139,16 +147,46 @@ def compact_parquet(
     thousands of KB-files whose per-file open/footer cost dominates later
     scans. Returns the file count written. Writes to a NEW location; the
     caller swaps directories once the write commits (never compact in
-    place — a failed overwrite of the live path loses data)."""
+    place — a failed overwrite of the live path loses data).
+
+    Hive-partitioned sources keep their layout: ``k=v`` directory levels
+    under ``src`` are detected from the filesystem and carried through
+    ``partitionBy`` on the rewrite (a flat rewrite would silently turn
+    partition columns into data columns and disable partition pruning
+    for every downstream reader). For partitioned sources the rewrite is
+    clustered on the partition columns so each output directory gets
+    coherent files instead of ``n_files`` fragments per partition."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(src)
     fs = jpath.getFileSystem(hconf)
     n_bytes = fs.getContentSummary(jpath).getLength()
     n_files = max(1, -(-int(n_bytes) // (target_file_mb * 1024 * 1024)))
-    spark.read.parquet(src).repartition(n_files).write.mode(
-        "overwrite"
-    ).parquet(dst)
+    # walk down the first child chain collecting Hive `k=v` levels — the
+    # partition spec is identical across siblings by construction, so one
+    # path is enough to recover the ordered partition-column list
+    part_cols: list[str] = []
+    probe = jpath
+    while True:
+        subdirs = [
+            st.getPath()
+            for st in fs.listStatus(probe)
+            if st.isDirectory() and "=" in st.getPath().getName()
+        ]
+        if not subdirs:
+            break
+        part_cols.append(subdirs[0].getName().split("=", 1)[0])
+        probe = subdirs[0]
+    df = spark.read.parquet(src)
+    if part_cols:
+        writer = (
+            df.repartition(n_files, *part_cols)
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+        )
+    else:
+        writer = df.repartition(n_files).write.mode("overwrite")
+    writer.parquet(dst)
     return n_files
 
 

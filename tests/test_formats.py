@@ -121,6 +121,31 @@ def test_compact_parquet_reduces_file_count(spark, tmpdir, typed_frame):
     assert _sorted_rows(spark.read.parquet(str(dst))) == _sorted_rows(typed_frame)
 
 
+def test_compact_parquet_preserves_hive_partitions(spark, tmpdir, typed_frame):
+    """Compacting a Hive-partitioned source must keep the `k=v` layout —
+    a flat rewrite would turn partition columns into data columns and
+    disable partition pruning for every downstream reader (ADVICE r3)."""
+    src = tmpdir / "tiny_parts"
+    dst = tmpdir / "compacted_parts"
+    typed_frame.repartition(10).write.partitionBy("event_type").parquet(str(src))
+
+    FM.compact_parquet(spark, str(src), str(dst), target_file_mb=256)
+    assert (dst / "event_type=click").exists()
+    back = spark.read.parquet(str(dst))
+    assert set(back.columns) == set(typed_frame.columns)
+    assert _sorted_rows(back.select(*typed_frame.columns)) == _sorted_rows(
+        typed_frame
+    )
+    # pruning still works on the compacted copy
+    plan = (
+        back.filter(F.col("event_type") == "click")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+
+
 def test_json_quarantine_splits_bad_lines(spark, tmpdir):
     """Malformed JSON lines land in the quarantine channel verbatim;
     well-formed lines parse typed. One scan, no dropped records."""
@@ -141,3 +166,36 @@ def test_json_quarantine_splits_bad_lines(spark, tmpdir):
     assert good == {1, 2}
     assert len(bad) == 2 and "not json at all" in bad
     assert "__corrupt" not in out["good"].columns
+    # caller releases the cached parse through the returned handle
+    out["parsed"].unpersist()
+
+
+def test_json_quarantine_does_not_mutate_caller_schema(spark, tmpdir):
+    """StructType.add mutates in place and returns self — the quarantine
+    reader must copy, so a caller-supplied StructType is reusable for a
+    second quarantine read or a plain read_any (ADVICE r3)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    path = tmpdir / "events.jsonl"
+    path.write_text('{"event_id": 1, "event_type": "click", "value": 1.5}\n')
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    before = [f.name for f in schema.fields]
+    out1 = FM.read_json_with_quarantine(spark, str(path), schema)
+    assert [f.name for f in schema.fields] == before  # not mutated
+    out2 = FM.read_json_with_quarantine(spark, str(path), schema)  # reusable
+    assert out1["good"].columns == out2["good"].columns == before
+    assert out2["good"].count() == 1
+    out1["parsed"].unpersist()
+    out2["parsed"].unpersist()

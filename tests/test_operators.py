@@ -277,6 +277,39 @@ def test_minhash_dedup_agrees_with_exact(spark):
     assert not any(4 in p for p in pairs)
 
 
+def test_split_leakage_tiers_agree_on_planted_leaks(spark):
+    """split_leakage takes the pair frame as a parameter (VERDICT r3):
+    the exact tier (ngram_jaccard_pairs, the q99 oracle path) and the
+    scale tier (minhash_dedup verified pairs, the 100 TB path) must
+    produce the IDENTICAL leakage rollup on planted cross-split dups —
+    both verify with exact Jaccard, so even max_jaccard matches."""
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.dedup import (
+        split_leakage,
+    )
+
+    df = spark.createDataFrame(_DOCS, ["doc_id", "text"])
+    # split as a pure function of id we control: even→train, odd→test.
+    # docs 1/2/3 are mutual near-dups, so (1,2) and (2,3) cross splits.
+    split_of = lambda c: F.when(c % 2 == 0, F.lit("train")).otherwise(F.lit("test"))
+
+    exact_pairs = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.3)
+    lsh_pairs = minhash_dedup(df, "doc_id", "text", n=3, threshold=0.3)
+
+    def rollup(pairs):
+        return sorted(
+            tuple(r)
+            for r in split_leakage(pairs, split_of).collect()
+        )
+
+    exact_rollup = rollup(exact_pairs)
+    assert exact_rollup == rollup(lsh_pairs)
+    assert len(exact_rollup) == 1
+    split_lo, split_hi, n_leaky, max_jac = exact_rollup[0]
+    assert (split_lo, split_hi) == ("test", "train")
+    assert n_leaky == 2  # (1,2) and (2,3); (1,3) stays inside 'test'
+    assert float(max_jac) == 1.0  # (1,2) is an exact dup across splits
+
+
 def test_max_df_filter_drops_boilerplate_shingles(spark):
     """A shingle present in every doc (licence-header boilerplate) must be
     dropped at max_df, shrinking the candidate pair space; docs related
