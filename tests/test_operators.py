@@ -830,22 +830,29 @@ def test_rolling_distinct_matches_python_reference(spark):
         max_size=60,
     )
 
-    @settings(max_examples=12, deadline=None)
-    @given(rows=rows_strategy)
-    def check(rows):
+    # window_days is drawn too (1 = degenerate per-day, 7 = the q101
+    # default, plus odd widths) so the explode/tumble identity is pinned
+    # at non-default widths, not just the one the parity gate exercises
+    @settings(max_examples=16, deadline=None)
+    @given(rows=rows_strategy, k=st.sampled_from([1, 2, 3, 5, 7]))
+    def check(rows, k):
         data = [(i, base + dt.timedelta(days=off)) for i, off in rows]
         df = spark.createDataFrame(data, "uid BIGINT, day DATE")
         got = {
             r["window_day"]: r["n"]
-            for r in rolling_distinct(df, "uid", "day", window_days=3, out="n")
+            for r in rolling_distinct(df, "uid", "day", window_days=k, out="n")
             .collect()
         }
         # reference: for each day any id's window covers, distinct ids
-        # active in [day-2, day]
+        # active in [day-(k-1), day]
         days = {d for _, d in data}
         want = {}
-        for d in {d + dt.timedelta(days=k) for d in days for k in range(3)}:
-            ids = {i for i, dd in data if dt.timedelta(0) <= d - dd <= dt.timedelta(days=2)}
+        for d in {d + dt.timedelta(days=j) for d in days for j in range(k)}:
+            ids = {
+                i
+                for i, dd in data
+                if dt.timedelta(0) <= d - dd <= dt.timedelta(days=k - 1)
+            }
             if ids:
                 want[d] = len(ids)
         assert got == want

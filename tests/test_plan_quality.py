@@ -193,6 +193,22 @@ def test_funnel_is_single_exchange_on_user(spark):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
 
 
+def test_throttle_batch_twin_single_exchange_no_window(spark):
+    """q100 (event throttle, batch twin of streaming.throttle_events):
+    the first-event-per-(window,user,type) pick must ride the aggregate's
+    min-over-struct — ONE hash Exchange for the whole query, partial agg
+    before it, and no Window node or join (a row_number formulation would
+    shuffle AND sort globally). min(struct) is not hash-aggregable, so
+    Spark plans SortAggregate with partition-LOCAL sorts ("false, 0" =
+    non-global) — acceptable; a global range Exchange would not be."""
+    plan = _executed_plan(Q.QUERIES["q100_event_throttle"](spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+    assert "partial_min" in plan  # map-side combine before the shuffle
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
 def test_heavy_keys_is_topk_not_full_sort(spark):
     """q79's top-20 must be TakeOrderedAndProject (per-partition k + merge),
     never a global Sort of all keys."""
