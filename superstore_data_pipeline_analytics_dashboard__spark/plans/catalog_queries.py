@@ -4269,6 +4269,185 @@ FROM weighted CROSS JOIN norm
 """
 
 
+# vocabulary extraction + OOV rate (round 4): the tokenizer-training
+# preprocessing step — build the top-K vocabulary by document frequency
+# (deterministic tie-break: df DESC, term ASC), then score every
+# document's out-of-vocabulary token rate against it. Scale shape: the
+# vocabulary is BOUNDED (K rows) however large the corpus, so the
+# top-K compiles to TakeOrderedAndProject (per-partition K, driver
+# merges K·p) and the vocab side of the membership join broadcasts;
+# the exploded token stream shuffles once for df (term key) and once
+# for the per-doc rollup (doc_id key). OOV rate crosses the engine
+# boundary as DECIMAL(9,6) like every other ratio.
+
+def q104_vocab_oov(spark: SparkSession, sf: str) -> DataFrame:
+    K = 50
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    dfreq = (
+        toks.distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    vocab = (
+        dfreq.orderBy(F.col("df").desc(), "term")
+        .limit(K)
+        .select("term", F.lit(1).alias("__in_vocab"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.count("*") - F.count("__in_vocab")).alias("n_oov"),
+        )
+    )
+    rate = F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        rate.cast("decimal(9,6)").alias("oov_rate"),
+    )
+
+
+Q104_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             x -> x <> '')) AS term
+  FROM documents
+), dfreq AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM toks)
+  GROUP BY term
+), vocab AS (
+  SELECT term, 1 AS in_vocab
+  FROM dfreq ORDER BY df DESC, term LIMIT 50
+), per_doc AS (
+  SELECT t.doc_id,
+         count(*) AS n_tokens,
+         count(*) - count(v.in_vocab) AS n_oov
+  FROM toks t LEFT JOIN vocab v USING (term)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_oov AS BIGINT) AS n_oov,
+       CAST(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+            AS DECIMAL(9,6)) AS oov_rate
+FROM per_doc
+"""
+
+
+# embedding label-cohesion diagnostic (round 4): per-label intra-cluster
+# cosine cohesion — the sanity check a pipeline runs on an embedding
+# table before trusting it for SemDeDup / stratified sampling. All
+# similarity arithmetic happens over q74's int8-quantized vectors so
+# every dot product and norm is an exact INTEGER sum (order-independent,
+# engine-portable); only the final cosine and its per-label mean touch
+# doubles, and the mean goes through the q103 decimal-cast trick so
+# double summation order cannot leak into the hash. Scale shape: the
+# centroid table is labels × dims rows (tiny — broadcast), members make
+# ONE narrow pass with a zip_with dot product, and the rollup shuffles
+# labels only.
+
+def q105_label_cohesion(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, F.abs))
+    quant = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            v,
+            lambda x: F.round(
+                x * F.lit(127.0) / F.greatest(max_abs, F.lit(1e-12))
+            ).cast("long"),
+        ).alias("q"),
+    )
+    # integer centroid numerators per (label, dim) — exact, mergeable
+    cent = (
+        quant.select("label", F.posexplode("q").alias("dim", "qv"))
+        .groupBy("label", "dim")
+        .agg(F.sum("qv").alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "cv"))).alias("__dc")
+        )
+        .select(
+            "label",
+            F.transform(F.col("__dc"), lambda s: s["cv"]).alias("c"),
+        )
+    )
+    joined = quant.join(F.broadcast(cent), "label")
+    dot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("c"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nq = F.aggregate(
+        F.transform(F.col("q"), lambda a: a * a),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nc = F.aggregate(
+        F.transform(F.col("c"), lambda b: b * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = dot.cast("double") / F.sqrt(nq.cast("double") * nc.cast("double"))
+    scored = joined.select(
+        "label", "vec_id", cos.cast("decimal(18,9)").alias("__cos")
+    )
+    # mean via exact decimal sum, final divide in IEEE double (q103
+    # pattern) — decimal/decimal DIVISION rules differ between engines,
+    # double division of identical operands does not
+    return scored.groupBy("label").agg(
+        F.count("*").alias("n_members"),
+        (
+            F.sum("__cos").cast("double") / F.count("*").cast("double")
+        ).alias("cohesion"),
+        F.min("__cos").alias("min_cos"),
+    )
+
+
+Q105_SQL = """
+WITH quant AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 127.0 /
+                  greatest(list_max(list_transform(embedding,
+                      y -> abs(CAST(y AS DOUBLE)))), 1e-12)) AS BIGINT)) AS q
+  FROM embeddings
+), exploded AS (
+  SELECT label, d.dim, q[d.dim] AS qv
+  FROM quant, LATERAL (SELECT unnest(generate_series(1, len(q))) AS dim) d
+), cent AS (
+  SELECT label, list(cv ORDER BY dim) AS c
+  FROM (
+    SELECT label, dim, sum(qv) AS cv
+    FROM exploded GROUP BY label, dim
+  ) GROUP BY label
+), scored AS (
+  SELECT q.label, q.vec_id,
+         CAST(
+           CAST(list_sum(list_transform(range(1, len(q.q) + 1),
+                i -> q.q[i] * c.c[i])) AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(q.q, a -> a * a)) AS DOUBLE)
+                  * CAST(list_sum(list_transform(c.c, b -> b * b)) AS DOUBLE))
+           AS DECIMAL(18,9)) AS cos
+  FROM quant q JOIN cent c USING (label)
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(CAST(cos AS DECIMAL(28,9))) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS cohesion,
+       min(cos) AS min_cos
+FROM scored
+GROUP BY label
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -4421,6 +4600,8 @@ _CANON_SQL_CASTS: dict[str, dict[str, str]] = {
     "q96_gap_filled_daily_revenue": {"revenue": "DOUBLE"},
     "q71_doc_repetition": {"dup_tri_frac": "DOUBLE", "top_bi_frac": "DOUBLE"},
     "q99_split_leakage": {"max_jaccard": "DOUBLE"},
+    "q104_vocab_oov": {"oov_rate": "DOUBLE"},
+    "q105_label_cohesion": {"min_cos": "DOUBLE"},
 }
 
 
@@ -4557,6 +4738,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q26_minhash_dedup": q26_minhash_dedup,
     "q27_simhash_buckets": q27_simhash_buckets,
     "q28_knn_ivf": q28_knn_ivf,
+    # --- round-4 additions (oracled; queued for the next rotation) ---
+    "q104_vocab_oov": q104_vocab_oov,
+    "q105_label_cohesion": q105_label_cohesion,
 }
 
 ORACLES: dict[str, str] = {
@@ -4652,6 +4836,8 @@ ORACLES: dict[str, str] = {
     "q100_event_throttle": Q100_SQL,
     "q101_rolling_distinct_users": Q101_SQL,
     "q103_temperature_mix": Q103_SQL,
+    "q104_vocab_oov": Q104_SQL,
+    "q105_label_cohesion": Q105_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
     # form in round 3, so it is oracled above.

@@ -209,6 +209,25 @@ def test_throttle_batch_twin_single_exchange_no_window(spark):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
 
 
+def test_vocab_oov_topk_and_broadcast_membership(spark):
+    """q104: the top-K vocabulary must compile to TakeOrderedAndProject
+    (K is bounded regardless of corpus size — a global Sort of the df
+    table would be the wrong plan), and the vocabulary membership join
+    must broadcast (K rows against the exploded token stream)."""
+    plan = _executed_plan(Q.QUERIES["q104_vocab_oov"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_label_cohesion_broadcasts_centroids(spark):
+    """q105: the centroid table is labels×dims (tiny) — members must
+    join it via broadcast, never a shuffled join of the embedding scan."""
+    plan = _executed_plan(Q.QUERIES["q105_label_cohesion"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_heavy_keys_is_topk_not_full_sort(spark):
     """q79's top-20 must be TakeOrderedAndProject (per-partition k + merge),
     never a global Sort of all keys."""
