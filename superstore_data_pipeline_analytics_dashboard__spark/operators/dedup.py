@@ -219,6 +219,46 @@ def split_leakage(
     )
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    split_of,
+    id_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Split assignment that CANNOT leak near-duplicates across splits:
+    hash the split from each document's duplication-component anchor
+    (the component's minimum id) instead of its own id, so every member
+    of a near-dup cluster lands in the same split by construction —
+    the preventive counterpart of the :func:`split_leakage` audit.
+
+    ``pairs`` is tiered exactly like the audit (exact
+    :func:`ngram_jaccard_pairs` or scale-path :func:`minhash_dedup`);
+    ``split_of`` maps an id Column to a split-name Column (e.g.
+    ``functions.sampling.deterministic_split``). Scale shape: the
+    component table is sized by DUPLICATED docs only (≪ corpus), the
+    left join against it is the only wide op, and the split stays a pure
+    function of the anchor id — re-runs on a grown corpus never move an
+    untouched document between splits unless its component gained a new
+    lower-id member (the unavoidable cost of cluster integrity).
+
+    Returns docs + (anchor_id, split)."""
+    from .graph import dedup_clusters
+
+    comps = dedup_clusters(pairs, left=id_a, right=id_b).select(
+        F.col("doc_id").alias(id_col), "component_id"
+    )
+    anchored = docs.join(comps, id_col, "left").withColumn(
+        "anchor_id", F.coalesce(F.col("component_id"), F.col(id_col))
+    )
+    return anchored.select(
+        *docs.columns,
+        "anchor_id",
+        split_of(F.col("anchor_id")).alias("split"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

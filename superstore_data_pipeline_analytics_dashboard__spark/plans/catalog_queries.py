@@ -4448,6 +4448,75 @@ GROUP BY label
 """
 
 
+# leakage-safe split assignment (round 4): the PREVENTIVE counterpart
+# of the q99 audit — instead of detecting near-dups that straddle
+# train/val/test, assign the split from each document's duplication-
+# component ANCHOR (minimum id of its transitive near-dup cluster), so
+# a cluster cannot straddle splits by construction. Composition:
+# near-dup pairs (exact tier here; minhash_dedup at 100 TB) →
+# connected components → anchor = coalesce(component, own id) → the
+# same deterministic md5 split as q48/q99, applied to the anchor. The
+# component table is sized by duplicated docs only, the left join is
+# the single wide op, and split stays a pure function of the anchor.
+
+def q106_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.sampling import deterministic_split
+
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    out = DD.leakage_safe_split(
+        docs.select("doc_id"), pairs, deterministic_split
+    )
+    return out.select("doc_id", "anchor_id", "split")
+
+
+Q106_SQL = rf"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x <> '')
+           AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM toks, LATERAL (
+    SELECT unnest(list_transform(
+        generate_series(1, greatest(len(t) - 2, 1)),
+        i -> array_to_string(t[i:i+2], ' '))) AS shingle
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(CAST(n_common AS DOUBLE) /
+             (sa.set_size + sb.set_size - n_common) AS DECIMAL(9,6)) >= 0.3
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach(node, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+), comps AS (
+  SELECT node AS doc_id, min(lbl) AS component_id FROM reach GROUP BY node
+), anchored AS (
+  SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS anchor_id
+  FROM documents d LEFT JOIN comps c USING (doc_id)
+)
+SELECT doc_id, anchor_id,
+       {_SPLIT_OF.format(c='anchor_id')} AS split
+FROM anchored
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -4741,6 +4810,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 additions (oracled; queued for the next rotation) ---
     "q104_vocab_oov": q104_vocab_oov,
     "q105_label_cohesion": q105_label_cohesion,
+    "q106_leakage_safe_split": q106_leakage_safe_split,
 }
 
 ORACLES: dict[str, str] = {
@@ -4838,6 +4908,7 @@ ORACLES: dict[str, str] = {
     "q103_temperature_mix": Q103_SQL,
     "q104_vocab_oov": Q104_SQL,
     "q105_label_cohesion": Q105_SQL,
+    "q106_leakage_safe_split": Q106_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
     # form in round 3, so it is oracled above.

@@ -310,6 +310,41 @@ def test_split_leakage_tiers_agree_on_planted_leaks(spark):
     assert float(max_jac) == 1.0  # (1,2) is an exact dup across splits
 
 
+def test_leakage_safe_split_cluster_integrity(spark):
+    """leakage_safe_split must put every member of a near-dup component
+    in the SAME split (the anchor's), leave singletons on their own hash
+    split, and agree between the exact and MinHash pair tiers."""
+    from superstore_data_pipeline_analytics_dashboard__spark.functions.sampling import (
+        deterministic_split,
+    )
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.dedup import (
+        leakage_safe_split,
+    )
+
+    df = spark.createDataFrame(_DOCS, ["doc_id", "text"])
+
+    def splits(pairs):
+        out = leakage_safe_split(df.select("doc_id"), pairs, deterministic_split)
+        return {r["doc_id"]: (r["anchor_id"], r["split"]) for r in out.collect()}
+
+    exact = splits(ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.3))
+    lsh = splits(minhash_dedup(df, "doc_id", "text", n=3, threshold=0.3))
+    assert exact == lsh
+    # docs 1/2/3 are one component anchored at 1; doc 4 is a singleton
+    assert exact[1] == exact[2] == exact[3]
+    assert exact[1][0] == 1
+    assert exact[4][0] == 4
+    # the shared split is exactly what the anchor id alone hashes to
+    own = {
+        r["doc_id"]: r["split"]
+        for r in df.select(
+            "doc_id", deterministic_split(F.col("doc_id")).alias("split")
+        ).collect()
+    }
+    assert exact[1][1] == own[1]
+    assert exact[4][1] == own[4]
+
+
 def test_max_df_filter_drops_boilerplate_shingles(spark):
     """A shingle present in every doc (licence-header boilerplate) must be
     dropped at max_df, shrinking the candidate pair space; docs related
