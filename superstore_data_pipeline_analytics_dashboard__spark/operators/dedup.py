@@ -331,9 +331,12 @@ def minhash_lsh_candidates(
     return _candidates_from_sigs(sigs, num_hashes, bands)
 
 
-def _candidates_from_sigs(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+def _bands_from_sigs(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, bucket) LSH band table — the self-join key space of
+    the batch path and the PERSISTED store of the incremental path (see
+    ``incremental_dedup``)."""
     rows = num_hashes // bands
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         F.posexplode(
             F.array(*[
@@ -344,6 +347,10 @@ def _candidates_from_sigs(sigs: DataFrame, num_hashes: int, bands: int) -> DataF
             ])
         ).alias("band", "bucket"),
     )
+
+
+def _candidates_from_sigs(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    banded = _bands_from_sigs(sigs, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

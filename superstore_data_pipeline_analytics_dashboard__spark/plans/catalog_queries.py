@@ -4517,6 +4517,60 @@ FROM anchored
 """
 
 
+# incremental dedup (round 4, operators.incremental_dedup): dedup a NEW
+# batch against a persisted corpus state without rescanning the corpus —
+# per-batch cost ∝ batch + candidates, state append-only. The corpus /
+# batch split here is deterministic (doc_id % 5: buckets 0-2 are the
+# existing corpus, 3-4 the arriving batch) so both engines see the same
+# increments. q107 is the exact tier (fingerprint anti-join — fully
+# SQL-expressible, hash-checked); the MinHash tier is pinned by
+# test_incremental_dedup.py (online-vs-batch semantics documented in
+# the module) and exposed rows-only as q108.
+
+def q107_incremental_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import incremental_dedup as ID
+
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 < 3)
+    batch = docs.filter(F.col("doc_id") % 5 >= 3)
+    out = ID.exact_increment(batch, ID.exact_state(corpus))
+    return out["kept"].select("doc_id", "source")
+
+
+Q107_SQL = r"""
+WITH corpus AS (
+  SELECT * FROM documents WHERE doc_id % 5 < 3
+), batch AS (
+  SELECT * FROM documents WHERE doc_id % 5 >= 3
+), state AS (
+  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM corpus
+), batch_first AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         min(doc_id) AS doc_id
+  FROM batch GROUP BY 1
+), fresh AS (
+  SELECT doc_id FROM batch_first
+  WHERE fp NOT IN (SELECT fp FROM state)
+)
+SELECT b.doc_id, b.source
+FROM batch b JOIN fresh f USING (doc_id)
+"""
+
+
+def q108_incremental_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import incremental_dedup as ID
+
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 < 3)
+    batch = docs.filter(F.col("doc_id") % 5 >= 3)
+    state = ID.minhash_state(corpus, n=3, num_hashes=32, bands=8)
+    out = ID.minhash_increment(
+        batch, state, n=3, num_hashes=32, bands=8, threshold=0.35
+    )
+    return out["kept"].select("doc_id", "source")
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -4811,6 +4865,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q104_vocab_oov": q104_vocab_oov,
     "q105_label_cohesion": q105_label_cohesion,
     "q106_leakage_safe_split": q106_leakage_safe_split,
+    "q107_incremental_exact_dedup": q107_incremental_exact_dedup,
+    "q108_incremental_minhash_dedup": q108_incremental_minhash_dedup,  # rows-only
 }
 
 ORACLES: dict[str, str] = {
@@ -4909,6 +4965,7 @@ ORACLES: dict[str, str] = {
     "q104_vocab_oov": Q104_SQL,
     "q105_label_cohesion": Q105_SQL,
     "q106_leakage_safe_split": Q106_SQL,
+    "q107_incremental_exact_dedup": Q107_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
     # form in round 3, so it is oracled above.
