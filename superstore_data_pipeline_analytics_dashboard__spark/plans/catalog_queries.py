@@ -4571,6 +4571,109 @@ def q108_incremental_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return out["kept"].select("doc_id", "source")
 
 
+# corpus datacard (round 4): the per-source summary panel a data
+# pipeline publishes alongside a release — volume (docs, tokens,
+# chars), exact-duplication rate (fingerprint groups > 1, counted
+# WITHIN source), and language mix (distinct langs + dominant lang with
+# a deterministic tie-break). One pass for the token stats, one
+# fingerprint aggregation, one lang aggregation — all keyed on source
+# (+fingerprint/+lang), each with map-side partial aggregation; the
+# final panel is sources-sized. The dominant language uses
+# min(struct(-count, lang)): max count, then lexicographically smallest
+# lang — the same trick both engines express exactly, so it hashes.
+
+def q109_corpus_datacard(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        "doc_id",
+        T.token_count("text").cast("bigint").alias("n_toks"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        T.fingerprint("text").alias("fp"),
+    )
+    vol = base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    dups = (
+        base.groupBy("source", "fp")
+        .agg(F.count("*").alias("n_copies"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("n_copies") - F.lit(1)).alias("n_dup_docs"),
+        )
+    )
+    langs = (
+        base.groupBy("source", "lang")
+        .agg(F.count("*").alias("n_lang"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_langs"),
+            F.min(F.struct((-F.col("n_lang")).alias("neg"), "lang")).alias(
+                "__top"
+            ),
+        )
+        .select("source", "n_langs", F.col("__top.lang").alias("top_lang"))
+    )
+    rate = F.col("n_dup_docs").cast("double") / F.col("n_docs").cast("double")
+    return (
+        vol.join(dups, "source")
+        .join(langs, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "n_dup_docs",
+            rate.cast("decimal(9,6)").alias("dup_rate"),
+            "n_langs",
+            "top_lang",
+        )
+    )
+
+
+Q109_SQL = r"""
+WITH base AS (
+  SELECT source, lang, doc_id,
+         CAST(len(list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             x -> x <> '')) AS BIGINT) AS n_toks,
+         CAST(len(text) AS BIGINT) AS n_chars,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+), vol AS (
+  SELECT source, count(*) AS n_docs, sum(n_toks) AS n_tokens,
+         sum(n_chars) AS n_chars
+  FROM base GROUP BY source
+), dups AS (
+  SELECT source, sum(n_copies - 1) AS n_dup_docs
+  FROM (SELECT source, fp, count(*) AS n_copies FROM base GROUP BY 1, 2)
+  GROUP BY source
+), per_lang AS (
+  SELECT source, lang, count(*) AS n_lang FROM base GROUP BY 1, 2
+), langs AS (
+  SELECT source, count(*) OVER (PARTITION BY source) AS n_langs, lang AS top_lang,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_lang DESC, lang) AS rn
+  FROM per_lang
+)
+SELECT v.source,
+       CAST(v.n_docs AS BIGINT) AS n_docs,
+       CAST(v.n_tokens AS BIGINT) AS n_tokens,
+       CAST(v.n_chars AS BIGINT) AS n_chars,
+       CAST(d.n_dup_docs AS BIGINT) AS n_dup_docs,
+       CAST(CAST(d.n_dup_docs AS DOUBLE) / CAST(v.n_docs AS DOUBLE)
+            AS DECIMAL(9,6)) AS dup_rate,
+       CAST(l.n_langs AS BIGINT) AS n_langs,
+       l.top_lang
+FROM vol v
+JOIN dups d USING (source)
+JOIN (SELECT * FROM langs WHERE rn = 1) l ON l.source = v.source
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -4725,6 +4828,7 @@ _CANON_SQL_CASTS: dict[str, dict[str, str]] = {
     "q99_split_leakage": {"max_jaccard": "DOUBLE"},
     "q104_vocab_oov": {"oov_rate": "DOUBLE"},
     "q105_label_cohesion": {"min_cos": "DOUBLE"},
+    "q109_corpus_datacard": {"dup_rate": "DOUBLE"},
 }
 
 
@@ -4743,13 +4847,16 @@ _CANON_SQL_CASTS: dict[str, dict[str, str]] = {
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Round-4 audit window (first 50). Rotation rationale (VERDICT r3
-    # item 1): positions 1-6 are the round-3 additions that have never
-    # seen the driver (5 oracled + rows-only q102); positions 7-49 are
-    # the 43 oracled queries whose only green verdicts date from ROUND-2
-    # testdata (the driver regenerated fixtures between r1 and r2, so
-    # r2-era greens need one confirmation on current data); position 50
-    # is q38, the full curation chain (gates → exact dedup → MinHash
-    # tier) re-run as the rows-only canary for the approximate stack.
+    # item 1): never-audited queries outrank stale-green re-audits.
+    # Positions 1-11 are the round-3 and round-4 additions that have
+    # never seen the driver (9 oracled + rows-only q102/q108); positions
+    # 12-49 are 38 of the oracled queries whose only green verdicts date
+    # from ROUND-2 testdata (the driver regenerated fixtures between r1
+    # and r2, so r2-era greens need one confirmation on current data —
+    # the five displaced by the r4 additions queue for the next
+    # rotation); position 50 is q38, the full curation chain (gates →
+    # exact dedup → MinHash tier) re-run as the rows-only canary for the
+    # approximate stack.
     # --- round-3 additions, never audited (positions 1-6) ---
     "q98_order_count_histogram": q98_order_count_histogram,
     "q99_split_leakage": q99_split_leakage,
@@ -4757,7 +4864,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q101_rolling_distinct_users": q101_rolling_distinct_users,
     "q102_video_frame_sample": q102_video_frame_sample,  # rows-only (decode)
     "q103_temperature_mix": q103_temperature_mix,
-    # --- r2-only greens re-audited on current testdata (43) ---
+    # --- round-4 additions, never audited (positions 7-11) ---
+    "q104_vocab_oov": q104_vocab_oov,
+    "q105_label_cohesion": q105_label_cohesion,
+    "q106_leakage_safe_split": q106_leakage_safe_split,
+    "q107_incremental_exact_dedup": q107_incremental_exact_dedup,
+    "q108_incremental_minhash_dedup": q108_incremental_minhash_dedup,  # rows-only
+    # --- r2-only greens re-audited on current testdata (38; the five
+    #     displaced by the r4 additions keep their r2 verdicts and queue
+    #     for the next rotation) ---
     "q03_dedup_latest": q03_dedup_latest,
     "q04_fact_build": q04_fact_build,
     "q05_sales_by_brand_rollup": q05_sales_by_brand_rollup,
@@ -4796,14 +4911,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_late_unreturned_orders": q60_late_unreturned_orders,
     "q61_bloom_semi_reduction": q61_bloom_semi_reduction,
     "q62_price_histogram": q62_price_histogram,
+    # --- rows-only canary for the approximate stack (position 50) ---
+    "q38_curate_corpus": q38_curate_corpus,
+    # ================= end of the 50-query audit window =================
+    # --- r2 greens displaced from the re-audit slice by the r4
+    #     additions (r2 verdicts on record; next rotation) ---
     "q63_embedding_norms": q63_embedding_norms,
     "q64_pricing_summary": q64_pricing_summary,
     "q65_shipping_priority": q65_shipping_priority,
     "q66_salted_skew_agg": q66_salted_skew_agg,
     "q68_json_map_explode": q68_json_map_explode,
-    # --- rows-only canary for the approximate stack (position 50) ---
-    "q38_curate_corpus": q38_curate_corpus,
-    # ================= end of the 50-query audit window =================
     # --- round-3 greens (CORRECTNESS_r03.json, current testdata),
     #     displaced past the window ---
     "q01_typed_staging": q01_typed_staging,
@@ -4861,12 +4978,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q26_minhash_dedup": q26_minhash_dedup,
     "q27_simhash_buckets": q27_simhash_buckets,
     "q28_knn_ivf": q28_knn_ivf,
-    # --- round-4 additions (oracled; queued for the next rotation) ---
-    "q104_vocab_oov": q104_vocab_oov,
-    "q105_label_cohesion": q105_label_cohesion,
-    "q106_leakage_safe_split": q106_leakage_safe_split,
-    "q107_incremental_exact_dedup": q107_incremental_exact_dedup,
-    "q108_incremental_minhash_dedup": q108_incremental_minhash_dedup,  # rows-only
+    # --- round-4 late addition (oracled; queued for the next rotation) ---
+    "q109_corpus_datacard": q109_corpus_datacard,
 }
 
 ORACLES: dict[str, str] = {
@@ -4966,6 +5079,7 @@ ORACLES: dict[str, str] = {
     "q105_label_cohesion": Q105_SQL,
     "q106_leakage_safe_split": Q106_SQL,
     "q107_incremental_exact_dedup": Q107_SQL,
+    "q109_corpus_datacard": Q109_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
     # form in round 3, so it is oracled above.
