@@ -7,9 +7,10 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Queries q26-q28 (MinHash-LSH dedup, SimHash, IVF-ANN), q38 (LSH-based
 curation), q67 (binary multimodal decode), q69/q72 (LSH/IVF similarity),
-and q81/q82/q87 (sketch internals) are approximate or
-non-SQL-expressible by construction → rows-only checks. q35's HLL
-estimate ships as an exact count + error-band boolean, so it is oracled.
+q81/q82/q87 (sketch internals), q102 (frame decode), and q108
+(incremental MinHash dedup) are approximate or non-SQL-expressible by
+construction → rows-only checks. q35's HLL estimate ships as an exact
+count + error-band boolean, so it is oracled.
 """
 
 from __future__ import annotations

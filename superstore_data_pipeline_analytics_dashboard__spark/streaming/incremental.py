@@ -357,3 +357,56 @@ def start_idempotent_append(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_content_dedup_append(
+    docs_stream: DataFrame,
+    sink_path: str,
+    fp_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> StreamingQuery:
+    """Streaming corpus ingestion with CONTENT dedup: each micro-batch
+    runs ``incremental_dedup.exact_increment`` against a persisted
+    fingerprint table, appends the surviving docs to the corpus sink and
+    their fingerprints to the state table — the streaming face of the
+    daily-crawl increment.
+
+    The state read per batch is the FINGERPRINT table (16-byte md5
+    rows), never the corpus itself, so batch cost is ∝ batch + |state
+    keys| with the state scan a single narrow column. Both writes are
+    plain appends (partition-per-batch at scale); a batch replayed after
+    a checkpoint reset re-deduplicates against the state and appends
+    nothing — content idempotency, stronger than the id-based
+    ``start_idempotent_append`` (a re-crawled page with a NEW id but the
+    same text is still dropped)."""
+    from ..operators.incremental_dedup import exact_increment
+
+    def _append(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch.sparkSession
+        try:
+            state = spark.read.parquet(fp_path)
+        except AnalysisException as e:
+            # ONLY a missing state table selects the bootstrap path (see
+            # start_idempotent_append for why other errors must abort)
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            state = spark.createDataFrame([], "fingerprint STRING")
+        out = exact_increment(batch, state, id_col=id_col, text_col=text_col)
+        kept = out["kept"].localCheckpoint()
+        kept.write.mode("append").parquet(sink_path)
+        from ..functions.text import fingerprint
+
+        kept.select(fingerprint(text_col).alias("fingerprint")).distinct().write.mode(
+            "append"
+        ).parquet(fp_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

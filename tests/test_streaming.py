@@ -260,3 +260,49 @@ def test_cumulative_threshold_alerts_stateful(spark, event_drop_zone):
     """).collect()
     assert all(r["c"] == r["m"] and r["lo"] == 1 for r in dense)
     q.stop()
+
+
+def test_content_dedup_append_collapses_recrawls(spark, tmpdir):
+    """Streaming content dedup: re-crawled docs with NEW ids but
+    identical text must be dropped against the persisted fingerprint
+    state across micro-batches, and a full replay with a fresh
+    checkpoint must append nothing."""
+    drop = tmpdir / "docs_in"
+    drop.mkdir()
+    # three files → three micro-batches under maxFilesPerTrigger=1
+    b1 = [(1, "alpha beta gamma"), (2, "delta epsilon zeta")]
+    b2 = [(11, "alpha beta gamma"), (12, "a brand new document")]  # 11 re-crawls 1
+    b3 = [(21, "a  brand   new document"), (22, "another fresh one")]  # ws-variant of 12
+    for i, rows in enumerate((b1, b2, b3)):
+        spark.createDataFrame(rows, "doc_id BIGINT, text STRING").coalesce(
+            1
+        ).write.parquet(str(drop / f"batch{i}"))
+
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", True)
+        .parquet(str(drop))
+    )
+    sink, fps = str(tmpdir / "corpus"), str(tmpdir / "fps")
+    q = S.start_content_dedup_append(stream, sink, fps, str(tmpdir / "ck1"))
+    q.awaitTermination(120)
+
+    kept = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    # exactly ONE survivor per distinct content, whatever the micro-batch
+    # arrival order: {1,11} share text, {12,21} share normalized text
+    assert len(kept & {1, 11}) == 1
+    assert len(kept & {12, 21}) == 1
+    assert 2 in kept and 22 in kept
+    assert len(kept) == 4
+    assert spark.read.parquet(fps).distinct().count() == len(kept)
+
+    # replay everything with a fresh checkpoint → nothing new
+    stream2 = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("recursiveFileLookup", True)
+        .parquet(str(drop))
+    )
+    q2 = S.start_content_dedup_append(stream2, sink, fps, str(tmpdir / "ck2"))
+    q2.awaitTermination(120)
+    assert {r["doc_id"] for r in spark.read.parquet(sink).collect()} == kept
