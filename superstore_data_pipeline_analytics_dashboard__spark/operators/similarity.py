@@ -441,3 +441,46 @@ def knn_ivf(
             "rnk",
         )
     )
+
+
+def ivf_increment(
+    new_vectors: DataFrame,
+    centroids: DataFrame,
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rebuild_share: float = 0.5,
+) -> dict:
+    """Incrementally grow an IVF index: assign only the ARRIVING vectors
+    against the FROZEN centroid table (one narrow broadcast-argmin pass,
+    cost ∝ batch — the vector-side twin of ``incremental_dedup``) and
+    append to the assigned table (partition-per-cell at rest, so probes
+    keep pruning).
+
+    Frozen centroids are what makes increments cheap AND what decays
+    recall when the arriving distribution drifts, so the update carries
+    its own health signal: ``needs_rebuild`` is a one-row frame flagging
+    when any cell's share of the grown index exceeds ``rebuild_share``
+    (a skewed cell means probes over it approach brute-force). The
+    caller re-runs ``kmeans_centroids`` + a full ``ivf_assign`` when
+    flagged — centroid rebuilds are rare, scheduled work; per-batch adds
+    never pay them."""
+    add = ivf_assign(new_vectors, centroids, id_col, vec_col)
+    grown = assigned.unionByName(add)
+    shares = grown.groupBy("cell").agg(F.count("*").alias("n"))
+    tot = shares.agg(F.sum("n").alias("tot"))
+    needs = (
+        shares.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.col("n").cast("double") / F.col("tot").cast("double")
+            ).alias("max_cell_share")
+        )
+        .select(
+            "max_cell_share",
+            (F.col("max_cell_share") > F.lit(rebuild_share)).alias(
+                "needs_rebuild"
+            ),
+        )
+    )
+    return {"assigned": grown, "needs_rebuild": needs}

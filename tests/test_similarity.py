@@ -199,3 +199,42 @@ def test_semantic_dedup_prunes_within_cell_only(spark):
     assert got[10] == (False, 1)
     assert got[1][0] and got[11][0]
     assert all(got[i][0] for i in range(4))
+
+
+def test_ivf_increment_matches_full_assign_and_flags_skew(spark):
+    """Incremental IVF adds must equal a full re-assign under the SAME
+    frozen centroids (assignment is a pure function of vector +
+    centroids), and the skew signal must fire exactly when one cell
+    swallows more than the threshold share."""
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.similarity import (
+        ivf_assign,
+        ivf_increment,
+        seed_centroids,
+    )
+
+    emb = _emb(spark)
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    cents = seed_centroids(old, 8)
+
+    base = ivf_assign(old, cents)
+    out = ivf_increment(new, cents, base)
+    got = {
+        (r["vec_id"], r["cell"]) for r in out["assigned"].collect()
+    }
+    want = {(r["vec_id"], r["cell"]) for r in ivf_assign(emb, cents).collect()}
+    assert got == want
+
+    flag = out["needs_rebuild"].first()
+    # real embeddings over 8 seeded cells: no cell should hold >50%
+    assert flag["needs_rebuild"] is False
+    assert 0.0 < flag["max_cell_share"] <= 1.0
+
+    # force total skew: every new vector identical -> lands in ONE cell
+    one = new.limit(1).select("embedding").first()["embedding"]
+    skewed = spark.range(10_000, 10_200).select(
+        F.col("id").alias("vec_id"),
+        F.lit(one).alias("embedding"),
+    )
+    out2 = ivf_increment(skewed, cents, base.limit(10), rebuild_share=0.5)
+    assert out2["needs_rebuild"].first()["needs_rebuild"] is True
