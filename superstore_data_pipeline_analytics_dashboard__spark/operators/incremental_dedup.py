@@ -93,8 +93,12 @@ def minhash_state(
     ``{"shingles": (doc_id, sh), "bands": (doc_id, band, bucket)}``.
     Shingles are the verification index; bands are the candidate index.
     Both are what the batch path computes anyway — bootstrapping costs
-    one batch-dedup pass, after which increments never rescan."""
-    sh = hashed_shingles(kept_docs, id_col, text_col, n)
+    one batch-dedup pass, after which increments never rescan. The
+    shingle index is persisted: it is both a state entry and the input
+    to the band table, so unpersisted it would tokenize the corpus once
+    per consumer; at-rest deployments write both entries to parquet and
+    re-reads become cheap column scans."""
+    sh = hashed_shingles(kept_docs, id_col, text_col, n).persist()
     sigs = _signatures_from_hashed(sh, num_hashes)
     return {
         "shingles": sh,
@@ -129,7 +133,16 @@ def minhash_increment(
 
     sizes_new = sh_new.groupBy("doc_id").agg(F.count("*").alias("set_size"))
 
-    # --- cross candidates: new bands ⋈ stored bands on (band, bucket)
+    # --- cross candidates: new bands ⋈ stored bands on (band, bucket).
+    # cross / old_sh / dropped_vs_old are PERSISTED: each is re-read by
+    # 2-3 downstream branches (verification, sizes, the survivors'
+    # anti-joins, the final drop union), and without the persists every
+    # branch re-executes the corpus-side shingle/signature DAG — when the
+    # state is composed in memory (tests, single-session chains) that
+    # multiplied the whole increment ~5× (measured 40.7 s → 8.1 s at
+    # sf0.1). A parquet-backed state makes the corpus side a cheap
+    # column scan, but the candidate/drop sets are worth pinning in any
+    # deployment: they are id-pair-sized, never corpus-sized.
     cross = (
         bands_new.alias("a")
         .join(
@@ -142,13 +155,14 @@ def minhash_increment(
             F.col("b.doc_id").alias("old_id"),
         )
         .distinct()
+        .persist()
     )
     # verification index slice: only candidate olds' shingles leave the store
     old_sh = state["shingles"].join(
         cross.select(F.col("old_id").alias("doc_id")).distinct(),
         "doc_id",
         "left_semi",
-    )
+    ).persist()
     sizes_old = old_sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     inter = (
         cross.join(
@@ -182,6 +196,7 @@ def minhash_increment(
         .filter(jac.cast("decimal(9,6)") >= threshold)
         .select("new_id")
         .distinct()
+        .persist()
     )
 
     # --- within-batch pairs among docs that survived the cross pass
