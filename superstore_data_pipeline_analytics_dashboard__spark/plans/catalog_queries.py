@@ -4356,6 +4356,9 @@ def q105_label_cohesion(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     max_abs = F.array_max(F.transform(v, F.abs))
+    # persisted: the quantized table feeds BOTH the centroid aggregation
+    # and the member-scoring join — unpersisted, the 64-element quantize
+    # transform runs twice over the scan
     quant = emb.select(
         "vec_id",
         "label",
@@ -4365,8 +4368,16 @@ def q105_label_cohesion(spark: SparkSession, sf: str) -> DataFrame:
                 x * F.lit(127.0) / F.greatest(max_abs, F.lit(1e-12))
             ).cast("long"),
         ).alias("q"),
+    ).persist()
+    # integer centroid numerators per (label, dim) — exact, mergeable.
+    # The centroid's squared norm is folded ONCE PER LABEL here (10 rows)
+    # instead of once per member row in the join below — the per-member
+    # hot path then runs two 64-element folds (dot, own-norm), not three.
+    nc_fold = F.aggregate(
+        F.transform(F.col("c"), lambda b: b * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
-    # integer centroid numerators per (label, dim) — exact, mergeable
     cent = (
         quant.select("label", F.posexplode("q").alias("dim", "qv"))
         .groupBy("label", "dim")
@@ -4379,6 +4390,7 @@ def q105_label_cohesion(spark: SparkSession, sf: str) -> DataFrame:
             "label",
             F.transform(F.col("__dc"), lambda s: s["cv"]).alias("c"),
         )
+        .select("label", "c", nc_fold.alias("nc"))
     )
     joined = quant.join(F.broadcast(cent), "label")
     dot = F.aggregate(
@@ -4391,12 +4403,9 @@ def q105_label_cohesion(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    nc = F.aggregate(
-        F.transform(F.col("c"), lambda b: b * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    cos = dot.cast("double") / F.sqrt(
+        nq.cast("double") * F.col("nc").cast("double")
     )
-    cos = dot.cast("double") / F.sqrt(nq.cast("double") * nc.cast("double"))
     scored = joined.select(
         "label", "vec_id", cos.cast("decimal(18,9)").alias("__cos")
     )
