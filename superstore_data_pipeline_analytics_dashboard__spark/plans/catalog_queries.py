@@ -4683,6 +4683,75 @@ JOIN (SELECT * FROM langs WHERE rn = 1) l ON l.source = v.source
 """
 
 
+# content-defined chunking (round 4): split documents at TOKEN-HASH
+# boundaries (Rabin/CDC idea at word grain — a token whose portable
+# 60-bit md5 hash ≡ 0 mod 16 starts a new chunk, mean chunk ≈ 16
+# tokens) instead of fixed-size windows, so an insertion near the top
+# of a document shifts ONE chunk's boundary instead of re-fingerprinting
+# every downstream window — the property that makes chunk-level dedup
+# stable under edits. Per-chunk md5 fingerprints come out ready for the
+# exact-dedup tier. Shape: one posexplode, one doc-keyed window cumsum,
+# one (doc, chunk) rollup — the rollup reuses the window's hash
+# partitioning on doc_id, so ONE Exchange end-to-end.
+
+def q110_content_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.hashing import md5_prefix_long
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("pos", "term")
+    )
+    flag = (md5_prefix_long(F.col("term")) % 16 == 0).cast("int")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    chunked = toks.select(
+        "doc_id", "pos", "term", F.sum(flag).over(w).alias("chunk_no")
+    )
+    return (
+        chunked.groupBy("doc_id", "chunk_no")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                        lambda s: s["term"],
+                    ),
+                )
+            ).alias("chunk_md5"),
+        )
+        .select("doc_id", "chunk_no", "n_tokens", "chunk_md5")
+    )
+
+
+Q110_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             x -> x <> '') AS t
+  FROM documents
+), pos_terms AS (
+  SELECT doc_id, p.pos, t[p.pos] AS term
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS pos) p
+), flagged AS (
+  SELECT doc_id, pos, term,
+         CASE WHEN CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT)
+                   % 16 = 0 THEN 1 ELSE 0 END AS flag
+  FROM pos_terms
+), chunked AS (
+  SELECT doc_id, pos, term,
+         sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_no
+  FROM flagged
+)
+SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       md5(string_agg(term, ' ' ORDER BY pos)) AS chunk_md5
+FROM chunked
+GROUP BY doc_id, chunk_no
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -4987,8 +5056,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q26_minhash_dedup": q26_minhash_dedup,
     "q27_simhash_buckets": q27_simhash_buckets,
     "q28_knn_ivf": q28_knn_ivf,
-    # --- round-4 late addition (oracled; queued for the next rotation) ---
+    # --- round-4 late additions (oracled; queued for the next rotation) ---
     "q109_corpus_datacard": q109_corpus_datacard,
+    "q110_content_chunks": q110_content_chunks,
 }
 
 ORACLES: dict[str, str] = {
@@ -5089,6 +5159,7 @@ ORACLES: dict[str, str] = {
     "q106_leakage_safe_split": Q106_SQL,
     "q107_incremental_exact_dedup": Q107_SQL,
     "q109_corpus_datacard": Q109_SQL,
+    "q110_content_chunks": Q110_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
     # form in round 3, so it is oracled above.
