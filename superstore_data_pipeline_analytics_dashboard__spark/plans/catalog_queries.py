@@ -4694,10 +4694,11 @@ JOIN (SELECT * FROM langs WHERE rn = 1) l ON l.source = v.source
 # one (doc, chunk) rollup — the rollup reuses the window's hash
 # partitioning on doc_id, so ONE Exchange end-to-end.
 
-def q110_content_chunks(spark: SparkSession, sf: str) -> DataFrame:
+def _content_chunks(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_no, n_tokens, chunk_md5) — shared by q110 (the
+    chunk table itself) and q111 (chunk-level dup fraction)."""
     from ..functions.hashing import md5_prefix_long
 
-    docs = load_table(spark, sf, "documents")
     toks = docs.select(
         "doc_id", F.posexplode(T.tokens("text")).alias("pos", "term")
     )
@@ -4722,6 +4723,10 @@ def q110_content_chunks(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("doc_id", "chunk_no", "n_tokens", "chunk_md5")
     )
+
+
+def q110_content_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    return _content_chunks(load_table(spark, sf, "documents"))
 
 
 Q110_SQL = r"""
@@ -4749,6 +4754,80 @@ SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
        md5(string_agg(term, ' ' ORDER BY pos)) AS chunk_md5
 FROM chunked
 GROUP BY doc_id, chunk_no
+"""
+
+
+# chunk-level duplication fraction (round 4): for each document, the
+# share of its chunks whose fingerprint also appears in OTHER documents
+# — the boilerplate/near-dup signal line-level dedup pipelines (CCNet /
+# RefinedWeb style) gate on, at CDC-chunk grain so it survives edits
+# (q110's property). Distinct (fingerprint → n_docs) is corpus-bounded
+# by distinct chunk content; the join back is on the 16-byte md5 key.
+
+def q111_chunk_dup_fraction(spark: SparkSession, sf: str) -> DataFrame:
+    chunks = _content_chunks(load_table(spark, sf, "documents"))
+    df_per_chunk = (
+        chunks.select("doc_id", "chunk_md5")
+        .distinct()
+        .groupBy("chunk_md5")
+        .agg(F.count("*").alias("n_docs_with"))
+    )
+    shared = F.when(F.col("n_docs_with") > 1, 1).otherwise(0)
+    per_doc = (
+        chunks.join(df_per_chunk, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(shared).alias("n_shared_chunks"),
+        )
+    )
+    frac = F.col("n_shared_chunks").cast("double") / F.col("n_chunks").cast(
+        "double"
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chunks",
+        F.col("n_shared_chunks").cast("bigint").alias("n_shared_chunks"),
+        frac.cast("decimal(9,6)").alias("dup_chunk_frac"),
+    )
+
+
+Q111_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             x -> x <> '') AS t
+  FROM documents
+), pos_terms AS (
+  SELECT doc_id, p.pos, t[p.pos] AS term
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS pos) p
+), flagged AS (
+  SELECT doc_id, pos, term,
+         CASE WHEN CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT)
+                   % 16 = 0 THEN 1 ELSE 0 END AS flag
+  FROM pos_terms
+), chunked AS (
+  SELECT doc_id, pos, term,
+         sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_no
+  FROM flagged
+), chunks AS (
+  SELECT doc_id, chunk_no, count(*) AS n_tokens,
+         md5(string_agg(term, ' ' ORDER BY pos)) AS chunk_md5
+  FROM chunked GROUP BY doc_id, chunk_no
+), df_per_chunk AS (
+  SELECT chunk_md5, count(*) AS n_docs_with
+  FROM (SELECT DISTINCT doc_id, chunk_md5 FROM chunks)
+  GROUP BY chunk_md5
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN d.n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_chunks,
+       CAST(CAST(sum(CASE WHEN d.n_docs_with > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS DECIMAL(9,6)) AS dup_chunk_frac
+FROM chunks c JOIN df_per_chunk d USING (chunk_md5)
+GROUP BY c.doc_id
 """
 
 
@@ -4907,6 +4986,7 @@ _CANON_SQL_CASTS: dict[str, dict[str, str]] = {
     "q104_vocab_oov": {"oov_rate": "DOUBLE"},
     "q105_label_cohesion": {"min_cos": "DOUBLE"},
     "q109_corpus_datacard": {"dup_rate": "DOUBLE"},
+    "q111_chunk_dup_fraction": {"dup_chunk_frac": "DOUBLE"},
 }
 
 
@@ -5059,6 +5139,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 late additions (oracled; queued for the next rotation) ---
     "q109_corpus_datacard": q109_corpus_datacard,
     "q110_content_chunks": q110_content_chunks,
+    "q111_chunk_dup_fraction": q111_chunk_dup_fraction,
 }
 
 ORACLES: dict[str, str] = {
@@ -5160,6 +5241,7 @@ ORACLES: dict[str, str] = {
     "q107_incremental_exact_dedup": Q107_SQL,
     "q109_corpus_datacard": Q109_SQL,
     "q110_content_chunks": Q110_SQL,
+    "q111_chunk_dup_fraction": Q111_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
     # form in round 3, so it is oracled above.
