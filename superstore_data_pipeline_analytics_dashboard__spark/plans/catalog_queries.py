@@ -4694,9 +4694,10 @@ JOIN (SELECT * FROM langs WHERE rn = 1) l ON l.source = v.source
 # one (doc, chunk) rollup — the rollup reuses the window's hash
 # partitioning on doc_id, so ONE Exchange end-to-end.
 
-def _content_chunks(docs: DataFrame) -> DataFrame:
-    """(doc_id, chunk_no, n_tokens, chunk_md5) — shared by q110 (the
-    chunk table itself) and q111 (chunk-level dup fraction)."""
+def _content_chunks(docs: DataFrame, keep_text: bool = False) -> DataFrame:
+    """(doc_id, chunk_no, n_tokens, chunk_md5 [, chunk_text]) — shared by
+    q110 (the chunk table), q111 (dup fraction), and q112 (dedup
+    rewrite; only it pays the text-column width)."""
     from ..functions.hashing import md5_prefix_long
 
     toks = docs.select(
@@ -4707,22 +4708,21 @@ def _content_chunks(docs: DataFrame) -> DataFrame:
     chunked = toks.select(
         "doc_id", "pos", "term", F.sum(flag).over(w).alias("chunk_no")
     )
-    return (
-        chunked.groupBy("doc_id", "chunk_no")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "term"))),
-                        lambda s: s["term"],
-                    ),
-                )
-            ).alias("chunk_md5"),
-        )
-        .select("doc_id", "chunk_no", "n_tokens", "chunk_md5")
+    chunk_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "term"))),
+            lambda s: s["term"],
+        ),
     )
+    grouped = chunked.groupBy("doc_id", "chunk_no").agg(
+        F.count("*").alias("n_tokens"),
+        chunk_text.alias("__text"),
+    )
+    cols = ["doc_id", "chunk_no", "n_tokens", F.md5("__text").alias("chunk_md5")]
+    if keep_text:
+        cols.append(F.col("__text").alias("chunk_text"))
+    return grouped.select(*cols)
 
 
 def q110_content_chunks(spark: SparkSession, sf: str) -> DataFrame:
@@ -4828,6 +4828,96 @@ SELECT c.doc_id,
             / CAST(count(*) AS DOUBLE) AS DECIMAL(9,6)) AS dup_chunk_frac
 FROM chunks c JOIN df_per_chunk d USING (chunk_md5)
 GROUP BY c.doc_id
+"""
+
+
+# chunk-dedup rewrite (round 4): the TRANSFORM the q111 metric gates —
+# remove every chunk occurrence except the globally FIRST (lowest
+# (doc_id, chunk_no) per fingerprint, repeats within one doc included)
+# and reassemble each document from its surviving chunks in order. The
+# winner pick is one min-over-struct aggregate per fingerprint (no
+# window sort over the corpus); reassembly is a doc-keyed rollup that
+# reuses the chunker's partitioning. Documents reduced to nothing
+# survive with empty text (LEFT join back to the doc list) — silently
+# dropping them would corrupt downstream row accounting. Rebuilt text
+# leaves as md5 + token count (scalar boundary; the full string is the
+# real output a pipeline writes).
+
+def q112_chunk_dedup_rewrite(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    chunks = _content_chunks(docs, keep_text=True)
+    winner = chunks.groupBy("chunk_md5").agg(
+        F.min(F.struct("doc_id", "chunk_no")).alias("w")
+    )
+    kept = (
+        chunks.join(winner, "chunk_md5")
+        .filter(
+            (F.col("doc_id") == F.col("w.doc_id"))
+            & (F.col("chunk_no") == F.col("w.chunk_no"))
+        )
+        .select("doc_id", "chunk_no", "n_tokens", "chunk_text")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept_chunks"),
+        F.sum("n_tokens").alias("n_kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_no", "chunk_text"))),
+                lambda s: s["chunk_text"],
+            ),
+        ).alias("__clean"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_kept_chunks", F.lit(0)).alias("n_kept_chunks"),
+            F.coalesce("n_kept_tokens", F.lit(0)).alias("n_kept_tokens"),
+            F.md5(F.coalesce("__clean", F.lit(""))).alias("clean_md5"),
+        )
+    )
+
+
+Q112_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             x -> x <> '') AS t
+  FROM documents
+), pos_terms AS (
+  SELECT doc_id, p.pos, t[p.pos] AS term
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS pos) p
+), flagged AS (
+  SELECT doc_id, pos, term,
+         CASE WHEN CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT)
+                   % 16 = 0 THEN 1 ELSE 0 END AS flag
+  FROM pos_terms
+), chunked AS (
+  SELECT doc_id, pos, term,
+         sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_no
+  FROM flagged
+), chunks AS (
+  SELECT doc_id, chunk_no, count(*) AS n_tokens,
+         string_agg(term, ' ' ORDER BY pos) AS chunk_text,
+         md5(string_agg(term, ' ' ORDER BY pos)) AS chunk_md5
+  FROM chunked GROUP BY doc_id, chunk_no
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY chunk_md5
+                               ORDER BY doc_id, chunk_no) AS rn
+  FROM chunks
+), rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept_chunks, sum(n_tokens) AS n_kept_tokens,
+         string_agg(chunk_text, ' ' ORDER BY chunk_no) AS clean
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(r.n_kept_chunks, 0) AS BIGINT) AS n_kept_chunks,
+       CAST(coalesce(r.n_kept_tokens, 0) AS BIGINT) AS n_kept_tokens,
+       md5(coalesce(r.clean, '')) AS clean_md5
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
@@ -5140,6 +5230,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q109_corpus_datacard": q109_corpus_datacard,
     "q110_content_chunks": q110_content_chunks,
     "q111_chunk_dup_fraction": q111_chunk_dup_fraction,
+    "q112_chunk_dedup_rewrite": q112_chunk_dedup_rewrite,
 }
 
 ORACLES: dict[str, str] = {
@@ -5242,6 +5333,7 @@ ORACLES: dict[str, str] = {
     "q109_corpus_datacard": Q109_SQL,
     "q110_content_chunks": Q110_SQL,
     "q111_chunk_dup_fraction": Q111_SQL,
+    "q112_chunk_dedup_rewrite": Q112_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
     # form in round 3, so it is oracled above.
