@@ -285,3 +285,102 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     n_wedges = wedges.agg(F.count("*").alias("n_wedges"))
     n_tris = tris.agg(F.count("*").alias("n_triangles"))
     return n_wedges.crossJoin(n_tris)
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over a DIRECTED edge list — (node, rank) for every node
+    with at least one in- or out-edge. Callers with an undirected graph
+    (copurchase, near-dup) symmetrize before calling.
+
+    Classic power iteration as DataFrames: each round is ONE join of the
+    node-sized rank table against the edge list on ``src`` (ranks fan
+    out along out-edges) and ONE groupBy on ``dst`` (contributions sum
+    at the receiver) — the canonical Pregel-on-shuffle formulation.
+    Nothing ever materializes on the driver; edges are persisted once
+    and every round reuses the cache; the rank tables chain through lazy
+    ``localCheckpoint``s so lineage stays bounded across rounds (the
+    iterative-lineage trap, same fix as :func:`connected_components`).
+
+    Numeric determinism (the cross-engine-hash contract): FIXED-POINT.
+    Rank state is a BIGINT in 1e-12 units and every iteration step is
+    exact integer arithmetic — contribution = ``rank_u div outdeg``
+    (truncating; all values positive, so Spark ``div`` == DuckDB ``//``),
+    damping as the rational ``· num div den`` (85/100), reset mass a
+    constant integer. Integer ops have ONE answer on any engine, so the
+    unrolled SQL oracle matches bit-for-bit. The first cut used
+    DECIMAL(20,12) state with double division re-cast to decimal each
+    round (the q103 boundary pattern) and FAILED parity by ~1e-12: the
+    double→decimal cast rounds off the double's SHORTEST DECIMAL REPR in
+    Spark (BigDecimal.valueOf) but off the BINARY value in DuckDB, and
+    with hundreds of casts per iteration the tie cases surface. Fixed
+    point never converts binary→decimal, so the hazard class is gone.
+    The ~1e-12 truncation bias per step is irrelevant for a centrality
+    score. Only the final export divides: ``rank_u / 1e12`` in IEEE
+    double — both operands exactly representable (rank_u < 2^53), one
+    correctly-rounded op, bit-identical. Headroom: the damping multiply
+    ``s·85`` needs s < 2^63/85 ≈ 1.1e17 micro-units ≈ 1e5 aggregate
+    in-rank — fine for any graph whose max in-degree·avg-rank < 1e5;
+    beyond that, drop SCALE to 1e9.
+
+    Simplifications, documented: uniform init rank = 1 (not 1/N — the
+    result is a relative centrality score; dividing by N rescales every
+    rank identically), and dangling-node mass is dropped rather than
+    redistributed (a node with no in-edges settles at ``1 - damping``).
+    Both match the common "lightweight PageRank" used for corpus/link
+    quality signals, and both keep the oracle exactly expressible.
+
+    At 100 TB: the rank table is node-sized, edges dominate. Pre-
+    partitioning edges by ``src`` makes the per-round join co-located
+    (one-time shuffle amortized over all rounds); high in-degree hubs
+    are plain aggregation skew, which AQE splits. Rounds are O(diameter)
+    for convergence but fixed ``iters`` is the corpus-signal norm.
+    """
+    SCALE = 10**12
+    num = round(damping * 100)  # damping as the exact rational num/100
+    reset_u = (100 - num) * (SCALE // 100)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    ranks = nodes.select("node", F.lit(SCALE).alias("rank_u"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_u div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(reset_u)
+                    + F.coalesce(
+                        F.expr(f"(s * {num}) div 100"), F.lit(0)
+                    )
+                ).alias("rank_u"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = ranks.select(
+        "node",
+        (F.col("rank_u").cast("double") / F.lit(float(SCALE))).alias("rank"),
+    )
+    out.count()  # materialize the final checkpoint before releasing edges
+    e.unpersist()
+    return out

@@ -4921,6 +4921,160 @@ FROM documents d LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+# PageRank centrality over the copurchase graph (round 4): the first
+# ITERATIVE numeric algorithm in the catalog — power iteration as a
+# DataFrame loop (operators/graph.py pagerank), here 3 rounds over the
+# symmetrized q41 copurchase edges. The oracle UNROLLS the iteration as
+# three CTE layers reproducing the exact arithmetic: BIGINT fixed-point
+# rank state (1e-12 units) where every step — contribution division,
+# damping multiply, reset add — is integer math with exactly one answer
+# on any engine (see the pagerank docstring for why the decimal-cast
+# boundary was NOT enough here).
+# Scale: rank table is node-sized, each round is one edges⋈ranks join +
+# one dst groupBy; the corpus-signal use (link/quality centrality) runs
+# a fixed small iteration count exactly like this.
+
+def q113_pagerank_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    li = _li(spark, sf).select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    pr = pagerank(edges, iters=3, damping=0.85)
+    return pr.select(F.col("node").alias("part"), "rank")
+
+
+# Fixed-point oracle (see operators/graph.py pagerank): rank_u is
+# BIGINT micro-rank (1e-12 units); `//` floors and all values are
+# positive, so it equals Spark's truncating `div`. DuckDB sums BIGINT
+# into HUGEINT — the re-CAST to BIGINT per round keeps the state type
+# (and the damping multiply) identical on both engines.
+Q113_SQL = r"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+e AS (SELECT pa AS src, pb AS dst FROM p
+      UNION ALL SELECT pb AS src, pa AS dst FROM p),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+n AS (SELECT DISTINCT src AS node FROM e),
+r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank_u FROM n),
+c1 AS (
+  SELECT e.dst AS node, sum(r.rank_u // d.outdeg) AS s
+  FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY 1
+),
+r1 AS (
+  SELECT n.node,
+         CAST(150000000000 + coalesce((c.s * 85) // 100, 0) AS BIGINT)
+           AS rank_u
+  FROM n LEFT JOIN c1 c USING (node)
+),
+c2 AS (
+  SELECT e.dst AS node, sum(r.rank_u // d.outdeg) AS s
+  FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY 1
+),
+r2 AS (
+  SELECT n.node,
+         CAST(150000000000 + coalesce((c.s * 85) // 100, 0) AS BIGINT)
+           AS rank_u
+  FROM n LEFT JOIN c2 c USING (node)
+),
+c3 AS (
+  SELECT e.dst AS node, sum(r.rank_u // d.outdeg) AS s
+  FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY 1
+),
+r3 AS (
+  SELECT n.node,
+         CAST(150000000000 + coalesce((c.s * 85) // 100, 0) AS BIGINT)
+           AS rank_u
+  FROM n LEFT JOIN c3 c USING (node)
+)
+SELECT node AS part,
+       CAST(rank_u AS DOUBLE) / CAST(1000000000000 AS DOUBLE) AS rank
+FROM r3
+"""
+
+
+# corpus-wide boilerplate n-gram mining (round 4): the memorization-risk
+# report — the top-20 word-5-grams by DISTINCT-document frequency
+# (appearing in ≥ 2 docs), with total occurrence counts. The near-dup
+# stack (q110-q112) removes REPEATED CHUNKS; this surfaces the short
+# template phrases (headers, licenses, navigation chrome) that survive
+# chunk grain — the signal CCNet/RefinedWeb use to strip boilerplate
+# lines before training. Scale: one explode + two keyed aggregations;
+# the top-20 is a bounded TakeOrderedAndProject (never a full sort), and
+# the ≥2-doc filter drops the singleton long tail (the overwhelming mass
+# of n-grams) before the final agg. Deterministic tie-break:
+# (n_docs DESC, n_occurrences DESC, shingle ASC).
+
+def q115_boilerplate_ngrams(spark: SparkSession, sf: str, n: int = 5, k: int = 20) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(T.word_shingles("text", n)).alias("shingle")
+    )
+    stats = grams.groupBy("shingle").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_occurrences"),
+    )
+    return (
+        stats.filter(F.col("n_docs") >= 2)
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occurrences").desc(), "shingle"
+        )
+        .limit(k)
+    )
+
+
+Q115_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  -- greatest(..., 1): docs shorter than 5 words yield one whole-doc
+  -- shingle, mirroring word_shingles (no doc silently drops out)
+  SELECT doc_id, shingle
+  FROM toks, LATERAL (
+    SELECT unnest(list_transform(
+        generate_series(1, greatest(len(t) - 4, 1)),
+        i -> array_to_string(t[i:i+4], ' '))) AS shingle
+  )
+), stats AS (
+  SELECT shingle,
+         count(DISTINCT doc_id) AS n_docs,
+         count(*) AS n_occurrences
+  FROM grams GROUP BY shingle
+)
+SELECT shingle, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_occurrences AS BIGINT) AS n_occurrences
+FROM stats WHERE n_docs >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, shingle
+LIMIT 20
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -5231,6 +5385,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q110_content_chunks": q110_content_chunks,
     "q111_chunk_dup_fraction": q111_chunk_dup_fraction,
     "q112_chunk_dedup_rewrite": q112_chunk_dedup_rewrite,
+    "q113_pagerank_copurchase": q113_pagerank_copurchase,
+    "q115_boilerplate_ngrams": q115_boilerplate_ngrams,
 }
 
 ORACLES: dict[str, str] = {
@@ -5334,6 +5490,8 @@ ORACLES: dict[str, str] = {
     "q110_content_chunks": Q110_SQL,
     "q111_chunk_dup_fraction": Q111_SQL,
     "q112_chunk_dedup_rewrite": Q112_SQL,
+    "q113_pagerank_copurchase": Q113_SQL,
+    "q115_boilerplate_ngrams": Q115_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
     # form in round 3, so it is oracled above.

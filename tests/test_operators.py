@@ -983,3 +983,47 @@ def test_merge_rollups_any_batch_order(spark):
         got = {r["k"]: (r["sv"], r["n_rows"]) for r in merged.collect()}
         want = {r["k"]: (r["sv"], r["n_rows"]) for r in full.collect()}
         assert got == want
+
+
+def test_pagerank_fixed_point_matches_reference(spark):
+    """The fixed-point DataFrame loop must reproduce a plain-Python
+    fixed-point power iteration EXACTLY (integer ops have one answer),
+    and land within truncation distance of the real-valued iteration."""
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.graph import pagerank
+
+    # directed: star into 1, a 2-cycle, a dangling receiver 5, plus 4->5
+    edges = [(2, 1), (3, 1), (4, 1), (1, 2), (2, 3), (4, 5)]
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=4).collect()}
+
+    SCALE = 10**12
+    nodes = sorted({n for e in edges for n in e})
+    out: dict[int, list[int]] = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    rank = {n: SCALE for n in nodes}
+    for _ in range(4):
+        recv = {n: 0 for n in nodes}
+        for s, ds in out.items():
+            c = rank[s] // len(ds)
+            for d in ds:
+                recv[d] += c
+        rank = {n: 150_000_000_000 + (recv[n] * 85) // 100 for n in nodes}
+    want = {n: rank[n] / SCALE for n in nodes}
+
+    assert set(got) == set(want)
+    for n in nodes:
+        assert got[n] == want[n], (n, got[n], want[n])
+    # real-valued cross-check: truncation bias stays < 1e-9 over 4 rounds
+    frank = {n: 1.0 for n in nodes}
+    for _ in range(4):
+        recv_f = {n: 0.0 for n in nodes}
+        for s, ds in out.items():
+            for d in ds:
+                recv_f[d] += frank[s] / len(ds)
+        frank = {n: 0.15 + 0.85 * recv_f[n] for n in nodes}
+    for n in nodes:
+        assert abs(got[n] - frank[n]) < 1e-9
+    # dangling-receiver semantics: node 5 has no out-edges (its mass is
+    # dropped) and node 1's in-rank dominates the star
+    assert got[1] == max(got.values())
