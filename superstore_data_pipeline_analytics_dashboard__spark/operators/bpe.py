@@ -1,0 +1,247 @@
+"""Byte-Pair-Encoding tokenizer training and encoding as Spark ops.
+
+The training-data stack needs a tokenizer for token counting, packing
+(q75) and chunking (q86/q110); this module provides the BPE *training*
+loop (learn a merge table from the corpus) and the *encoding* path
+(apply a learned merge table), both shaped for the 100 TB corpus rather
+than a single machine.
+
+Why this is scale-correct: BPE training never iterates over the corpus.
+The ONLY corpus-scale operation is one groupBy that compresses the
+token stream into the WORD-FREQUENCY table (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units" — the
+reference implementation's `get_vocabulary` does exactly this, then
+trains on the vocabulary). Every merge iteration runs on that
+vocab-sized table: count adjacent symbol pairs weighted by word
+frequency (one groupBy), take the arg-max pair, rewrite the symbol
+arrays (one narrow map). At web scale the distinct-word table is
+~10-100 M rows — trivially distributed — while the corpus is billions
+of documents. Single-node trainers (HuggingFace tokenizers) hold that
+same word-frequency table in RAM with a pair-count heap; the DataFrame
+loop is the same algorithm with each heap update replaced by a
+recount, the right trade when the vocabulary itself outgrows one
+machine. For production vocab sizes (32k merges) the per-iteration
+fixed job latency dominates on Spark — the honest guidance is: build
+the word-frequency table HERE (the part that needs the cluster),
+train the merge loop wherever the vocab fits, encode HERE again.
+
+Driver-side state, documented: each iteration collects exactly ONE row
+(the arg-max pair) — same scalar class as the date-spine bounds — and
+the accumulated merge table IS the tokenizer artifact (n_merges rows,
+driver-sized by definition). Words never leave the executors.
+
+Determinism: pair counts are exact integer sums; the arg-max tie-break
+is total — (count DESC, left ASC, right ASC) — so the learned merge
+table is reproducible on any partitioning, cluster size, or engine.
+
+Merge-application semantics match the reference implementation: one
+left-to-right non-overlapping pass per merge ("aaa" + (a,a) → ["aa",
+"a"]), expressed as a JVM-side ``F.aggregate`` fold over the symbol
+array — no Python in the training loop. Encoding (the per-document hot
+path) applies merges in rank order per DISTINCT word — the word-level
+cache means the Arrow-batched Python encoder runs once per distinct
+word, not once per token — then joins the encodings back to the
+corpus-scale token stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Row
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+_MERGE_SCHEMA = (
+    "rank INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
+)
+
+
+def _symbols(word: Column) -> Column:
+    """Split a word into single-character symbols (array<string>)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: F.substring(word, i, 1),
+    )
+
+
+def _apply_merge(sym: Column, left: Column, right: Column) -> Column:
+    """One left-to-right non-overlapping merge pass over a symbol array,
+    as a JVM-side fold: carry (emitted symbols, pending symbol); a
+    (pending, current) hit emits the merged symbol and clears pending,
+    so the merged symbol never re-merges within the same pass —
+    reference-implementation semantics."""
+    acc0 = F.struct(
+        F.lit(None).cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+    # out starts life as NULL (concat(NULL, x) is NULL-safe via coalesce)
+    empty = F.array().cast("array<string>")
+
+    def step(acc: Column, x: Column) -> Column:
+        out = F.coalesce(acc["out"], empty)
+        return (
+            F.when(
+                acc["prev"].isNull(),
+                F.struct(out.alias("out"), x.alias("prev")),
+            )
+            .when(
+                (acc["prev"] == left) & (x == right),
+                F.struct(
+                    F.concat(out, F.array(F.concat(left, right))).alias("out"),
+                    F.lit(None).cast("string").alias("prev"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(out, F.array(acc["prev"])).alias("out"),
+                    x.alias("prev"),
+                )
+            )
+        )
+
+    def fin(acc: Column) -> Column:
+        out = F.coalesce(acc["out"], empty)
+        return F.when(acc["prev"].isNull(), out).otherwise(
+            F.concat(out, F.array(acc["prev"]))
+        )
+
+    return F.aggregate(sym, acc0, step, fin)
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) — the ONE corpus-scale pass of BPE training."""
+    return (
+        docs.select(F.explode(T.tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame, text_col: str = "text", n_merges: int = 12
+) -> DataFrame:
+    """Learn a BPE merge table from a document corpus.
+
+    Returns (rank, left, right, merged, pair_count): the pairs in the
+    order they were learned, 1-based rank. Stops early when no adjacent
+    pair occurs at least twice (merging unique pairs is pure noise).
+    """
+    spark = docs.sparkSession
+    words = (
+        word_frequencies(docs, text_col)
+        .select(_symbols(F.col("word")).alias("sym"), "freq")
+        .persist()
+    )
+    # ONE job per iteration: the arg-max take(1) below doubles as the
+    # materializer of the previous round's persisted rewrite (its DAG
+    # feeds the pair count), so no per-round count() is needed; the
+    # superseded cache is released one round late, once its successor
+    # is known to be materialized (measured 6.4 s → ~3.5 s at sf0.1).
+    pending: DataFrame | None = None
+    merges: list[Row] = []
+    for rank in range(1, n_merges + 1):
+        k = F.greatest(F.size("sym") - F.lit(1), F.lit(0))
+        pairs = words.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("sym", 1, k),
+                    F.slice("sym", 2, k),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+            "freq",
+        )
+        best = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .filter(F.col("cnt") >= 2)
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .take(1)  # arg-max pair: the one driver scalar per iteration
+        )
+        if pending is not None:
+            pending.unpersist()
+            pending = None
+        if not best:
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
+        merges.append(
+            Row(rank=rank, left=l, right=r, merged=l + r, pair_count=cnt)
+        )
+        new_words = words.select(
+            _apply_merge(F.col("sym"), F.lit(l), F.lit(r)).alias("sym"),
+            "freq",
+        ).persist()
+        pending, words = words, new_words
+    if pending is not None:
+        pending.unpersist()
+    words.unpersist()
+    return spark.createDataFrame(merges, _MERGE_SCHEMA)
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode documents with a learned merge table →
+    (id_col, bpe_tokens array<string>, n_bpe_tokens).
+
+    Scale shape: the Python encoder (the industry-standard path — real
+    tokenizers are native libraries driven exactly like this) runs via
+    Arrow ``mapInPandas`` over the DISTINCT-WORD table only; the
+    corpus-scale token stream then picks up each word's encoding with
+    one hashed join and reassembles documents with a positional
+    collect_list. The merge table is a broadcast-sized artifact and
+    ships to executors as a plain Python dict.
+    """
+    import pandas as pd
+
+    merge_rows = merges.orderBy("rank").select("left", "right").collect()
+    ranks = {(m["left"], m["right"]): i for i, m in enumerate(merge_rows)}
+    b_ranks = docs.sparkSession.sparkContext.broadcast(ranks)
+
+    def encode_words(batches):
+        rk = b_ranks.value
+
+        def enc(word: str) -> list[str]:
+            sym = list(word)
+            # greedy lowest-rank-first: repeatedly merge the best-ranked
+            # adjacent pair — equivalent to replaying merges in order
+            while len(sym) > 1:
+                cand = [
+                    (rk[(a, b)], i)
+                    for i, (a, b) in enumerate(zip(sym, sym[1:]))
+                    if (a, b) in rk
+                ]
+                if not cand:
+                    break
+                rank, i = min(cand)
+                sym = sym[:i] + [sym[i] + sym[i + 1]] + sym[i + 2 :]
+            return sym
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"word": pdf["word"], "enc": [enc(w) for w in pdf["word"]]}
+            )
+
+    toks = docs.select(
+        F.col(id_col), F.posexplode(T.tokens(text_col)).alias("pos", "word")
+    )
+    uniq = toks.select("word").distinct()
+    encoded = uniq.mapInPandas(encode_words, "word STRING, enc ARRAY<STRING>")
+    return (
+        toks.join(encoded, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "enc"))),
+                    lambda s: s["enc"],
+                )
+            ).alias("bpe_tokens")
+        )
+        .select(
+            id_col, "bpe_tokens", F.size("bpe_tokens").alias("n_bpe_tokens")
+        )
+    )

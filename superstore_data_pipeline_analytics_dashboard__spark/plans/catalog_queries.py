@@ -4951,9 +4951,17 @@ def q113_pagerank_copurchase(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 2)
     )
+    # symmetrize via explode, NOT union of two selects: a union would
+    # duplicate the whole self-join DAG upstream of the persist inside
+    # pagerank (measured 8.0 s → 4.4 s for the full query at sf0.1)
     edges = pairs.select(
-        F.col("pa").alias("src"), F.col("pb").alias("dst")
-    ).unionByName(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst")),
+                F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     pr = pagerank(edges, iters=3, damping=0.85)
     return pr.select(F.col("node").alias("part"), "rank")
 
@@ -5015,6 +5023,24 @@ FROM r3
 """
 
 
+# BPE tokenizer training (round 4): learn a byte-pair-encoding merge
+# table from the documents corpus — the tokenizer-training building
+# block (Sennrich et al. 2016). One corpus-scale groupBy compresses the
+# token stream into the word-frequency table; every merge iteration is
+# vocab-sized (pair count + arg-max + JVM-side fold rewrite — zero
+# Python in the loop; see operators/bpe.py for the full scale
+# argument). Rows-only by design: the training loop is iterative with
+# a per-round arg-max, not SQL-expressible — pinned instead by
+# tests/test_bpe.py against a pure-Python reference implementation,
+# exact to the tie-break.
+
+def q114_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.bpe import bpe_train
+
+    docs = load_table(spark, sf, "documents")
+    return bpe_train(docs, n_merges=10)
+
+
 # corpus-wide boilerplate n-gram mining (round 4): the memorization-risk
 # report — the top-20 word-5-grams by DISTINCT-document frequency
 # (appearing in ≥ 2 docs), with total occurrence counts. The near-dup
@@ -5029,12 +5055,25 @@ FROM r3
 
 def q115_boilerplate_ngrams(spark: SparkSession, sf: str, n: int = 5, k: int = 20) -> DataFrame:
     docs = load_table(spark, sf, "documents")
-    grams = docs.select(
-        "doc_id", F.explode(T.word_shingles("text", n)).alias("shingle")
+    # two-step shingling: materialize the token array, THEN slide the
+    # 5-gram window over it — word_shingles would re-run the regex
+    # normalize+split once per window position (the shingles_from_tokens
+    # hot-path rule; measured 4.1 s → 0.75 s on the sf0.1 gram explode)
+    toks = docs.select("doc_id", T.tokens("text").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(T.shingles_from_tokens(F.col("t"), n)).alias("shingle"),
     )
-    stats = grams.groupBy("shingle").agg(
-        F.count_distinct("doc_id").alias("n_docs"),
-        F.count("*").alias("n_occurrences"),
+    # two-phase: per-(shingle, doc) counts first, then the shingle
+    # rollup — a mixed count_distinct + count agg would Expand the
+    # exploded gram stream 2× through the shuffle (the q35 cliff,
+    # PERF.md finding 5); this shape shuffles each gram once
+    per_doc = grams.groupBy("shingle", "doc_id").agg(
+        F.count("*").alias("n_in_doc")
+    )
+    stats = per_doc.groupBy("shingle").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_in_doc").alias("n_occurrences"),
     )
     return (
         stats.filter(F.col("n_docs") >= 2)
@@ -5386,6 +5425,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q111_chunk_dup_fraction": q111_chunk_dup_fraction,
     "q112_chunk_dedup_rewrite": q112_chunk_dedup_rewrite,
     "q113_pagerank_copurchase": q113_pagerank_copurchase,
+    "q114_bpe_merges": q114_bpe_merges,  # rows-only (iterative arg-max loop)
     "q115_boilerplate_ngrams": q115_boilerplate_ngrams,
 }
 
