@@ -222,27 +222,34 @@ def rolling_distinct(
     date_col: str,
     window_days: int = 7,
     out: str = "n_distinct",
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact COUNT(DISTINCT id) over a trailing ``window_days``-day
-    window, per day: (window_day, n_distinct). No Spark window frame
+    window, per day (and per ``group_cols`` slice if given):
+    (*group_cols, window_day, n_distinct). No Spark window frame
     supports DISTINCT aggregates, so the scale pattern is to EXPLODE
-    each distinct (id, day) pair into the ≤window_days window-days it
-    covers and reduce the slide to a tumbling groupBy + count distinct.
-    Shuffle volume is window_days × |distinct (id, day)| — independent
-    of raw row volume after the first distinct. For wide windows where
-    the explode factor hurts, the mergeable-sketch tier
-    (sketches.theta_distinct_per_group / HLL union) replaces exactness
-    with union-merge of per-day sketches. Catalog q101 is the oracled
-    instance over events."""
+    each distinct (group, id, day) tuple into the ≤window_days
+    window-days it covers and reduce the slide to a tumbling groupBy +
+    count distinct. Shuffle volume is window_days × |distinct (group,
+    id, day)| — independent of raw row volume after the first distinct.
+    For wide windows where the explode factor hurts, the
+    mergeable-sketch tier (sketches.theta_distinct_per_group / HLL
+    union) replaces exactness with union-merge of per-day sketches.
+    Catalog q101 (defaults) and q116 (14-day, per event_type) are the
+    oracled instances over events."""
+    gcols = list(group_cols)
     pairs = df.select(
-        F.col(id_col).alias("__id"), F.col(date_col).cast("date").alias("__day")
+        *gcols,
+        F.col(id_col).alias("__id"),
+        F.col(date_col).cast("date").alias("__day"),
     ).distinct()
     covered = pairs.select(
+        *gcols,
         "__id",
         F.explode(
             F.sequence("__day", F.date_add("__day", window_days - 1))
         ).alias("window_day"),
     )
-    return covered.groupBy("window_day").agg(
+    return covered.groupBy(*gcols, "window_day").agg(
         F.countDistinct("__id").alias(out)
     )
