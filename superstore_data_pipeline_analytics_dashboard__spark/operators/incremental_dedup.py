@@ -119,66 +119,101 @@ def minhash_increment(
     """Near-dup dedup of ``new_docs`` against ``state`` + within-batch.
 
     Stages (each ∝ batch size or candidate count, never corpus size):
-    shingle/sign/band the batch → cross candidates via band join against
-    the stored band table → verify cross candidates with exact Jaccard
-    over (batch shingles ⋈ candidate-old shingles) → drop matched new
-    docs → cluster the surviving batch's internal verified pairs and
-    keep each cluster's lowest id. Returns ``{"kept", "state"}`` with
-    the state grown by the kept docs only."""
+    shingle/sign/band the batch, then ONE band-bucket join against the
+    stored band table UNIONED with the batch's own (orientation
+    ``new < other`` on the batch side) produces cross-corpus and
+    within-batch candidates together, and ONE exact-Jaccard pass over
+    (batch shingles ⋈ candidate-other shingles) verifies both kinds at
+    once — the "other" shingle side is the candidate-old slice of the
+    store plus the batch index, never the whole store. The previous
+    two-pass form (vs-old join+verify, then a second join+verify among
+    survivors) ran ~2× the stages for the same answer: 16.0 s → 11.5 s
+    for the bench instance at sf0.1 (the floor is the sequential
+    persist-materialize chain's fixed job latency, not data volume —
+    it flattens as the batch grows), and at corpus scale one
+    verification shuffle replaces two overlapping ones. Answer
+    unchanged because verification is per-pair: a within pair whose
+    endpoint drops against the corpus is discarded AFTER verification
+    here instead of never generated, and the surviving pair set —
+    what clustering sees — is identical.
+
+    Then: drop batch docs verified against an old doc, cluster the
+    surviving batch's verified pairs, keep each cluster's lowest id.
+    Returns ``{"kept", "state"}`` with the state grown by the kept
+    docs only. Precondition (already implied by the append-only state):
+    ids are globally unique across corpus and batch.
+
+    cand / verified are PERSISTED (sh_new / bands_new as before): each
+    is re-read by 2-3 downstream branches (the old-slice semi-join, the
+    drop/pair splits, the survivors' anti-joins), and without the
+    persists every branch re-executes the corpus-side DAG — when the
+    state is composed in memory (tests, single-session chains) that
+    multiplied the whole increment ~5× (measured 40.7 s → 8.1 s at
+    sf0.1 on the two-pass form). A parquet-backed state makes the
+    corpus side a cheap column scan, but the candidate/verified sets
+    are worth pinning in any deployment: id-pair-sized, never
+    corpus-sized."""
     from .graph import dedup_clusters
 
     sh_new = hashed_shingles(new_docs, id_col, text_col, n).persist()
     sigs_new = _signatures_from_hashed(sh_new, num_hashes)
     bands_new = _bands_from_sigs(sigs_new, num_hashes, bands).persist()
 
-    sizes_new = sh_new.groupBy("doc_id").agg(F.count("*").alias("set_size"))
-
-    # --- cross candidates: new bands ⋈ stored bands on (band, bucket).
-    # cross / old_sh / dropped_vs_old are PERSISTED: each is re-read by
-    # 2-3 downstream branches (verification, sizes, the survivors'
-    # anti-joins, the final drop union), and without the persists every
-    # branch re-executes the corpus-side shingle/signature DAG — when the
-    # state is composed in memory (tests, single-session chains) that
-    # multiplied the whole increment ~5× (measured 40.7 s → 8.1 s at
-    # sf0.1). A parquet-backed state makes the corpus side a cheap
-    # column scan, but the candidate/drop sets are worth pinning in any
-    # deployment: they are id-pair-sized, never corpus-sized.
-    cross = (
+    all_bands = (
+        state["bands"]
+        .select("doc_id", "band", "bucket")
+        .withColumn("is_old", F.lit(True))
+        .unionByName(
+            bands_new.select("doc_id", "band", "bucket").withColumn(
+                "is_old", F.lit(False)
+            )
+        )
+    )
+    cand = (
         bands_new.alias("a")
         .join(
-            state["bands"].alias("b"),
+            all_bands.alias("b"),
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket")),
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("b.is_old") | (F.col("a.doc_id") < F.col("b.doc_id"))),
         )
         .select(
             F.col("a.doc_id").alias("new_id"),
-            F.col("b.doc_id").alias("old_id"),
+            F.col("b.doc_id").alias("other_id"),
+            F.col("b.is_old").alias("is_old"),
         )
         .distinct()
         .persist()
     )
-    # verification index slice: only candidate olds' shingles leave the store
+    # verification index slice: only candidate olds' shingles leave the
+    # store; the batch's own index covers the within-batch side
     old_sh = state["shingles"].join(
-        cross.select(F.col("old_id").alias("doc_id")).distinct(),
+        cand.filter(F.col("is_old"))
+        .select(F.col("other_id").alias("doc_id"))
+        .distinct(),
         "doc_id",
         "left_semi",
-    ).persist()
-    sizes_old = old_sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    )
+    other_sh = old_sh.unionByName(sh_new)
+    sizes_new = sh_new.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    sizes_other = other_sh.groupBy("doc_id").agg(
+        F.count("*").alias("set_size")
+    )
     inter = (
-        cross.join(
+        cand.join(
             sh_new.select(F.col("doc_id").alias("new_id"), "sh"), "new_id"
         )
         .join(
-            old_sh.select(F.col("doc_id").alias("old_id"), "sh"),
-            ["old_id", "sh"],
+            other_sh.select(F.col("doc_id").alias("other_id"), "sh"),
+            ["other_id", "sh"],
         )
-        .groupBy("new_id", "old_id")
+        .groupBy("new_id", "other_id", "is_old")
         .agg(F.count("*").alias("n_common"))
     )
     jac = F.col("n_common") / (
-        F.col("size_new") + F.col("size_old") - F.col("n_common")
+        F.col("size_new") + F.col("size_other") - F.col("n_common")
     )
-    dropped_vs_old = (
+    verified = (
         inter.join(
             sizes_new.select(
                 F.col("doc_id").alias("new_id"),
@@ -187,72 +222,38 @@ def minhash_increment(
             "new_id",
         )
         .join(
-            sizes_old.select(
-                F.col("doc_id").alias("old_id"),
-                F.col("set_size").alias("size_old"),
+            sizes_other.select(
+                F.col("doc_id").alias("other_id"),
+                F.col("set_size").alias("size_other"),
             ),
-            "old_id",
+            "other_id",
         )
         .filter(jac.cast("decimal(9,6)") >= threshold)
-        .select("new_id")
-        .distinct()
+        .select("new_id", "other_id", "is_old")
         .persist()
     )
-
-    # --- within-batch pairs among docs that survived the cross pass
-    surv_sh = sh_new.join(
-        dropped_vs_old.withColumnRenamed("new_id", "doc_id"),
-        "doc_id",
-        "left_anti",
-    )
-    # bands are per-doc deterministic — filter the already-computed batch
-    # band table instead of re-signing the survivors
-    within = bands_new.join(
-        dropped_vs_old.withColumnRenamed("new_id", "doc_id"),
-        "doc_id",
-        "left_anti",
-    )
-    a = within.alias("a")
-    b = within.alias("b")
-    w_cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+    dropped_vs_old = (
+        verified.filter(F.col("is_old"))
+        .select(F.col("new_id").alias("doc_id"))
         .distinct()
     )
-    w_sizes = surv_sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
-    w_inter = (
-        w_cands.join(
-            surv_sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a"
-        )
-        .join(surv_sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    w_jac = F.col("n_common") / (
-        F.col("size_a") + F.col("size_b") - F.col("n_common")
-    )
+    # within-batch pairs among survivors: verified batch pairs whose
+    # endpoints both dodged the corpus drop
     w_pairs = (
-        w_inter.join(
-            w_sizes.select(
-                F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")
-            ),
-            "doc_a",
+        verified.filter(~F.col("is_old"))
+        .join(
+            dropped_vs_old.withColumnRenamed("doc_id", "new_id"),
+            "new_id",
+            "left_anti",
         )
         .join(
-            w_sizes.select(
-                F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")
-            ),
-            "doc_b",
+            dropped_vs_old.withColumnRenamed("doc_id", "other_id"),
+            "other_id",
+            "left_anti",
         )
-        .filter(w_jac.cast("decimal(9,6)") >= threshold)
-        .select("doc_a", "doc_b")
+        .select(
+            F.col("new_id").alias("doc_a"), F.col("other_id").alias("doc_b")
+        )
     )
     w_losers = (
         dedup_clusters(w_pairs)
@@ -260,9 +261,7 @@ def minhash_increment(
         .select(F.col("doc_id"))
     )
 
-    dropped = dropped_vs_old.withColumnRenamed("new_id", "doc_id").unionByName(
-        w_losers
-    )
+    dropped = dropped_vs_old.unionByName(w_losers)
     kept = new_docs.join(dropped, new_docs[id_col] == dropped["doc_id"], "left_anti")
 
     kept_ids = kept.select(F.col(id_col).alias("doc_id"))
