@@ -1,0 +1,169 @@
+"""Distributed Lloyd's k-means over int8-quantized embeddings.
+
+Topic-style clustering is the organizing step of several curation
+recipes (SemDeDup's cluster-then-dedup, cluster-balanced sampling,
+per-cluster quality audits).  The reference has no clustering operator;
+this one follows the public MLlib KMeans execution shape — per-iteration
+centroids are collected to the driver (k × dims longs, kilobytes) and
+re-broadcast as literals so the ASSIGNMENT pass is a narrow map with
+zero shuffle; the only shuffle per iteration is the (cluster, dim) sum
+that rebuilds the centroids.
+
+Exactness contract (what makes this oracle-able when nothing else about
+k-means is): all geometry runs on the q74-style int8 quantization of the
+vectors, so every dot product / squared norm / distance is an exact
+INTEGER (order-independent, engine-portable), the arg-min tie-break is
+"lowest centroid id", and centroid updates use floor(sum / count) where
+both operands are exact integers far below 2^53 — the IEEE double
+division is therefore correctly rounded to the same value in any engine,
+and its floor is exact.  Float k-means would hash-diverge on summation
+order; integer k-means cannot.
+
+Scale shape per iteration (N vectors, d dims, k clusters):
+* assignment: ONE narrow pass, fold over a k-element literal centroid
+  array — no crossJoin, no shuffle, stays in whole-stage codegen;
+* update: posexplode to N·d rows, partial-aggregated map-side onto k·d
+  keys — the classic mergeable-sum shape;
+* driver traffic: k·d longs per iteration (MLlib does the same — the
+  centroid collect is how every public Spark k-means works).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["quantize_embeddings", "kmeans_quantized"]
+
+
+def quantize_embeddings(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 quantization (q74 convention), components as LONGs
+    so downstream integer folds cannot overflow, plus the precomputed
+    squared norm ``nq`` used by every distance evaluation."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, F.abs))
+    q = F.transform(
+        v,
+        lambda x: F.round(
+            x * F.lit(127.0) / F.greatest(max_abs, F.lit(1e-12))
+        ).cast("long"),
+    )
+    nq = F.aggregate(
+        F.transform(q, lambda a: a * a),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return emb.withColumn("q", q).withColumn("nq", nq).drop(vec_col)
+
+
+def _sq_norm(arr: list[int]) -> int:
+    return sum(a * a for a in arr)
+
+
+def _assign(quant: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Narrow arg-min assignment against a literal centroid array.
+
+    dist(q, c) = nq + nc - 2·dot(q, c) — exact longs throughout.  The
+    fold visits centroids in ascending cid order and replaces the best
+    only on STRICTLY smaller distance, so ties keep the lowest cid.
+    """
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(v).cast("long") for v in c]).alias("c"),
+                F.lit(_sq_norm(c)).cast("long").alias("nc"),
+            )
+            for cid, c in cents
+        ]
+    )
+
+    def dist(s: Column) -> Column:
+        dot = F.aggregate(
+            F.zip_with(F.col("q"), s["c"], lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return F.col("nq") + s["nc"] - F.lit(2).cast("long") * dot
+
+    best = F.aggregate(
+        cent_arr,
+        F.struct(
+            F.lit(None).cast("long").alias("dist"),
+            F.lit(None).cast("int").alias("cid"),
+        ),
+        lambda acc, s: F.when(
+            acc["cid"].isNull() | (dist(s) < acc["dist"]),
+            F.struct(dist(s).alias("dist"), s["cid"].alias("cid")),
+        ).otherwise(acc),
+    )
+    return quant.withColumn("cid", best["cid"]).withColumn(
+        "dist", best["dist"]
+    )
+
+
+def kmeans_quantized(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Run ``iters`` Lloyd iterations; return per-cluster summary.
+
+    Init: the k vectors with the LOWEST ids, cid assigned in id order —
+    fully deterministic, no RNG.  Clusters that lose all members simply
+    drop out of the next centroid table (deterministic on both engines).
+
+    Output: cluster_id, n_members, rep_id (min member id), inertia
+    (exact integer sum of squared quantized distances).
+    """
+    quant = quantize_embeddings(emb, vec_col).persist()
+    seed_rows = (
+        quant.select(id_col, "q").orderBy(id_col).limit(k).collect()
+    )
+    cents = [(i, list(r["q"])) for i, r in enumerate(seed_rows)]
+
+    for _ in range(iters):
+        assigned = _assign(quant, cents)
+        sums = (
+            assigned.select("cid", F.posexplode("q").alias("dim", "qv"))
+            .groupBy("cid", "dim")
+            .agg(F.sum("qv").alias("s"))
+        )
+        counts = assigned.groupBy("cid").agg(F.count("*").alias("n"))
+        new_cent = (
+            sums.join(counts, "cid")
+            .select(
+                "cid",
+                "dim",
+                # exact-int floor through a correctly-rounded double
+                # division (|s| < 2^53): same long on every engine
+                F.floor(F.col("s") / F.col("n")).alias("cv"),
+            )
+            .groupBy("cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))).alias(
+                    "__dc"
+                )
+            )
+            .select(
+                "cid",
+                F.transform(F.col("__dc"), lambda s: s["cv"]).alias("c"),
+            )
+            .orderBy("cid")
+            .collect()
+        )
+        cents = [(int(r["cid"]), list(r["c"])) for r in new_cent]
+
+    final = _assign(quant, cents)
+    out = final.groupBy("cid").agg(
+        F.count("*").alias("n_members"),
+        F.min(id_col).alias("rep_id"),
+        F.sum("dist").alias("inertia"),
+    )
+    out = out.select(
+        F.col("cid").alias("cluster_id"), "n_members", "rep_id", "inertia"
+    )
+    quant.unpersist()
+    return out

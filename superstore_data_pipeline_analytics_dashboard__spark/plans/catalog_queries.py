@@ -5149,6 +5149,305 @@ LIMIT 20
 """
 
 
+# quantized k-means (round 4): Lloyd's algorithm over int8-quantized
+# embeddings — the topic-clustering step of cluster-then-dedup
+# (SemDeDup) and cluster-balanced sampling recipes. Integer geometry
+# end-to-end makes an iterative float algorithm EXACTLY oracle-able
+# (operators/clustering.py has the full exactness + scale argument:
+# per-iteration centroid collect is k×d longs, the MLlib execution
+# shape; assignment is a narrow zero-shuffle fold).
+
+def q117_kmeans_quantized(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.clustering import kmeans_quantized
+
+    emb = load_table(spark, sf, "embeddings")
+    return kmeans_quantized(emb, k=8, iters=3)
+
+
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
+    """Unrolled-CTE DuckDB twin of kmeans_quantized (same quantization,
+    same strictly-smaller/lowest-cid tie-break, same floor(sum/count)
+    centroid update through a correctly-rounded double division)."""
+    dot = "list_sum(list_transform(range(1, len(v.q) + 1), i -> v.q[i] * c.c[i]))"
+    ncn = "list_sum(list_transform(c.c, b -> b * b))"
+    parts = [
+        r"""WITH quant AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 127.0 /
+                  greatest(list_max(list_transform(embedding,
+                      y -> abs(CAST(y AS DOUBLE)))), 1e-12)) AS BIGINT)) AS q
+  FROM embeddings
+), qn AS (
+  SELECT vec_id, q,
+         CAST(list_sum(list_transform(q, a -> a * a)) AS BIGINT) AS nq
+  FROM quant
+), cent0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
+  FROM (SELECT vec_id, q FROM qn ORDER BY vec_id LIMIT {k})
+)""".format(k=k)
+    ]
+    for it in range(1, iters + 2):
+        parts.append(
+            f""", assign{it} AS (
+  SELECT * FROM (
+    SELECT v.vec_id, v.q, v.nq, c.cid,
+           CAST(v.nq + {ncn} - 2 * {dot} AS BIGINT) AS dist
+    FROM qn v CROSS JOIN cent{it - 1} c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+)"""
+        )
+        if it <= iters:
+            parts.append(
+                f""", cent{it} AS (
+  SELECT cid, list(cv ORDER BY dim) AS c FROM (
+    SELECT cid, dim,
+           CAST(floor(CAST(sum(qv) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                AS BIGINT) AS cv
+    FROM (
+      SELECT cid, d.i AS dim, q[d.i] AS qv
+      FROM assign{it},
+           LATERAL (SELECT unnest(range(1, len(q) + 1)) AS i) d
+    ) GROUP BY cid, dim
+  ) GROUP BY cid
+)"""
+            )
+    parts.append(
+        f"""
+SELECT CAST(cid AS INT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       min(vec_id) AS rep_id,
+       CAST(sum(dist) AS BIGINT) AS inertia
+FROM assign{iters + 1}
+GROUP BY cid"""
+    )
+    return "".join(parts)
+
+
+Q117_SQL = _kmeans_oracle_sql(k=8, iters=3)
+
+
+# per-dimension embedding health report (round 4): the dead/clipped
+# dimension diagnostic a pipeline runs before trusting an embedding
+# table (a dimension with ~zero variance carries no signal; one pinned
+# at ±127 is saturating the quantizer). All moments are exact integer
+# sums over the q74 int8 grid — mean and variance leave as doubles
+# computed from IDENTICAL integer operands on both engines
+# (n·Σq² − (Σq)², magnitudes < 2^40 ≪ 2^53). Scale: posexplode to N·d
+# rows partial-aggregated map-side onto d keys — the canonical
+# mergeable-moments shape; no window, no sort, one shuffle of d rows.
+
+def q118_embedding_dim_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.clustering import quantize_embeddings
+
+    emb = load_table(spark, sf, "embeddings")
+    quant = quantize_embeddings(emb)
+    ex = quant.select(F.posexplode("q").alias("dim", "qv"))
+    agg = ex.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("qv").alias("s1"),
+        F.sum(F.col("qv") * F.col("qv")).alias("s2"),
+        F.min("qv").alias("min_q"),
+        F.max("qv").alias("max_q"),
+        F.sum(F.when(F.col("qv") == 0, 1).otherwise(0)).alias("n_zero"),
+        F.sum(F.when(F.abs("qv") == 127, 1).otherwise(0)).alias("n_clipped"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    var = (
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        / (F.col("n") * F.col("n")).cast("double")
+    )
+    return agg.select(
+        "dim",
+        "n",
+        mean.alias("mean_q"),
+        var.alias("var_q"),
+        "min_q",
+        "max_q",
+        "n_zero",
+        "n_clipped",
+    )
+
+
+Q118_SQL = """
+WITH quant AS (
+  SELECT list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 127.0 /
+                  greatest(list_max(list_transform(embedding,
+                      y -> abs(CAST(y AS DOUBLE)))), 1e-12)) AS BIGINT)) AS q
+  FROM embeddings
+), ex AS (
+  SELECT CAST(d.i - 1 AS INT) AS dim, q[d.i] AS qv
+  FROM quant, LATERAL (SELECT unnest(range(1, len(q) + 1)) AS i) d
+), agg AS (
+  SELECT dim, count(*) AS n, sum(qv) AS s1, sum(qv * qv) AS s2,
+         min(qv) AS min_q, max(qv) AS max_q,
+         sum(CASE WHEN qv = 0 THEN 1 ELSE 0 END) AS n_zero,
+         sum(CASE WHEN abs(qv) = 127 THEN 1 ELSE 0 END) AS n_clipped
+  FROM ex GROUP BY dim
+)
+SELECT dim, CAST(n AS BIGINT) AS n,
+       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
+       CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE) AS var_q,
+       CAST(min_q AS BIGINT) AS min_q, CAST(max_q AS BIGINT) AS max_q,
+       CAST(n_zero AS BIGINT) AS n_zero,
+       CAST(n_clipped AS BIGINT) AS n_clipped
+FROM agg
+"""
+
+
+# token-rarity quality signal (round 4): per-document mean corpus
+# frequency RANK of its tokens — the "is this document made of common
+# or rare words" lens that complements q104's binary in/out-of-vocab
+# rate (CCNet uses the same idea with LM perplexity; rank statistics
+# give the exact-arithmetic version: every rank is an integer, the
+# per-doc sum is an exact long, and ONE double division leaves the
+# engine). Ranking only the TOP-V vocabulary keeps the global sort
+# bounded: the vocab rollup is corpus-scale but mergeable, the ranked
+# head is a TakeOrderedAndProject of V rows (never a full-vocab window
+# at 100 TB), and every tail term collapses to rank V+1 ("rare").
+
+def q119_token_rarity(spark: SparkSession, sf: str, v: int = 500) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    freq = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    head = freq.orderBy(F.col("cnt").desc(), "term").limit(v)
+    ranked = head.select(
+        "term",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "term"))
+        .cast("long")
+        .alias("rank"),
+    )
+    scored = toks.join(F.broadcast(ranked), "term", "left").select(
+        "doc_id", F.coalesce("rank", F.lit(v + 1).cast("long")).alias("rank")
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("rank").alias("__sum_rank"),
+        F.max("rank").alias("max_rank"),
+        F.sum(F.when(F.col("rank") == v + 1, 1).otherwise(0)).alias("n_rare"),
+    )
+    mean_rank = F.col("__sum_rank").cast("double") / F.col(
+        "n_tokens"
+    ).cast("double")
+    return per_doc.select(
+        "doc_id", "n_tokens", mean_rank.alias("mean_rank"), "max_rank", "n_rare"
+    )
+
+
+Q119_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             x -> x <> '')) AS term
+  FROM documents
+), freq AS (
+  SELECT term, count(*) AS cnt FROM toks GROUP BY term
+), ranked AS (
+  SELECT term,
+         row_number() OVER (ORDER BY cnt DESC, term) AS rank
+  FROM (SELECT * FROM freq ORDER BY cnt DESC, term LIMIT 500)
+), scored AS (
+  SELECT t.doc_id, coalesce(r.rank, 501) AS rank
+  FROM toks t LEFT JOIN ranked r USING (term)
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_tokens, sum(rank) AS sum_rank,
+         max(rank) AS max_rank,
+         sum(CASE WHEN rank = 501 THEN 1 ELSE 0 END) AS n_rare
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(sum_rank AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_rank,
+       CAST(max_rank AS BIGINT) AS max_rank,
+       CAST(n_rare AS BIGINT) AS n_rare
+FROM per_doc
+"""
+
+
+# cross-source contamination matrix (round 4): for every pair of
+# sources, the count and Jaccard of SHARED word-5-gram fingerprints —
+# the provenance-level view of q70's per-benchmark contamination check
+# (which crawl feeds copied from which; which pairs need dedup before
+# mixing). Exact integers + one double ratio. Scale: the inverted index
+# on the 8-byte shingle hash emits at most C(#sources, 2) pairs per
+# shingle (sources are a small dimension, not corpus-scale), and the
+# per-source distinct-shingle counts broadcast onto the pair rollup.
+
+def q120_source_overlap(spark: SparkSession, sf: str, n: int = 5) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select("source", T.tokens("text").alias("t"))
+    grams = toks.select(
+        "source",
+        F.explode(T.shingles_from_tokens(F.col("t"), n)).alias("shingle"),
+    )
+    sg = grams.select(
+        "source", md5_prefix_long("shingle").alias("g")
+    ).distinct()
+    per_src = sg.groupBy("source").agg(F.count("*").alias("n_grams"))
+    pairs = (
+        sg.alias("a")
+        .join(sg.alias("b"), "g")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(per_src.select(F.col("source").alias("src_a"), F.col("n_grams").alias("na"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(per_src.select(F.col("source").alias("src_b"), F.col("n_grams").alias("nb"))),
+            "src_b",
+        )
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_shared")
+    ).cast("double")
+    return out.select(
+        "src_a", "src_b", "n_shared", "na", "nb", jac.alias("jaccard")
+    )
+
+
+Q120_SQL = r"""
+WITH toks AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT source, shingle
+  FROM toks, LATERAL (
+    SELECT unnest(list_transform(
+        generate_series(1, greatest(len(t) - 4, 1)),
+        i -> array_to_string(t[i:i+4], ' '))) AS shingle
+  )
+), sg AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS g
+  FROM grams
+), per_src AS (
+  SELECT source, count(*) AS n_grams FROM sg GROUP BY source
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+       CAST(pa.n_grams AS BIGINT) AS na, CAST(pb.n_grams AS BIGINT) AS nb,
+       CAST(p.n_shared AS DOUBLE)
+         / CAST(pa.n_grams + pb.n_grams - p.n_shared AS DOUBLE) AS jaccard
+FROM pairs p
+JOIN per_src pa ON pa.source = p.src_a
+JOIN per_src pb ON pb.source = p.src_b
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -5463,6 +5762,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q114_bpe_merges": q114_bpe_merges,  # rows-only (iterative arg-max loop)
     "q115_boilerplate_ngrams": q115_boilerplate_ngrams,
     "q116_rolling_distinct_by_type": q116_rolling_distinct_by_type,
+    "q117_kmeans_quantized": q117_kmeans_quantized,
+    "q118_embedding_dim_stats": q118_embedding_dim_stats,
+    "q119_token_rarity": q119_token_rarity,
+    "q120_source_overlap": q120_source_overlap,
 }
 
 ORACLES: dict[str, str] = {
@@ -5569,6 +5872,10 @@ ORACLES: dict[str, str] = {
     "q113_pagerank_copurchase": Q113_SQL,
     "q115_boilerplate_ngrams": Q115_SQL,
     "q116_rolling_distinct_by_type": Q116_SQL,
+    "q117_kmeans_quantized": Q117_SQL,
+    "q118_embedding_dim_stats": Q118_SQL,
+    "q119_token_rarity": Q119_SQL,
+    "q120_source_overlap": Q120_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
     # form in round 3, so it is oracled above.
