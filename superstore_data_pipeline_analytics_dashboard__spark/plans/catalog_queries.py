@@ -5382,9 +5382,14 @@ def q120_source_overlap(spark: SparkSession, sf: str, n: int = 5) -> DataFrame:
         "source",
         F.explode(T.shingles_from_tokens(F.col("t"), n)).alias("shingle"),
     )
-    sg = grams.select(
-        "source", md5_prefix_long("shingle").alias("g")
-    ).distinct()
+    # persisted: sg feeds the per-source counts AND both sides of the
+    # pair self-join — unpersisted, the tokenize+shingle+distinct
+    # pipeline runs three times (measured 3.8 s → 2.0 s at sf0.1)
+    sg = (
+        grams.select("source", md5_prefix_long("shingle").alias("g"))
+        .distinct()
+        .persist()
+    )
     per_src = sg.groupBy("source").agg(F.count("*").alias("n_grams"))
     pairs = (
         sg.alias("a")
@@ -5445,6 +5450,291 @@ SELECT p.src_a, p.src_b, CAST(p.n_shared AS BIGINT) AS n_shared,
 FROM pairs p
 JOIN per_src pa ON pa.source = p.src_a
 JOIN per_src pb ON pb.source = p.src_b
+"""
+
+
+# boilerplate STRIP rewrite (round 4): q115 MINES the template phrases;
+# this applies the removal — every token position covered by an
+# occurrence of a top-20 boilerplate 5-gram is dropped and the document
+# re-assembled (the CCNet/RefinedWeb "strip chrome before training"
+# step at this corpus's available grain). Deterministic end-to-end:
+# the cleaned text leaves as an md5 fingerprint. Scale: the mined set
+# is K rows (broadcast); coverage is hits-sized (positions of matched
+# grams only, never |doc|·|K|); the rewrite is one narrow lambda filter
+# per doc inside codegen.
+
+def q121_boilerplate_strip(
+    spark: SparkSession, sf: str, n: int = 5, k: int = 20
+) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select("doc_id", T.tokens("text").alias("t"))
+    # persisted: grams feeds the boilerplate miner AND the hit scan —
+    # unpersisted, the tokenize+shingle explode runs twice
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(T.shingles_from_tokens(F.col("t"), n)).alias(
+            "pos", "shingle"
+        ),
+    ).persist()
+    per_doc = grams.groupBy("shingle", "doc_id").agg(
+        F.count("*").alias("n_in_doc")
+    )
+    bp = (
+        per_doc.groupBy("shingle")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_in_doc").alias("n_occ"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(), "shingle")
+        .limit(k)
+        .select("shingle")
+    )
+    hits = grams.join(F.broadcast(bp), "shingle")
+    cov = (
+        hits.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("cp"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("cp").alias("cov"))
+    )
+    out = toks.join(cov, "doc_id", "left")
+    cleaned = F.filter(
+        "t",
+        lambda x, i: F.col("cov").isNull() | ~F.array_contains("cov", i),
+    )
+    return out.select(
+        "doc_id",
+        F.size("t").alias("n_before"),
+        F.size(cleaned).alias("n_after"),
+        F.md5(F.array_join(cleaned, " ")).alias("clean_fp"),
+    )
+
+
+Q121_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, CAST(d.i - 1 AS INT) AS pos,
+         array_to_string(t[d.i:d.i+4], ' ') AS shingle
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i) d
+), bp AS (
+  SELECT shingle FROM (
+    SELECT shingle, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+    FROM grams GROUP BY shingle
+  ) WHERE n_docs >= 2
+  ORDER BY n_docs DESC, n_occ DESC, shingle LIMIT 20
+), cov AS (
+  SELECT doc_id, list(DISTINCT cp) AS cov
+  FROM (
+    SELECT g.doc_id, g.pos + off.o AS cp
+    FROM grams g JOIN bp USING (shingle),
+         LATERAL (SELECT unnest(generate_series(0, 4)) AS o) off
+  ) GROUP BY doc_id
+), rebuilt AS (
+  SELECT t.doc_id, t.t,
+         CASE WHEN c.cov IS NULL THEN t.t
+              ELSE list_filter(
+                  list_transform(generate_series(1, len(t.t)),
+                      i -> CASE WHEN list_contains(c.cov, i - 1)
+                                THEN NULL ELSE t.t[i] END),
+                  x -> x IS NOT NULL)
+         END AS clean
+  FROM toks t LEFT JOIN cov c USING (doc_id)
+)
+SELECT doc_id, CAST(len(t) AS INT) AS n_before,
+       CAST(len(clean) AS INT) AS n_after,
+       md5(array_to_string(clean, ' ')) AS clean_fp
+FROM rebuilt
+"""
+
+
+# canonical near-dup selection (round 4): q49 finds the near-dup
+# components with a min-id canonical; real curation keeps the BEST
+# document of each cluster, not the first — here arg-max quality score
+# (q22's exact-decimal signal) with a lowest-id tie-break, via ONE
+# min(struct(-quality, id)) aggregate per component (no window over the
+# pair set). Components and quality are both already-green building
+# blocks; the composition stays exact.
+
+def q122_canonical_selection(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    comp = dedup_clusters(pairs.select("doc_a", "doc_b"))
+    quality = docs.select(
+        "doc_id", T.quality_score("text").cast("decimal(9,6)").alias("q")
+    )
+    scored = comp.join(quality, "doc_id")
+    best = F.min(F.struct((-F.col("q")).alias("nq"), F.col("doc_id").alias("id")))
+    return scored.groupBy("component_id").agg(
+        F.count("*").alias("n_members"),
+        best["id"].alias("canon_id"),
+        (-best["nq"]).alias("canon_quality"),
+    )
+
+
+def _q122_oracle_sql() -> str:
+    """Reuse Q49's recursive-component skeleton, then arg-max quality."""
+    comp = Q49_SQL.strip().rsplit("SELECT node", 1)[0].rstrip()
+    quality = Q22_SQL.strip()
+    return (
+        comp
+        + """, comp AS (
+  SELECT node AS doc_id, min(lbl) AS component_id FROM reach GROUP BY node
+), quality AS (
+  SELECT doc_id, quality AS q FROM (
+"""
+        + quality
+        + """
+  )
+), ranked AS (
+  SELECT c.component_id, c.doc_id, q.q,
+         row_number() OVER (PARTITION BY c.component_id
+                            ORDER BY q.q DESC, c.doc_id) AS rn,
+         count(*) OVER (PARTITION BY c.component_id) AS n_members
+  FROM comp c JOIN quality q USING (doc_id)
+)
+SELECT component_id, CAST(n_members AS BIGINT) AS n_members,
+       doc_id AS canon_id, q AS canon_quality
+FROM ranked WHERE rn = 1
+"""
+    )
+
+
+Q122_SQL = _q122_oracle_sql()
+
+
+# token-quota sampling (round 4): the data-recipe EXECUTOR — fill each
+# source's token quota by walking its documents in deterministic
+# md5-hash order (an unbiased, reproducible shuffle: no RNG, no seed
+# drift between engines) and keeping documents while the running token
+# total fits. One window per source partition; at 100 TB the same
+# cumsum runs per (source, hash-shard) with per-shard sub-quotas —
+# the q75 sharded-running-sum shape.
+
+def q123_quota_sample(
+    spark: SparkSession, sf: str, quota: int = 800
+) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    staged = docs.select(
+        "source",
+        "doc_id",
+        T.token_count("text").cast("bigint").alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = staged.withColumn("cum_tok", F.sum("n_tok").over(w))
+    return cum.filter(F.col("cum_tok") <= quota).select(
+        "source", "doc_id", "n_tok", "cum_tok"
+    )
+
+
+Q123_SQL = r"""
+WITH staged AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             x -> x <> '')) AS BIGINT) AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), cum AS (
+  SELECT source, doc_id, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM staged
+)
+SELECT source, doc_id, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+FROM cum WHERE cum_tok <= 800
+"""
+
+
+# mixture epoch planner (round 4): turns q103's temperature-scaled
+# target shares into the per-source REPEAT FACTORS (epochs) a training
+# run actually consumes — ideal tokens = budget · temp_share, epochs =
+# ideal / available capped at 4.0 (the standard "don't repeat a small
+# source forever" rule), planned tokens = floor(epochs_capped ·
+# available). Every aggregate is an exact integer or decimal sum
+# (q103's sqrt-decimal trick); the per-row double chain is identical
+# scalar IEEE ops on identical operands on both engines. Sources-sized
+# output; two tiny broadcast normalizers, shuffle carries sources rows.
+
+def q124_epoch_plan(
+    spark: SparkSession, sf: str, budget: int = 50_000
+) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(T.token_count("text").cast("bigint")).alias("n_tokens")
+    )
+    tot = per.agg(F.sum("n_tokens").alias("tot_tokens"))
+    shared = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.sqrt(
+            F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double")
+        )
+        .cast("decimal(18,9)")
+        .alias("temp_w"),
+    )
+    norm = shared.agg(F.sum(F.col("temp_w").cast("decimal(28,9)")).alias("z"))
+    planned = shared.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "n_tokens",
+        (
+            F.lit(float(budget))
+            * (F.col("temp_w").cast("double") / F.col("z").cast("double"))
+        ).alias("ideal_tokens"),
+    )
+    epochs = F.col("ideal_tokens") / F.col("n_tokens").cast("double")
+    capped = F.least(epochs, F.lit(4.0))
+    return planned.select(
+        "source",
+        "n_tokens",
+        "ideal_tokens",
+        capped.alias("epochs"),
+        F.floor(capped * F.col("n_tokens").cast("double")).alias(
+            "planned_tokens"
+        ),
+    )
+
+
+Q124_SQL = r"""
+WITH per AS (
+  SELECT source,
+         CAST(sum(len(list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM per
+), shared AS (
+  SELECT source, n_tokens,
+         CAST(sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE))
+              AS DECIMAL(18,9)) AS temp_w
+  FROM per CROSS JOIN tot
+), norm AS (
+  SELECT sum(CAST(temp_w AS DECIMAL(28,9))) AS z FROM shared
+), planned AS (
+  SELECT source, n_tokens,
+         50000.0 * (CAST(temp_w AS DOUBLE) / CAST(z AS DOUBLE))
+           AS ideal_tokens
+  FROM shared CROSS JOIN norm
+)
+SELECT source, n_tokens, ideal_tokens,
+       least(ideal_tokens / CAST(n_tokens AS DOUBLE), 4.0) AS epochs,
+       CAST(floor(least(ideal_tokens / CAST(n_tokens AS DOUBLE), 4.0)
+            * CAST(n_tokens AS DOUBLE)) AS BIGINT) AS planned_tokens
+FROM planned
 """
 
 
@@ -5604,6 +5894,7 @@ _CANON_SQL_CASTS: dict[str, dict[str, str]] = {
     "q105_label_cohesion": {"min_cos": "DOUBLE"},
     "q109_corpus_datacard": {"dup_rate": "DOUBLE"},
     "q111_chunk_dup_fraction": {"dup_chunk_frac": "DOUBLE"},
+    "q122_canonical_selection": {"canon_quality": "DOUBLE"},
 }
 
 
@@ -5766,6 +6057,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q118_embedding_dim_stats": q118_embedding_dim_stats,
     "q119_token_rarity": q119_token_rarity,
     "q120_source_overlap": q120_source_overlap,
+    "q121_boilerplate_strip": q121_boilerplate_strip,
+    "q122_canonical_selection": q122_canonical_selection,
+    "q123_quota_sample": q123_quota_sample,
+    "q124_epoch_plan": q124_epoch_plan,
 }
 
 ORACLES: dict[str, str] = {
@@ -5876,6 +6171,10 @@ ORACLES: dict[str, str] = {
     "q118_embedding_dim_stats": Q118_SQL,
     "q119_token_rarity": Q119_SQL,
     "q120_source_overlap": Q120_SQL,
+    "q121_boilerplate_strip": Q121_SQL,
+    "q122_canonical_selection": Q122_SQL,
+    "q123_quota_sample": Q123_SQL,
+    "q124_epoch_plan": Q124_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
     # form in round 3, so it is oracled above.
