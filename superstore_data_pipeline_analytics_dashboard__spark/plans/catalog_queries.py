@@ -5738,6 +5738,191 @@ FROM planned
 """
 
 
+# n-gram novelty between corpus snapshots (round 4): what fraction of
+# each NEW document's 3-gram shingles has never been seen in the
+# existing corpus — the freshness/novelty signal a crawl pipeline uses
+# to decide whether a feed still adds information (near-zero novelty =>
+# the source is exhausted or a mirror). Same old/new split as
+# q107/q108. Scale: the old-corpus side collapses to a DISTINCT 8-byte
+# shingle index once (exactly the q107 incremental-state shape, so at
+# rest it is already materialized), and the batch side is one left
+# join + per-doc rollup.
+
+def q125_ngram_novelty(spark: SparkSession, sf: str, n: int = 3) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", T.tokens("text").alias("t"), (F.col("doc_id") % 5 < 3).alias("is_old")
+    )
+    sh = toks.select(
+        "doc_id",
+        "is_old",
+        F.explode(T.shingles_from_tokens(F.col("t"), n)).alias("shingle"),
+    ).select(
+        "doc_id", "is_old", md5_prefix_long("shingle").alias("g")
+    )
+    old_idx = sh.filter("is_old").select("g").distinct()
+    new_sh = sh.filter(~F.col("is_old")).select("doc_id", "g").distinct()
+    marked = new_sh.join(
+        old_idx.withColumn("__seen", F.lit(1)), "g", "left"
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        (F.count("*") - F.count("__seen")).alias("n_novel"),
+    )
+    nov = F.col("n_novel").cast("double") / F.col("n_shingles").cast("double")
+    return per_doc.select(
+        "doc_id", "n_shingles", "n_novel", nov.alias("novelty")
+    )
+
+
+Q125_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, doc_id % 5 < 3 AS is_old,
+         list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, is_old,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS g
+  FROM toks, LATERAL (
+    SELECT unnest(list_transform(
+        generate_series(1, greatest(len(t) - 2, 1)),
+        i -> array_to_string(t[i:i+2], ' '))) AS shingle
+  )
+), old_idx AS (
+  SELECT DISTINCT g FROM sh WHERE is_old
+), new_sh AS (
+  SELECT DISTINCT doc_id, g FROM sh WHERE NOT is_old
+), marked AS (
+  SELECT n.doc_id, n.g, o.g IS NOT NULL AS seen
+  FROM new_sh n LEFT JOIN old_idx o USING (g)
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_shingles,
+         count(*) - count(CASE WHEN seen THEN 1 END) AS n_novel
+  FROM marked GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_novel AS BIGINT) AS n_novel,
+       CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS novelty
+FROM per_doc
+"""
+
+
+# Johnson-Lindenstrauss random projection (round 4): reduce the
+# quantized embedding from d=64 to d_out=16 with a deterministic ±1
+# projection (sign = md5 parity of "rp<din>:<dout>" — no RNG, no seed
+# drift, identical matrix in any engine). The cheap dimensionality
+# squeeze ahead of LSH/IVF when the raw dimension is wide. Exact
+# integer arithmetic end-to-end => value-checkable. Scale: the
+# projection table is d·d_out rows (broadcast); the explode shuffles
+# N·d narrow rows onto (vec, dout) keys with map-side partial sums —
+# no per-row Python, no matrix library.
+
+def q126_random_projection(
+    spark: SparkSession, sf: str, d_out: int = 16
+) -> DataFrame:
+    from ..operators.clustering import quantize_embeddings
+
+    emb = load_table(spark, sf, "embeddings")
+    quant = quantize_embeddings(emb).select("vec_id", "q")
+    proj = (
+        spark.range(64)
+        .select(F.col("id").cast("int").alias("din"))
+        .crossJoin(
+            spark.range(d_out).select(F.col("id").cast("int").alias("dout"))
+        )
+        .select(
+            "din",
+            "dout",
+            F.when(
+                md5_prefix_long(
+                    F.concat(F.lit("rp"), F.col("din"), F.lit(":"), F.col("dout"))
+                )
+                % 2
+                == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("sign"),
+        )
+    )
+    ex = quant.select("vec_id", F.posexplode("q").alias("din", "qv"))
+    sums = (
+        ex.join(F.broadcast(proj), "din")
+        .groupBy("vec_id", "dout")
+        .agg(F.sum(F.col("qv") * F.col("sign")).alias("s"))
+    )
+    vecs = (
+        sums.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dout", "s"))).alias("__ds"))
+        .select(
+            "vec_id",
+            F.transform(F.col("__ds"), lambda t: t["s"]).alias("proj"),
+        )
+    )
+    pnorm = F.aggregate(
+        F.transform("proj", lambda a: a * a),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return vecs.select("vec_id", "proj", pnorm.alias("pnorm"))
+
+
+Q126_SQL = """
+WITH quant AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 127.0 /
+                  greatest(list_max(list_transform(embedding,
+                      y -> abs(CAST(y AS DOUBLE)))), 1e-12)) AS BIGINT)) AS q
+  FROM embeddings
+), proj AS (
+  SELECT din.d AS din, dout.d AS dout,
+         CASE WHEN CAST(('0x' || substr(md5('rp' || din.d || ':' || dout.d),
+                        1, 15)) AS BIGINT) % 2 = 0
+              THEN 1 ELSE -1 END AS sign
+  FROM (SELECT unnest(range(0, 64)) AS d) din,
+       (SELECT unnest(range(0, 16)) AS d) dout
+), ex AS (
+  SELECT vec_id, CAST(d.i - 1 AS INT) AS din, q[d.i] AS qv
+  FROM quant, LATERAL (SELECT unnest(range(1, len(q) + 1)) AS i) d
+), sums AS (
+  SELECT vec_id, dout, CAST(sum(qv * sign) AS BIGINT) AS s
+  FROM ex JOIN proj USING (din)
+  GROUP BY vec_id, dout
+), vecs AS (
+  SELECT vec_id, list(s ORDER BY dout) AS proj
+  FROM sums GROUP BY vec_id
+)
+SELECT vec_id, proj,
+       CAST(list_sum(list_transform(proj, a -> a * a)) AS BIGINT) AS pnorm
+FROM vecs
+"""
+
+
+# BPE tokenizer APPLICATION (round 4): encode every document with the
+# merge table q114 trains — the deploy half of the tokenizer loop
+# (train once, encode the corpus). Rows-only by design like q114: the
+# encoder applies merges sequentially (operators/bpe.py bpe_encode —
+# a JVM-side fold, zero Python in the hot path); the iterative merge
+# application is not SQL-expressible, and tests/test_bpe.py pins the
+# encoding against a pure-Python reference instead.
+
+def q127_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.bpe import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf, "documents")
+    merges = bpe_train(docs, n_merges=10)
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.md5(F.array_join("bpe_tokens", " ")).alias("enc_fp"),
+    )
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -5914,15 +6099,15 @@ _CANON_SQL_CASTS: dict[str, dict[str, str]] = {
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Round-4 audit window (first 50). Rotation rationale (VERDICT r3
     # item 1): never-audited queries outrank stale-green re-audits.
-    # Positions 1-11 are the round-3 and round-4 additions that have
-    # never seen the driver (9 oracled + rows-only q102/q108); positions
-    # 12-49 are 38 of the oracled queries whose only green verdicts date
-    # from ROUND-2 testdata (the driver regenerated fixtures between r1
-    # and r2, so r2-era greens need one confirmation on current data —
-    # the five displaced by the r4 additions queue for the next
-    # rotation); position 50 is q38, the full curation chain (gates →
-    # exact dedup → MinHash tier) re-run as the rows-only canary for the
-    # approximate stack.
+    # Positions 1-30 are every round-3/round-4 addition that has never
+    # seen the driver (26 oracled + rows-only q102/q108/q114/q127);
+    # positions 31-49 are 19 of the oracled queries whose only green
+    # verdicts date from ROUND-2 testdata (the driver regenerated
+    # fixtures between r1 and r2, so r2-era greens need one confirmation
+    # on current data — the 19 displaced by the r4 additions keep their
+    # r2 verdicts and queue for the next rotation); position 50 is q38,
+    # the full curation chain (gates → exact dedup → MinHash tier)
+    # re-run as the rows-only canary for the approximate stack.
     # --- round-3 additions, never audited (positions 1-6) ---
     "q98_order_count_histogram": q98_order_count_histogram,
     "q99_split_leakage": q99_split_leakage,
@@ -5936,9 +6121,29 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q106_leakage_safe_split": q106_leakage_safe_split,
     "q107_incremental_exact_dedup": q107_incremental_exact_dedup,
     "q108_incremental_minhash_dedup": q108_incremental_minhash_dedup,  # rows-only
-    # --- r2-only greens re-audited on current testdata (38; the five
-    #     displaced by the r4 additions keep their r2 verdicts and queue
-    #     for the next rotation) ---
+    # --- round-4 additions, never audited (positions 12-30) ---
+    "q109_corpus_datacard": q109_corpus_datacard,
+    "q110_content_chunks": q110_content_chunks,
+    "q111_chunk_dup_fraction": q111_chunk_dup_fraction,
+    "q112_chunk_dedup_rewrite": q112_chunk_dedup_rewrite,
+    "q113_pagerank_copurchase": q113_pagerank_copurchase,
+    "q114_bpe_merges": q114_bpe_merges,  # rows-only (iterative arg-max loop)
+    "q115_boilerplate_ngrams": q115_boilerplate_ngrams,
+    "q116_rolling_distinct_by_type": q116_rolling_distinct_by_type,
+    "q117_kmeans_quantized": q117_kmeans_quantized,
+    "q118_embedding_dim_stats": q118_embedding_dim_stats,
+    "q119_token_rarity": q119_token_rarity,
+    "q120_source_overlap": q120_source_overlap,
+    "q121_boilerplate_strip": q121_boilerplate_strip,
+    "q122_canonical_selection": q122_canonical_selection,
+    "q123_quota_sample": q123_quota_sample,
+    "q124_epoch_plan": q124_epoch_plan,
+    "q125_ngram_novelty": q125_ngram_novelty,
+    "q126_random_projection": q126_random_projection,
+    "q127_bpe_encode": q127_bpe_encode,  # rows-only (iterative encoder)
+    # --- r2-only greens re-audited on current testdata (positions
+    #     31-49; the 19 displaced by the r4 additions keep their r2
+    #     verdicts and queue for the next rotation) ---
     "q03_dedup_latest": q03_dedup_latest,
     "q04_fact_build": q04_fact_build,
     "q05_sales_by_brand_rollup": q05_sales_by_brand_rollup,
@@ -5958,6 +6163,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_embedding_neardup": q33_embedding_neardup,
     "q34_cube_region_segment": q34_cube_region_segment,
     "q37_order_value_percentiles": q37_order_value_percentiles,
+    # --- rows-only canary for the approximate stack (position 50) ---
+    "q38_curate_corpus": q38_curate_corpus,
+    # ================= end of the 50-query audit window =================
+    # --- r2 greens displaced from the re-audit slice by the r4
+    #     additions (r2 verdicts on record; next rotation) ---
     "q42_revenue_mom": q42_revenue_mom,
     "q45_grouping_sets_sql": q45_grouping_sets_sql,
     "q46_asof_click_attribution": q46_asof_click_attribution,
@@ -5977,11 +6187,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_late_unreturned_orders": q60_late_unreturned_orders,
     "q61_bloom_semi_reduction": q61_bloom_semi_reduction,
     "q62_price_histogram": q62_price_histogram,
-    # --- rows-only canary for the approximate stack (position 50) ---
-    "q38_curate_corpus": q38_curate_corpus,
-    # ================= end of the 50-query audit window =================
-    # --- r2 greens displaced from the re-audit slice by the r4
-    #     additions (r2 verdicts on record; next rotation) ---
     "q63_embedding_norms": q63_embedding_norms,
     "q64_pricing_summary": q64_pricing_summary,
     "q65_shipping_priority": q65_shipping_priority,
@@ -6044,23 +6249,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q26_minhash_dedup": q26_minhash_dedup,
     "q27_simhash_buckets": q27_simhash_buckets,
     "q28_knn_ivf": q28_knn_ivf,
-    # --- round-4 late additions (oracled; queued for the next rotation) ---
-    "q109_corpus_datacard": q109_corpus_datacard,
-    "q110_content_chunks": q110_content_chunks,
-    "q111_chunk_dup_fraction": q111_chunk_dup_fraction,
-    "q112_chunk_dedup_rewrite": q112_chunk_dedup_rewrite,
-    "q113_pagerank_copurchase": q113_pagerank_copurchase,
-    "q114_bpe_merges": q114_bpe_merges,  # rows-only (iterative arg-max loop)
-    "q115_boilerplate_ngrams": q115_boilerplate_ngrams,
-    "q116_rolling_distinct_by_type": q116_rolling_distinct_by_type,
-    "q117_kmeans_quantized": q117_kmeans_quantized,
-    "q118_embedding_dim_stats": q118_embedding_dim_stats,
-    "q119_token_rarity": q119_token_rarity,
-    "q120_source_overlap": q120_source_overlap,
-    "q121_boilerplate_strip": q121_boilerplate_strip,
-    "q122_canonical_selection": q122_canonical_selection,
-    "q123_quota_sample": q123_quota_sample,
-    "q124_epoch_plan": q124_epoch_plan,
 }
 
 ORACLES: dict[str, str] = {
@@ -6175,6 +6363,8 @@ ORACLES: dict[str, str] = {
     "q122_canonical_selection": Q122_SQL,
     "q123_quota_sample": Q123_SQL,
     "q124_epoch_plan": Q124_SQL,
+    "q125_ngram_novelty": Q125_SQL,
+    "q126_random_projection": Q126_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
     # form in round 3, so it is oracled above.
