@@ -5867,7 +5867,15 @@ def q126_random_projection(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return vecs.select("vec_id", "proj", pnorm.alias("pnorm"))
+    # the projected vector leaves as CSV: the driver's pandas-side hash
+    # cannot sort/hash list cells (the catalog-wide complex-type ban)
+    return vecs.select(
+        "vec_id",
+        F.array_join(F.transform("proj", lambda a: a.cast("string")), ",").alias(
+            "proj_csv"
+        ),
+        pnorm.alias("pnorm"),
+    )
 
 
 Q126_SQL = """
@@ -5896,7 +5904,8 @@ WITH quant AS (
   SELECT vec_id, list(s ORDER BY dout) AS proj
   FROM sums GROUP BY vec_id
 )
-SELECT vec_id, proj,
+SELECT vec_id,
+       array_to_string(proj, ',') AS proj_csv,
        CAST(list_sum(list_transform(proj, a -> a * a)) AS BIGINT) AS pnorm
 FROM vecs
 """

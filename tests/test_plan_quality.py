@@ -152,6 +152,9 @@ def test_no_python_udfs_anywhere_in_catalog(spark):
         "q67_multimodal_features",
         "q69_sign_lsh_neardup",
         "q102_video_frame_sample",
+        # bpe_encode: Python encoder over DISTINCT WORDS only (the
+        # industry-standard tokenizer-driver shape), corpus joins JVM-side
+        "q127_bpe_encode",
     }
     for name, fn in Q.QUERIES.items():
         plan = _executed_plan(fn(spark, SF_SMOKE))
@@ -325,3 +328,49 @@ def test_window_queries_deterministic_across_partitioning(spark):
             assert again == base[n], n
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_kmeans_assignment_is_broadcast_row_not_literals(spark):
+    """q117's per-iteration assignment must join the ONE-ROW centroid
+    DataFrame via a broadcast nested-loop (narrow, zero shuffle) — and
+    the whole query must never fall back to a sort-merge join or
+    Python."""
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.clustering import (
+        _assign,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    quant = quantize_embeddings(emb)
+    seed = quant.select("vec_id", "q").orderBy("vec_id").limit(4).collect()
+    cents = [(i, list(r["q"])) for i, r in enumerate(seed)]
+    plan = _executed_plan(_assign(quant, cents))
+    assert "BroadcastNestedLoopJoin" in plan
+    # the only exchange is the one-row IdentityBroadcast of the centroids
+    # — no shuffle of the vector side
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_random_projection_broadcasts_matrix(spark):
+    """q126: the d×d_out projection table must be the broadcast side of
+    the explode join; partial sums aggregate onto (vec_id, dout) keys."""
+    plan = _executed_plan(Q.QUERIES["q126_random_projection"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_boilerplate_strip_broadcasts_mined_set(spark):
+    """q121: the top-20 mined shingle set is K rows and must broadcast
+    against the gram stream — never shuffle the grams onto shingle keys
+    for the hit join."""
+    plan = _executed_plan(Q.QUERIES["q121_boilerplate_strip"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quota_sample_windows_per_source(spark):
+    """q123's running token sum must partition by source — never a
+    single-partition global cumsum."""
+    plan = _executed_plan(Q.QUERIES["q123_quota_sample"](spark, SF_SMOKE))
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan
