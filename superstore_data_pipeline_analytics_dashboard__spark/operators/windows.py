@@ -253,3 +253,57 @@ def rolling_distinct(
     return covered.groupBy(*gcols, "window_day").agg(
         F.countDistinct("__id").alias(out)
     )
+
+
+def rolling_distinct_sketch(
+    df: DataFrame,
+    id_col: str,
+    date_col: str,
+    window_days: int = 7,
+    out: str = "est_distinct",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The mergeable-sketch tier of :func:`rolling_distinct` — the
+    executable form of the scale path that function's docstring
+    prescribes for wide windows.
+
+    ONE theta sketch per (group, day) absorbs the raw event volume in a
+    single map-side-combined aggregation; the slide then explodes
+    DAY-SKETCHES (window_days × |group × days| rows — independent of
+    both raw volume AND distinct-id volume, where the exact tier's
+    explode is window_days × |distinct id-days|) and union-merges per
+    window day. At 100 TB this is the difference between shuffling the
+    id universe k times and shuffling a few KB per day.
+
+    Determinism note: a theta sketch in exact mode (distinct count below
+    its nominal k = 4096 entries) retains every hash, so estimates are
+    EXACT integers and union stays exact — which is why the catalog
+    instance (q128) can be value-checked against a COUNT(DISTINCT)
+    oracle at the audited scale factors (max window cardinality 1452 at
+    sf0.1). Past k it degrades gracefully to ±1.6% estimates and the
+    oracle relationship becomes approximate — the operator stays
+    correct, the hash-check contract does not; deployments above k get
+    rows-only treatment like q81/q82.
+    """
+    gcols = list(group_cols)
+    daily = (
+        df.select(
+            *gcols,
+            F.col(id_col).alias("__id"),
+            F.col(date_col).cast("date").alias("__day"),
+        )
+        .groupBy(*gcols, "__day")
+        .agg(F.theta_sketch_agg("__id").alias("__sk"))
+    )
+    covered = daily.select(
+        *gcols,
+        F.explode(
+            F.sequence("__day", F.date_add("__day", window_days - 1))
+        ).alias("window_day"),
+        "__sk",
+    )
+    return covered.groupBy(*gcols, "window_day").agg(
+        F.round(F.theta_sketch_estimate(F.theta_union_agg("__sk")))
+        .cast("bigint")
+        .alias(out)
+    )

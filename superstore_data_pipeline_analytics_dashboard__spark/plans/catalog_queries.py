@@ -5932,6 +5932,43 @@ def q127_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# sliding-window distinct, SKETCH tier (round 4): the executable form
+# of the scale path q101/q116's exact tier documents — one theta sketch
+# per (type, day), the slide explodes DAY-SKETCHES (independent of both
+# raw volume and distinct-id volume) and union-merges per window day.
+# Oracled because theta sketches below their nominal 4096 entries are
+# in EXACT mode (estimates are exact integers, unions stay exact; max
+# window cardinality here is 1452 at sf0.1) — see
+# operators/windows.py rolling_distinct_sketch for the contract.
+
+def q128_rolling_distinct_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.windows import rolling_distinct_sketch
+
+    ev = load_table(spark, sf, "events")
+    return rolling_distinct_sketch(
+        ev,
+        "user_id",
+        "ts",
+        window_days=7,
+        out="est_users",
+        group_cols=("event_type",),
+    )
+
+
+Q128_SQL = """
+WITH user_days AS (
+  SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS day FROM events
+), covered AS (
+  SELECT event_type, user_id, day + CAST(off AS INT) AS window_day
+  FROM user_days, LATERAL (SELECT unnest(generate_series(0, 6)) AS off)
+)
+SELECT event_type, window_day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS est_users
+FROM covered
+GROUP BY event_type, window_day
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -6258,6 +6295,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q26_minhash_dedup": q26_minhash_dedup,
     "q27_simhash_buckets": q27_simhash_buckets,
     "q28_knn_ivf": q28_knn_ivf,
+    # --- post-rotation round-4 additions (oracled; queue for the next
+    #     rotation — the current window was already full at 50) ---
+    "q128_rolling_distinct_sketch": q128_rolling_distinct_sketch,
 }
 
 ORACLES: dict[str, str] = {
@@ -6374,6 +6414,7 @@ ORACLES: dict[str, str] = {
     "q124_epoch_plan": Q124_SQL,
     "q125_ngram_novelty": Q125_SQL,
     "q126_random_projection": Q126_SQL,
+    "q128_rolling_distinct_sketch": Q128_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
     # form in round 3, so it is oracled above.

@@ -108,3 +108,29 @@ def test_hll_join_overlap_close_to_exact(spark):
         row["est_overlap"],
         exact,
     )
+
+
+def test_rolling_distinct_sketch_exact_below_nominal_k(spark):
+    """Theta sketches below their nominal 4096 entries are in exact
+    mode, so the sketch tier must EQUAL the exact tier at test scale —
+    the contract that lets q128 carry a COUNT(DISTINCT) oracle."""
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.windows import (
+        rolling_distinct,
+        rolling_distinct_sketch,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    exact = {
+        (r["event_type"], r["window_day"]): r["n"]
+        for r in rolling_distinct(
+            ev, "user_id", "ts", 7, out="n", group_cols=("event_type",)
+        ).collect()
+    }
+    est = {
+        (r["event_type"], r["window_day"]): r["n"]
+        for r in rolling_distinct_sketch(
+            ev, "user_id", "ts", 7, out="n", group_cols=("event_type",)
+        ).collect()
+    }
+    assert exact == est and len(exact) > 0
