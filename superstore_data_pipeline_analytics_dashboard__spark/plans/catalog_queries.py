@@ -5969,6 +5969,149 @@ GROUP BY event_type, window_day
 """
 
 
+# event-volume anomaly detection (round 4): flag days whose per-type
+# event count deviates > 3σ from the trailing-7-observed-day window —
+# the ingestion-monitoring alarm (a feed that doubles or dies shows up
+# here before it poisons the corpus). The entire flag decision is EXACT
+# integer arithmetic: with S = Σcnt, n = #days, Q = Σcnt² over the
+# trailing frame, flag ⇔ (n·x − S)² > 9·(n·Q − S²) — no float mean/std
+# in the decision path (σ = 0 degenerates correctly: any deviation
+# flags). The reported z = (n·x − S)/√(n·Q − S²) is one sqrt + one
+# divide on identical integer operands, IEEE-portable. Scale: daily
+# rollup is map-side combined; the window runs per event_type over
+# OBSERVED days (compose with q96's spine to gap-fill first if silence
+# itself must alarm).
+
+def q129_event_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    stats = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.count("cnt").over(w).alias("n"),
+        F.sum("cnt").over(w).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("q"),
+    ).filter(F.col("n") >= 3)
+    dev = F.col("n") * F.col("cnt") - F.col("s")
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    z = F.when(
+        var_n2 > 0,
+        dev.cast("double") / F.sqrt(var_n2.cast("double")),
+    )
+    return stats.select(
+        "event_type",
+        "day",
+        "cnt",
+        "n",
+        (dev * dev > F.lit(9) * var_n2).alias("is_anomaly"),
+        z.alias("z"),
+    )
+
+
+Q129_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, day, cnt,
+         count(cnt) OVER w AS n,
+         sum(cnt) OVER w AS s,
+         sum(cnt * cnt) OVER w AS q
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt, CAST(n AS BIGINT) AS n,
+       (n * cnt - s) * (n * cnt - s) > 9 * (n * q - s * s) AS is_anomaly,
+       CASE WHEN n * q - s * s > 0
+            THEN CAST(n * cnt - s AS DOUBLE)
+                 / sqrt(CAST(n * q - s * s AS DOUBLE)) END AS z
+FROM stats WHERE n >= 3
+"""
+
+
+# near-dup pair scoring (round 4): the REVIEW-QUEUE view of the exact
+# pair tier — jaccard alone misses subset duplicates (a doc wholly
+# contained in a longer one scores low jaccard but containment ≈ 1),
+# so curation pipelines score candidate pairs on BOTH. Containment =
+# |A∩B| / min(|A|,|B|); the q20 machinery provides the exact
+# intersection/sizes, this query re-filters on the containment axis.
+
+def q130_pair_containment(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.0)
+    contain = (
+        F.col("n_common").cast("double")
+        / F.least("size_a", "size_b").cast("double")
+    ).cast("decimal(9,6)")
+    ratio = (
+        F.least("size_a", "size_b").cast("double")
+        / F.greatest("size_a", "size_b").cast("double")
+    ).cast("decimal(9,6)")
+    return (
+        pairs.withColumn("containment", contain)
+        .withColumn("size_ratio", ratio)
+        .filter(F.col("containment") >= 0.6)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "size_a",
+            "size_b",
+            "jaccard",
+            "containment",
+            "size_ratio",
+        )
+    )
+
+
+Q130_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM toks, LATERAL (
+    SELECT unnest(list_transform(
+        generate_series(1, greatest(len(t) - 2, 1)),
+        i -> array_to_string(t[i:i+2], ' '))) AS shingle
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT doc_a, doc_b, n_common, sa.set_size AS size_a, sb.set_size AS size_b,
+         CAST(CAST(n_common AS DOUBLE)
+              / (sa.set_size + sb.set_size - n_common) AS DECIMAL(9,6)) AS jaccard,
+         CAST(CAST(n_common AS DOUBLE)
+              / least(sa.set_size, sb.set_size) AS DECIMAL(9,6)) AS containment,
+         CAST(CAST(least(sa.set_size, sb.set_size) AS DOUBLE)
+              / greatest(sa.set_size, sb.set_size) AS DECIMAL(9,6)) AS size_ratio
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+       CAST(size_a AS BIGINT) AS size_a, CAST(size_b AS BIGINT) AS size_b,
+       jaccard, containment, size_ratio
+FROM scored WHERE containment >= 0.6
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -6126,6 +6269,11 @@ _CANON_SQL_CASTS: dict[str, dict[str, str]] = {
     "q109_corpus_datacard": {"dup_rate": "DOUBLE"},
     "q111_chunk_dup_fraction": {"dup_chunk_frac": "DOUBLE"},
     "q122_canonical_selection": {"canon_quality": "DOUBLE"},
+    "q130_pair_containment": {
+        "jaccard": "DOUBLE",
+        "containment": "DOUBLE",
+        "size_ratio": "DOUBLE",
+    },
 }
 
 
@@ -6298,6 +6446,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- post-rotation round-4 additions (oracled; queue for the next
     #     rotation — the current window was already full at 50) ---
     "q128_rolling_distinct_sketch": q128_rolling_distinct_sketch,
+    "q129_event_anomaly": q129_event_anomaly,
+    "q130_pair_containment": q130_pair_containment,
 }
 
 ORACLES: dict[str, str] = {
@@ -6415,6 +6565,8 @@ ORACLES: dict[str, str] = {
     "q125_ngram_novelty": Q125_SQL,
     "q126_random_projection": Q126_SQL,
     "q128_rolling_distinct_sketch": Q128_SQL,
+    "q129_event_anomaly": Q129_SQL,
+    "q130_pair_containment": Q130_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
     # form in round 3, so it is oracled above.
