@@ -1,0 +1,152 @@
+"""Semantic property pins for the round-4 catalog additions — the
+invariants a reader of each query's contract would expect, checked
+against independent Python recomputation on the smoke tables (the
+oracle gate proves Spark==DuckDB; these prove both match the INTENT)."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from superstore_data_pipeline_analytics_dashboard__spark.plans import (
+    catalog_queries as Q,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in " ".join(text.lower().split()).split(" ") if t != ""]
+
+
+def test_quota_sample_is_maximal_prefix(spark):
+    """q123: per source, the kept set must be the LONGEST hash-ordered
+    prefix fitting the quota — never over, and the next doc (if any)
+    would overflow."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    per_src: dict[str, list] = {}
+    for r in docs:
+        h = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()
+        per_src.setdefault(r["source"], []).append(
+            (h, r["doc_id"], len(_tokens(r["text"])))
+        )
+    want = {}
+    for src, rows in per_src.items():
+        total = 0
+        for h, did, n in sorted(rows):
+            if total + n > 800:
+                break
+            total += n
+            want[(src, did)] = total
+    got = {
+        (r["source"], r["doc_id"]): r["cum_tok"]
+        for r in Q.QUERIES["q123_quota_sample"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_epoch_plan_respects_cap_and_budget(spark):
+    """q124: epochs ∈ (0, 4], planned ≤ min(4·available, ideal·(1+ε)),
+    and uncapped sources' planned tokens reproduce ideal·available
+    flooring."""
+    rows = Q.QUERIES["q124_epoch_plan"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["epochs"] <= 4.0
+        assert r["planned_tokens"] <= 4 * r["n_tokens"]
+        assert r["planned_tokens"] <= int(r["ideal_tokens"]) + 1
+        if r["epochs"] < 4.0:
+            assert abs(r["planned_tokens"] - r["ideal_tokens"]) <= 1.0
+
+
+def test_boilerplate_strip_matches_python_reference(spark):
+    """q121: recompute the mined top-20 5-grams and the coverage strip
+    in plain Python; fingerprints must agree for every document."""
+    docs = {
+        r["doc_id"]: _tokens(r["text"])
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    }
+
+    def shingles(t):
+        if len(t) <= 5:
+            return [(0, " ".join(t))]
+        return [(i, " ".join(t[i : i + 5])) for i in range(len(t) - 4)]
+
+    n_docs: Counter = Counter()
+    n_occ: Counter = Counter()
+    for t in docs.values():
+        grams = [s for _, s in shingles(t)]
+        n_occ.update(grams)
+        n_docs.update(set(grams))
+    cands = [
+        (-n_docs[s], -n_occ[s], s) for s in n_docs if n_docs[s] >= 2
+    ]
+    bp = {s for _, _, s in sorted(cands)[:20]}
+
+    want = {}
+    for did, t in docs.items():
+        cov = set()
+        for pos, s in shingles(t):
+            if s in bp:
+                cov.update(range(pos, pos + 5))
+        clean = [x for i, x in enumerate(t) if i not in cov]
+        want[did] = (
+            len(t),
+            len(clean),
+            hashlib.md5(" ".join(clean).encode()).hexdigest(),
+        )
+    got = {
+        r["doc_id"]: (r["n_before"], r["n_after"], r["clean_fp"])
+        for r in Q.QUERIES["q121_boilerplate_strip"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_event_anomaly_matches_python_reference(spark):
+    """q129: trailing-window flag/z recomputed row-by-row in Python."""
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("event_type", F.col("ts").cast("date").alias("day"))
+        .collect()
+    )
+    daily: Counter = Counter((r["event_type"], r["day"]) for r in ev)
+    series: dict[str, list] = {}
+    for (et, day), cnt in sorted(daily.items(), key=lambda kv: (kv[0][0], kv[0][1])):
+        series.setdefault(et, []).append((day, cnt))
+    want = {}
+    for et, rows in series.items():
+        for idx, (day, x) in enumerate(rows):
+            wnd = [c for _, c in rows[max(0, idx - 7) : idx]]
+            n = len(wnd)
+            if n < 3:
+                continue
+            s, q = sum(wnd), sum(c * c for c in wnd)
+            dev, var_n2 = n * x - s, n * q - s * s
+            want[(et, day)] = (x, n, dev * dev > 9 * var_n2)
+    got = {
+        (r["event_type"], r["day"]): (r["cnt"], r["n"], r["is_anomaly"])
+        for r in Q.QUERIES["q129_event_anomaly"](spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_novelty_bounds_and_old_docs_excluded(spark):
+    """q125: only new-split docs appear; novelty ∈ [0, 1]."""
+    rows = Q.QUERIES["q125_ngram_novelty"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_id"] % 5 >= 3
+        assert 0 <= r["n_novel"] <= r["n_shingles"]
+        assert 0.0 <= r["novelty"] <= 1.0
+
+
+def test_pair_containment_dominates_jaccard(spark):
+    """q130: containment ≥ jaccard always (min ≤ union), and subset
+    pairs (containment = 1) are exactly those with n_common = min
+    size."""
+    rows = Q.QUERIES["q130_pair_containment"](spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r["containment"] >= r["jaccard"]
+        if r["containment"] == 1.0:
+            assert r["n_common"] == min(r["size_a"], r["size_b"])
