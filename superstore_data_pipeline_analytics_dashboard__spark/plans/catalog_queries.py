@@ -6112,6 +6112,173 @@ FROM scored WHERE containment >= 0.6
 """
 
 
+# packing-efficiency report (round 4): the utilization panel for q75's
+# concat-and-chunk packing — per shard: docs, tokens, sequences
+# consumed, fill ratio against the budget, and how many documents
+# straddle a sequence boundary (each straddler needs an attention-mask
+# split downstream). Padding waste is a direct training-cost line item;
+# this is the query that justifies (or indicts) a packing budget.
+# Exact integers + one double ratio; rollup is shards-sized.
+
+def q131_packing_efficiency(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    staged = docs.select("doc_id", T.token_count("text").alias("n_tok"))
+    packed = pack_concat_chunk(staged, "n_tok", budget=2048, n_shards=16)
+    per_shard = packed.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.max(F.col("stream_begin") + F.col("n_tokens"))).alias("__stream"),
+        F.sum(F.when(F.col("n_seqs") > 1, 1).otherwise(0)).alias(
+            "n_straddlers"
+        ),
+    )
+    n_seqs = F.expr("(__stream + 2047) div 2048")
+    util = F.col("total_tokens").cast("double") / (
+        n_seqs * F.lit(2048)
+    ).cast("double")
+    return per_shard.select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        n_seqs.alias("n_seqs"),
+        util.alias("utilization"),
+        "n_straddlers",
+    )
+
+
+Q131_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 16 AS INT) AS shard
+  FROM documents
+), spanned AS (
+  SELECT doc_id, n_tokens, shard,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS stream_begin
+  FROM toks
+), seqs AS (
+  SELECT doc_id, n_tokens, shard, stream_begin,
+         CASE WHEN n_tokens > 0
+              THEN (stream_begin + n_tokens - 1) // 2048
+                   - stream_begin // 2048 + 1
+              ELSE 0 END AS n_seqs
+  FROM spanned
+), per_shard AS (
+  SELECT shard, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+         max(stream_begin + n_tokens) AS stream,
+         sum(CASE WHEN n_seqs > 1 THEN 1 ELSE 0 END) AS n_straddlers
+  FROM seqs GROUP BY shard
+)
+SELECT shard, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       CAST((stream + 2047) // 2048 AS BIGINT) AS n_seqs,
+       CAST(total_tokens AS DOUBLE)
+         / CAST(((stream + 2047) // 2048) * 2048 AS DOUBLE) AS utilization,
+       CAST(n_straddlers AS BIGINT) AS n_straddlers
+FROM per_shard
+"""
+
+
+# near-dup cluster size distribution (round 4): the shape report on the
+# q49 component table — how much of the duplication mass sits in a few
+# mega-clusters vs a long tail of pairs decides whether canonical
+# selection (q122) or aggressive drop is the right policy. Composes
+# the existing component machinery; histogram rollup is cluster-sized.
+
+def q132_dup_cluster_sizes(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    comp = dedup_clusters(pairs.select("doc_a", "doc_b"))
+    sizes = comp.groupBy("component_id").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )
+
+
+def _q132_oracle_sql() -> str:
+    comp = Q49_SQL.strip().rsplit("SELECT node", 1)[0].rstrip()
+    return (
+        comp
+        + """, comp AS (
+  SELECT node AS doc_id, min(lbl) AS component_id FROM reach GROUP BY node
+), csize AS (
+  SELECT component_id, count(*) AS cluster_size FROM comp GROUP BY 1
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs
+FROM csize GROUP BY cluster_size
+"""
+    )
+
+
+Q132_SQL = _q132_oracle_sql()
+
+
+# grouped EXACT percentiles (round 4): per-source nearest-rank p50/p90
+# of the q22 quality score — the per-feed quality yardstick a mixing
+# policy reads (q37 is the global/approximate twin). Nearest-rank on a
+# total (quality, doc_id) order with INTEGER rank targets (ceil(p·n)
+# computed as (p·n + d−1) div d) — no float percentile interpolation,
+# so both engines select the identical row. One window per source +
+# one rollup; at scale the window runs per (source) key — the same
+# bounded-group shape as every per-source panel here.
+
+def q133_quality_percentiles_by_source(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        T.quality_score("text").cast("decimal(9,6)").alias("q"),
+    )
+    w = Window.partitionBy("source").orderBy("q", "doc_id")
+    ranked = scored.select(
+        "source",
+        "q",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    p50 = F.expr("(n + 1) div 2")
+    p90 = F.expr("(9 * n + 9) div 10")
+    return ranked.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        F.max(F.when(F.col("rn") == p50, F.col("q"))).alias("p50_quality"),
+        F.max(F.when(F.col("rn") == p90, F.col("q"))).alias("p90_quality"),
+    )
+
+
+Q133_SQL = (
+    """
+WITH scored AS (
+  SELECT source, doc_id, quality AS q FROM (
+"""
+    + Q22_SQL.strip()
+    + """
+  ) qq JOIN documents USING (doc_id)
+), ranked AS (
+  SELECT source, q,
+         row_number() OVER (PARTITION BY source ORDER BY q, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM scored
+)
+SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+       max(CASE WHEN rn = (n + 1) // 2 THEN q END) AS p50_quality,
+       max(CASE WHEN rn = (9 * n + 9) // 10 THEN q END) AS p90_quality
+FROM ranked GROUP BY source
+"""
+)
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -6273,6 +6440,10 @@ _CANON_SQL_CASTS: dict[str, dict[str, str]] = {
         "jaccard": "DOUBLE",
         "containment": "DOUBLE",
         "size_ratio": "DOUBLE",
+    },
+    "q133_quality_percentiles_by_source": {
+        "p50_quality": "DOUBLE",
+        "p90_quality": "DOUBLE",
     },
 }
 
@@ -6448,6 +6619,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q128_rolling_distinct_sketch": q128_rolling_distinct_sketch,
     "q129_event_anomaly": q129_event_anomaly,
     "q130_pair_containment": q130_pair_containment,
+    "q131_packing_efficiency": q131_packing_efficiency,
+    "q132_dup_cluster_sizes": q132_dup_cluster_sizes,
+    "q133_quality_percentiles_by_source": q133_quality_percentiles_by_source,
 }
 
 ORACLES: dict[str, str] = {
@@ -6567,6 +6741,9 @@ ORACLES: dict[str, str] = {
     "q128_rolling_distinct_sketch": Q128_SQL,
     "q129_event_anomaly": Q129_SQL,
     "q130_pair_containment": Q130_SQL,
+    "q131_packing_efficiency": Q131_SQL,
+    "q132_dup_cluster_sizes": Q132_SQL,
+    "q133_quality_percentiles_by_source": Q133_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
     # form in round 3, so it is oracled above.
