@@ -6464,12 +6464,12 @@ _CANON_SQL_CASTS: dict[str, dict[str, str]] = {
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Round-4 audit window (first 50). Rotation rationale (VERDICT r3
     # item 1): never-audited queries outrank stale-green re-audits.
-    # Positions 1-30 are every round-3/round-4 addition that has never
-    # seen the driver (26 oracled + rows-only q102/q108/q114/q127);
-    # positions 31-49 are 19 of the oracled queries whose only green
+    # Positions 1-36 are every round-3/round-4 addition that has never
+    # seen the driver (32 oracled + rows-only q102/q108/q114/q127);
+    # positions 37-49 are 13 of the oracled queries whose only green
     # verdicts date from ROUND-2 testdata (the driver regenerated
     # fixtures between r1 and r2, so r2-era greens need one confirmation
-    # on current data — the 19 displaced by the r4 additions keep their
+    # on current data — the 25 displaced by the r4 additions keep their
     # r2 verdicts and queue for the next rotation); position 50 is q38,
     # the full curation chain (gates → exact dedup → MinHash tier)
     # re-run as the rows-only canary for the approximate stack.
@@ -6506,8 +6506,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q125_ngram_novelty": q125_ngram_novelty,
     "q126_random_projection": q126_random_projection,
     "q127_bpe_encode": q127_bpe_encode,  # rows-only (iterative encoder)
+    # --- round-4 additions, never audited (positions 31-36) ---
+    "q128_rolling_distinct_sketch": q128_rolling_distinct_sketch,
+    "q129_event_anomaly": q129_event_anomaly,
+    "q130_pair_containment": q130_pair_containment,
+    "q131_packing_efficiency": q131_packing_efficiency,
+    "q132_dup_cluster_sizes": q132_dup_cluster_sizes,
+    "q133_quality_percentiles_by_source": q133_quality_percentiles_by_source,
     # --- r2-only greens re-audited on current testdata (positions
-    #     31-49; the 19 displaced by the r4 additions keep their r2
+    #     37-49; the 25 displaced by the r4 additions keep their r2
     #     verdicts and queue for the next rotation) ---
     "q03_dedup_latest": q03_dedup_latest,
     "q04_fact_build": q04_fact_build,
@@ -6521,18 +6528,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_ngram_jaccard_pairs": q20_ngram_jaccard_pairs,
     "q22_text_quality": q22_text_quality,
     "q25_knn_bruteforce": q25_knn_bruteforce,
-    "q29_event_type_stats": q29_event_type_stats,
-    "q30_event_daily_counts": q30_event_daily_counts,
-    "q31_sessionize_batch": q31_sessionize_batch,
-    "q32_top_suppliers_per_nation": q32_top_suppliers_per_nation,
-    "q33_embedding_neardup": q33_embedding_neardup,
-    "q34_cube_region_segment": q34_cube_region_segment,
     "q37_order_value_percentiles": q37_order_value_percentiles,
     # --- rows-only canary for the approximate stack (position 50) ---
     "q38_curate_corpus": q38_curate_corpus,
     # ================= end of the 50-query audit window =================
     # --- r2 greens displaced from the re-audit slice by the r4
     #     additions (r2 verdicts on record; next rotation) ---
+    "q29_event_type_stats": q29_event_type_stats,
+    "q30_event_daily_counts": q30_event_daily_counts,
+    "q31_sessionize_batch": q31_sessionize_batch,
+    "q32_top_suppliers_per_nation": q32_top_suppliers_per_nation,
+    "q33_embedding_neardup": q33_embedding_neardup,
+    "q34_cube_region_segment": q34_cube_region_segment,
     "q42_revenue_mom": q42_revenue_mom,
     "q45_grouping_sets_sql": q45_grouping_sets_sql,
     "q46_asof_click_attribution": q46_asof_click_attribution,
@@ -6614,14 +6621,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q26_minhash_dedup": q26_minhash_dedup,
     "q27_simhash_buckets": q27_simhash_buckets,
     "q28_knn_ivf": q28_knn_ivf,
-    # --- post-rotation round-4 additions (oracled; queue for the next
-    #     rotation — the current window was already full at 50) ---
-    "q128_rolling_distinct_sketch": q128_rolling_distinct_sketch,
-    "q129_event_anomaly": q129_event_anomaly,
-    "q130_pair_containment": q130_pair_containment,
-    "q131_packing_efficiency": q131_packing_efficiency,
-    "q132_dup_cluster_sizes": q132_dup_cluster_sizes,
-    "q133_quality_percentiles_by_source": q133_quality_percentiles_by_source,
 }
 
 ORACLES: dict[str, str] = {
