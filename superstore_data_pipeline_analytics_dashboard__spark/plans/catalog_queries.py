@@ -6279,6 +6279,177 @@ FROM ranked GROUP BY source
 )
 
 
+# end-to-end training-data recipe (round 4 flagship composition):
+# quality gate → exact dedup (keep lowest id per fingerprint) →
+# deterministic train/val/test split → temperature-scaled per-source
+# token quotas (q103/q124 machinery on the SURVIVING corpus) →
+# hash-ordered quota fill (q123 machinery against the DATA-DEPENDENT
+# quota) → per-source release summary. This is the chain a user runs to
+# go from raw crawl to a mixed, split, budgeted training set; every
+# stage is an already-proven catalog operator, composed here and
+# value-checked END-TO-END (an oracle over the whole chain catches
+# stage-boundary drift that per-stage oracles cannot). Scale: gates and
+# fingerprints are narrow; dedup is one fp-keyed window; quotas are
+# sources-sized broadcasts; the fill is one per-source window — no
+# stage materializes more than the corpus once (kept is persisted for
+# its two consumers: quota computation and the fill walk).
+
+def q134_training_recipe(
+    spark: SparkSession, sf: str, budget: int = 20_000
+) -> DataFrame:
+    from ..functions.sampling import deterministic_split
+
+    docs = load_table(spark, sf, "documents")
+    staged = docs.select(
+        "doc_id",
+        "source",
+        T.token_count("text").cast("bigint").alias("n_tok"),
+        T.quality_score("text").cast("decimal(9,6)").alias("q"),
+        T.fingerprint("text").alias("fp"),
+    )
+    q_min = F.lit("0.45").cast("decimal(9,6)")
+    gated = staged.filter((F.col("n_tok") >= 20) & (F.col("q") >= q_min))
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    kept = (
+        gated.withColumn("__rn", F.row_number().over(w_fp))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn("split", deterministic_split("doc_id"))
+        .persist()
+    )
+    per = kept.groupBy("source").agg(F.sum("n_tok").alias("avail"))
+    tot = per.agg(F.sum("avail").alias("tot"))
+    shared = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "avail",
+        F.sqrt(F.col("avail").cast("double") / F.col("tot").cast("double"))
+        .cast("decimal(18,9)")
+        .alias("tw"),
+    )
+    norm = shared.agg(F.sum(F.col("tw").cast("decimal(28,9)")).alias("z"))
+    planned = shared.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "avail",
+        F.floor(
+            F.lit(float(budget))
+            * (F.col("tw").cast("double") / F.col("z").cast("double"))
+        ).alias("quota"),
+    )
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = kept.withColumn("__cum", F.sum("n_tok").over(w_src))
+    selected = cum.join(F.broadcast(planned.select("source", "quota")), "source").filter(
+        F.col("__cum") <= F.col("quota")
+    )
+    sel_agg = selected.groupBy("source").agg(
+        F.count("*").alias("n_selected"),
+        F.sum("n_tok").alias("tok_selected"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_test"),
+    )
+    g_agg = gated.groupBy("source").agg(F.count("*").alias("n_gated"))
+    k_agg = kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+    return (
+        g_agg.join(k_agg, "source")
+        .join(planned, "source")
+        .join(sel_agg, "source")
+        .select(
+            "source",
+            "n_gated",
+            "n_kept",
+            "avail",
+            "quota",
+            "n_selected",
+            "tok_selected",
+            "n_train",
+            "n_val",
+            "n_test",
+        )
+    )
+
+
+Q134_SQL = (
+    r"""
+WITH q22 AS (
+"""
+    + Q22_SQL.strip()
+    + r"""
+), staged AS (
+  SELECT d.doc_id, d.source,
+         CAST(q22.n_tokens AS BIGINT) AS n_tok,
+         q22.quality AS q,
+         md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g'))) AS fp
+  FROM documents d JOIN q22 USING (doc_id)
+), gated AS (
+  SELECT * FROM staged
+  WHERE n_tok >= 20 AND q >= CAST(0.45 AS DECIMAL(9,6))
+), kept AS (
+  SELECT doc_id, source, n_tok,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000 < 900 THEN 'train'
+              WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000 < 950 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+), per AS (
+  SELECT source, sum(n_tok) AS avail FROM kept GROUP BY source
+), tot AS (
+  SELECT sum(avail) AS tot FROM per
+), shared AS (
+  SELECT source, avail,
+         CAST(sqrt(CAST(avail AS DOUBLE) / CAST(tot AS DOUBLE))
+              AS DECIMAL(18,9)) AS tw
+  FROM per CROSS JOIN tot
+), norm AS (
+  SELECT sum(CAST(tw AS DECIMAL(28,9))) AS z FROM shared
+), planned AS (
+  SELECT source, avail,
+         CAST(floor(20000.0 * (CAST(tw AS DOUBLE) / CAST(z AS DOUBLE)))
+              AS BIGINT) AS quota
+  FROM shared CROSS JOIN norm
+), cum AS (
+  SELECT k.*,
+         sum(n_tok) OVER (PARTITION BY source
+                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM kept k
+), selected AS (
+  SELECT c.* FROM cum c JOIN planned p USING (source)
+  WHERE c.cum <= p.quota
+), sel_agg AS (
+  SELECT source, count(*) AS n_selected, sum(n_tok) AS tok_selected,
+         sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+         sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val,
+         sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+  FROM selected GROUP BY source
+), g_agg AS (
+  SELECT source, count(*) AS n_gated FROM gated GROUP BY source
+), k_agg AS (
+  SELECT source, count(*) AS n_kept FROM kept GROUP BY source
+)
+SELECT g.source, CAST(g.n_gated AS BIGINT) AS n_gated,
+       CAST(k.n_kept AS BIGINT) AS n_kept,
+       CAST(p.avail AS BIGINT) AS avail, p.quota,
+       CAST(s.n_selected AS BIGINT) AS n_selected,
+       CAST(s.tok_selected AS BIGINT) AS tok_selected,
+       CAST(s.n_train AS BIGINT) AS n_train,
+       CAST(s.n_val AS BIGINT) AS n_val,
+       CAST(s.n_test AS BIGINT) AS n_test
+FROM g_agg g
+JOIN k_agg k USING (source)
+JOIN planned p USING (source)
+JOIN sel_agg s USING (source)
+"""
+)
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -6464,12 +6635,12 @@ _CANON_SQL_CASTS: dict[str, dict[str, str]] = {
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Round-4 audit window (first 50). Rotation rationale (VERDICT r3
     # item 1): never-audited queries outrank stale-green re-audits.
-    # Positions 1-36 are every round-3/round-4 addition that has never
-    # seen the driver (32 oracled + rows-only q102/q108/q114/q127);
-    # positions 37-49 are 13 of the oracled queries whose only green
+    # Positions 1-37 are every round-3/round-4 addition that has never
+    # seen the driver (33 oracled + rows-only q102/q108/q114/q127);
+    # positions 38-49 are 12 of the oracled queries whose only green
     # verdicts date from ROUND-2 testdata (the driver regenerated
     # fixtures between r1 and r2, so r2-era greens need one confirmation
-    # on current data — the 25 displaced by the r4 additions keep their
+    # on current data — the 26 displaced by the r4 additions keep their
     # r2 verdicts and queue for the next rotation); position 50 is q38,
     # the full curation chain (gates → exact dedup → MinHash tier)
     # re-run as the rows-only canary for the approximate stack.
@@ -6513,6 +6684,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q131_packing_efficiency": q131_packing_efficiency,
     "q132_dup_cluster_sizes": q132_dup_cluster_sizes,
     "q133_quality_percentiles_by_source": q133_quality_percentiles_by_source,
+    "q134_training_recipe": q134_training_recipe,
     # --- r2-only greens re-audited on current testdata (positions
     #     37-49; the 25 displaced by the r4 additions keep their r2
     #     verdicts and queue for the next rotation) ---
@@ -6528,13 +6700,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_ngram_jaccard_pairs": q20_ngram_jaccard_pairs,
     "q22_text_quality": q22_text_quality,
     "q25_knn_bruteforce": q25_knn_bruteforce,
-    "q37_order_value_percentiles": q37_order_value_percentiles,
     # --- rows-only canary for the approximate stack (position 50) ---
     "q38_curate_corpus": q38_curate_corpus,
     # ================= end of the 50-query audit window =================
     # --- r2 greens displaced from the re-audit slice by the r4
     #     additions (r2 verdicts on record; next rotation) ---
     "q29_event_type_stats": q29_event_type_stats,
+    "q37_order_value_percentiles": q37_order_value_percentiles,
     "q30_event_daily_counts": q30_event_daily_counts,
     "q31_sessionize_batch": q31_sessionize_batch,
     "q32_top_suppliers_per_nation": q32_top_suppliers_per_nation,
@@ -6743,6 +6915,7 @@ ORACLES: dict[str, str] = {
     "q131_packing_efficiency": Q131_SQL,
     "q132_dup_cluster_sizes": Q132_SQL,
     "q133_quality_percentiles_by_source": Q133_SQL,
+    "q134_training_recipe": Q134_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
     # form in round 3, so it is oracled above.

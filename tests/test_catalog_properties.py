@@ -150,3 +150,16 @@ def test_pair_containment_dominates_jaccard(spark):
         assert r["containment"] >= r["jaccard"]
         if r["containment"] == 1.0:
             assert r["n_common"] == min(r["size_a"], r["size_b"])
+
+
+def test_training_recipe_stage_invariants(spark):
+    """q134: the funnel only narrows (selected ≤ kept ≤ gated), token
+    selections respect quotas, split counts partition the selection,
+    and quotas sum to ≤ the budget."""
+    rows = Q.QUERIES["q134_training_recipe"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["n_selected"] <= r["n_kept"] <= r["n_gated"]
+        assert r["tok_selected"] <= r["quota"]
+        assert r["n_train"] + r["n_val"] + r["n_test"] == r["n_selected"]
+    assert sum(r["quota"] for r in rows) <= 20_000
