@@ -70,9 +70,20 @@ def main() -> None:
         except Exception as e:
             print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
+    # Queries persist() their multi-consumer intermediates and nothing
+    # unpersists them (one-shot driver semantics) — so cached plan
+    # entries accumulate across the run, and CacheManager's
+    # plan-substitution lookup scans EVERY cached entry per new plan.
+    # At ~270 accumulated entries (134 warm + timed) that lookup was
+    # adding ~25% to the total (129 s -> 165 s after the catalog grew).
+    # Clearing between queries keeps each timing standalone — no
+    # cross-query InMemoryRelation substitution, no quadratic lookup.
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in QUERIES.items():
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
