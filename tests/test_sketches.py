@@ -134,3 +134,46 @@ def test_rolling_distinct_sketch_exact_below_nominal_k(spark):
         ).collect()
     }
     assert exact == est and len(exact) > 0
+
+
+def test_rolling_distinct_sketch_matches_exact_on_random_data(spark):
+    """Property: below the sketch's nominal entries the sketch tier is
+    EXACTLY the exact tier on arbitrary (id, day) data — widths drawn
+    beyond the q128 default."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.windows import (
+        rolling_distinct,
+        rolling_distinct_sketch,
+    )
+
+    base = dt.date(2024, 3, 1)
+    rows_strategy = st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 15)),
+        min_size=1,
+        max_size=50,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(rows=rows_strategy, k=st.sampled_from([1, 3, 7, 10]))
+    def check(rows, k):
+        data = [(i, base + dt.timedelta(days=off)) for i, off in rows]
+        df = spark.createDataFrame(data, "uid BIGINT, day DATE")
+        exact = {
+            r["window_day"]: r["n"]
+            for r in rolling_distinct(
+                df, "uid", "day", window_days=k, out="n"
+            ).collect()
+        }
+        est = {
+            r["window_day"]: r["n"]
+            for r in rolling_distinct_sketch(
+                df, "uid", "day", window_days=k, out="n"
+            ).collect()
+        }
+        assert est == exact
+
+    check()
