@@ -6450,6 +6450,30 @@ JOIN sel_agg s USING (source)
 )
 
 
+# audio feature extraction (round 4): completes the modality set —
+# even doc_ids become REAL RIFF/WAVE PCM-16 clips (constant 44-byte
+# header literal + text bytes as samples, decoded by the real
+# chunk-walking parser in operators/audio.py); odd ids ride the
+# FAKEAUD container (the documented stub for compressed formats). One
+# Arrow mapInPandas featurizer serves both; features are exact
+# integers. Not SQL-expressible (byte decode) → rows-only.
+
+def q135_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.audio import extract_audio_features, wav_header
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    header = F.lit(wav_header(8000, 1, 256))
+    wav = F.concat(
+        header, F.rpad(F.substring("text", 1, 256), 256, "x").cast("binary")
+    )
+    fake = F.concat(F.lit(b"FAKEAUD|8000|1|"), F.col("text").cast("binary"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, wav).otherwise(fake).alias("content"),
+    )
+    return extract_audio_features(media)
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -6635,12 +6659,12 @@ _CANON_SQL_CASTS: dict[str, dict[str, str]] = {
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Round-4 audit window (first 50). Rotation rationale (VERDICT r3
     # item 1): never-audited queries outrank stale-green re-audits.
-    # Positions 1-37 are every round-3/round-4 addition that has never
-    # seen the driver (33 oracled + rows-only q102/q108/q114/q127);
-    # positions 38-49 are 12 of the oracled queries whose only green
+    # Positions 1-38 are every round-3/round-4 addition that has never
+    # seen the driver (33 oracled + rows-only q102/q108/q114/q127/q135);
+    # positions 39-49 are 11 of the oracled queries whose only green
     # verdicts date from ROUND-2 testdata (the driver regenerated
     # fixtures between r1 and r2, so r2-era greens need one confirmation
-    # on current data — the 26 displaced by the r4 additions keep their
+    # on current data — the 27 displaced by the r4 additions keep their
     # r2 verdicts and queue for the next rotation); position 50 is q38,
     # the full curation chain (gates → exact dedup → MinHash tier)
     # re-run as the rows-only canary for the approximate stack.
@@ -6685,6 +6709,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q132_dup_cluster_sizes": q132_dup_cluster_sizes,
     "q133_quality_percentiles_by_source": q133_quality_percentiles_by_source,
     "q134_training_recipe": q134_training_recipe,
+    "q135_audio_features": q135_audio_features,  # rows-only (byte decode)
     # --- r2-only greens re-audited on current testdata (positions
     #     37-49; the 25 displaced by the r4 additions keep their r2
     #     verdicts and queue for the next rotation) ---
@@ -6699,12 +6724,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q17_latest_order_per_customer": q17_latest_order_per_customer,
     "q20_ngram_jaccard_pairs": q20_ngram_jaccard_pairs,
     "q22_text_quality": q22_text_quality,
-    "q25_knn_bruteforce": q25_knn_bruteforce,
     # --- rows-only canary for the approximate stack (position 50) ---
     "q38_curate_corpus": q38_curate_corpus,
     # ================= end of the 50-query audit window =================
     # --- r2 greens displaced from the re-audit slice by the r4
     #     additions (r2 verdicts on record; next rotation) ---
+    "q25_knn_bruteforce": q25_knn_bruteforce,
     "q29_event_type_stats": q29_event_type_stats,
     "q37_order_value_percentiles": q37_order_value_percentiles,
     "q30_event_daily_counts": q30_event_daily_counts,

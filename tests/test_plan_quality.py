@@ -155,6 +155,8 @@ def test_no_python_udfs_anywhere_in_catalog(spark):
         # bpe_encode: Python encoder over DISTINCT WORDS only (the
         # industry-standard tokenizer-driver shape), corpus joins JVM-side
         "q127_bpe_encode",
+        # audio byte decode (RIFF parser), same contract as the image side
+        "q135_audio_features",
     }
     for name, fn in Q.QUERIES.items():
         plan = _executed_plan(fn(spark, SF_SMOKE))
