@@ -74,12 +74,10 @@ def main() -> None:
     # unpersists them (one-shot driver semantics) — so cached plan
     # entries accumulate across the run, and CacheManager's
     # plan-substitution lookup scans EVERY cached entry per new plan.
-    # At ~270 accumulated entries (134 warm + timed) that lookup was
-    # adding ~25% to the total (129 s -> 165 s after the catalog grew).
-    # Clearing between queries keeps each timing standalone — no
-    # cross-query InMemoryRelation substitution, no quadratic lookup.
-    spark.catalog.clearCache()
-
+    # Clearing before each timed query (which also flushes the warmup
+    # pass's entries on the first iteration) keeps each timing
+    # standalone — no cross-query InMemoryRelation substitution, no
+    # growing lookup cost.
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in QUERIES.items():

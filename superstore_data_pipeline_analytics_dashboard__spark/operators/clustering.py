@@ -183,5 +183,13 @@ def kmeans_quantized(
     out = out.select(
         F.col("cid").alias("cluster_id"), "n_members", "rep_id", "inertia"
     )
+    # materialize the k-row summary BEFORE releasing the cache — an
+    # unpersist ahead of the caller's action would force the final
+    # assignment (the most expensive pass) to re-quantize cache-cold,
+    # while never unpersisting would pin corpus-scale storage. The
+    # operator is already eager (per-iteration collects), and k rows on
+    # the driver is the same footprint as the centroids themselves.
+    spark = quant.sparkSession
+    rows = out.collect()
     quant.unpersist()
-    return out
+    return spark.createDataFrame(rows, out.schema)

@@ -5309,7 +5309,11 @@ FROM agg
 
 def q119_token_rarity(spark: SparkSession, sf: str, v: int = 500) -> DataFrame:
     docs = load_table(spark, sf, "documents")
-    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    # persisted: toks feeds the vocab rollup AND the scoring join — the
+    # q120/q121 multi-consumer rule
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens("text")).alias("term")
+    ).persist()
     freq = toks.groupBy("term").agg(F.count("*").alias("cnt"))
     head = freq.orderBy(F.col("cnt").desc(), "term").limit(v)
     ranked = head.select(
@@ -5753,12 +5757,16 @@ def q125_ngram_novelty(spark: SparkSession, sf: str, n: int = 3) -> DataFrame:
     toks = docs.select(
         "doc_id", T.tokens("text").alias("t"), (F.col("doc_id") % 5 < 3).alias("is_old")
     )
-    sh = toks.select(
-        "doc_id",
-        "is_old",
-        F.explode(T.shingles_from_tokens(F.col("t"), n)).alias("shingle"),
-    ).select(
-        "doc_id", "is_old", md5_prefix_long("shingle").alias("g")
+    # persisted: sh feeds the old-corpus index AND the new-batch side —
+    # the q120/q121 multi-consumer rule
+    sh = (
+        toks.select(
+            "doc_id",
+            "is_old",
+            F.explode(T.shingles_from_tokens(F.col("t"), n)).alias("shingle"),
+        )
+        .select("doc_id", "is_old", md5_prefix_long("shingle").alias("g"))
+        .persist()
     )
     old_idx = sh.filter("is_old").select("g").distinct()
     new_sh = sh.filter(~F.col("is_old")).select("doc_id", "g").distinct()
@@ -5992,16 +6000,24 @@ def q129_event_anomaly(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("day")
         .rowsBetween(-7, -1)
     )
+    # DECIMAL(38,0) for the decision arithmetic: with daily counts up to
+    # ~1e9 (the 100 TB ingestion scale this targets), Q = Σcnt² reaches
+    # ~1e19 > 2^63 and dev² another square beyond — long math would
+    # throw under ANSI mode exactly when the query matters most. Exact
+    # decimal integers carry the same one-answer property to ~1e38.
+    d38 = "decimal(38,0)"
+    cnt_d = F.col("cnt").cast(d38)
     stats = daily.select(
         "event_type",
         "day",
         "cnt",
         F.count("cnt").over(w).alias("n"),
-        F.sum("cnt").over(w).alias("s"),
-        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("q"),
+        F.sum(cnt_d).over(w).alias("s"),
+        F.sum(cnt_d * cnt_d).over(w).alias("q"),
     ).filter(F.col("n") >= 3)
-    dev = F.col("n") * F.col("cnt") - F.col("s")
-    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    n_d = F.col("n").cast(d38)
+    dev = n_d * cnt_d - F.col("s")
+    var_n2 = n_d * F.col("q") - F.col("s") * F.col("s")
     z = F.when(
         var_n2 > 0,
         dev.cast("double") / F.sqrt(var_n2.cast("double")),
@@ -6011,18 +6027,19 @@ def q129_event_anomaly(spark: SparkSession, sf: str) -> DataFrame:
         "day",
         "cnt",
         "n",
-        (dev * dev > F.lit(9) * var_n2).alias("is_anomaly"),
+        (dev * dev > F.lit(9).cast(d38) * var_n2).alias("is_anomaly"),
         z.alias("z"),
     )
 
 
 Q129_SQL = """
 WITH daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS HUGEINT) AS cnt
   FROM events GROUP BY 1, 2
 ), stats AS (
   SELECT event_type, day, cnt,
-         count(cnt) OVER w AS n,
+         CAST(count(cnt) OVER w AS HUGEINT) AS n,
          sum(cnt) OVER w AS s,
          sum(cnt * cnt) OVER w AS q
   FROM daily
@@ -6353,21 +6370,26 @@ def q134_training_recipe(
     )
     g_agg = gated.groupBy("source").agg(F.count("*").alias("n_gated"))
     k_agg = kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+    # sel_agg joins LEFT with zero-filled defaults: a source whose
+    # lowest-hash doc already overflows its quota selects nothing, and
+    # the release summary must REPORT that funnel collapse, not drop
+    # the source's row
+    zero = F.lit(0).cast("bigint")
     return (
         g_agg.join(k_agg, "source")
         .join(planned, "source")
-        .join(sel_agg, "source")
+        .join(sel_agg, "source", "left")
         .select(
             "source",
             "n_gated",
             "n_kept",
             "avail",
             "quota",
-            "n_selected",
-            "tok_selected",
-            "n_train",
-            "n_val",
-            "n_test",
+            F.coalesce("n_selected", zero).alias("n_selected"),
+            F.coalesce("tok_selected", zero).alias("tok_selected"),
+            F.coalesce("n_train", zero).alias("n_train"),
+            F.coalesce("n_val", zero).alias("n_val"),
+            F.coalesce("n_test", zero).alias("n_test"),
         )
     )
 
@@ -6437,15 +6459,15 @@ WITH q22 AS (
 SELECT g.source, CAST(g.n_gated AS BIGINT) AS n_gated,
        CAST(k.n_kept AS BIGINT) AS n_kept,
        CAST(p.avail AS BIGINT) AS avail, p.quota,
-       CAST(s.n_selected AS BIGINT) AS n_selected,
-       CAST(s.tok_selected AS BIGINT) AS tok_selected,
-       CAST(s.n_train AS BIGINT) AS n_train,
-       CAST(s.n_val AS BIGINT) AS n_val,
-       CAST(s.n_test AS BIGINT) AS n_test
+       CAST(coalesce(s.n_selected, 0) AS BIGINT) AS n_selected,
+       CAST(coalesce(s.tok_selected, 0) AS BIGINT) AS tok_selected,
+       CAST(coalesce(s.n_train, 0) AS BIGINT) AS n_train,
+       CAST(coalesce(s.n_val, 0) AS BIGINT) AS n_val,
+       CAST(coalesce(s.n_test, 0) AS BIGINT) AS n_test
 FROM g_agg g
 JOIN k_agg k USING (source)
 JOIN planned p USING (source)
-JOIN sel_agg s USING (source)
+LEFT JOIN sel_agg s USING (source)
 """
 )
 
@@ -6463,9 +6485,14 @@ def q135_audio_features(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 500)
     header = F.lit(wav_header(8000, 1, 256))
-    wav = F.concat(
-        header, F.rpad(F.substring("text", 1, 256), 256, "x").cast("binary")
+    # payload is forced to printable ASCII before the byte cast: rpad
+    # counts CHARACTERS while the header declares 256 BYTES, so one
+    # multibyte character in a regenerated fixture would otherwise spill
+    # extra bytes past the data chunk for the walker to misparse
+    ascii_text = F.regexp_replace(
+        F.substring("text", 1, 256), r"[^\x20-\x7e]", "x"
     )
+    wav = F.concat(header, F.rpad(ascii_text, 256, "x").cast("binary"))
     fake = F.concat(F.lit(b"FAKEAUD|8000|1|"), F.col("text").cast("binary"))
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -6701,7 +6728,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q125_ngram_novelty": q125_ngram_novelty,
     "q126_random_projection": q126_random_projection,
     "q127_bpe_encode": q127_bpe_encode,  # rows-only (iterative encoder)
-    # --- round-4 additions, never audited (positions 31-36) ---
+    # --- round-4 additions, never audited (positions 31-38) ---
     "q128_rolling_distinct_sketch": q128_rolling_distinct_sketch,
     "q129_event_anomaly": q129_event_anomaly,
     "q130_pair_containment": q130_pair_containment,
@@ -6711,7 +6738,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q134_training_recipe": q134_training_recipe,
     "q135_audio_features": q135_audio_features,  # rows-only (byte decode)
     # --- r2-only greens re-audited on current testdata (positions
-    #     37-49; the 25 displaced by the r4 additions keep their r2
+    #     39-49; the 27 displaced by the r4 additions keep their r2
     #     verdicts and queue for the next rotation) ---
     "q03_dedup_latest": q03_dedup_latest,
     "q04_fact_build": q04_fact_build,

@@ -14,8 +14,16 @@ from tests.conftest import SF_SMOKE
 
 
 def _quant_py(vec: list[float]) -> list[int]:
+    import math
+
     scale = max(max(abs(x) for x in vec), 1e-12)
-    return [int(round(x * 127.0 / scale)) for x in vec]
+
+    # HALF_UP (away from zero), matching Spark F.round / DuckDB round —
+    # Python's round() is banker's and would diverge on exact .5 values
+    def r(v: float) -> int:
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    return [r(x * 127.0 / scale) for x in vec]
 
 
 def _kmeans_py(rows: list[tuple[int, list[int]]], k: int, iters: int):
