@@ -163,3 +163,19 @@ def test_training_recipe_stage_invariants(spark):
         assert r["tok_selected"] <= r["quota"]
         assert r["n_train"] + r["n_val"] + r["n_test"] == r["n_selected"]
     assert sum(r["quota"] for r in rows) <= 20_000
+
+
+def test_training_recipe_reports_zero_selection_sources(spark):
+    """q134 with a tiny budget: sources whose quota admits no document
+    must still appear with zeroed selection columns (the left-join
+    contract), and every gated source must be present."""
+    full = Q.QUERIES["q134_training_recipe"](spark, SF_SMOKE).collect()
+    tiny = Q.q134_training_recipe(spark, SF_SMOKE, budget=10)
+    rows = tiny.collect()
+    assert {r["source"] for r in rows} == {r["source"] for r in full}
+    assert any(r["n_selected"] == 0 for r in rows)
+    for r in rows:
+        if r["n_selected"] == 0:
+            assert r["tok_selected"] == 0
+            assert r["n_train"] == r["n_val"] == r["n_test"] == 0
+            assert r["n_kept"] > 0  # the funnel columns survive
