@@ -484,3 +484,51 @@ def ivf_increment(
         )
     )
     return {"assigned": grown, "needs_rebuild": needs}
+
+
+def ann_recall(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the IVF tier against the exact tier — the standard
+    ANN evaluation harness, run as a query so an index configuration
+    (n_cells, nprobe) can be judged on the ACTUAL corpus before
+    deployment rather than trusted on faith.
+
+    One row per query vector: (query_id, n_hits, recall), where recall =
+    |IVF top-k ∩ exact top-k| / k. Exact integers + one ratio. Scale:
+    both sides reuse the broadcast-query kNN shapes (cost |Q|·|N| and
+    |Q|·|N|·nprobe/n_cells); the intersection is a join on
+    (query_id, neighbor_id) over 2·|Q|·k rows — negligible. Evaluating
+    on a SAMPLE of queries (the caller picks |Q|) is the standard
+    practice this mirrors."""
+    exact = knn_bruteforce(vectors, query, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    approx = knn_ivf(
+        vectors, query, k, n_cells, nprobe, id_col, vec_col
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count("*").alias("n_hits")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+    )
+    return per_q

@@ -6501,6 +6501,19 @@ def q135_audio_features(spark: SparkSession, sf: str) -> DataFrame:
     return extract_audio_features(media)
 
 
+# ANN recall evaluation (round 4): recall@10 of the IVF tier (q28's
+# configuration) against the exact tier (q25's), per query vector —
+# the index-quality gate a pipeline runs before trusting an ANN
+# configuration at scale. Rows-only (the IVF side's cell routing is
+# approximate by design); tests pin a recall floor and the
+# exact-vs-exact identity.
+
+def q136_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return SIM.ann_recall(emb, queries, k=10, n_cells=16, nprobe=4)
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -6686,13 +6699,14 @@ _CANON_SQL_CASTS: dict[str, dict[str, str]] = {
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Round-4 audit window (first 50). Rotation rationale (VERDICT r3
     # item 1): never-audited queries outrank stale-green re-audits.
-    # Positions 1-38 are every round-3/round-4 addition that has never
-    # seen the driver (33 oracled + rows-only q102/q108/q114/q127/q135);
-    # positions 39-49 are 11 of the oracled queries whose only green
-    # verdicts date from ROUND-2 testdata (the driver regenerated
-    # fixtures between r1 and r2, so r2-era greens need one confirmation
-    # on current data — the 27 displaced by the r4 additions keep their
-    # r2 verdicts and queue for the next rotation); position 50 is q38,
+    # Positions 1-39 are every round-3/round-4 addition that has never
+    # seen the driver (33 oracled + rows-only
+    # q102/q108/q114/q127/q135/q136); positions 40-49 are 10 of the
+    # oracled queries whose only green verdicts date from ROUND-2
+    # testdata (the driver regenerated fixtures between r1 and r2, so
+    # r2-era greens need one confirmation on current data — the 28
+    # displaced by the r4 additions keep their r2 verdicts and queue
+    # for the next rotation); position 50 is q38,
     # the full curation chain (gates → exact dedup → MinHash tier)
     # re-run as the rows-only canary for the approximate stack.
     # --- round-3 additions, never audited (positions 1-6) ---
@@ -6728,7 +6742,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q125_ngram_novelty": q125_ngram_novelty,
     "q126_random_projection": q126_random_projection,
     "q127_bpe_encode": q127_bpe_encode,  # rows-only (iterative encoder)
-    # --- round-4 additions, never audited (positions 31-38) ---
+    # --- round-4 additions, never audited (positions 31-39) ---
     "q128_rolling_distinct_sketch": q128_rolling_distinct_sketch,
     "q129_event_anomaly": q129_event_anomaly,
     "q130_pair_containment": q130_pair_containment,
@@ -6737,6 +6751,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q133_quality_percentiles_by_source": q133_quality_percentiles_by_source,
     "q134_training_recipe": q134_training_recipe,
     "q135_audio_features": q135_audio_features,  # rows-only (byte decode)
+    "q136_ann_recall": q136_ann_recall,  # rows-only (IVF side approximate)
     # --- r2-only greens re-audited on current testdata (positions
     #     39-49; the 27 displaced by the r4 additions keep their r2
     #     verdicts and queue for the next rotation) ---
@@ -6750,12 +6765,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q15_idempotent_append": q15_idempotent_append,
     "q17_latest_order_per_customer": q17_latest_order_per_customer,
     "q20_ngram_jaccard_pairs": q20_ngram_jaccard_pairs,
-    "q22_text_quality": q22_text_quality,
     # --- rows-only canary for the approximate stack (position 50) ---
     "q38_curate_corpus": q38_curate_corpus,
     # ================= end of the 50-query audit window =================
     # --- r2 greens displaced from the re-audit slice by the r4
     #     additions (r2 verdicts on record; next rotation) ---
+    "q22_text_quality": q22_text_quality,
     "q25_knn_bruteforce": q25_knn_bruteforce,
     "q29_event_type_stats": q29_event_type_stats,
     "q37_order_value_percentiles": q37_order_value_percentiles,

@@ -238,3 +238,29 @@ def test_ivf_increment_matches_full_assign_and_flags_skew(spark):
     )
     out2 = ivf_increment(skewed, cents, base.limit(10), rebuild_share=0.5)
     assert out2["needs_rebuild"].first()["needs_rebuild"] is True
+
+
+def test_ann_recall_harness(spark):
+    """Recall@k evaluation: exact-vs-exact recall is identically 1;
+    the IVF configuration q28 ships must clear a 0.5 mean-recall floor
+    on the real embeddings (deterministic — seeded centroids)."""
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.similarity import (
+        ann_recall,
+        knn_bruteforce,
+    )
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 20)
+
+    rows = ann_recall(emb, queries, k=10, n_cells=16, nprobe=4).collect()
+    assert len(rows) == 20
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
+    mean = sum(r["recall"] for r in rows) / len(rows)
+    assert mean >= 0.5, mean
+
+    # identity check: intersecting the exact tier with itself -> 1.0
+    exact = knn_bruteforce(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(exact, ["query_id", "neighbor_id"], "left_semi")
+    assert hits.count() == exact.count()
