@@ -410,3 +410,42 @@ def start_content_dedup_append(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_append_with_manifest(
+    stream: DataFrame,
+    sink_path: str,
+    manifest_path: str,
+    checkpoint: str,
+    stat_cols: list[str],
+) -> StreamingQuery:
+    """Streaming append that MAINTAINS the zone-map manifest as it
+    writes — the incremental face of ``sources/manifest.py`` (which
+    documents its manifest as "a saved table that incremental loads
+    append to"; this is that load).
+
+    Each micro-batch lands in its own ``batch=<id>`` partition
+    directory, then per-file min/max stats are collected from THAT
+    directory only and appended to the manifest table — per-batch
+    manifest cost is ∝ the batch's file count, never a rescan of the
+    table, and the sink's readers get range-pruned file lists that stay
+    current without a compaction pass. A replayed batch (checkpoint
+    reset) overwrites its own partition and re-derives identical stats
+    — manifest rows for the batch's files are re-appended verbatim, and
+    ``prune_files``'s conservative envelope logic is unaffected by
+    duplicate manifest rows for the same file."""
+    from ..sources.manifest import collect_file_stats
+
+    def _append(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        part_dir = f"{sink_path}/batch={batch_id}"
+        batch.write.mode("overwrite").parquet(part_dir)
+        stats = collect_file_stats(spark, part_dir, stat_cols)
+        stats.write.mode("append").parquet(manifest_path)
+
+    return (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -306,3 +306,43 @@ def test_content_dedup_append_collapses_recrawls(spark, tmpdir):
     q2 = S.start_content_dedup_append(stream2, sink, fps, str(tmpdir / "ck2"))
     q2.awaitTermination(120)
     assert {r["doc_id"] for r in spark.read.parquet(sink).collect()} == kept
+
+
+def test_streaming_append_maintains_manifest(spark, tmpdir):
+    """start_append_with_manifest: every landed file gets a manifest row
+    whose envelope is correct, and manifest-driven pruned reads over the
+    streamed sink return exactly the range predicate's rows."""
+    from superstore_data_pipeline_analytics_dashboard__spark.sources.manifest import (
+        read_pruned,
+    )
+
+    drop = tmpdir / "in"
+    b1 = [(i, i % 7) for i in range(0, 100)]
+    b2 = [(i, i % 7) for i in range(100, 250)]
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, "id BIGINT, v BIGINT").coalesce(1).write.parquet(
+            str(drop / f"b{i}")
+        )
+
+    stream = (
+        spark.readStream.schema("id BIGINT, v BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", True)
+        .parquet(str(drop))
+    )
+    sink, man = str(tmpdir / "sink"), str(tmpdir / "manifest")
+    q = S.start_append_with_manifest(
+        stream, sink, man, str(tmpdir / "ck"), stat_cols=["id"]
+    )
+    q.awaitTermination(120)
+
+    stats = spark.read.parquet(man)
+    rows = stats.collect()
+    assert sum(r["n_rows"] for r in rows) == 250
+    assert min(r["min_id"] for r in rows) == 0
+    assert max(r["max_id"] for r in rows) == 249
+
+    got = sorted(
+        r["id"] for r in read_pruned(spark, stats, "id", 90, 110).collect()
+    )
+    assert got == list(range(90, 111))
