@@ -6514,6 +6514,98 @@ def q136_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.ann_recall(emb, queries, k=10, n_cells=16, nprobe=4)
 
 
+# adaptive per-source quality gate (round 4): keep documents scoring
+# at or above their OWN source's 25th-percentile quality — the
+# per-feed-adaptive version of q134's fixed global threshold (source
+# quality distributions differ; one global cut over-prunes clean feeds
+# and under-prunes noisy ones — the CCNet insight applied with exact
+# rank arithmetic). Thresholds come from q133's nearest-rank machinery
+# (integer rank targets, no float interpolation); the gate is one
+# broadcast join of a sources-sized threshold table.
+
+def q137_adaptive_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        T.quality_score("text").cast("decimal(9,6)").alias("q"),
+    )
+    w = Window.partitionBy("source").orderBy("q", "doc_id")
+    ranked = scored.select(
+        "source",
+        "q",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    thr = ranked.groupBy("source").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("q"))
+        ).alias("thr")
+    )
+    kept = scored.join(F.broadcast(thr), "source").filter(
+        F.col("q") >= F.col("thr")
+    )
+    return kept.select("source", "doc_id", "q", "thr")
+
+
+Q137_SQL = (
+    """
+WITH scored AS (
+  SELECT source, doc_id, quality AS q FROM (
+"""
+    + Q22_SQL.strip()
+    + """
+  ) qq JOIN documents USING (doc_id)
+), ranked AS (
+  SELECT source, q,
+         row_number() OVER (PARTITION BY source ORDER BY q, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM scored
+), thr AS (
+  SELECT source, max(CASE WHEN rn = (n + 3) // 4 THEN q END) AS thr
+  FROM ranked GROUP BY source
+)
+SELECT s.source, s.doc_id, s.q, t.thr
+FROM scored s JOIN thr t USING (source)
+WHERE s.q >= t.thr
+"""
+)
+
+
+# sliding-window quantile sketch (round 4): q128's day-sketch pattern
+# applied to QUANTILES — one KLL sketch per (type, day) absorbs the
+# raw value stream, the slide explodes day-sketches and kll_merge_agg
+# combines each window (p50/p95 per trailing week per event type).
+# Rows-only: KLL compaction is sampled, so quantile VALUES are
+# approximate with provable rank error (tests pin a rank-error band
+# against the exact percentile); the row set is deterministic.
+
+def q138_rolling_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.kll_sketch_agg_double(F.col("value").cast("double"), F.lit(200)).alias(
+            "__sk"
+        )
+    )
+    covered = daily.select(
+        "event_type",
+        F.explode(F.sequence("day", F.date_add("day", 6))).alias("window_day"),
+        "__sk",
+    )
+    merged = covered.groupBy("event_type", "window_day").agg(
+        F.kll_merge_agg_double("__sk").alias("__m")
+    )
+    return merged.select(
+        "event_type",
+        "window_day",
+        F.kll_sketch_get_n_double("__m").alias("n_values"),
+        F.kll_sketch_get_quantile_double("__m", F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double("__m", F.lit(0.95)).alias("p95"),
+    )
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -6680,6 +6772,7 @@ _CANON_SQL_CASTS: dict[str, dict[str, str]] = {
         "p50_quality": "DOUBLE",
         "p90_quality": "DOUBLE",
     },
+    "q137_adaptive_quality_gate": {"q": "DOUBLE", "thr": "DOUBLE"},
 }
 
 
@@ -6699,12 +6792,12 @@ _CANON_SQL_CASTS: dict[str, dict[str, str]] = {
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Round-4 audit window (first 50). Rotation rationale (VERDICT r3
     # item 1): never-audited queries outrank stale-green re-audits.
-    # Positions 1-39 are every round-3/round-4 addition that has never
-    # seen the driver (33 oracled + rows-only
-    # q102/q108/q114/q127/q135/q136); positions 40-49 are 10 of the
+    # Positions 1-41 are every round-3/round-4 addition that has never
+    # seen the driver (34 oracled + rows-only
+    # q102/q108/q114/q127/q135/q136/q138); positions 42-49 are 8 of the
     # oracled queries whose only green verdicts date from ROUND-2
     # testdata (the driver regenerated fixtures between r1 and r2, so
-    # r2-era greens need one confirmation on current data — the 28
+    # r2-era greens need one confirmation on current data — the 30
     # displaced by the r4 additions keep their r2 verdicts and queue
     # for the next rotation); position 50 is q38,
     # the full curation chain (gates → exact dedup → MinHash tier)
@@ -6742,7 +6835,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q125_ngram_novelty": q125_ngram_novelty,
     "q126_random_projection": q126_random_projection,
     "q127_bpe_encode": q127_bpe_encode,  # rows-only (iterative encoder)
-    # --- round-4 additions, never audited (positions 31-39) ---
+    # --- round-4 additions, never audited (positions 31-41) ---
     "q128_rolling_distinct_sketch": q128_rolling_distinct_sketch,
     "q129_event_anomaly": q129_event_anomaly,
     "q130_pair_containment": q130_pair_containment,
@@ -6752,6 +6845,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q134_training_recipe": q134_training_recipe,
     "q135_audio_features": q135_audio_features,  # rows-only (byte decode)
     "q136_ann_recall": q136_ann_recall,  # rows-only (IVF side approximate)
+    "q137_adaptive_quality_gate": q137_adaptive_quality_gate,
+    "q138_rolling_quantile_sketch": q138_rolling_quantile_sketch,  # rows-only (KLL)
     # --- r2-only greens re-audited on current testdata (positions
     #     39-49; the 27 displaced by the r4 additions keep their r2
     #     verdicts and queue for the next rotation) ---
@@ -6763,13 +6858,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q08_rolling_30row": q08_rolling_30row,
     "q09_top5_parts_per_brand": q09_top5_parts_per_brand,
     "q15_idempotent_append": q15_idempotent_append,
-    "q17_latest_order_per_customer": q17_latest_order_per_customer,
-    "q20_ngram_jaccard_pairs": q20_ngram_jaccard_pairs,
     # --- rows-only canary for the approximate stack (position 50) ---
     "q38_curate_corpus": q38_curate_corpus,
     # ================= end of the 50-query audit window =================
     # --- r2 greens displaced from the re-audit slice by the r4
     #     additions (r2 verdicts on record; next rotation) ---
+    "q17_latest_order_per_customer": q17_latest_order_per_customer,
+    "q20_ngram_jaccard_pairs": q20_ngram_jaccard_pairs,
     "q22_text_quality": q22_text_quality,
     "q25_knn_bruteforce": q25_knn_bruteforce,
     "q29_event_type_stats": q29_event_type_stats,
@@ -6983,6 +7078,7 @@ ORACLES: dict[str, str] = {
     "q132_dup_cluster_sizes": Q132_SQL,
     "q133_quality_percentiles_by_source": Q133_SQL,
     "q134_training_recipe": Q134_SQL,
+    "q137_adaptive_quality_gate": Q137_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
     # form in round 3, so it is oracled above.

@@ -179,3 +179,56 @@ def test_training_recipe_reports_zero_selection_sources(spark):
             assert r["tok_selected"] == 0
             assert r["n_train"] == r["n_val"] == r["n_test"] == 0
             assert r["n_kept"] > 0  # the funnel columns survive
+
+
+def test_adaptive_gate_keeps_top_three_quarters(spark):
+    """q137: per source, kept count is n - ceil(n/4) + 1-ish (ties can
+    admit more); every kept doc clears its own source's threshold, and
+    every source appears."""
+    rows = Q.QUERIES["q137_adaptive_quality_gate"](spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    per_src = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    kept: dict = {}
+    for r in rows:
+        assert r["q"] >= r["thr"]
+        kept[r["source"]] = kept.get(r["source"], 0) + 1
+    assert set(kept) == set(per_src)
+    for src, n in per_src.items():
+        # nearest-rank p25 keeps ranks >= ceil(n/4): n - ceil(n/4) + 1
+        # exactly, plus any ties on the threshold value below that rank
+        floor_keep = n - (n + 3) // 4 + 1
+        assert floor_keep <= kept[src] <= n
+
+
+def test_rolling_quantile_sketch_within_rank_error(spark):
+    """q138: each window's KLL p50/p95 must fall inside a generous rank
+    band of the EXACT windowed distribution (KLL k=200 → ~1.65% rank
+    error at 99% confidence; we allow ±10 rank percentiles)."""
+    import datetime as dt
+
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.col("value").cast("double").alias("v"),
+        )
+        .collect()
+    )
+    windows: dict = {}
+    for r in ev:
+        for off in range(7):
+            key = (r["event_type"], r["day"] + dt.timedelta(days=off))
+            windows.setdefault(key, []).append(r["v"])
+    got = Q.QUERIES["q138_rolling_quantile_sketch"](spark, SF_SMOKE).collect()
+    assert len(got) == len(windows)
+    for r in got:
+        vals = sorted(windows[(r["event_type"], r["window_day"])])
+        assert r["n_values"] == len(vals)
+        for p, col in ((0.5, "p50"), (0.95, "p95")):
+            lo = vals[max(0, int((p - 0.10) * len(vals)) - 1)]
+            hi = vals[min(len(vals) - 1, int((p + 0.10) * len(vals)))]
+            assert lo <= r[col] <= hi, (r, lo, hi)
