@@ -501,14 +501,24 @@ def ann_recall(
     deployment rather than trusted on faith.
 
     One row per query vector: (query_id, n_hits, recall), where recall =
-    |IVF top-k ∩ exact top-k| / k. Exact integers + one ratio. Scale:
+    |IVF top-k ∩ exact top-k| / |exact top-k| — the denominator is the
+    EXACT side's actual result count, which equals k whenever the
+    corpus holds more than k other vectors and degrades gracefully on
+    tiny corpora (recall stays 1.0 when IVF finds everything findable,
+    instead of capping at n/k). Exact integers + one ratio. Scale:
     both sides reuse the broadcast-query kNN shapes (cost |Q|·|N| and
     |Q|·|N|·nprobe/n_cells); the intersection is a join on
     (query_id, neighbor_id) over 2·|Q|·k rows — negligible. Evaluating
     on a SAMPLE of queries (the caller picks |Q|) is the standard
-    practice this mirrors."""
-    exact = knn_bruteforce(vectors, query, k, id_col, vec_col).select(
-        "query_id", "neighbor_id"
+    practice this mirrors.
+
+    ``exact`` is persisted: it feeds both the intersection semi-join
+    and the per-query denominator — unpersisted, the |Q|·|N| cosine
+    scoring and its TopK shuffle would execute twice per action."""
+    exact = (
+        knn_bruteforce(vectors, query, k, id_col, vec_col)
+        .select("query_id", "neighbor_id")
+        .persist()
     )
     approx = knn_ivf(
         vectors, query, k, n_cells, nprobe, id_col, vec_col

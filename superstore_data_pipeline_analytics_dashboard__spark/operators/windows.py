@@ -295,15 +295,33 @@ def rolling_distinct_sketch(
         .groupBy(*gcols, "__day")
         .agg(F.theta_sketch_agg("__id").alias("__sk"))
     )
-    covered = daily.select(
-        *gcols,
-        F.explode(
-            F.sequence("__day", F.date_add("__day", window_days - 1))
-        ).alias("window_day"),
-        "__sk",
-    )
+    covered = slide_day_sketches(daily, window_days, gcols)
     return covered.groupBy(*gcols, "window_day").agg(
         F.round(F.theta_sketch_estimate(F.theta_union_agg("__sk")))
         .cast("bigint")
         .alias(out)
+    )
+
+
+def slide_day_sketches(
+    daily: DataFrame,
+    window_days: int,
+    group_cols: Sequence[str] = (),
+    day_col: str = "__day",
+    sketch_col: str = "__sk",
+    out_day: str = "window_day",
+) -> DataFrame:
+    """THE day-sketch slide, shared by every mergeable-sketch window
+    tier (distinct counts via theta — :func:`rolling_distinct_sketch`;
+    quantiles via KLL — catalog q138): explode each per-day sketch row
+    into the trailing ``window_days`` window-days it covers.  Grouping
+    the result by (*group_cols, out_day) and merge-aggregating the
+    sketch column completes the pattern.  One definition so the window
+    boundary arithmetic cannot silently diverge between tiers."""
+    return daily.select(
+        *group_cols,
+        F.explode(
+            F.sequence(day_col, F.date_add(day_col, window_days - 1))
+        ).alias(out_day),
+        sketch_col,
     )

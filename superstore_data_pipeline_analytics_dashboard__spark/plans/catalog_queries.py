@@ -6525,11 +6525,14 @@ def q136_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
 
 def q137_adaptive_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
+    # persisted: scored feeds the threshold branch AND the gate join —
+    # the q120/q121/q134 multi-consumer rule (quality_score is the
+    # regex-heavy part; score once, not twice)
     scored = docs.select(
         "source",
         "doc_id",
         T.quality_score("text").cast("decimal(9,6)").alias("q"),
-    )
+    ).persist()
     w = Window.partitionBy("source").orderBy("q", "doc_id")
     ranked = scored.select(
         "source",
@@ -6581,19 +6584,17 @@ WHERE s.q >= t.thr
 # against the exact percentile); the row set is deterministic.
 
 def q138_rolling_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.windows import slide_day_sketches
+
     ev = load_table(spark, sf, "events")
     daily = ev.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
+        "event_type", F.col("ts").cast("date").alias("__day")
     ).agg(
         F.kll_sketch_agg_double(F.col("value").cast("double"), F.lit(200)).alias(
             "__sk"
         )
     )
-    covered = daily.select(
-        "event_type",
-        F.explode(F.sequence("day", F.date_add("day", 6))).alias("window_day"),
-        "__sk",
-    )
+    covered = slide_day_sketches(daily, window_days=7, group_cols=("event_type",))
     merged = covered.groupBy("event_type", "window_day").agg(
         F.kll_merge_agg_double("__sk").alias("__m")
     )
@@ -6848,7 +6849,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q137_adaptive_quality_gate": q137_adaptive_quality_gate,
     "q138_rolling_quantile_sketch": q138_rolling_quantile_sketch,  # rows-only (KLL)
     # --- r2-only greens re-audited on current testdata (positions
-    #     39-49; the 27 displaced by the r4 additions keep their r2
+    #     42-49; the 30 displaced by the r4 additions keep their r2
     #     verdicts and queue for the next rotation) ---
     "q03_dedup_latest": q03_dedup_latest,
     "q04_fact_build": q04_fact_build,

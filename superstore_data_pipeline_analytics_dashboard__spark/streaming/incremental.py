@@ -426,22 +426,32 @@ def start_append_with_manifest(
 
     Each micro-batch lands in its own ``batch=<id>`` partition
     directory, then per-file min/max stats are collected from THAT
-    directory only and appended to the manifest table — per-batch
-    manifest cost is ∝ the batch's file count, never a rescan of the
-    table, and the sink's readers get range-pruned file lists that stay
-    current without a compaction pass. A replayed batch (checkpoint
-    reset) overwrites its own partition and re-derives identical stats
-    — manifest rows for the batch's files are re-appended verbatim, and
-    ``prune_files``'s conservative envelope logic is unaffected by
-    duplicate manifest rows for the same file."""
+    directory only and written to the manifest table's matching
+    ``batch`` partition — per-batch manifest cost is ∝ the batch's file
+    count, never a rescan of the table, and the sink's readers get
+    range-pruned file lists that stay current without a compaction
+    pass. Replay safety: a replayed batch (retry before checkpoint
+    commit) overwrites its data partition with NEW parquet file names
+    (writer UUIDs), so its manifest rows must be REPLACED, not appended
+    — plain append would leave rows pointing at deleted files and
+    pruned reads would crash on PATH_NOT_FOUND. Dynamic partition
+    overwrite on the manifest's ``batch`` key replaces exactly the
+    replayed batch's rows and leaves every other batch's untouched."""
     from ..sources.manifest import collect_file_stats
 
     def _append(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         part_dir = f"{sink_path}/batch={batch_id}"
         batch.write.mode("overwrite").parquet(part_dir)
-        stats = collect_file_stats(spark, part_dir, stat_cols)
-        stats.write.mode("append").parquet(manifest_path)
+        stats = collect_file_stats(spark, part_dir, stat_cols).withColumn(
+            "batch", F.lit(batch_id)
+        )
+        (
+            stats.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(manifest_path)
+        )
 
     return (
         stream.writeStream.foreachBatch(_append)

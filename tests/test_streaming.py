@@ -346,3 +346,25 @@ def test_streaming_append_maintains_manifest(spark, tmpdir):
         r["id"] for r in read_pruned(spark, stats, "id", 90, 110).collect()
     )
     assert got == list(range(90, 111))
+
+    # replay safety: re-running a batch rewrites its data partition with
+    # NEW parquet file names, so its manifest rows must be REPLACED —
+    # an appended manifest would keep paths to deleted files and pruned
+    # reads would crash on PATH_NOT_FOUND. Simulate a pre-checkpoint
+    # retry by re-running the stream against a fresh checkpoint.
+    stream2 = (
+        spark.readStream.schema("id BIGINT, v BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", True)
+        .parquet(str(drop))
+    )
+    q2 = S.start_append_with_manifest(
+        stream2, sink, man, str(tmpdir / "ck2"), stat_cols=["id"]
+    )
+    q2.awaitTermination(120)
+    stats2 = spark.read.parquet(man)
+    assert sum(r["n_rows"] for r in stats2.collect()) == 250  # no stale rows
+    got2 = sorted(
+        r["id"] for r in read_pruned(spark, stats2, "id", 90, 110).collect()
+    )
+    assert got2 == list(range(90, 111))
