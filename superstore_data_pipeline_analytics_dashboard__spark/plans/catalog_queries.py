@@ -6607,6 +6607,128 @@ def q138_rolling_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# epoch-plan EXECUTION report (round 4): q124 plans per-source repeat
+# factors; this executes them — full_copies = floor(epochs) whole
+# passes over the source plus a deterministic md5-bucket sample for
+# the fractional remainder (the q89 sampling convention, so the
+# fractional pass is reproducible on any cluster) — and reports
+# achieved vs planned tokens. Closes the plan→execute loop the way
+# q89 closes q77's. The replication itself is one
+# explode(sequence(1, full_copies)) at materialization time; this
+# report needs only the per-source aggregates, so it runs as one doc
+# scan + a sources-sized broadcast plan table.
+
+def q139_epoch_execute(
+    spark: SparkSession, sf: str, budget: int = 50_000
+) -> DataFrame:
+    from ..functions.sampling import hash_bucket
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", T.token_count("text").cast("bigint").alias("toks")
+    )
+    per = docs.groupBy("source").agg(
+        F.sum("toks").alias("avail"), F.count("*").alias("n_docs")
+    )
+    tot = per.agg(F.sum("avail").alias("tot"))
+    shared = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "avail",
+        "n_docs",
+        F.sqrt(F.col("avail").cast("double") / F.col("tot").cast("double"))
+        .cast("decimal(18,9)")
+        .alias("tw"),
+    )
+    norm = shared.agg(F.sum(F.col("tw").cast("decimal(28,9)")).alias("z"))
+    ideal = F.lit(float(budget)) * (
+        F.col("tw").cast("double") / F.col("z").cast("double")
+    )
+    epochs = F.least(ideal / F.col("avail").cast("double"), F.lit(4.0))
+    plan = shared.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "avail",
+        "n_docs",
+        epochs.alias("epochs"),
+        F.floor(epochs).alias("full_copies"),
+    )
+    frac = F.col("epochs") - F.col("full_copies").cast("double")
+    plan = plan.withColumn(
+        "__thr", F.round(frac * F.lit(100_000)).cast("int")
+    )
+    extra = (
+        docs.join(F.broadcast(plan.select("source", "__thr")), "source")
+        .filter(hash_bucket(F.col("doc_id"), 100_000) < F.col("__thr"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("extra_docs"),
+            F.sum("toks").alias("extra_tokens"),
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    out = plan.join(extra, "source", "left").select(
+        "source",
+        "avail",
+        "epochs",
+        "full_copies",
+        (
+            F.col("full_copies") * F.col("n_docs")
+            + F.coalesce("extra_docs", zero)
+        ).alias("achieved_docs"),
+        (
+            F.col("full_copies") * F.col("avail")
+            + F.coalesce("extra_tokens", zero)
+        ).alias("achieved_tokens"),
+    )
+    return out
+
+
+Q139_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             x -> x <> '')) AS BIGINT) AS toks
+  FROM documents
+), per AS (
+  SELECT source, sum(toks) AS avail, count(*) AS n_docs
+  FROM docs GROUP BY source
+), tot AS (
+  SELECT sum(avail) AS tot FROM per
+), shared AS (
+  SELECT source, avail, n_docs,
+         CAST(sqrt(CAST(avail AS DOUBLE) / CAST(tot AS DOUBLE))
+              AS DECIMAL(18,9)) AS tw
+  FROM per CROSS JOIN tot
+), norm AS (
+  SELECT sum(CAST(tw AS DECIMAL(28,9))) AS z FROM shared
+), plan AS (
+  SELECT source, avail, n_docs,
+         least((50000.0 * (CAST(tw AS DOUBLE) / CAST(z AS DOUBLE)))
+               / CAST(avail AS DOUBLE), 4.0) AS epochs,
+         CAST(floor(least((50000.0 * (CAST(tw AS DOUBLE) / CAST(z AS DOUBLE)))
+               / CAST(avail AS DOUBLE), 4.0)) AS BIGINT) AS full_copies
+  FROM shared CROSS JOIN norm
+), thr AS (
+  SELECT source,
+         CAST(round((epochs - CAST(full_copies AS DOUBLE)) * 100000)
+              AS INT) AS t
+  FROM plan
+), extra AS (
+  SELECT d.source, count(*) AS extra_docs, sum(d.toks) AS extra_tokens
+  FROM docs d JOIN thr ON thr.source = d.source
+  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) % 100000 < thr.t
+  GROUP BY d.source
+)
+SELECT p.source, CAST(p.avail AS BIGINT) AS avail, p.epochs,
+       p.full_copies,
+       CAST(p.full_copies * p.n_docs + coalesce(e.extra_docs, 0)
+            AS BIGINT) AS achieved_docs,
+       CAST(p.full_copies * p.avail + coalesce(e.extra_tokens, 0)
+            AS BIGINT) AS achieved_tokens
+FROM plan p LEFT JOIN extra e USING (source)
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -6793,12 +6915,12 @@ _CANON_SQL_CASTS: dict[str, dict[str, str]] = {
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Round-4 audit window (first 50). Rotation rationale (VERDICT r3
     # item 1): never-audited queries outrank stale-green re-audits.
-    # Positions 1-41 are every round-3/round-4 addition that has never
-    # seen the driver (34 oracled + rows-only
-    # q102/q108/q114/q127/q135/q136/q138); positions 42-49 are 8 of the
+    # Positions 1-42 are every round-3/round-4 addition that has never
+    # seen the driver (35 oracled + rows-only
+    # q102/q108/q114/q127/q135/q136/q138); positions 43-49 are 7 of the
     # oracled queries whose only green verdicts date from ROUND-2
     # testdata (the driver regenerated fixtures between r1 and r2, so
-    # r2-era greens need one confirmation on current data — the 30
+    # r2-era greens need one confirmation on current data — the 31
     # displaced by the r4 additions keep their r2 verdicts and queue
     # for the next rotation); position 50 is q38,
     # the full curation chain (gates → exact dedup → MinHash tier)
@@ -6836,7 +6958,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q125_ngram_novelty": q125_ngram_novelty,
     "q126_random_projection": q126_random_projection,
     "q127_bpe_encode": q127_bpe_encode,  # rows-only (iterative encoder)
-    # --- round-4 additions, never audited (positions 31-41) ---
+    # --- round-4 additions, never audited (positions 31-42) ---
     "q128_rolling_distinct_sketch": q128_rolling_distinct_sketch,
     "q129_event_anomaly": q129_event_anomaly,
     "q130_pair_containment": q130_pair_containment,
@@ -6848,8 +6970,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q136_ann_recall": q136_ann_recall,  # rows-only (IVF side approximate)
     "q137_adaptive_quality_gate": q137_adaptive_quality_gate,
     "q138_rolling_quantile_sketch": q138_rolling_quantile_sketch,  # rows-only (KLL)
+    "q139_epoch_execute": q139_epoch_execute,
     # --- r2-only greens re-audited on current testdata (positions
-    #     42-49; the 30 displaced by the r4 additions keep their r2
+    #     43-49; the 31 displaced by the r4 additions keep their r2
     #     verdicts and queue for the next rotation) ---
     "q03_dedup_latest": q03_dedup_latest,
     "q04_fact_build": q04_fact_build,
@@ -6858,12 +6981,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q07_slicer_dashboard": q07_slicer_dashboard,
     "q08_rolling_30row": q08_rolling_30row,
     "q09_top5_parts_per_brand": q09_top5_parts_per_brand,
-    "q15_idempotent_append": q15_idempotent_append,
     # --- rows-only canary for the approximate stack (position 50) ---
     "q38_curate_corpus": q38_curate_corpus,
     # ================= end of the 50-query audit window =================
     # --- r2 greens displaced from the re-audit slice by the r4
     #     additions (r2 verdicts on record; next rotation) ---
+    "q15_idempotent_append": q15_idempotent_append,
     "q17_latest_order_per_customer": q17_latest_order_per_customer,
     "q20_ngram_jaccard_pairs": q20_ngram_jaccard_pairs,
     "q22_text_quality": q22_text_quality,
@@ -7080,6 +7203,7 @@ ORACLES: dict[str, str] = {
     "q133_quality_percentiles_by_source": Q133_SQL,
     "q134_training_recipe": Q134_SQL,
     "q137_adaptive_quality_gate": Q137_SQL,
+    "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
     # form in round 3, so it is oracled above.
