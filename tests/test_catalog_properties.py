@@ -232,3 +232,16 @@ def test_rolling_quantile_sketch_within_rank_error(spark):
             lo = vals[max(0, int((p - 0.10) * len(vals)) - 1)]
             hi = vals[min(len(vals) - 1, int((p + 0.10) * len(vals)))]
             assert lo <= r[col] <= hi, (r, lo, hi)
+
+
+def test_epoch_execute_tracks_plan(spark):
+    """q139: achieved tokens bracket the plan — at least the whole
+    passes, at most one extra full pass; epochs respect the cap; and
+    the fractional sample is a subset of the source's corpus."""
+    rows = Q.QUERIES["q139_epoch_execute"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["epochs"] <= 4.0
+        assert r["full_copies"] == int(r["epochs"])
+        assert r["achieved_tokens"] >= r["full_copies"] * r["avail"]
+        assert r["achieved_tokens"] <= (r["full_copies"] + 1) * r["avail"]
