@@ -76,5 +76,14 @@ def read_pruned(
     pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     if not files:
         any_file = [r["file"] for r in stats.select("file").limit(1).collect()]
+        if not any_file:
+            # a zero-row manifest has no file to borrow a schema from;
+            # spark.read.parquet() with no paths raises an opaque
+            # analysis error — fail with the actual cause instead
+            raise ValueError(
+                "read_pruned: manifest has no files — collect_file_stats "
+                "over the table (or its first load) must run before "
+                "pruned reads"
+            )
         return spark.read.parquet(*any_file).filter(F.lit(False))
     return spark.read.parquet(*files).filter(pred)

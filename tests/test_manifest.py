@@ -73,3 +73,16 @@ def test_empty_prune_returns_empty_with_schema(spark, tmp_path):
     out = read_pruned(spark, stats, "id", 50_000, 60_000)
     assert out.count() == 0
     assert set(out.columns) == {"id", "v"}
+
+
+def test_zero_row_manifest_raises_clear_error(spark):
+    """A manifest with no files cannot lend a schema; the guard fails
+    with the actual cause instead of spark.read.parquet()'s opaque
+    no-path analysis error (ADVICE r4)."""
+    import pytest
+
+    empty = spark.createDataFrame(
+        [], "file string, n_rows long, min_id long, max_id long"
+    )
+    with pytest.raises(ValueError, match="manifest has no files"):
+        read_pruned(spark, empty, "id", 0, 10)
