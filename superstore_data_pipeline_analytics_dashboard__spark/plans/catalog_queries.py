@@ -4217,23 +4217,14 @@ def q102_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
 # matching the repo's exact-decimal-boundary philosophy (ADVICE r3).
 
 def q103_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.recipe import with_temperature_weights
+
     docs = load_table(spark, sf, "documents")
     per = docs.groupBy("source").agg(
         F.sum(T.token_count("text").cast("bigint")).alias("n_tokens")
     )
-    tot = per.agg(F.sum("n_tokens").alias("tot_tokens"))
-    shared = per.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "n_tokens",
-        (F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double"))
-        .alias("share"),
-    )
-    w = F.sqrt("share").cast("decimal(18,9)")
-    weighted = shared.select("source", "n_tokens", "share", w.alias("temp_w"))
-    norm = weighted.agg(
-        F.sum(F.col("temp_w").cast("decimal(28,9)")).alias("z")
-    )
-    return weighted.crossJoin(F.broadcast(norm)).select(
+    weighted = with_temperature_weights(per, "n_tokens")
+    return weighted.select(
         "source",
         "n_tokens",
         "share",
@@ -5615,17 +5606,25 @@ FROM ranked WHERE rn = 1
 Q122_SQL = _q122_oracle_sql()
 
 
-# token-quota sampling (round 4): the data-recipe EXECUTOR — fill each
-# source's token quota by walking its documents in deterministic
-# md5-hash order (an unbiased, reproducible shuffle: no RNG, no seed
-# drift between engines) and keeping documents while the running token
-# total fits. One window per source partition; at 100 TB the same
-# cumsum runs per (source, hash-shard) with per-shard sub-quotas —
-# the q75 sharded-running-sum shape.
+# token-quota sampling (round 4; SHARDED round 5): the data-recipe
+# EXECUTOR — fill each source's token quota by walking its documents in
+# deterministic md5-hash order (an unbiased, reproducible shuffle: no
+# RNG, no seed drift between engines) and keeping documents while the
+# running token total fits. Round 5 (VERDICT r4 item 2): the running
+# sum is the TWO-PHASE prefix sum of recipe.hash_order_cumsum — shard
+# on a hex prefix of the fill-order hash, shard-local window cumsums,
+# tiny per-(source, shard) offset table broadcast back. Bit-identical
+# to the one-partition-per-source window (shard order == hash order by
+# construction), so the oracle is unchanged, but the longest task is
+# |source|/16 instead of |source| — the 100 TB path is the executed
+# path, not prose. Plan pin: test_recipe.py asserts the big Exchange
+# hash-partitions on (source, __shard).
 
 def q123_quota_sample(
     spark: SparkSession, sf: str, quota: int = 800
 ) -> DataFrame:
+    from ..operators.recipe import hash_order_cumsum
+
     docs = load_table(spark, sf, "documents")
     staged = docs.select(
         "source",
@@ -5633,12 +5632,7 @@ def q123_quota_sample(
         T.token_count("text").cast("bigint").alias("n_tok"),
         F.md5(F.col("doc_id").cast("string")).alias("h"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = staged.withColumn("cum_tok", F.sum("n_tok").over(w))
+    cum = hash_order_cumsum(staged)
     return cum.filter(F.col("cum_tok") <= quota).select(
         "source", "doc_id", "n_tok", "cum_tok"
     )
@@ -5676,37 +5670,19 @@ FROM cum WHERE cum_tok <= 800
 def q124_epoch_plan(
     spark: SparkSession, sf: str, budget: int = 50_000
 ) -> DataFrame:
+    from ..operators.recipe import plan_epochs
+
     docs = load_table(spark, sf, "documents")
     per = docs.groupBy("source").agg(
         F.sum(T.token_count("text").cast("bigint")).alias("n_tokens")
     )
-    tot = per.agg(F.sum("n_tokens").alias("tot_tokens"))
-    shared = per.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "n_tokens",
-        F.sqrt(
-            F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double")
-        )
-        .cast("decimal(18,9)")
-        .alias("temp_w"),
-    )
-    norm = shared.agg(F.sum(F.col("temp_w").cast("decimal(28,9)")).alias("z"))
-    planned = shared.crossJoin(F.broadcast(norm)).select(
-        "source",
-        "n_tokens",
-        (
-            F.lit(float(budget))
-            * (F.col("temp_w").cast("double") / F.col("z").cast("double"))
-        ).alias("ideal_tokens"),
-    )
-    epochs = F.col("ideal_tokens") / F.col("n_tokens").cast("double")
-    capped = F.least(epochs, F.lit(4.0))
-    return planned.select(
+    plan = plan_epochs(per, "n_tokens", budget)
+    return plan.select(
         "source",
         "n_tokens",
         "ideal_tokens",
-        capped.alias("epochs"),
-        F.floor(capped * F.col("n_tokens").cast("double")).alias(
+        "epochs",
+        F.floor(F.col("epochs") * F.col("n_tokens").cast("double")).alias(
             "planned_tokens"
         ),
     )
@@ -6315,6 +6291,8 @@ def q134_training_recipe(
     spark: SparkSession, sf: str, budget: int = 20_000
 ) -> DataFrame:
     from ..functions.sampling import deterministic_split
+    from ..operators.recipe import hash_order_cumsum, with_temperature_weights
+    from ..operators.windows import dedup_keep_first
 
     docs = load_table(spark, sf, "documents")
     staged = docs.select(
@@ -6325,39 +6303,29 @@ def q134_training_recipe(
         T.fingerprint("text").alias("fp"),
     )
     q_min = F.lit("0.45").cast("decimal(9,6)")
-    gated = staged.filter((F.col("n_tok") >= 20) & (F.col("q") >= q_min))
-    w_fp = Window.partitionBy("fp").orderBy("doc_id")
-    kept = (
-        gated.withColumn("__rn", F.row_number().over(w_fp))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-        .withColumn("split", deterministic_split("doc_id"))
-        .persist()
-    )
+    # persisted: gated feeds the kept lineage AND g_agg — score the
+    # regex-heavy quality/token columns once, not twice (ADVICE r4)
+    gated = staged.filter(
+        (F.col("n_tok") >= 20) & (F.col("q") >= q_min)
+    ).persist()
+    # round 5 (VERDICT r4 item 3): every stage below is the SAME
+    # function its component query runs — dedup_keep_first (q03's W1),
+    # with_temperature_weights (q103), hash_order_cumsum (q123's
+    # sharded fill), deterministic_split (q48) — so a stage fix cannot
+    # drift this composition
+    kept = dedup_keep_first(gated, ["fp"], [F.col("doc_id")]).withColumn(
+        "split", deterministic_split("doc_id")
+    ).persist()
     per = kept.groupBy("source").agg(F.sum("n_tok").alias("avail"))
-    tot = per.agg(F.sum("avail").alias("tot"))
-    shared = per.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "avail",
-        F.sqrt(F.col("avail").cast("double") / F.col("tot").cast("double"))
-        .cast("decimal(18,9)")
-        .alias("tw"),
-    )
-    norm = shared.agg(F.sum(F.col("tw").cast("decimal(28,9)")).alias("z"))
-    planned = shared.crossJoin(F.broadcast(norm)).select(
+    planned = with_temperature_weights(per, "avail").select(
         "source",
         "avail",
         F.floor(
             F.lit(float(budget))
-            * (F.col("tw").cast("double") / F.col("z").cast("double"))
+            * (F.col("temp_w").cast("double") / F.col("z").cast("double"))
         ).alias("quota"),
     )
-    w_src = (
-        Window.partitionBy("source")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = kept.withColumn("__cum", F.sum("n_tok").over(w_src))
+    cum = hash_order_cumsum(kept, out_col="__cum")
     selected = cum.join(F.broadcast(planned.select("source", "quota")), "source").filter(
         F.col("__cum") <= F.col("quota")
     )
@@ -6622,6 +6590,7 @@ def q139_epoch_execute(
     spark: SparkSession, sf: str, budget: int = 50_000
 ) -> DataFrame:
     from ..functions.sampling import hash_bucket
+    from ..operators.recipe import plan_epochs
 
     docs = load_table(spark, sf, "documents").select(
         "doc_id", "source", T.token_count("text").cast("bigint").alias("toks")
@@ -6629,26 +6598,12 @@ def q139_epoch_execute(
     per = docs.groupBy("source").agg(
         F.sum("toks").alias("avail"), F.count("*").alias("n_docs")
     )
-    tot = per.agg(F.sum("avail").alias("tot"))
-    shared = per.crossJoin(F.broadcast(tot)).select(
+    plan = plan_epochs(per, "avail", budget).select(
         "source",
         "avail",
         "n_docs",
-        F.sqrt(F.col("avail").cast("double") / F.col("tot").cast("double"))
-        .cast("decimal(18,9)")
-        .alias("tw"),
-    )
-    norm = shared.agg(F.sum(F.col("tw").cast("decimal(28,9)")).alias("z"))
-    ideal = F.lit(float(budget)) * (
-        F.col("tw").cast("double") / F.col("z").cast("double")
-    )
-    epochs = F.least(ideal / F.col("avail").cast("double"), F.lit(4.0))
-    plan = shared.crossJoin(F.broadcast(norm)).select(
-        "source",
-        "avail",
-        "n_docs",
-        epochs.alias("epochs"),
-        F.floor(epochs).alias("full_copies"),
+        "epochs",
+        F.floor("epochs").alias("full_copies"),
     )
     frac = F.col("epochs") - F.col("full_copies").cast("double")
     plan = plan.withColumn(
