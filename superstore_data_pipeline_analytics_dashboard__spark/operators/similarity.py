@@ -500,7 +500,8 @@ def ann_recall(
     (n_cells, nprobe) can be judged on the ACTUAL corpus before
     deployment rather than trusted on faith.
 
-    One row per query vector: (query_id, n_hits, recall), where recall =
+    One row per query vector: (query_id, n_exact, n_hits, recall),
+    where recall =
     |IVF top-k ∩ exact top-k| / |exact top-k| — the denominator is the
     EXACT side's actual result count, which equals k whenever the
     corpus holds more than k other vectors and degrades gracefully on
@@ -534,6 +535,7 @@ def ann_recall(
         )
         .select(
             "query_id",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
             F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
             (
                 F.coalesce("n_hits", F.lit(0)).cast("double")

