@@ -6795,6 +6795,208 @@ FROM plan p LEFT JOIN extra e USING (source)
 """
 
 
+# retention cohort matrix (round 5): the classic product-analytics
+# rollup — cohort = month of each customer's FIRST order, offset =
+# months since cohort, cell = distinct customers active. Month
+# arithmetic is exact integers (year*12+month), retention is the one
+# double ratio at the end. Scale: first-order table ∝ customers (one
+# keyed min), activity grain deduped to (customer, month) before the
+# rollup, cohort sizes are a cohorts-sized broadcast.
+
+def q140_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    o = _ord(spark, sf)
+    months = o.select(
+        "o_custkey", F.trunc("o_orderdate", "month").alias("act_month")
+    ).distinct()
+    firsts = months.groupBy("o_custkey").agg(
+        F.min("act_month").alias("cohort_month")
+    )
+    sizes = firsts.groupBy("cohort_month").agg(
+        F.count("*").alias("cohort_size")
+    )
+    cells = (
+        months.join(firsts, "o_custkey")
+        .select(
+            "cohort_month",
+            (
+                (F.year("act_month") * 12 + F.month("act_month"))
+                - (F.year("cohort_month") * 12 + F.month("cohort_month"))
+            ).alias("month_offset"),
+            "o_custkey",
+        )
+        .groupBy("cohort_month", "month_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort_month").select(
+        "cohort_month",
+        "month_offset",
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.col("cohort_size").cast("bigint").alias("cohort_size"),
+        (
+            F.col("n_active").cast("double")
+            / F.col("cohort_size").cast("double")
+        ).alias("retention"),
+    )
+
+
+Q140_SQL = """
+WITH months AS (
+  SELECT DISTINCT o_custkey,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS act_month
+  FROM orders
+), firsts AS (
+  SELECT o_custkey, min(act_month) AS cohort_month FROM months GROUP BY o_custkey
+), sizes AS (
+  SELECT cohort_month, count(*) AS cohort_size FROM firsts GROUP BY cohort_month
+), cells AS (
+  SELECT f.cohort_month,
+         (year(m.act_month) * 12 + month(m.act_month))
+           - (year(f.cohort_month) * 12 + month(f.cohort_month)) AS month_offset,
+         count(*) AS n_active
+  FROM months m JOIN firsts f USING (o_custkey)
+  GROUP BY 1, 2
+)
+SELECT c.cohort_month, CAST(c.month_offset AS INT) AS month_offset,
+       CAST(c.n_active AS BIGINT) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(c.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+FROM cells c JOIN sizes s USING (cohort_month)
+"""
+
+
+# gaps-and-islands (round 5): maximal runs of CONSECUTIVE order days
+# per priority class — the canonical streak detector (the date-minus-
+# row_number trick: inside a run, day - rn is constant). The window
+# runs over the DEDUPED (priority, day) grain (|priorities| x |days|,
+# bounded), never over raw orders; islands land as one keyed
+# aggregation on the constant group key.
+
+def q141_order_islands(spark: SparkSession, sf: str) -> DataFrame:
+    o = _ord(spark, sf)
+    days = o.select("o_orderpriority", F.col("o_orderdate").alias("day")).distinct()
+    w = Window.partitionBy("o_orderpriority").orderBy("day")
+    grp = days.withColumn(
+        "__grp", F.date_sub("day", F.row_number().over(w))
+    )
+    return (
+        grp.groupBy("o_orderpriority", "__grp")
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count("*").cast("bigint").alias("n_days"),
+        )
+        .drop("__grp")
+        .select("o_orderpriority", "start_day", "end_day", "n_days")
+    )
+
+
+Q141_SQL = """
+WITH days AS (
+  SELECT DISTINCT o_orderpriority, CAST(o_orderdate AS DATE) AS day
+  FROM orders
+), grp AS (
+  SELECT o_orderpriority, day,
+         day - CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                       ORDER BY day) AS INT) AS g
+  FROM days
+)
+SELECT o_orderpriority, min(day) AS start_day, max(day) AS end_day,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM grp GROUP BY o_orderpriority, g
+"""
+
+
+# event-type transition matrix (round 5): per-user Markov transition
+# counts — lag(event_type) over (ts, event_id) total order, then one
+# keyed count per (prev, next) pair; the row-transition share divides
+# inside a |types|^2-row window. The heavy step is the per-user lag,
+# partitioned by user_id (millions of independent partitions at scale,
+# no global sort).
+
+def q142_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("bigint").alias("n_trans"))
+    )
+    w_prev = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        (
+            F.col("n_trans").cast("double")
+            / F.sum("n_trans").over(w_prev).cast("double")
+        ).alias("share"),
+    )
+
+
+Q142_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), trans AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n_trans
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, CAST(n_trans AS BIGINT) AS n_trans,
+       CAST(n_trans AS DOUBLE) /
+         CAST(sum(n_trans) OVER (PARTITION BY prev_type) AS DOUBLE) AS share
+FROM trans
+"""
+
+
+# day-of-week x hour activity heatmap (round 5): the ops-dashboard
+# staple. weekday() (Monday=0) == DuckDB isodow-1 — the one
+# engine-portable day-number pair (Spark dayofweek() and DuckDB
+# dayofweek() disagree on anchoring). One conditional-aggregate pass,
+# 168-row output, purchase rate is the single trailing double.
+
+def q143_day_hour_heatmap(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.expr("weekday(ts)").cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_purchases"),
+        )
+        .select(
+            "dow",
+            "hour",
+            "n_events",
+            "n_purchases",
+            (
+                F.col("n_purchases").cast("double")
+                / F.col("n_events").cast("double")
+            ).alias("purchase_rate"),
+        )
+    )
+
+
+Q143_SQL = """
+SELECT CAST(isodow(ts) - 1 AS INT) AS dow,
+       CAST(hour(ts) AS INT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS purchase_rate
+FROM events GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -7145,6 +7347,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q26_minhash_dedup": q26_minhash_dedup,
     "q27_simhash_buckets": q27_simhash_buckets,
     "q28_knn_ivf": q28_knn_ivf,
+    # --- round-5 additions (final window ordering happens at rotation) ---
+    "q140_retention_cohorts": q140_retention_cohorts,
+    "q141_order_islands": q141_order_islands,
+    "q142_event_transitions": q142_event_transitions,
+    "q143_day_hour_heatmap": q143_day_hour_heatmap,
 }
 
 ORACLES: dict[str, str] = {
@@ -7271,6 +7478,10 @@ ORACLES: dict[str, str] = {
     "q136_ann_recall": Q136_SQL,
     "q137_adaptive_quality_gate": Q137_SQL,
     "q138_rolling_quantile_sketch": Q138_SQL,
+    "q140_retention_cohorts": Q140_SQL,
+    "q141_order_islands": Q141_SQL,
+    "q142_event_transitions": Q142_SQL,
+    "q143_day_hour_heatmap": Q143_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
