@@ -77,3 +77,36 @@ def apply_changelog(
             for c in payload
         ],
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key: str,
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Full SCD2 HISTORY from a changelog (round 5): where
+    :func:`apply_changelog` answers "what is the table NOW", this
+    answers "what was true WHEN" — every change becomes a version row
+    with a half-open validity interval over the sequence domain.
+
+    Adds ``valid_from_seq`` (= the row's seq), ``valid_to_seq`` (the
+    NEXT change's seq for the key; NULL = still open) and
+    ``is_current`` (open interval and not a delete — a delete's
+    version records the tombstone but is never current).
+
+    Plan shape: ONE window per key (lead over the per-key seq order) —
+    the same partition-by-key shuffle apply_changelog's latest-change
+    step uses; no join at all. At 100 TB the changelog shuffles once
+    on the key and every version row is emitted map-side after the
+    sort."""
+    w = Window.partitionBy(key).orderBy(seq_col)
+    return (
+        changes.withColumn("valid_from_seq", F.col(seq_col))
+        .withColumn("valid_to_seq", F.lead(seq_col).over(w))
+        .withColumn(
+            "is_current",
+            F.col("valid_to_seq").isNull()
+            & (F.col(op_col) != F.lit("D")),
+        )
+    )

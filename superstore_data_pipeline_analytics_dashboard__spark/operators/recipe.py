@@ -39,6 +39,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "two_phase_running_sum",
     "sharded_running_sum",
     "hash_order_cumsum",
     "with_temperature_weights",
@@ -46,34 +47,24 @@ __all__ = [
 ]
 
 
-def sharded_running_sum(
+def two_phase_running_sum(
     df: DataFrame,
     group_cols: Sequence[str],
-    hex_order_col: str,
-    tiebreak_cols: Sequence[str],
+    shard: Column,
+    order: Sequence[Column],
     value_col: str,
     out_col: str = "cum",
-    prefix_len: int = 1,
 ) -> DataFrame:
-    """Running SUM of ``value_col`` over ``ORDER BY (hex_order_col,
-    *tiebreak_cols)`` within each ``group_cols`` group, computed as a
-    two-phase prefix sum sharded on the first ``prefix_len`` hex chars
-    of ``hex_order_col`` (16**prefix_len shards per group).
-
-    Equivalent to the single-partition-per-group window (pinned by
-    test); the plan shows the big Exchange hash-partitioned on
-    (group_cols..., shard) — parallelism |groups| x shards instead of
-    |groups|.  ``hex_order_col`` must be a lowercase hex string (the
-    md5 fill-order convention); the shard is a prefix of the sort key,
-    which is what makes shard order == global order.
-    """
-    if prefix_len < 1 or prefix_len > 8:
-        raise ValueError(f"prefix_len must be in [1, 8], got {prefix_len}")
-    shard = F.conv(F.substring(F.col(hex_order_col), 1, prefix_len), 16, 10).cast(
-        "int"
-    )
+    """The two-phase core. CONTRACT: ``shard`` must be a PREFIX of the
+    total order — for rows a, b in the same group, a before b in
+    ``order`` implies shard(a) <= shard(b) (a hex prefix of a hash
+    order key, a value-range bucket of a sort column, ...).  Under
+    that contract the result is bit-identical to the naive
+    ``Window.partitionBy(group_cols).orderBy(order)`` running sum.
+    ``group_cols`` may be empty: a GLOBAL ordered running sum with no
+    single-partition window anywhere — the explicit form of the range
+    exchange Spark's own global sort uses."""
     staged = df.withColumn("__shard", shard)
-    order = [F.col(hex_order_col), *[F.col(c) for c in tiebreak_cols]]
     w_local = (
         Window.partitionBy(*group_cols, "__shard")
         .orderBy(*order)
@@ -101,6 +92,38 @@ def sharded_running_sum(
     return joined.withColumn(
         out_col, F.col("__local_cum") + F.coalesce(F.col("__off"), F.lit(0))
     ).drop("__shard", "__local_cum", "__off")
+
+
+def sharded_running_sum(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    hex_order_col: str,
+    tiebreak_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "cum",
+    prefix_len: int = 1,
+) -> DataFrame:
+    """Running SUM of ``value_col`` over ``ORDER BY (hex_order_col,
+    *tiebreak_cols)`` within each ``group_cols`` group, computed as a
+    two-phase prefix sum sharded on the first ``prefix_len`` hex chars
+    of ``hex_order_col`` (16**prefix_len shards per group).
+
+    Equivalent to the single-partition-per-group window (pinned by
+    test); the plan shows the big Exchange hash-partitioned on
+    (group_cols..., shard) — parallelism |groups| x shards instead of
+    |groups|.  ``hex_order_col`` must be a lowercase hex string (the
+    md5 fill-order convention); the shard is a prefix of the sort key,
+    which is what makes shard order == global order.
+    """
+    if prefix_len < 1 or prefix_len > 8:
+        raise ValueError(f"prefix_len must be in [1, 8], got {prefix_len}")
+    shard = F.conv(
+        F.substring(F.col(hex_order_col), 1, prefix_len), 16, 10
+    ).cast("int")
+    order = [F.col(hex_order_col), *[F.col(c) for c in tiebreak_cols]]
+    return two_phase_running_sum(
+        df, group_cols, shard, order, value_col, out_col
+    )
 
 
 def hash_order_cumsum(

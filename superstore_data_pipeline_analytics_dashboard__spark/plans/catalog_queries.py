@@ -6997,6 +6997,159 @@ FROM events GROUP BY 1, 2
 """
 
 
+# global quality-nucleus fill (round 5): keep the BEST documents by
+# quality score until the selection holds 30% of the corpus's tokens —
+# the global "top-p" curation cut (q123 fills per-source quotas; this
+# is the corpus-wide ordered selection). The global running sum over
+# (quality DESC, doc_id) is recipe.two_phase_running_sum with a
+# VALUE-RANGE shard — floor((1-q)*16) is monotone non-increasing in q,
+# so shard order is a prefix of the global order and the two-phase
+# result is bit-identical to the naive single-partition window the
+# oracle runs. No single-partition stage anywhere: 16 shard-local
+# cumsums + a 16-row offset table — the explicit form of the range
+# exchange Spark's own global sort uses. Threshold arithmetic is exact
+# integers ((total*3) div 10).
+
+def q144_global_nucleus_fill(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.recipe import two_phase_running_sum
+
+    docs = load_table(spark, sf, "documents")
+    staged = docs.select(
+        "doc_id",
+        "source",
+        T.token_count("text").cast("bigint").alias("n_tok"),
+        T.quality_score("text").cast("decimal(9,6)").alias("q"),
+    )
+    shard = F.least(
+        F.greatest(
+            F.floor((F.lit(1).cast("decimal(9,6)") - F.col("q")) * 16),
+            F.lit(0),
+        ),
+        F.lit(15),
+    ).cast("int")
+    cum = two_phase_running_sum(
+        staged,
+        group_cols=[],
+        shard=shard,
+        order=[F.desc("q"), F.asc("doc_id")],
+        value_col="n_tok",
+        out_col="cum_tok",
+    )
+    tot = staged.agg(F.sum("n_tok").alias("__tot"))
+    thr = F.expr("(__tot * 3) div 10")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum_tok") <= thr)
+        .select("doc_id", "source", "n_tok", "q", "cum_tok")
+    )
+
+
+Q144_SQL = (
+    """
+WITH q22 AS (
+"""
+    + Q22_SQL.strip()
+    + """
+), staged AS (
+  SELECT d.doc_id, d.source, CAST(q22.n_tokens AS BIGINT) AS n_tok,
+         q22.quality AS q
+  FROM documents d JOIN q22 USING (doc_id)
+), tot AS (
+  SELECT sum(n_tok) AS t FROM staged
+), cum AS (
+  SELECT s.*, sum(n_tok) OVER (ORDER BY q DESC, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM staged s
+)
+SELECT doc_id, source, n_tok, q, CAST(cum_tok AS BIGINT) AS cum_tok
+FROM cum CROSS JOIN tot WHERE cum_tok <= (t * 3) // 10
+"""
+)
+
+
+# SCD2 history from a CDC changelog (round 5): q83 folds the changelog
+# to "the table NOW"; this emits "what was true WHEN" — every change
+# becomes a version row with a half-open validity interval
+# (valid_from_seq, valid_to_seq, is_current) via cdc.scd2_history: ONE
+# lead() window per key, no join. Fixture: q83's deterministic
+# changelog (derived from customer) plus the initial snapshot as
+# seq-0 inserts, so every key has a full version chain.
+
+def q145_scd2_from_cdc(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.cdc import scd2_history
+
+    c = load_table(spark, sf, "customer")
+    snap = c.select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+    )
+    base = snap.withColumn("op", F.lit("I")).withColumn("seq", F.lit(0))
+    upd = (
+        snap.filter(F.col("cust_key") % 7 == 0)
+        .withColumn("acctbal", F.col("acctbal") + F.lit(100.0))
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(2))
+    )
+    dele = (
+        snap.filter(F.col("cust_key") % 11 == 0)
+        .withColumn("op", F.lit("D"))
+        .withColumn("seq", F.lit(3))
+    )
+    ins = (
+        snap.filter(F.col("cust_key") % 13 == 0)
+        .select(
+            (F.col("cust_key") + 1_000_000).alias("cust_key"),
+            F.concat(F.lit("new "), F.col("name")).alias("name"),
+            "segment",
+            F.lit(0.0).alias("acctbal"),
+        )
+        .withColumn("op", F.lit("I"))
+        .withColumn("seq", F.lit(1))
+    )
+    changes = base.unionByName(upd).unionByName(dele).unionByName(ins)
+    hist = scd2_history(changes, "cust_key", "seq")
+    return hist.select(
+        "cust_key",
+        F.col("seq").cast("int").alias("seq"),
+        "op",
+        "name",
+        "segment",
+        "acctbal",
+        F.col("valid_from_seq").cast("int").alias("valid_from_seq"),
+        F.col("valid_to_seq").cast("int").alias("valid_to_seq"),
+        "is_current",
+    )
+
+
+Q145_SQL = """
+WITH snap AS (
+  SELECT c_custkey AS cust_key, c_name AS name, c_mktsegment AS segment,
+         CAST(c_acctbal AS DOUBLE) AS acctbal
+  FROM customer
+), changes AS (
+  SELECT cust_key, name, segment, acctbal, 'I' AS op, 0 AS seq FROM snap
+  UNION ALL
+  SELECT cust_key, name, segment, acctbal + 100.0, 'U', 2
+  FROM snap WHERE cust_key % 7 = 0
+  UNION ALL
+  SELECT cust_key, name, segment, acctbal, 'D', 3
+  FROM snap WHERE cust_key % 11 = 0
+  UNION ALL
+  SELECT cust_key + 1000000, 'new ' || name, segment, 0.0, 'I', 1
+  FROM snap WHERE cust_key % 13 = 0
+)
+SELECT cust_key, CAST(seq AS INT) AS seq, op, name, segment, acctbal,
+       CAST(seq AS INT) AS valid_from_seq,
+       CAST(lead(seq) OVER (PARTITION BY cust_key ORDER BY seq)
+            AS INT) AS valid_to_seq,
+       (lead(seq) OVER (PARTITION BY cust_key ORDER BY seq) IS NULL
+        AND op <> 'D') AS is_current
+FROM changes
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -7088,6 +7241,7 @@ _CANON_SQL_CASTS: dict[str, dict[str, str]] = {
         "quality": "DOUBLE",
     },
     "q25_knn_bruteforce": {"cos_sim": "DOUBLE"},
+    "q144_global_nucleus_fill": {"q": "DOUBLE"},
     "q29_event_type_stats": {"sum_value": "DOUBLE", "avg_k": "DOUBLE"},
     "q31_sessionize_batch": {"session_no": "BIGINT", "sum_value": "DOUBLE", "session_start": "EPOCH_US", "session_end": "EPOCH_US"},
     "q46_asof_click_attribution": {"purchase_ts": "EPOCH_US"},
@@ -7352,6 +7506,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q141_order_islands": q141_order_islands,
     "q142_event_transitions": q142_event_transitions,
     "q143_day_hour_heatmap": q143_day_hour_heatmap,
+    "q144_global_nucleus_fill": q144_global_nucleus_fill,
+    "q145_scd2_from_cdc": q145_scd2_from_cdc,
 }
 
 ORACLES: dict[str, str] = {
@@ -7482,6 +7638,8 @@ ORACLES: dict[str, str] = {
     "q141_order_islands": Q141_SQL,
     "q142_event_transitions": Q142_SQL,
     "q143_day_hour_heatmap": Q143_SQL,
+    "q144_global_nucleus_fill": Q144_SQL,
+    "q145_scd2_from_cdc": Q145_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean

@@ -116,3 +116,55 @@ def test_quota_fill_respects_quota_and_is_maximal(spark):
     )
     for r in rejected_first.collect():
         assert r["first_over"] > quota
+
+
+def test_two_phase_global_running_sum_matches_naive(spark):
+    """group_cols=[] + a value-range shard: the GLOBAL ordered running
+    sum (q144's shape) must equal the naive single-partition window."""
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.recipe import (
+        two_phase_running_sum,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 7919) % 1000).cast("decimal(9,6)").alias("q"),
+        ((F.col("id") * 13) % 50 + 1).alias("n_tok"),
+    )
+    shard = F.least(
+        F.greatest(F.floor(F.col("q") / 63), F.lit(0)), F.lit(15)
+    ).cast("int")
+    # NOTE shard must be monotone in the DESC order key: q/63 grows
+    # with q, so order by q ASC here
+    got = two_phase_running_sum(
+        df, [], shard, [F.asc("q"), F.asc("doc_id")], "n_tok", "cum"
+    )
+    w = (
+        Window.orderBy("q", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.withColumn("cum", F.sum("n_tok").over(w))
+    a = {r["doc_id"]: r["cum"] for r in want.collect()}
+    b = {r["doc_id"]: r["cum"] for r in got.collect()}
+    assert a == b
+
+
+def test_scd2_history_intervals(spark):
+    """Half-open validity chain: per key, valid_to == next valid_from,
+    exactly one open interval, deletes never current."""
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.cdc import (
+        scd2_history,
+    )
+
+    rows = [
+        (1, 0, "I"), (1, 2, "U"), (1, 5, "D"),
+        (2, 0, "I"),
+        (3, 1, "I"), (3, 4, "U"),
+    ]
+    ch = spark.createDataFrame(rows, "k long, seq long, op string")
+    hist = {(r["k"], r["seq"]): r for r in scd2_history(ch, "k", "seq").collect()}
+    assert hist[(1, 0)]["valid_to_seq"] == 2
+    assert hist[(1, 2)]["valid_to_seq"] == 5
+    assert hist[(1, 5)]["valid_to_seq"] is None
+    assert not hist[(1, 5)]["is_current"]  # delete tombstone, never current
+    assert hist[(2, 0)]["is_current"]
+    assert hist[(3, 4)]["is_current"] and not hist[(3, 1)]["is_current"]
