@@ -7150,6 +7150,336 @@ FROM changes
 """
 
 
+# bigram collocation mining by LIFT (round 5): the PMI-style
+# collocation signal with the log dropped — lift = n_xy·N/(n_x·n_y)
+# stays a ratio of EXACT integer counts (libm log is not
+# engine-portable; lift orders identically to PMI, so the top-k is the
+# same). Positional convention: n_x = occurrences as LEFT of a bigram,
+# n_y as RIGHT. Scale: bigram counts shuffle once on the pair key; the
+# unigram margins derive from the (much smaller) bigram-count table,
+# which is persisted for its three consumers; products ride
+# DECIMAL(19,0)->DECIMAL(38,0) so ANSI bigint multiply can't overflow,
+# and the single double division happens on two exact operands.
+
+def q146_bigram_lift(spark: SparkSession, sf: str, min_count: int = 5, k: int = 20) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(T.tokens("text").alias("t")).filter(F.size("t") >= 2)
+    n = F.size("t") - 1
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, n),
+                F.slice("t", 2, n),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+            )
+        ).alias("p")
+    )
+    # persisted: big feeds the margins (left, right) AND the total AND
+    # the final join — the multi-consumer rule
+    big = (
+        pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.count("*").alias("n_xy"))
+        .persist()
+    )
+    left = big.groupBy("l").agg(F.sum("n_xy").alias("n_x"))
+    right = big.groupBy("r").agg(F.sum("n_xy").alias("n_y"))
+    tot = big.agg(F.sum("n_xy").alias("N"))
+    d19 = "decimal(19,0)"
+    lift = (
+        (F.col("n_xy").cast(d19) * F.col("N").cast(d19)).cast("double")
+        / (F.col("n_x").cast(d19) * F.col("n_y").cast(d19)).cast("double")
+    )
+    return (
+        big.filter(F.col("n_xy") >= min_count)
+        .join(left, "l")
+        .join(right, "r")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l",
+            "r",
+            F.col("n_xy").cast("bigint").alias("n_xy"),
+            F.col("n_x").cast("bigint").alias("n_x"),
+            F.col("n_y").cast("bigint").alias("n_y"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "l", "r")
+        .limit(k)
+    )
+
+
+Q146_SQL = r"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             x -> x <> '') AS t
+  FROM documents
+), pairs AS (
+  SELECT t[i] AS l, t[i + 1] AS r
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, len(t) - 1)) AS i
+  )
+  WHERE len(t) >= 2
+), big AS (
+  SELECT l, r, count(*) AS n_xy FROM pairs GROUP BY l, r
+), lft AS (
+  SELECT l, sum(n_xy) AS n_x FROM big GROUP BY l
+), rgt AS (
+  SELECT r, sum(n_xy) AS n_y FROM big GROUP BY r
+), tot AS (
+  SELECT sum(n_xy) AS N FROM big
+)
+SELECT b.l, b.r, CAST(b.n_xy AS BIGINT) AS n_xy,
+       CAST(lft.n_x AS BIGINT) AS n_x, CAST(rgt.n_y AS BIGINT) AS n_y,
+       CAST(CAST(b.n_xy AS DECIMAL(19,0)) * CAST(tot.N AS DECIMAL(19,0))
+            AS DOUBLE)
+         / CAST(CAST(lft.n_x AS DECIMAL(19,0)) * CAST(rgt.n_y AS DECIMAL(19,0))
+            AS DOUBLE) AS lift
+FROM big b JOIN lft USING (l) JOIN rgt USING (r) CROSS JOIN tot
+WHERE b.n_xy >= 5
+ORDER BY lift DESC, l, r LIMIT 20
+"""
+
+
+# signup→purchase conversion latency (round 5): per signup-day cohort,
+# how many users converted and the nearest-rank MEDIAN latency in
+# whole seconds — funnel timing on exact integers (unix_micros ==
+# DuckDB epoch_us; integer `div` for seconds; the q133 nearest-rank
+# machinery instead of float percentile interpolation). Scale: both
+# firsts tables are one keyed min over a filtered scan; the
+# purchase-after-signup join is user-keyed; cohort output ∝ days.
+
+def q147_time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    # ts is TIMESTAMP_NTZ: wall-clock micros via timestampdiff from the
+    # NTZ epoch literal (the q31/q100 session-tz-proof convention);
+    # signup_day derives from the SAME integer by day division, so no
+    # tz conversion can ever split the two
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    )
+    day_of = lambda c: F.date_add(  # noqa: E731
+        F.lit("1970-01-01").cast("date"),
+        F.expr(f"CAST({c} div 86400000000 AS INT)"),
+    )
+    sign = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min(us).alias("s_us")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("p_us")
+    )
+    conv = (
+        pur.join(sign, "user_id")
+        .filter(F.col("p_us") >= F.col("s_us"))
+        .groupBy("user_id", "s_us")
+        .agg(F.min("p_us").alias("p_us"))
+        .select(
+            "user_id",
+            day_of("s_us").alias("signup_day"),
+            F.expr("(p_us - s_us) div 1000000").alias("latency_s"),
+        )
+    )
+    w = Window.partitionBy("signup_day").orderBy("latency_s", "user_id")
+    ranked = conv.select(
+        "signup_day",
+        "latency_s",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("signup_day")).alias("n"),
+    )
+    conv_agg = ranked.groupBy("signup_day").agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("latency_s"))
+        ).alias("p50_latency_s"),
+    )
+    cohorts = sign.groupBy(day_of("s_us").alias("signup_day")).agg(
+        F.count("*").cast("bigint").alias("n_signups")
+    )
+    return cohorts.join(conv_agg, "signup_day", "left").select(
+        "signup_day",
+        "n_signups",
+        F.coalesce("n_converted", F.lit(0).cast("bigint")).alias("n_converted"),
+        "p50_latency_s",
+    )
+
+
+Q147_SQL = """
+WITH sign AS (
+  SELECT user_id, min(epoch_us(ts)) AS s_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), pur AS (
+  SELECT user_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+), conv AS (
+  SELECT user_id,
+         DATE '1970-01-01' + CAST(s_us // 86400000000 AS INT) AS signup_day,
+         (min(p_us) - s_us) // 1000000 AS latency_s
+  FROM pur JOIN sign USING (user_id)
+  WHERE p_us >= s_us
+  GROUP BY user_id, s_us
+), ranked AS (
+  SELECT signup_day, latency_s,
+         row_number() OVER (PARTITION BY signup_day
+                            ORDER BY latency_s, user_id) AS rn,
+         count(*) OVER (PARTITION BY signup_day) AS n
+  FROM conv
+), conv_agg AS (
+  SELECT signup_day, CAST(max(n) AS BIGINT) AS n_converted,
+         max(CASE WHEN rn = (n + 1) // 2 THEN latency_s END) AS p50_latency_s
+  FROM ranked GROUP BY signup_day
+), cohorts AS (
+  SELECT DATE '1970-01-01' + CAST(s_us // 86400000000 AS INT) AS signup_day,
+         CAST(count(*) AS BIGINT) AS n_signups
+  FROM sign GROUP BY 1
+)
+SELECT c.signup_day, c.n_signups,
+       CAST(coalesce(a.n_converted, 0) AS BIGINT) AS n_converted,
+       CAST(a.p50_latency_s AS BIGINT) AS p50_latency_s
+FROM cohorts c LEFT JOIN conv_agg a USING (signup_day)
+"""
+
+
+# robust outliers by median absolute deviation (round 5): the
+# z-score's robust sibling (q84 is the mean/std tier) — per priority
+# class, median order value and MAD both via the q133 integer
+# nearest-rank machinery on EXACT cents, outliers = deviation > 3·MAD.
+# Two window rounds over the priority partition plus one broadcast of
+# the priorities-sized stats table; zero float interpolation anywhere.
+
+def q148_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    o = _ord(spark, sf)
+    cents = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w1 = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    r1 = cents.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(w1).alias("rn"),
+        F.count("*").over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    med = r1.groupBy("o_orderpriority").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("cents"))
+        ).alias("med_cents")
+    )
+    dev = cents.join(F.broadcast(med), "o_orderpriority").withColumn(
+        "dev", F.abs(F.col("cents") - F.col("med_cents"))
+    )
+    w2 = Window.partitionBy("o_orderpriority").orderBy("dev", "o_orderkey")
+    r2 = dev.select(
+        "o_orderpriority",
+        "dev",
+        F.row_number().over(w2).alias("rn"),
+        F.count("*").over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    mad = r2.groupBy("o_orderpriority").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("dev"))
+        ).alias("mad_cents")
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .filter(F.col("dev") > 3 * F.col("mad_cents"))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "cents",
+            "med_cents",
+            "mad_cents",
+        )
+    )
+
+
+Q148_SQL = """
+WITH cents AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY cents, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM cents
+), med AS (
+  SELECT o_orderpriority,
+         max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS med_cents
+  FROM r1 GROUP BY o_orderpriority
+), dev AS (
+  SELECT c.*, m.med_cents, abs(c.cents - m.med_cents) AS dev
+  FROM cents c JOIN med m USING (o_orderpriority)
+), r2 AS (
+  SELECT o_orderpriority, dev,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY dev, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM dev
+), mad AS (
+  SELECT o_orderpriority,
+         max(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad_cents
+  FROM r2 GROUP BY o_orderpriority
+)
+SELECT d.o_orderkey, d.o_orderpriority, d.cents, d.med_cents, a.mad_cents
+FROM dev d JOIN mad a USING (o_orderpriority)
+WHERE d.dev > 3 * a.mad_cents
+"""
+
+
+# 2-D pareto skyline (round 5): per brand, the non-dominated
+# (cheaper-price, larger-size) frontier over DISTINCT value pairs —
+# computed with the sort-and-running-max trick (order by price ASC,
+# size DESC: a pair is on the frontier iff its size strictly exceeds
+# every preceding size), which turns the quadratic dominance test into
+# ONE window pass over the deduped pair grain. Exact integer cents.
+
+def q149_brand_skyline(spark: SparkSession, sf: str) -> DataFrame:
+    p = load_table(spark, sf, "part")
+    pairs = (
+        p.select(
+            "p_brand",
+            (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+            F.col("p_size").cast("int").alias("size"),
+        )
+        .groupBy("p_brand", "price_cents", "size")
+        .agg(F.count("*").cast("bigint").alias("n_parts"))
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.asc("price_cents"), F.desc("size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = pairs.withColumn("__max_before", F.max("size").over(w))
+    return flagged.filter(
+        F.col("__max_before").isNull() | (F.col("__max_before") < F.col("size"))
+    ).select("p_brand", "price_cents", "size", "n_parts")
+
+
+Q149_SQL = """
+WITH pairs AS (
+  SELECT p_brand,
+         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS price_cents,
+         CAST(p_size AS INT) AS size,
+         CAST(count(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY 1, 2, 3
+), flagged AS (
+  SELECT *, max(size) OVER (PARTITION BY p_brand
+                            ORDER BY price_cents ASC, size DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS max_before
+  FROM pairs
+)
+SELECT p_brand, price_cents, size, n_parts
+FROM flagged WHERE max_before IS NULL OR max_before < size
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -7508,6 +7838,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q143_day_hour_heatmap": q143_day_hour_heatmap,
     "q144_global_nucleus_fill": q144_global_nucleus_fill,
     "q145_scd2_from_cdc": q145_scd2_from_cdc,
+    "q146_bigram_lift": q146_bigram_lift,
+    "q147_time_to_convert": q147_time_to_convert,
+    "q148_mad_outliers": q148_mad_outliers,
+    "q149_brand_skyline": q149_brand_skyline,
 }
 
 ORACLES: dict[str, str] = {
@@ -7640,6 +7974,10 @@ ORACLES: dict[str, str] = {
     "q143_day_hour_heatmap": Q143_SQL,
     "q144_global_nucleus_fill": Q144_SQL,
     "q145_scd2_from_cdc": Q145_SQL,
+    "q146_bigram_lift": Q146_SQL,
+    "q147_time_to_convert": Q147_SQL,
+    "q148_mad_outliers": Q148_SQL,
+    "q149_brand_skyline": Q149_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
