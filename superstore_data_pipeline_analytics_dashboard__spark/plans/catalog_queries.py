@@ -7480,6 +7480,200 @@ FROM flagged WHERE max_before IS NULL OR max_before < size
 """
 
 
+# survivorship merge (round 5): the MDM golden-record rule — per key,
+# each column independently takes its LATEST NON-NULL value across
+# versions (a column update must not resurrect another column's stale
+# value, and a NULL must not erase history). Engine-portable arg-max:
+# max over non-null rows of lpad(seq)||value — the fixed-width seq
+# prefix decides the max (seqs are unique per key), substr peels the
+# value back out; numerics ride as digit strings and cast back exact.
+# One groupBy per key, every column map-side combinable. Fixture:
+# three deterministic versions per customer with disjoint null masks.
+
+def q150_survivorship_merge(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    base = c.select(
+        F.col("c_custkey").alias("k"),
+        "c_name",
+        "c_mktsegment",
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    v1 = base.select(
+        "k",
+        F.lit(1).alias("seq"),
+        F.col("c_name").alias("name"),
+        F.when(F.col("k") % 3 != 0, F.col("c_mktsegment")).alias("segment"),
+        F.col("cents").alias("acct_cents"),
+    )
+    v2 = base.select(
+        "k",
+        F.lit(2).alias("seq"),
+        F.when(F.col("k") % 2 != 0, F.upper("c_name")).alias("name"),
+        F.when(F.col("k") % 5 == 0, F.col("c_mktsegment")).alias("segment"),
+        F.when(F.col("k") % 7 != 0, F.col("cents") + 100).alias("acct_cents"),
+    )
+    v3 = base.filter(F.col("k") % 4 == 0).select(
+        "k",
+        F.lit(3).alias("seq"),
+        F.lit(None).cast("string").alias("name"),
+        F.lit("VIP").alias("segment"),
+        F.lit(None).cast("bigint").alias("acct_cents"),
+    )
+    versions = v1.unionByName(v2).unionByName(v3)
+
+    def latest(col: str) -> Column:
+        tagged = F.when(
+            F.col(col).isNotNull(),
+            F.concat(
+                F.lpad(F.col("seq").cast("string"), 3, "0"),
+                F.col(col).cast("string"),
+            ),
+        )
+        return F.substring(F.max(tagged), 4, 1_000_000)
+
+    return versions.groupBy(F.col("k").alias("cust_key")).agg(
+        latest("name").alias("name"),
+        latest("segment").alias("segment"),
+        latest("acct_cents").cast("bigint").alias("acct_cents"),
+        F.count("*").cast("bigint").alias("n_versions"),
+        F.max("seq").cast("int").alias("last_seq"),
+    )
+
+
+Q150_SQL = """
+WITH base AS (
+  SELECT c_custkey AS k, c_name, c_mktsegment,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer
+), versions AS (
+  SELECT k, 1 AS seq, c_name AS name,
+         CASE WHEN k % 3 <> 0 THEN c_mktsegment END AS segment,
+         cents AS acct_cents
+  FROM base
+  UNION ALL
+  SELECT k, 2, CASE WHEN k % 2 <> 0 THEN upper(c_name) END,
+         CASE WHEN k % 5 = 0 THEN c_mktsegment END,
+         CASE WHEN k % 7 <> 0 THEN cents + 100 END
+  FROM base
+  UNION ALL
+  SELECT k, 3, NULL, 'VIP', NULL FROM base WHERE k % 4 = 0
+)
+SELECT k AS cust_key,
+       substr(max(CASE WHEN name IS NOT NULL
+                       THEN lpad(CAST(seq AS VARCHAR), 3, '0') || name END),
+              4) AS name,
+       substr(max(CASE WHEN segment IS NOT NULL
+                       THEN lpad(CAST(seq AS VARCHAR), 3, '0') || segment END),
+              4) AS segment,
+       CAST(substr(max(CASE WHEN acct_cents IS NOT NULL
+                            THEN lpad(CAST(seq AS VARCHAR), 3, '0')
+                                 || CAST(acct_cents AS VARCHAR) END),
+                   4) AS BIGINT) AS acct_cents,
+       CAST(count(*) AS BIGINT) AS n_versions,
+       CAST(max(seq) AS INT) AS last_seq
+FROM versions GROUP BY k
+"""
+
+
+# cross-region revenue correlation (round 5): Pearson r between every
+# region pair's daily revenue series — never corr()/stddev_samp()
+# (partition-order-dependent double accumulation); instead the q84
+# discipline at pair grain: exact integer/decimal sums (n, Σx, Σy,
+# Σxy, Σx², Σy² — squares ride DECIMAL(19,0)→DECIMAL(38,0) so nothing
+# overflows), then ONE identical double expression on both engines
+# (+,-,×,÷,sqrt are IEEE exact-rounded: equal inputs, bit-equal r).
+# Scale: daily-revenue table ∝ |regions|·days, the pair self-join is
+# on the day key, output is |regions| choose 2.
+
+def q151_revenue_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    o = _ord(spark, sf)
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    reg = load_table(spark, sf, "region").select("r_regionkey", "r_name")
+    daily = (
+        o.join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "bigint"
+                )
+            ).alias("rev")
+        )
+    )
+    # persisted: daily feeds both sides of the pair self-join
+    daily = daily.persist()
+    a = daily.select(
+        F.col("region").alias("region_a"), "day", F.col("rev").alias("x")
+    )
+    b = daily.select(
+        F.col("region").alias("region_b"), "day", F.col("rev").alias("y")
+    )
+    d19 = "decimal(19,0)"
+    pairs = a.join(b, "day").filter(F.col("region_a") < F.col("region_b"))
+    sums = pairs.groupBy("region_a", "region_b").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(d19) * F.col("y").cast(d19)).alias("sxy"),
+        F.sum(F.col("x").cast(d19) * F.col("x").cast(d19)).alias("sxx"),
+        F.sum(F.col("y").cast(d19) * F.col("y").cast(d19)).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    denom = F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    corr = (nd * sxy - sx * sy) / F.nullif(denom, F.lit(0.0))
+    return sums.select(
+        "region_a",
+        "region_b",
+        F.col("n").cast("bigint").alias("n_days"),
+        corr.alias("corr"),
+    )
+
+
+Q151_SQL = """
+WITH daily AS (
+  SELECT r.r_name AS region, CAST(o.o_orderdate AS DATE) AS day,
+         sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a.region AS region_a, b.region AS region_b, a.rev AS x, b.rev AS y
+  FROM daily a JOIN daily b USING (day)
+  WHERE a.region < b.region
+), sums AS (
+  SELECT region_a, region_b, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+         sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+         sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT region_a, region_b, CAST(n AS BIGINT) AS n_days,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / nullif(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+                  0.0) AS corr
+FROM sums
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -7842,6 +8036,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q147_time_to_convert": q147_time_to_convert,
     "q148_mad_outliers": q148_mad_outliers,
     "q149_brand_skyline": q149_brand_skyline,
+    "q150_survivorship_merge": q150_survivorship_merge,
+    "q151_revenue_correlation": q151_revenue_correlation,
 }
 
 ORACLES: dict[str, str] = {
@@ -7978,6 +8174,8 @@ ORACLES: dict[str, str] = {
     "q147_time_to_convert": Q147_SQL,
     "q148_mad_outliers": Q148_SQL,
     "q149_brand_skyline": Q149_SQL,
+    "q150_survivorship_merge": Q150_SQL,
+    "q151_revenue_correlation": Q151_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
