@@ -7859,91 +7859,31 @@ _CANON_SQL_CASTS: dict[str, dict[str, str]] = {
 # CORRECTNESS_r02.json; COVERAGE.md documents the rotation.
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # Round-4 audit window (first 50). Rotation rationale (VERDICT r3
-    # item 1): never-audited queries outrank stale-green re-audits.
-    # Positions 1-42 are every round-3/round-4 addition that has never
-    # seen the driver (35 oracled + rows-only
-    # q102/q108/q114/q127/q135/q136/q138); positions 43-49 are 7 of the
-    # oracled queries whose only green verdicts date from ROUND-2
-    # testdata (the driver regenerated fixtures between r1 and r2, so
-    # r2-era greens need one confirmation on current data — the 31
-    # displaced by the r4 additions keep their r2 verdicts and queue
-    # for the next rotation); position 50 is q38,
-    # the full curation chain (gates → exact dedup → MinHash tier)
-    # re-run as the rows-only canary for the approximate stack.
-    # --- round-3 additions, never audited (positions 1-6) ---
-    "q98_order_count_histogram": q98_order_count_histogram,
-    "q99_split_leakage": q99_split_leakage,
-    "q100_event_throttle": q100_event_throttle,
-    "q101_rolling_distinct_users": q101_rolling_distinct_users,
-    "q102_video_frame_sample": q102_video_frame_sample,  # rows-only (decode)
-    "q103_temperature_mix": q103_temperature_mix,
-    # --- round-4 additions, never audited (positions 7-11) ---
-    "q104_vocab_oov": q104_vocab_oov,
-    "q105_label_cohesion": q105_label_cohesion,
-    "q106_leakage_safe_split": q106_leakage_safe_split,
-    "q107_incremental_exact_dedup": q107_incremental_exact_dedup,
-    "q108_incremental_minhash_dedup": q108_incremental_minhash_dedup,  # rows-only
-    # --- round-4 additions, never audited (positions 12-30) ---
-    "q109_corpus_datacard": q109_corpus_datacard,
-    "q110_content_chunks": q110_content_chunks,
-    "q111_chunk_dup_fraction": q111_chunk_dup_fraction,
-    "q112_chunk_dedup_rewrite": q112_chunk_dedup_rewrite,
-    "q113_pagerank_copurchase": q113_pagerank_copurchase,
-    "q114_bpe_merges": q114_bpe_merges,  # rows-only (iterative arg-max loop)
-    "q115_boilerplate_ngrams": q115_boilerplate_ngrams,
-    "q116_rolling_distinct_by_type": q116_rolling_distinct_by_type,
-    "q117_kmeans_quantized": q117_kmeans_quantized,
-    "q118_embedding_dim_stats": q118_embedding_dim_stats,
-    "q119_token_rarity": q119_token_rarity,
-    "q120_source_overlap": q120_source_overlap,
-    "q121_boilerplate_strip": q121_boilerplate_strip,
-    "q122_canonical_selection": q122_canonical_selection,
-    "q123_quota_sample": q123_quota_sample,
-    "q124_epoch_plan": q124_epoch_plan,
-    "q125_ngram_novelty": q125_ngram_novelty,
-    "q126_random_projection": q126_random_projection,
-    "q127_bpe_encode": q127_bpe_encode,  # rows-only (iterative encoder)
-    # --- round-4 additions, never audited (positions 31-42) ---
-    "q128_rolling_distinct_sketch": q128_rolling_distinct_sketch,
-    "q129_event_anomaly": q129_event_anomaly,
-    "q130_pair_containment": q130_pair_containment,
-    "q131_packing_efficiency": q131_packing_efficiency,
-    "q132_dup_cluster_sizes": q132_dup_cluster_sizes,
-    "q133_quality_percentiles_by_source": q133_quality_percentiles_by_source,
-    "q134_training_recipe": q134_training_recipe,
-    "q135_audio_features": q135_audio_features,  # rows-only (byte decode)
-    "q136_ann_recall": q136_ann_recall,  # partial oracle (r5): exact n + bands
-    "q137_adaptive_quality_gate": q137_adaptive_quality_gate,
-    "q138_rolling_quantile_sketch": q138_rolling_quantile_sketch,  # partial oracle (r5)
-    "q139_epoch_execute": q139_epoch_execute,
-    # --- r2-only greens re-audited on current testdata (positions
-    #     43-49; the 31 displaced by the r4 additions keep their r2
-    #     verdicts and queue for the next rotation) ---
-    "q03_dedup_latest": q03_dedup_latest,
-    "q04_fact_build": q04_fact_build,
-    "q05_sales_by_brand_rollup": q05_sales_by_brand_rollup,
-    "q06_year_month_rollup": q06_year_month_rollup,
-    "q07_slicer_dashboard": q07_slicer_dashboard,
-    "q08_rolling_30row": q08_rolling_30row,
-    "q09_top5_parts_per_brand": q09_top5_parts_per_brand,
-    # --- rows-only canary for the approximate stack (position 50) ---
-    "q38_curate_corpus": q38_curate_corpus,
-    # ================= end of the 50-query audit window =================
-    # --- r2 greens displaced from the re-audit slice by the r4
-    #     additions (r2 verdicts on record; next rotation) ---
+    # Round-5 audit window (first 50). Rotation rationale (VERDICT r4
+    # item 1): positions 1-36 retire the LAST stale verdicts — every
+    # oracled query whose only green dates from ROUND-2 testdata (the
+    # driver regenerated fixtures between r1 and r2; after this round
+    # no registry query relies on a pre-r3 verdict). Positions 37-40
+    # re-audit the four queries round 5 CHANGED: q123/q134 now run the
+    # sharded two-phase quota fill (bit-identical semantics, new plan)
+    # and q136/q138 moved from rows-only to partial oracles. Positions
+    # 41-50 are ten of the twelve round-5 additions. Queued just past
+    # the window for the r6 rotation: q150/q151 (new, parity-green
+    # locally) and q103/q124/q139 (r4 greens whose r5 composition
+    # refactor is output-identical, parity-verified at sf0.01).
+    # --- r2-only greens re-audited on current testdata (1-36) ---
     "q15_idempotent_append": q15_idempotent_append,
     "q17_latest_order_per_customer": q17_latest_order_per_customer,
     "q20_ngram_jaccard_pairs": q20_ngram_jaccard_pairs,
     "q22_text_quality": q22_text_quality,
     "q25_knn_bruteforce": q25_knn_bruteforce,
     "q29_event_type_stats": q29_event_type_stats,
-    "q37_order_value_percentiles": q37_order_value_percentiles,
     "q30_event_daily_counts": q30_event_daily_counts,
     "q31_sessionize_batch": q31_sessionize_batch,
     "q32_top_suppliers_per_nation": q32_top_suppliers_per_nation,
     "q33_embedding_neardup": q33_embedding_neardup,
     "q34_cube_region_segment": q34_cube_region_segment,
+    "q37_order_value_percentiles": q37_order_value_percentiles,
     "q42_revenue_mom": q42_revenue_mom,
     "q45_grouping_sets_sql": q45_grouping_sets_sql,
     "q46_asof_click_attribution": q46_asof_click_attribution,
@@ -7968,8 +7908,71 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_shipping_priority": q65_shipping_priority,
     "q66_salted_skew_agg": q66_salted_skew_agg,
     "q68_json_map_explode": q68_json_map_explode,
-    # --- round-3 greens (CORRECTNESS_r03.json, current testdata),
-    #     displaced past the window ---
+    # --- changed this round: sharded fill + partial oracles (37-40) ---
+    "q123_quota_sample": q123_quota_sample,
+    "q134_training_recipe": q134_training_recipe,
+    "q136_ann_recall": q136_ann_recall,
+    "q138_rolling_quantile_sketch": q138_rolling_quantile_sketch,
+    # --- round-5 additions (41-50) ---
+    "q140_retention_cohorts": q140_retention_cohorts,
+    "q141_order_islands": q141_order_islands,
+    "q142_event_transitions": q142_event_transitions,
+    "q143_day_hour_heatmap": q143_day_hour_heatmap,
+    "q144_global_nucleus_fill": q144_global_nucleus_fill,
+    "q145_scd2_from_cdc": q145_scd2_from_cdc,
+    "q146_bigram_lift": q146_bigram_lift,
+    "q147_time_to_convert": q147_time_to_convert,
+    "q148_mad_outliers": q148_mad_outliers,
+    "q149_brand_skyline": q149_brand_skyline,
+    # ================= end of the 50-query audit window =================
+    # --- round-5 additions past the window (r6 rotation head) ---
+    "q150_survivorship_merge": q150_survivorship_merge,
+    "q151_revenue_correlation": q151_revenue_correlation,
+    # --- r4 greens, r5 composition refactor (output-identical; local
+    #     parity verified; r6 rotation) ---
+    "q103_temperature_mix": q103_temperature_mix,
+    "q124_epoch_plan": q124_epoch_plan,
+    "q139_epoch_execute": q139_epoch_execute,
+    # --- r4 greens on current testdata ---
+    "q98_order_count_histogram": q98_order_count_histogram,
+    "q99_split_leakage": q99_split_leakage,
+    "q100_event_throttle": q100_event_throttle,
+    "q101_rolling_distinct_users": q101_rolling_distinct_users,
+    "q104_vocab_oov": q104_vocab_oov,
+    "q105_label_cohesion": q105_label_cohesion,
+    "q106_leakage_safe_split": q106_leakage_safe_split,
+    "q107_incremental_exact_dedup": q107_incremental_exact_dedup,
+    "q109_corpus_datacard": q109_corpus_datacard,
+    "q110_content_chunks": q110_content_chunks,
+    "q111_chunk_dup_fraction": q111_chunk_dup_fraction,
+    "q112_chunk_dedup_rewrite": q112_chunk_dedup_rewrite,
+    "q113_pagerank_copurchase": q113_pagerank_copurchase,
+    "q115_boilerplate_ngrams": q115_boilerplate_ngrams,
+    "q116_rolling_distinct_by_type": q116_rolling_distinct_by_type,
+    "q117_kmeans_quantized": q117_kmeans_quantized,
+    "q118_embedding_dim_stats": q118_embedding_dim_stats,
+    "q119_token_rarity": q119_token_rarity,
+    "q120_source_overlap": q120_source_overlap,
+    "q121_boilerplate_strip": q121_boilerplate_strip,
+    "q122_canonical_selection": q122_canonical_selection,
+    "q125_ngram_novelty": q125_ngram_novelty,
+    "q126_random_projection": q126_random_projection,
+    "q128_rolling_distinct_sketch": q128_rolling_distinct_sketch,
+    "q129_event_anomaly": q129_event_anomaly,
+    "q130_pair_containment": q130_pair_containment,
+    "q131_packing_efficiency": q131_packing_efficiency,
+    "q132_dup_cluster_sizes": q132_dup_cluster_sizes,
+    "q133_quality_percentiles_by_source": q133_quality_percentiles_by_source,
+    "q137_adaptive_quality_gate": q137_adaptive_quality_gate,
+    # --- r4 re-audit slice (q03-q09, green r4) ---
+    "q03_dedup_latest": q03_dedup_latest,
+    "q04_fact_build": q04_fact_build,
+    "q05_sales_by_brand_rollup": q05_sales_by_brand_rollup,
+    "q06_year_month_rollup": q06_year_month_rollup,
+    "q07_slicer_dashboard": q07_slicer_dashboard,
+    "q08_rolling_30row": q08_rolling_30row,
+    "q09_top5_parts_per_brand": q09_top5_parts_per_brand,
+    # --- r3 greens on current testdata ---
     "q01_typed_staging": q01_typed_staging,
     "q02_date_dim": q02_date_dim,
     "q10_customer_cohort": q10_customer_cohort,
@@ -8014,30 +8017,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q95_order_history_nested": q95_order_history_nested,
     "q96_gap_filled_daily_revenue": q96_gap_filled_daily_revenue,
     "q97_drift_chi2": q97_drift_chi2,
-    # --- rows-only with round-3 rows-ran verdicts on record ---
+    # --- rows-only (r3/r4 rows-ran verdicts; q26-q28 r2 rows-ran) ---
+    "q102_video_frame_sample": q102_video_frame_sample,
+    "q108_incremental_minhash_dedup": q108_incremental_minhash_dedup,
+    "q114_bpe_merges": q114_bpe_merges,
+    "q127_bpe_encode": q127_bpe_encode,
+    "q135_audio_features": q135_audio_features,
+    "q38_curate_corpus": q38_curate_corpus,
     "q67_multimodal_features": q67_multimodal_features,
     "q69_sign_lsh_neardup": q69_sign_lsh_neardup,
-    "q72_semantic_dedup": q72_semantic_dedup,  # rows-only (IVF + GEMM)
-    "q81_kll_quantiles": q81_kll_quantiles,  # rows-only (sketch internals)
-    "q82_theta_distinct": q82_theta_distinct,  # rows-only (sketch internals)
-    "q87_join_overlap_estimate": q87_join_overlap_estimate,  # rows-only
-    # --- approximate rows-only with r2 rows-ran verdicts on record ---
+    "q72_semantic_dedup": q72_semantic_dedup,
+    "q81_kll_quantiles": q81_kll_quantiles,
+    "q82_theta_distinct": q82_theta_distinct,
+    "q87_join_overlap_estimate": q87_join_overlap_estimate,
     "q26_minhash_dedup": q26_minhash_dedup,
     "q27_simhash_buckets": q27_simhash_buckets,
     "q28_knn_ivf": q28_knn_ivf,
-    # --- round-5 additions (final window ordering happens at rotation) ---
-    "q140_retention_cohorts": q140_retention_cohorts,
-    "q141_order_islands": q141_order_islands,
-    "q142_event_transitions": q142_event_transitions,
-    "q143_day_hour_heatmap": q143_day_hour_heatmap,
-    "q144_global_nucleus_fill": q144_global_nucleus_fill,
-    "q145_scd2_from_cdc": q145_scd2_from_cdc,
-    "q146_bigram_lift": q146_bigram_lift,
-    "q147_time_to_convert": q147_time_to_convert,
-    "q148_mad_outliers": q148_mad_outliers,
-    "q149_brand_skyline": q149_brand_skyline,
-    "q150_survivorship_merge": q150_survivorship_merge,
-    "q151_revenue_correlation": q151_revenue_correlation,
 }
 
 ORACLES: dict[str, str] = {
