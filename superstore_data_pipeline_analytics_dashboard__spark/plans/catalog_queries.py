@@ -7674,6 +7674,230 @@ FROM sums
 """
 
 
+# prefix-duplicate groups (round 5): crawl pipelines produce TRUNCATED
+# copies — same opening, different lengths — which full-text
+# fingerprints (q19) and even 3-gram Jaccard can miss when the long
+# doc dwarfs the shared prefix. Group by the md5 of the first 20
+# tokens; groups with >1 doc are truncation suspects, and the KEEP
+# policy is arg-max length (lowest id tie-break) via one
+# min(struct(-len, id)) — the q122 canonical-selection shape, no
+# window over the group. One narrow groupBy; fingerprint is 16 bytes
+# through the shuffle regardless of document size.
+
+def q152_prefix_duplicates(spark: SparkSession, sf: str, k: int = 20) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    staged = docs.select(
+        "doc_id",
+        T.tokens("text").alias("t"),
+    ).select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tok"),
+        F.md5(F.array_join(F.slice("t", 1, k), " ")).alias("prefix_fp"),
+    )
+    best = F.min(
+        F.struct((-F.col("n_tok")).alias("neg_len"), F.col("doc_id").alias("id"))
+    )
+    groups = staged.groupBy("prefix_fp").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("n_tok").alias("min_tok"),
+        F.max("n_tok").alias("max_tok"),
+        best["id"].alias("canon_id"),
+    )
+    return groups.filter(F.col("n_docs") >= 2).select(
+        "prefix_fp", "n_docs", "min_tok", "max_tok", "canon_id"
+    )
+
+
+Q152_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             x -> x <> '') AS t
+  FROM documents
+), staged AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+         md5(array_to_string(t[1:20], ' ')) AS prefix_fp
+  FROM toks
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY prefix_fp
+                               ORDER BY n_tok DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY prefix_fp) AS n_docs,
+         min(n_tok) OVER (PARTITION BY prefix_fp) AS min_tok,
+         max(n_tok) OVER (PARTITION BY prefix_fp) AS max_tok
+  FROM staged
+)
+SELECT prefix_fp, CAST(n_docs AS BIGINT) AS n_docs, min_tok, max_tok,
+       doc_id AS canon_id
+FROM ranked WHERE rn = 1 AND n_docs >= 2
+"""
+
+
+# language-mismatch audit (round 5): the metadata-trust report — per
+# (source, declared lang), how often the q21 stopword detector
+# DISAGREES with the declared label (a high rate flags a feed whose
+# metadata is wrong or whose content is mixed; CCNet filters on
+# exactly this signal). Reuses q21's detector verbatim on both sides;
+# one conditional-agg pass, sources x langs output.
+
+def q153_lang_mismatch_audit(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select(
+        "source",
+        F.col("lang").alias("lang_declared"),
+        (T.lang_id("text") != F.col("lang")).cast("int").alias("mism"),
+    )
+    return scored.groupBy("source", "lang_declared").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("mism").cast("bigint").alias("n_mismatch"),
+        (
+            F.sum("mism").cast("double") / F.count("*").cast("double")
+        ).alias("mismatch_rate"),
+    )
+
+
+def _q153_oracle_sql() -> str:
+    """Wrap Q21's detector, join back to source, aggregate."""
+    return (
+        """
+WITH pred AS (
+"""
+        + Q21_SQL.strip()
+        + """
+), scored AS (
+  SELECT d.source, p.lang_declared,
+         CASE WHEN p.lang_pred <> p.lang_declared THEN 1 ELSE 0 END AS mism
+  FROM documents d JOIN pred p USING (doc_id)
+)
+SELECT source, lang_declared, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(mism) AS BIGINT) AS n_mismatch,
+       CAST(sum(mism) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mismatch_rate
+FROM scored GROUP BY source, lang_declared
+"""
+    )
+
+
+Q153_SQL = _q153_oracle_sql()
+
+
+# MinHash-tier recall evaluation (round 5): q136's index-quality gate,
+# dedup edition — does the LSH tier (q26's 64-hash/16-band config,
+# S-curve threshold ≈0.5) actually FIND the pairs the exact tier
+# (q20's machinery at Jaccard ≥ 0.5) proves exist? The q35 partial-
+# oracle split: each exact pair row (ids + exact Jaccard, recomputed
+# end-to-end by the oracle's inverted-index SQL) is hash-compared, and
+# the LSH side crosses as ONE aggregate band boolean the oracle
+# asserts TRUE — candidate-set recall ≥ 0.7 (measured 0.96–1.0; the
+# b=16/r=4 S-curve predicts ≥64% at exactly j=0.5, rising steeply).
+# This moves the approximate dedup stack's core claim INTO the driver
+# gate instead of pytest only.
+
+def q154_minhash_recall(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    exact = DD.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    ).select("doc_a", "doc_b", "jaccard").persist()
+    cand = DD.minhash_lsh_candidates(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16
+    ).select("doc_a", "doc_b")
+    found = exact.join(cand, ["doc_a", "doc_b"], "left_semi")
+    recall_ok = exact.agg(F.count("*").alias("__ne")).crossJoin(
+        found.agg(F.count("*").alias("__nf"))
+    ).select(
+        (
+            F.col("__nf").cast("double") / F.col("__ne").cast("double")
+            >= F.lit(0.7)
+        ).alias("lsh_recall_ok")
+    )
+    return exact.crossJoin(F.broadcast(recall_ok)).select(
+        "doc_a", "doc_b", "jaccard", "lsh_recall_ok"
+    )
+
+
+def _q154_oracle_sql() -> str:
+    """Q20's inverted-index skeleton re-thresholded to 0.5 + TRUE band."""
+    inner = Q20_SQL.strip().replace(">= 0.2", ">= 0.5")
+    return (
+        """
+WITH exact AS (
+"""
+        + inner
+        + """
+)
+SELECT doc_a, doc_b, jaccard, TRUE AS lsh_recall_ok FROM exact
+"""
+    )
+
+
+Q154_SQL = _q154_oracle_sql()
+
+
+# deterministic training-order manifest (round 5): the reproducible
+# "data order" file a trainer consumes — every document gets a global
+# STEP index such that sources interleave proportionally to size
+# (virtual-time scheduling: doc #r of source s runs at v = r·1e6 div
+# n_s; sorting by v round-robins sources weighted by |s|) and the
+# order is identical on any cluster (md5 hash order, no RNG). Both
+# rank stages are recipe.two_phase_running_sum of 1s — the per-source
+# rank shards on the hash's hex prefix, the GLOBAL step rank shards on
+# v's value range — so the whole manifest materializes with no
+# single-partition window anywhere; the oracle runs the naive global
+# windows and must agree bit-for-bit.
+
+def q155_interleave_order(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.recipe import hash_order_cumsum, two_phase_running_sum
+
+    docs = load_table(spark, sf, "documents")
+    staged = docs.select(
+        "doc_id",
+        "source",
+        F.lit(1).alias("one"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    ranked = hash_order_cumsum(staged, value_col="one", out_col="r_in_source")
+    sizes = ranked.groupBy("source").agg(F.count("*").alias("n_s"))
+    timed = ranked.join(F.broadcast(sizes), "source").withColumn(
+        "v", F.expr("(r_in_source * 1000000) div n_s")
+    )
+    stepped = two_phase_running_sum(
+        timed,
+        group_cols=[],
+        shard=F.expr("CAST(v div 62500 AS INT)"),
+        order=[F.asc("v"), F.asc("source"), F.asc("doc_id")],
+        value_col="one",
+        out_col="step",
+    )
+    return stepped.select(
+        "doc_id",
+        "source",
+        F.col("r_in_source").cast("bigint").alias("r_in_source"),
+        F.col("v").cast("bigint").alias("v"),
+        F.col("step").cast("bigint").alias("step"),
+    )
+
+
+Q155_SQL = """
+WITH staged AS (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+), ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+           AS r_in_source
+  FROM staged
+), sizes AS (
+  SELECT source, count(*) AS n_s FROM ranked GROUP BY source
+), timed AS (
+  SELECT r.doc_id, r.source, r.r_in_source,
+         (r.r_in_source * 1000000) // s.n_s AS v
+  FROM ranked r JOIN sizes s USING (source)
+)
+SELECT doc_id, source, CAST(r_in_source AS BIGINT) AS r_in_source,
+       CAST(v AS BIGINT) AS v,
+       CAST(row_number() OVER (ORDER BY v, source, doc_id) AS BIGINT) AS step
+FROM timed
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -7766,6 +7990,7 @@ _CANON_SQL_CASTS: dict[str, dict[str, str]] = {
     },
     "q25_knn_bruteforce": {"cos_sim": "DOUBLE"},
     "q144_global_nucleus_fill": {"q": "DOUBLE"},
+    "q154_minhash_recall": {"jaccard": "DOUBLE"},
     "q29_event_type_stats": {"sum_value": "DOUBLE", "avg_k": "DOUBLE"},
     "q31_sessionize_batch": {"session_no": "BIGINT", "sum_value": "DOUBLE", "session_start": "EPOCH_US", "session_end": "EPOCH_US"},
     "q46_asof_click_attribution": {"purchase_ts": "EPOCH_US"},
@@ -8171,6 +8396,10 @@ ORACLES: dict[str, str] = {
     "q149_brand_skyline": Q149_SQL,
     "q150_survivorship_merge": Q150_SQL,
     "q151_revenue_correlation": Q151_SQL,
+    "q152_prefix_duplicates": Q152_SQL,
+    "q153_lang_mismatch_audit": Q153_SQL,
+    "q154_minhash_recall": Q154_SQL,
+    "q155_interleave_order": Q155_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
