@@ -8153,6 +8153,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-5 additions past the window (r6 rotation head) ---
     "q150_survivorship_merge": q150_survivorship_merge,
     "q151_revenue_correlation": q151_revenue_correlation,
+    "q152_prefix_duplicates": q152_prefix_duplicates,
+    "q153_lang_mismatch_audit": q153_lang_mismatch_audit,
+    "q154_minhash_recall": q154_minhash_recall,
+    "q155_interleave_order": q155_interleave_order,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,

@@ -459,3 +459,92 @@ def start_append_with_manifest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_quota_fill_append(
+    docs_stream: DataFrame,
+    sink_path: str,
+    state_path: str,
+    checkpoint: str,
+    quota: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> StreamingQuery:
+    """Streaming token-quota fill — the ONLINE face of the q123 batch
+    fill: each micro-batch admits documents per source, in the same
+    deterministic md5-hash order q123 uses WITHIN the batch, while the
+    source's running token total (persisted state + this batch) still
+    fits ``quota``; admitted docs land in the corpus sink, and the
+    per-source token delta lands in the state table.
+
+    Online-vs-batch semantics (the q107/q108 contract, quota edition):
+    admission is greedy in ARRIVAL order across batches — a later
+    batch only sees the quota its predecessors left, so the kept set
+    equals q123's batch fill exactly when arrival order matches hash
+    order, and is otherwise the standard online-greedy approximation.
+    The invariant that always holds: per-source admitted tokens never
+    exceed ``quota``, and within every batch the admitted docs are the
+    hash-order prefix that fits.
+
+    Scale & replay: the state read per batch is the (sources x batches)
+    delta table, never the corpus; the within-batch cumsum is
+    ``recipe.hash_order_cumsum`` (sharded two-phase — no partition-per-
+    source straggler even inside one giant batch). Both writes go to
+    ``batch=<id>`` partitions with dynamic overwrite, and the state
+    read EXCLUDES the current batch id — so a replayed batch recomputes
+    against exactly the pre-batch state and REPLACES its own output
+    instead of double-spending the quota (the manifest sink's replay
+    discipline applied to budget state)."""
+    from ..functions.text import token_count
+    from ..operators.recipe import hash_order_cumsum
+
+    def _append(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch.sparkSession
+        try:
+            state = spark.read.parquet(state_path).filter(
+                F.col("batch") != F.lit(batch_id)
+            )
+            used = state.groupBy(source_col).agg(F.sum("used").alias("__used"))
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            used = spark.createDataFrame([], f"{source_col} STRING, __used BIGINT")
+        staged = batch.select(
+            source_col,
+            id_col,
+            token_count(text_col).cast("bigint").alias("n_tok"),
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+        )
+        cum = hash_order_cumsum(
+            staged, group_cols=(source_col,), id_col=id_col
+        )
+        kept = (
+            cum.join(F.broadcast(used), source_col, "left")
+            .filter(
+                F.col("cum_tok") + F.coalesce(F.col("__used"), F.lit(0))
+                <= F.lit(quota)
+            )
+            .select(source_col, id_col, "n_tok")
+            .localCheckpoint()
+        )
+        kept.withColumn("batch", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "batch"
+        ).parquet(sink_path)
+        delta = kept.groupBy(source_col).agg(F.sum("n_tok").alias("used"))
+        delta.withColumn("batch", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "batch"
+        ).parquet(state_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

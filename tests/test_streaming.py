@@ -368,3 +368,55 @@ def test_streaming_append_maintains_manifest(spark, tmpdir):
         r["id"] for r in read_pruned(spark, stats2, "id", 90, 110).collect()
     )
     assert got2 == list(range(90, 111))
+
+
+def test_quota_fill_append_respects_budget_across_batches(spark, tmpdir):
+    """Streaming quota fill: per-source admitted tokens never exceed the
+    quota across micro-batches; within each batch the admitted docs are
+    the hash-order prefix that fits the remaining budget; the persisted
+    state sums to the sink's token total."""
+    import hashlib
+
+    drop = tmpdir / "docs_q"
+    drop.mkdir()
+    # 3 files -> 3 micro-batches (maxFilesPerTrigger=1); disjoint id
+    # ranges so sink partitions identify their source file. Every doc
+    # is 10 tokens; quota 70 -> batch0 keeps all 5 (50), batch1 keeps
+    # its 2 lowest-md5 docs (70), batch2 keeps none.
+    ten_words = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    files = [list(range(0, 5)), list(range(10, 15)), list(range(20, 25))]
+    for i, ids in enumerate(files):
+        spark.createDataFrame(
+            [(d, "s", ten_words) for d in ids],
+            "doc_id BIGINT, source STRING, text STRING",
+        ).coalesce(1).write.parquet(str(drop / f"f{i}"))
+
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, source STRING, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", True)
+        .parquet(str(drop))
+    )
+    sink, state = str(tmpdir / "quota_sink"), str(tmpdir / "quota_state")
+    q = S.start_quota_fill_append(
+        stream, sink, state, str(tmpdir / "ckq"), quota=70
+    )
+    q.awaitTermination(120)
+
+    kept = spark.read.parquet(sink).collect()
+    total = sum(r["n_tok"] for r in kept)
+    assert total <= 70
+    assert total == 70  # exactly fills: 50 + 20
+    by_batch: dict = {}
+    for r in kept:
+        by_batch.setdefault(r["batch"], set()).add(r["doc_id"])
+    batches = sorted(by_batch)
+    assert len(by_batch[batches[0]]) == 5  # first file fully admitted
+    # second batch: exactly the 2 lowest-md5 ids of its file
+    want = sorted(
+        files[1], key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d)
+    )[:2]
+    assert by_batch[batches[1]] == set(want)
+    assert len(batches) == 2  # third batch admitted nothing
+    st = spark.read.parquet(state).collect()
+    assert sum(r["used"] for r in st) == total
