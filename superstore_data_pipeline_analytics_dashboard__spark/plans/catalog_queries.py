@@ -7592,8 +7592,12 @@ def q151_revenue_correlation(spark: SparkSession, sf: str) -> DataFrame:
     cust = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
     nat = load_table(spark, sf, "nation").select("n_nationkey", "n_regionkey")
     reg = load_table(spark, sf, "region").select("r_regionkey", "r_name")
+    # customer is the one genuinely large side-table here (≫ broadcast
+    # threshold at 100 TB) — leave it a hashed join for AQE to re-plan;
+    # nation/region are constant-sized and broadcast explicitly (q90's
+    # convention)
     daily = (
-        o.join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
+        o.join(cust, o["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
         .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
         .groupBy(F.col("r_name").alias("region"), F.col("o_orderdate").alias("day"))

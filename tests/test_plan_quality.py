@@ -376,3 +376,39 @@ def test_quota_sample_windows_per_source(spark):
     plan = _executed_plan(Q.QUERIES["q123_quota_sample"](spark, SF_SMOKE))
     assert "hashpartitioning(source" in plan
     assert "SinglePartition" not in plan
+
+
+def test_bigram_lift_topk_is_take_ordered(spark):
+    """q146's top-20 must compile to TakeOrderedAndProject (per-partition
+    k + driver merge), never a full sort of the bigram table."""
+    plan = _executed_plan(Q.q146_bigram_lift(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_global_nucleus_fill_has_no_global_window(spark):
+    """q144's corpus-wide ordered cut must run entirely on sharded
+    windows — every window spec in the plan carries the __shard key,
+    and the big Exchanges partition on it (the two-phase prefix sum);
+    an empty-partition windowspecdefinition would be the single-task
+    global sort this operator exists to avoid."""
+    import re
+
+    plan = _executed_plan(Q.q144_global_nucleus_fill(spark, SF_SMOKE))
+    wins = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert wins, "expected window specs in plan"
+    assert all("__shard" in w for w in wins), wins
+    assert any(
+        "__shard" in s
+        for s in re.findall(r"hashpartitioning\([^)]*\)", plan)
+    )
+
+
+def test_interleave_order_windows_are_all_sharded(spark):
+    """q155: both rank stages (per-source rank, GLOBAL step) must window
+    per shard — the manifest materializes with no single-partition
+    stage."""
+    import re
+
+    plan = _executed_plan(Q.q155_interleave_order(spark, SF_SMOKE))
+    wins = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert wins and all("__shard" in w for w in wins), wins
