@@ -7902,6 +7902,140 @@ FROM timed
 """
 
 
+# corpus snapshot diff (round 5): the release-engineering report —
+# what changed between the previous corpus snapshot and this one, per
+# source: doc/token counts both sides, deltas, and percent token
+# change (the one trailing double, from two exact integer operands).
+# Same old/new split convention as q107/q108/q125 (doc_id % 5 < 3 is
+# the existing snapshot). One conditional-aggregate pass over the doc
+# scan; output ∝ sources. A feed whose token mass swings hard between
+# releases is either growing fast or broken — this is the report that
+# tells you which feeds to look at before retraining.
+
+def q156_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    staged = docs.select(
+        "source",
+        (F.col("doc_id") % 5 < 3).alias("is_old"),
+        T.token_count("text").cast("bigint").alias("n_tok"),
+    )
+    agg = staged.groupBy("source").agg(
+        F.sum(F.when(F.col("is_old"), 1).otherwise(0)).cast("bigint").alias("docs_old"),
+        F.sum(F.when(~F.col("is_old"), 1).otherwise(0)).cast("bigint").alias("docs_new"),
+        F.sum(F.when(F.col("is_old"), F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("tok_old"),
+        F.sum(F.when(~F.col("is_old"), F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("tok_new"),
+    )
+    return agg.select(
+        "source",
+        "docs_old",
+        "docs_new",
+        (F.col("docs_new") - F.col("docs_old")).alias("doc_delta"),
+        "tok_old",
+        "tok_new",
+        (F.col("tok_new") - F.col("tok_old")).alias("tok_delta"),
+        (
+            (F.col("tok_new") - F.col("tok_old")).cast("double")
+            / F.nullif(F.col("tok_old"), F.lit(0)).cast("double")
+        ).alias("tok_pct_change"),
+    )
+
+
+Q156_SQL = r"""
+WITH staged AS (
+  SELECT source, (doc_id % 5 < 3) AS is_old,
+         CAST(len(list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents
+), agg AS (
+  SELECT source,
+         CAST(sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS docs_old,
+         CAST(sum(CASE WHEN is_old THEN 0 ELSE 1 END) AS BIGINT) AS docs_new,
+         CAST(sum(CASE WHEN is_old THEN n_tok ELSE 0 END) AS BIGINT) AS tok_old,
+         CAST(sum(CASE WHEN is_old THEN 0 ELSE n_tok END) AS BIGINT) AS tok_new
+  FROM staged GROUP BY source
+)
+SELECT source, docs_old, docs_new,
+       CAST(docs_new - docs_old AS BIGINT) AS doc_delta,
+       tok_old, tok_new,
+       CAST(tok_new - tok_old AS BIGINT) AS tok_delta,
+       CAST(tok_new - tok_old AS DOUBLE)
+         / CAST(nullif(tok_old, 0) AS DOUBLE) AS tok_pct_change
+FROM agg
+"""
+
+
+# winsorized (trimmed) mean (round 5): the robust-stats family's third
+# member — q84 is mean/std, q148 is median/MAD; this is the trimmed
+# mean ops dashboards actually quote (drop the top and bottom 10% by
+# EXACT nearest-rank position, average the middle 80%). Rank cuts are
+# integers ((n+9) div 10 .. n - (n+9) div 10), the mid-mass sum is an
+# exact bigint, and the mean is one trailing double division — no
+# percentile interpolation anywhere. One rank window + one
+# conditional-agg per group.
+
+def q157_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
+    o = _ord(spark, sf)
+    cents = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    ranked = cents.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    cut = F.expr("(n + 9) div 10")
+    mid = F.col("rn") > cut
+    mid = mid & (F.col("rn") <= F.col("n") - cut)
+    return ranked.groupBy("o_orderpriority").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.when(mid, 1).otherwise(0)).cast("bigint").alias("n_mid"),
+        F.sum(F.when(mid, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("mid_sum_cents"),
+        (
+            F.sum(F.when(mid, F.col("cents")).otherwise(0)).cast("double")
+            / F.sum(F.when(mid, 1).otherwise(0)).cast("double")
+        ).alias("trimmed_mean_cents"),
+    )
+
+
+Q157_SQL = """
+WITH cents AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), ranked AS (
+  SELECT o_orderpriority, cents,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY cents, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM cents
+), flagged AS (
+  SELECT *, (rn > (n + 9) // 10 AND rn <= n - (n + 9) // 10) AS mid
+  FROM ranked
+)
+SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN mid THEN 1 ELSE 0 END) AS BIGINT) AS n_mid,
+       CAST(sum(CASE WHEN mid THEN cents ELSE 0 END) AS BIGINT)
+         AS mid_sum_cents,
+       CAST(sum(CASE WHEN mid THEN cents ELSE 0 END) AS DOUBLE)
+         / CAST(sum(CASE WHEN mid THEN 1 ELSE 0 END) AS DOUBLE)
+         AS trimmed_mean_cents
+FROM flagged GROUP BY o_orderpriority
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -8161,6 +8295,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q153_lang_mismatch_audit": q153_lang_mismatch_audit,
     "q154_minhash_recall": q154_minhash_recall,
     "q155_interleave_order": q155_interleave_order,
+    "q156_snapshot_diff": q156_snapshot_diff,
+    "q157_trimmed_mean": q157_trimmed_mean,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -8408,6 +8544,8 @@ ORACLES: dict[str, str] = {
     "q153_lang_mismatch_audit": Q153_SQL,
     "q154_minhash_recall": Q154_SQL,
     "q155_interleave_order": Q155_SQL,
+    "q156_snapshot_diff": Q156_SQL,
+    "q157_trimmed_mean": Q157_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
