@@ -412,3 +412,38 @@ def test_interleave_order_windows_are_all_sharded(spark):
     plan = _executed_plan(Q.q155_interleave_order(spark, SF_SMOKE))
     wins = re.findall(r"windowspecdefinition\([^)]*\)", plan)
     assert wins and all("__shard" in w for w in wins), wins
+
+
+def test_catalog_wide_plan_hygiene(spark):
+    """Global anti-pattern audit over EVERY registry query at smoke
+    scale: no row-at-a-time Python (BatchEvalPython) anywhere, no
+    CartesianProduct (one-row normalizer crossJoins compile to
+    BroadcastNestedLoopJoin over a single-row side, which is fine), and
+    Arrow-batched Python only in the queries documented to need it
+    (byte codecs, GEMM, BPE encode)."""
+    ARROW_OK = {
+        "q67_multimodal_features",
+        "q69_sign_lsh_neardup",  # plane-projection GEMM (similarity.py:216)
+        "q72_semantic_dedup",
+        "q102_video_frame_sample",
+        "q127_bpe_encode",
+        "q135_audio_features",
+    }
+    failures = []
+    for name, fn in Q.QUERIES.items():
+        try:
+            plan = _executed_plan(fn(spark, SF_SMOKE))
+        except Exception as e:  # pragma: no cover - any failure is a bug
+            failures.append((name, f"plan build failed: {e}"))
+            continue
+        if "BatchEvalPython" in plan:
+            failures.append((name, "row-at-a-time Python UDF in plan"))
+        if "CartesianProduct" in plan:
+            failures.append((name, "CartesianProduct in plan"))
+        if name not in ARROW_OK and (
+            "ArrowEvalPython" in plan
+            or "MapInPandas" in plan
+            or "FlatMapGroupsInPandas" in plan
+        ):
+            failures.append((name, "undocumented Arrow Python stage"))
+    assert not failures, failures
