@@ -8036,6 +8036,79 @@ FROM flagged GROUP BY o_orderpriority
 """
 
 
+# dedup-cluster quality report (round 5): the review-queue summary a
+# curation team reads before trusting transitive dedup — per q49
+# component: member count, observed edge count, and the weakest and
+# average edge similarity. A big cluster held together by few weak
+# edges is a chaining artifact (two unrelated groups bridged by one
+# borderline pair), the failure mode transitive closure is known for;
+# min_jaccard surfaces it. Composes q49's components with q20's exact
+# pair machinery (both already green); pairs are persisted for their
+# two consumers; avg rides an exact DECIMAL(28,6) sum with one
+# trailing double division.
+
+def q158_cluster_quality(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.3
+    ).persist()
+    comp = dedup_clusters(pairs.select("doc_a", "doc_b"))
+    sizes = comp.groupBy("component_id").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    edges = pairs.join(
+        comp.select(F.col("doc_id").alias("doc_a"), "component_id"), "doc_a"
+    )
+    stats = edges.groupBy("component_id").agg(
+        F.count("*").cast("bigint").alias("n_edges"),
+        F.min("jaccard").alias("min_jaccard"),
+        (
+            F.sum(F.col("jaccard").cast("decimal(28,6)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("avg_jaccard"),
+    )
+    return stats.join(F.broadcast(sizes), "component_id").select(
+        "component_id", "n_members", "n_edges", "min_jaccard", "avg_jaccard"
+    )
+
+
+def _q158_oracle_sql() -> str:
+    """Q49's recursive-component skeleton + the q20 pair grain at the
+    same 0.3 threshold, aggregated per component."""
+    comp = Q49_SQL.strip().rsplit("SELECT node", 1)[0].rstrip()
+    pairs = Q20_SQL.strip().replace(">= 0.2", ">= 0.3")
+    return (
+        comp
+        + """, comp AS (
+  SELECT node AS doc_id, min(lbl) AS component_id FROM reach GROUP BY node
+), qpairs AS (
+  SELECT * FROM (
+"""
+        + pairs
+        + """
+  )
+), csizes AS (
+  SELECT component_id, count(*) AS n_members FROM comp GROUP BY component_id
+), edges2 AS (
+  SELECT c.component_id, p.jaccard
+  FROM qpairs p JOIN comp c ON c.doc_id = p.doc_a
+)
+SELECT e.component_id, CAST(s.n_members AS BIGINT) AS n_members,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       min(e.jaccard) AS min_jaccard,
+       CAST(sum(CAST(e.jaccard AS DECIMAL(28,6))) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS avg_jaccard
+FROM edges2 e JOIN csizes s USING (component_id)
+GROUP BY e.component_id, s.n_members
+"""
+    )
+
+
+Q158_SQL = _q158_oracle_sql()
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -8129,6 +8202,7 @@ _CANON_SQL_CASTS: dict[str, dict[str, str]] = {
     "q25_knn_bruteforce": {"cos_sim": "DOUBLE"},
     "q144_global_nucleus_fill": {"q": "DOUBLE"},
     "q154_minhash_recall": {"jaccard": "DOUBLE"},
+    "q158_cluster_quality": {"min_jaccard": "DOUBLE"},
     "q29_event_type_stats": {"sum_value": "DOUBLE", "avg_k": "DOUBLE"},
     "q31_sessionize_batch": {"session_no": "BIGINT", "sum_value": "DOUBLE", "session_start": "EPOCH_US", "session_end": "EPOCH_US"},
     "q46_asof_click_attribution": {"purchase_ts": "EPOCH_US"},
@@ -8297,6 +8371,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q155_interleave_order": q155_interleave_order,
     "q156_snapshot_diff": q156_snapshot_diff,
     "q157_trimmed_mean": q157_trimmed_mean,
+    "q158_cluster_quality": q158_cluster_quality,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -8546,6 +8621,7 @@ ORACLES: dict[str, str] = {
     "q155_interleave_order": Q155_SQL,
     "q156_snapshot_diff": Q156_SQL,
     "q157_trimmed_mean": Q157_SQL,
+    "q158_cluster_quality": Q158_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
