@@ -8109,6 +8109,89 @@ GROUP BY e.component_id, s.n_members
 Q158_SQL = _q158_oracle_sql()
 
 
+# least-squares revenue trend (round 5): slope + intercept of each
+# region's daily revenue over time by the normal equations — q151's
+# portable-exactness recipe applied to regression: x = integer day
+# index (days since epoch), y = exact cents, all five sums exact
+# integers/decimals, then slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) as ONE
+# identical double expression on both engines. Never ML-lib's SGD or
+# a float accumulation — closed form on exact sums is deterministic,
+# one aggregation pass, |regions| output rows.
+
+def q159_revenue_trend(spark: SparkSession, sf: str) -> DataFrame:
+    o = _ord(spark, sf)
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    reg = load_table(spark, sf, "region").select("r_regionkey", "r_name")
+    daily = (
+        o.join(cust, o["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).alias(
+                "x"
+            ),
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+            ).alias("y")
+        )
+    )
+    d19 = "decimal(19,0)"
+    sums = daily.groupBy("region").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(d19) * F.col("y").cast(d19)).alias("sxy"),
+        F.sum(F.col("x").cast(d19) * F.col("x").cast(d19)).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (nd * sxy - sx * sy) / F.nullif(nd * sxx - sx * sx, F.lit(0.0))
+    return sums.select(
+        "region",
+        F.col("n").cast("bigint").alias("n_days"),
+        slope.alias("slope_cents_per_day"),
+        ((sy - slope * sx) / nd).alias("intercept_cents"),
+    )
+
+
+Q159_SQL = """
+WITH daily AS (
+  SELECT r.r_name AS region,
+         datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) AS x,
+         sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+), sums AS (
+  SELECT region, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+         sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx
+  FROM daily GROUP BY region
+)
+SELECT region, CAST(n AS BIGINT) AS n_days,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)
+         AS slope_cents_per_day,
+       (CAST(sy AS DOUBLE)
+          - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+            * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept_cents
+FROM sums
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -8372,6 +8455,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q156_snapshot_diff": q156_snapshot_diff,
     "q157_trimmed_mean": q157_trimmed_mean,
     "q158_cluster_quality": q158_cluster_quality,
+    "q159_revenue_trend": q159_revenue_trend,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -8622,6 +8706,7 @@ ORACLES: dict[str, str] = {
     "q156_snapshot_diff": Q156_SQL,
     "q157_trimmed_mean": Q157_SQL,
     "q158_cluster_quality": Q158_SQL,
+    "q159_revenue_trend": Q159_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
