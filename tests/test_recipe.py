@@ -168,3 +168,43 @@ def test_scd2_history_intervals(spark):
     assert not hist[(1, 5)]["is_current"]  # delete tombstone, never current
     assert hist[(2, 0)]["is_current"]
     assert hist[(3, 4)]["is_current"] and not hist[(3, 1)]["is_current"]
+
+
+def test_two_phase_running_sum_property(spark):
+    """Hypothesis sweep: for arbitrary small corpora (group counts,
+    value ranges, duplicate hashes impossible — ids unique), the
+    sharded sum equals the naive window for every prefix length."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=120),
+        groups=st.integers(min_value=1, max_value=6),
+        mult=st.integers(min_value=1, max_value=997),
+    )
+    def check(n, groups, mult):
+        df = spark.range(n).select(
+            (F.col("id") % groups).cast("string").alias("source"),
+            F.col("id").alias("doc_id"),
+            ((F.col("id") * mult) % 53 + 1).alias("n_tok"),
+            F.md5((F.col("id") * mult).cast("string")).alias("h"),
+        )
+        naive_w = (
+            Window.partitionBy("source")
+            .orderBy("h", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        want = {
+            r["doc_id"]: r["cum"]
+            for r in df.withColumn("cum", F.sum("n_tok").over(naive_w)).collect()
+        }
+        got = {
+            r["doc_id"]: r["cum"]
+            for r in sharded_running_sum(
+                df, ["source"], "h", ["doc_id"], "n_tok", "cum", prefix_len=1
+            ).collect()
+        }
+        assert got == want
+
+    check()

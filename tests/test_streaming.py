@@ -420,3 +420,43 @@ def test_quota_fill_append_respects_budget_across_batches(spark, tmpdir):
     assert len(batches) == 2  # third batch admitted nothing
     st = spark.read.parquet(state).collect()
     assert sum(r["used"] for r in st) == total
+
+
+def test_quota_fill_full_replay_does_not_double_spend(spark, tmpdir):
+    """A replayed batch must REPLACE its output, not re-spend quota: a
+    second run over the same single input file with a FRESH checkpoint
+    reuses batch id 0, overwrites the same partitions, and leaves the
+    sink row set and state totals exactly as before."""
+    drop = tmpdir / "docs_r"
+    drop.mkdir()
+    ten_words = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    spark.createDataFrame(
+        [(d, "s", ten_words) for d in range(4)],
+        "doc_id BIGINT, source STRING, text STRING",
+    ).coalesce(1).write.parquet(str(drop / "f0"))
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, source STRING, text STRING")
+            .option("recursiveFileLookup", True)
+            .parquet(str(drop))
+        )
+        q = S.start_quota_fill_append(
+            stream, sink, state, str(tmpdir / ck), quota=25
+        )
+        q.awaitTermination(120)
+
+    sink, state = str(tmpdir / "sink_r"), str(tmpdir / "state_r")
+    run("ck_a")
+    first = sorted(
+        (r["doc_id"], r["n_tok"]) for r in spark.read.parquet(sink).collect()
+    )
+    used_first = sum(r["used"] for r in spark.read.parquet(state).collect())
+    assert used_first <= 25
+    run("ck_b")  # full replay: same file -> same batch id 0
+    second = sorted(
+        (r["doc_id"], r["n_tok"]) for r in spark.read.parquet(sink).collect()
+    )
+    used_second = sum(r["used"] for r in spark.read.parquet(state).collect())
+    assert second == first
+    assert used_second == used_first
