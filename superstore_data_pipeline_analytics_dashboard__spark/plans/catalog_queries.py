@@ -7791,8 +7791,11 @@ Q153_SQL = _q153_oracle_sql()
 # oracle split: each exact pair row (ids + exact Jaccard, recomputed
 # end-to-end by the oracle's inverted-index SQL) is hash-compared, and
 # the LSH side crosses as ONE aggregate band boolean the oracle
-# asserts TRUE — candidate-set recall ≥ 0.7 (measured 0.96–1.0; the
-# b=16/r=4 S-curve predicts ≥64% at exactly j=0.5, rising steeply).
+# asserts TRUE — candidate-set recall ≥ 0.6 (measured 0.96–1.0; the
+# floor sits just under the b=16/r=4 S-curve's worst case of 64% at
+# exactly j=0.5, so the band survives even a fixture regeneration
+# whose pairs all land on the threshold, while still asserting the
+# tier actually finds most true pairs).
 # This moves the approximate dedup stack's core claim INTO the driver
 # gate instead of pytest only.
 
@@ -7810,7 +7813,7 @@ def q154_minhash_recall(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         (
             F.col("__nf").cast("double") / F.col("__ne").cast("double")
-            >= F.lit(0.7)
+            >= F.lit(0.6)
         ).alias("lsh_recall_ok")
     )
     return exact.crossJoin(F.broadcast(recall_ok)).select(
