@@ -8195,6 +8195,138 @@ FROM sums
 """
 
 
+# generic column profiler (round 5): the schema-agnostic "profile
+# table" every pipeline publishes next to a load — per column: rows,
+# nulls, exact distinct count, lexicographic min/max in string space.
+# Complements q12 (rule-based QA counters): q12 checks KNOWN
+# invariants, this is the first-look census for a table nobody has
+# rules for yet. One pass per column over a narrow projection (column
+# pruning makes each sub-aggregate a single-column scan); doubles are
+# deliberately excluded from the profiled set — engine float
+# FORMATTING differs even when values agree, so a string min/max over
+# doubles would hash-split (int/string/date stringify identically).
+
+def q160_column_profile(spark: SparkSession, sf: str) -> DataFrame:
+    o = _ord(spark, sf)
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_orderdate",
+    ]
+    parts = []
+    for c in cols:
+        sc = F.col(c).cast("string")
+        parts.append(
+            o.select(sc.alias("v")).agg(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_null"),
+                F.count_distinct(F.col("v")).cast("bigint").alias("n_distinct"),
+                F.min("v").alias("min_str"),
+                F.max("v").alias("max_str"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _q160_col_sql(name: str, expr: str) -> str:
+    return f"""
+  SELECT '{name}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+         min(v) AS min_str, max(v) AS max_str
+  FROM (SELECT CAST({expr} AS VARCHAR) AS v FROM orders)"""
+
+
+Q160_SQL = (
+    "\nUNION ALL\n".join(
+        _q160_col_sql(name, expr)
+        for name, expr in [
+            ("o_orderkey", "o_orderkey"),
+            ("o_custkey", "o_custkey"),
+            ("o_orderstatus", "o_orderstatus"),
+            ("o_orderpriority", "o_orderpriority"),
+            ("o_orderdate", "CAST(o_orderdate AS DATE)"),
+        ]
+    )
+)
+
+
+# referential-integrity audit (round 5): orphan counts for every FK
+# edge of the star — the constraint checker a lake without enforced
+# constraints must RUN instead of declare (the reference's T-SQL got
+# this from the engine; Spark pipelines audit it). Each edge is one
+# left-anti count on the join key — the same LeftAnti shape as q15 —
+# plus the child row count; output is one row per relationship.
+
+def q161_fk_integrity(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    o = _ord(spark, sf)
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    p = load_table(spark, sf, "part")
+    s = load_table(spark, sf, "supplier")
+    edges = [
+        ("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        ("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"),
+        ("lineitem.l_suppkey->supplier", li, "l_suppkey", s, "s_suppkey"),
+        ("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+        ("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+        ("supplier.s_nationkey->nation", s, "s_nationkey", n, "n_nationkey"),
+        ("nation.n_regionkey->region", n, "n_regionkey", r, "r_regionkey"),
+    ]
+    parts = []
+    for name, child, ck, parent, pk in edges:
+        orphans = child.join(
+            parent, child[ck] == parent[pk], "left_anti"
+        )
+        parts.append(
+            child.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+            .crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_orphans")
+                )
+            )
+            .select(F.lit(name).alias("fk"), "n_child", "n_orphans")
+        )
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
+def _q161_edge_sql(name: str, child: str, ck: str, parent: str, pk: str) -> str:
+    return f"""
+  SELECT '{name}' AS fk,
+         CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_child,
+         CAST((SELECT count(*) FROM {child} ch
+               WHERE NOT EXISTS (SELECT 1 FROM {parent} pa
+                                 WHERE pa.{pk} = ch.{ck})) AS BIGINT)
+           AS n_orphans"""
+
+
+Q161_SQL = "\nUNION ALL\n".join(
+    _q161_edge_sql(*e)
+    for e in [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+)
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -8459,6 +8591,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q157_trimmed_mean": q157_trimmed_mean,
     "q158_cluster_quality": q158_cluster_quality,
     "q159_revenue_trend": q159_revenue_trend,
+    "q160_column_profile": q160_column_profile,
+    "q161_fk_integrity": q161_fk_integrity,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -8710,6 +8844,8 @@ ORACLES: dict[str, str] = {
     "q157_trimmed_mean": Q157_SQL,
     "q158_cluster_quality": Q158_SQL,
     "q159_revenue_trend": Q159_SQL,
+    "q160_column_profile": Q160_SQL,
+    "q161_fk_integrity": Q161_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
