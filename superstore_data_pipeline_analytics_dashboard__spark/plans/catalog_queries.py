@@ -4343,7 +4343,11 @@ FROM per_doc
 # ONE narrow pass with a zip_with dot product, and the rollup shuffles
 # labels only.
 
-def q105_label_cohesion(spark: SparkSession, sf: str) -> DataFrame:
+def _label_cosine_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """(label, vec_id, __cos): every member's quantized cosine to its own
+    label centroid — the shared core of q105 (cohesion rollup) and q168
+    (per-label outlier gate). Quantization makes the scores exact-integer
+    rationals, so the DECIMAL(18,9) cosine is engine-portable."""
     emb = load_table(spark, sf, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     max_abs = F.array_max(F.transform(v, F.abs))
@@ -4397,9 +4401,13 @@ def q105_label_cohesion(spark: SparkSession, sf: str) -> DataFrame:
     cos = dot.cast("double") / F.sqrt(
         nq.cast("double") * F.col("nc").cast("double")
     )
-    scored = joined.select(
+    return joined.select(
         "label", "vec_id", cos.cast("decimal(18,9)").alias("__cos")
     )
+
+
+def q105_label_cohesion(spark: SparkSession, sf: str) -> DataFrame:
+    scored = _label_cosine_scores(spark, sf)
     # mean via exact decimal sum, final divide in IEEE double (q103
     # pattern) — decimal/decimal DIVISION rules differ between engines,
     # double division of identical operands does not
@@ -4412,7 +4420,9 @@ def q105_label_cohesion(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-Q105_SQL = """
+#: shared oracle CTE — quantized per-member label-centroid cosine
+#: (ends with the `scored` CTE; q105 and q168 append their own SELECTs)
+_COS_SCORED_CTE = """
 WITH quant AS (
   SELECT vec_id, label,
          list_transform(embedding,
@@ -4438,7 +4448,9 @@ WITH quant AS (
                   * CAST(list_sum(list_transform(c.c, b -> b * b)) AS DOUBLE))
            AS DECIMAL(18,9)) AS cos
   FROM quant q JOIN cent c USING (label)
-)
+)"""
+
+Q105_SQL = f"""{_COS_SCORED_CTE}
 SELECT label, CAST(count(*) AS BIGINT) AS n_members,
        CAST(sum(CAST(cos AS DECIMAL(28,9))) AS DOUBLE)
          / CAST(count(*) AS DOUBLE) AS cohesion,
@@ -8121,12 +8133,15 @@ Q158_SQL = _q158_oracle_sql()
 # a float accumulation — closed form on exact sums is deterministic,
 # one aggregation pass, |regions| output rows.
 
-def q159_revenue_trend(spark: SparkSession, sf: str) -> DataFrame:
+def _region_daily_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """(region, x, y): per-region daily revenue series with x = integer
+    day index (days since epoch) and y = exact order-total cents —
+    shared by q159 (trend fit) and q165 (residual outliers)."""
     o = _ord(spark, sf)
     cust = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
     nat = load_table(spark, sf, "nation").select("n_nationkey", "n_regionkey")
     reg = load_table(spark, sf, "region").select("r_regionkey", "r_name")
-    daily = (
+    return (
         o.join(cust, o["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
         .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
@@ -8142,28 +8157,44 @@ def q159_revenue_trend(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("y")
         )
     )
+
+
+def _trend_sums(daily: DataFrame) -> DataFrame:
+    """Normal-equation sums per region over a (region, x, y) series."""
     d19 = "decimal(19,0)"
-    sums = daily.groupBy("region").agg(
+    return daily.groupBy("region").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
         F.sum(F.col("x").cast(d19) * F.col("y").cast(d19)).alias("sxy"),
         F.sum(F.col("x").cast(d19) * F.col("x").cast(d19)).alias("sxx"),
     )
+
+
+def _slope_col() -> Column:
     nd = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
-    slope = (nd * sxy - sx * sy) / F.nullif(nd * sxx - sx * sx, F.lit(0.0))
+    return (nd * sxy - sx * sy) / F.nullif(nd * sxx - sx * sx, F.lit(0.0))
+
+
+def q159_revenue_trend(spark: SparkSession, sf: str) -> DataFrame:
+    sums = _trend_sums(_region_daily_revenue(spark, sf))
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    slope = _slope_col()
     return sums.select(
         "region",
         F.col("n").cast("bigint").alias("n_days"),
         slope.alias("slope_cents_per_day"),
-        ((sy - slope * sx) / nd).alias("intercept_cents"),
+        ((F.col("sy").cast("double") - slope * sx) / nd).alias(
+            "intercept_cents"
+        ),
     )
 
 
-Q159_SQL = """
-WITH daily AS (
+#: shared oracle fragments for the normal-equation fit (q159, q165)
+_TREND_DAILY_SQL = """
   SELECT r.r_name AS region,
          datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) AS x,
          sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
@@ -8172,25 +8203,28 @@ WITH daily AS (
   JOIN nation n ON c.c_nationkey = n.n_nationkey
   JOIN region r ON n.n_regionkey = r.r_regionkey
   GROUP BY 1, 2
-), sums AS (
+"""
+_TREND_SUMS_SQL = """
   SELECT region, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
          sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
          sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx
   FROM daily GROUP BY region
-)
-SELECT region, CAST(n AS BIGINT) AS n_days,
-       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+"""
+_SLOPE_SQL = """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
          / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)
-         AS slope_cents_per_day,
-       (CAST(sy AS DOUBLE)
-          - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)"""
+_INTERCEPT_SQL = f"""(CAST(sy AS DOUBLE)
+          - ({_SLOPE_SQL})
             * CAST(sx AS DOUBLE))
-         / CAST(n AS DOUBLE) AS intercept_cents
+         / CAST(n AS DOUBLE)"""
+
+Q159_SQL = f"""
+WITH daily AS ({_TREND_DAILY_SQL}), sums AS ({_TREND_SUMS_SQL})
+SELECT region, CAST(n AS BIGINT) AS n_days,
+       {_SLOPE_SQL}
+         AS slope_cents_per_day,
+       {_INTERCEPT_SQL} AS intercept_cents
 FROM sums
 """
 
@@ -8325,6 +8359,513 @@ Q161_SQL = "\nUNION ALL\n".join(
         ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
     ]
 )
+
+
+# association rules (round 5): directional market-basket rules A→B over
+# co-purchased parts — support / confidence / lift from EXACT integer
+# counts (pair counts, item margins, basket total), each metric ONE
+# identical double expression on both engines. The pair self-join is
+# q41's shape (per-order, bounded basket sizes keep it O(Σk²) not
+# O(n²)); margins are a part-dimension-sized table joined on key (AQE
+# broadcasts at small SF, shuffle-joins when parts outgrow the hint);
+# the basket total rides in as a one-row cross join (grand-total
+# convention). min-support pruning (n_both >= 2) happens BEFORE the
+# margin joins so the rule table, not the pair table, is what shuffles.
+
+def q162_association_rules(
+    spark: SparkSession, sf: str, min_both: int = 2
+) -> DataFrame:
+    # persisted: op feeds the total, the margins and the pair self-join
+    op = _li(spark, sf).select("l_orderkey", "l_partkey").distinct().persist()
+    tot = op.agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    items = op.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("n_item")
+    )
+    a, b = op.alias("a"), op.alias("b")
+    both = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("antecedent"),
+            F.col("b.l_partkey").alias("consequent"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+        .filter(F.col("n_both") >= min_both)
+    )
+    ante = items.select(
+        F.col("l_partkey").alias("antecedent"), F.col("n_item").alias("n_ante")
+    )
+    cons = items.select(
+        F.col("l_partkey").alias("consequent"), F.col("n_item").alias("n_cons")
+    )
+    j = both.join(ante, "antecedent").join(cons, "consequent").crossJoin(tot)
+    nb = F.col("n_both").cast("double")
+    na = F.col("n_ante").cast("double")
+    nc = F.col("n_cons").cast("double")
+    nn = F.col("n_orders").cast("double")
+    return j.select(
+        "antecedent",
+        "consequent",
+        "n_both",
+        "n_ante",
+        "n_cons",
+        "n_orders",
+        (nb / nn).alias("support"),
+        (nb / na).alias("confidence"),
+        ((nb * nn) / (na * nc)).alias("lift"),
+    )
+
+
+Q162_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM op),
+items AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item FROM op GROUP BY 1
+),
+pairs AS (
+  SELECT a.l_partkey AS antecedent, b.l_partkey AS consequent,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT antecedent, consequent, n_both,
+       ia.n_item AS n_ante, ic.n_item AS n_cons, t.n_orders,
+       CAST(n_both AS DOUBLE) / CAST(t.n_orders AS DOUBLE) AS support,
+       CAST(n_both AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS confidence,
+       (CAST(n_both AS DOUBLE) * CAST(t.n_orders AS DOUBLE))
+         / (CAST(ia.n_item AS DOUBLE) * CAST(ic.n_item AS DOUBLE)) AS lift
+FROM pairs
+JOIN items ia ON pairs.antecedent = ia.l_partkey
+JOIN items ic ON pairs.consequent = ic.l_partkey
+CROSS JOIN tot t
+"""
+
+
+# RFM segmentation (round 5): the classic recency/frequency/monetary
+# customer scoring — quintile scores (5 = best) via ntile with explicit
+# tie-breaks, segment code r·100+f·10+m, rolled up to the ~125 segment
+# grain. Windows rank the CUSTOMER grain (already aggregated, orders of
+# magnitude under the fact grain); the 100 TB path for a customer table
+# that itself outgrows one task is the q155 two-phase rank shard —
+# noted, not needed at the dimension grain.
+
+def q163_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    o = _ord(spark, sf)
+    per = o.groupBy(F.col("o_custkey").alias("cust_key")).agg(
+        F.max("o_orderdate").alias("last_dt"),
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        ).alias("monetary"),
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("anchor_dt"))
+    rfm = per.crossJoin(anchor).withColumn(
+        "recency", F.datediff("anchor_dt", "last_dt")
+    )
+    r_s = F.ntile(5).over(Window.orderBy(F.col("recency").desc(), "cust_key"))
+    f_s = F.ntile(5).over(Window.orderBy(F.col("freq").asc(), "cust_key"))
+    m_s = F.ntile(5).over(Window.orderBy(F.col("monetary").asc(), "cust_key"))
+    scored = rfm.select(
+        "cust_key",
+        "recency",
+        "monetary",
+        r_s.alias("r_score"),
+        f_s.alias("f_score"),
+        m_s.alias("m_score"),
+    )
+    seg = (
+        F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+    ).cast("int")
+    return scored.groupBy(seg.alias("segment")).agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("monetary").alias("sum_cents"),
+        (F.sum("recency").cast("double") / F.count("*").cast("double")).alias(
+            "avg_recency_days"
+        ),
+    )
+
+
+Q163_SQL = """
+WITH per AS (
+  SELECT o_custkey AS cust_key, max(CAST(o_orderdate AS DATE)) AS last_dt,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS monetary
+  FROM orders GROUP BY 1
+), anc AS (SELECT max(CAST(o_orderdate AS DATE)) AS anchor_dt FROM orders),
+rfm AS (
+  SELECT cust_key, datediff('day', last_dt, anchor_dt) AS recency,
+         freq, monetary
+  FROM per CROSS JOIN anc
+), scored AS (
+  SELECT cust_key, recency, monetary,
+         CAST(ntile(5) OVER (ORDER BY recency DESC, cust_key) AS INT) AS r_score,
+         CAST(ntile(5) OVER (ORDER BY freq ASC, cust_key) AS INT) AS f_score,
+         CAST(ntile(5) OVER (ORDER BY monetary ASC, cust_key) AS INT) AS m_score
+  FROM rfm
+)
+SELECT CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(monetary) AS BIGINT) AS sum_cents,
+       CAST(sum(recency) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS avg_recency_days
+FROM scored GROUP BY 1
+"""
+
+
+# numeric two-sample drift (round 5): Welch's t between the old and new
+# snapshot halves (q156's doc_id%5 split convention) of each source's
+# n_chars distribution — the NUMERIC companion of q97's categorical
+# chi-square drift test. One conditional-agg pass collects exact
+# n/Σx/Σx² per half (squares in DECIMAL so ANSI can't overflow); means,
+# variances and the t statistic are then IDENTICAL double expression
+# trees over those exact operands on both engines (sqrt is
+# IEEE-portable; no libm log/pow anywhere).
+
+def q164_numeric_drift(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    old = F.col("doc_id") % 5 < 3
+    x = F.col("n_chars")
+    x2 = x.cast("decimal(19,0)") * x.cast("decimal(19,0)")
+    zero = F.lit(0).cast("decimal(38,0)")
+    agg = docs.groupBy("source").agg(
+        F.sum(F.when(old, 1).otherwise(0)).cast("bigint").alias("n_old"),
+        F.sum(F.when(old, x).otherwise(0)).cast("bigint").alias("s_old"),
+        F.sum(F.when(old, x2).otherwise(zero)).alias("q_old"),
+        F.sum(F.when(~old, 1).otherwise(0)).cast("bigint").alias("n_new"),
+        F.sum(F.when(~old, x).otherwise(0)).cast("bigint").alias("s_new"),
+        F.sum(F.when(~old, x2).otherwise(zero)).alias("q_new"),
+    )
+
+    def mean_var(n: str, s: str, q: str) -> tuple[Column, Column]:
+        nd = F.col(n).cast("double")
+        sd = F.col(s).cast("double")
+        qd = F.col(q).cast("double")
+        # nullif guards: Spark ANSI throws on double/0 while DuckDB
+        # yields NULL — nullif makes both engines yield NULL (n <= 1)
+        return sd / F.nullif(nd, F.lit(0.0)), (nd * qd - sd * sd) / F.nullif(
+            nd * (nd - F.lit(1.0)), F.lit(0.0)
+        )
+
+    m1, v1 = mean_var("n_old", "s_old", "q_old")
+    m2, v2 = mean_var("n_new", "s_new", "q_new")
+    stats = agg.select(
+        "source",
+        "n_old",
+        "n_new",
+        m1.alias("mean_old"),
+        m2.alias("mean_new"),
+        v1.alias("var_old"),
+        v2.alias("var_new"),
+    )
+    t = (F.col("mean_old") - F.col("mean_new")) / F.nullif(
+        F.sqrt(
+            F.col("var_old") / F.col("n_old").cast("double")
+            + F.col("var_new") / F.col("n_new").cast("double")
+        ),
+        F.lit(0.0),
+    )
+    return stats.select("*", t.alias("t_stat"))
+
+
+Q164_SQL = """
+WITH agg AS (
+  SELECT source,
+         CAST(sum(CASE WHEN doc_id % 5 < 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_old,
+         CAST(sum(CASE WHEN doc_id % 5 < 3 THEN n_chars ELSE 0 END) AS BIGINT)
+           AS s_old,
+         sum(CASE WHEN doc_id % 5 < 3
+                  THEN CAST(n_chars AS DECIMAL(19,0))
+                       * CAST(n_chars AS DECIMAL(19,0))
+                  ELSE CAST(0 AS DECIMAL(38,0)) END) AS q_old,
+         CAST(sum(CASE WHEN doc_id % 5 >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+         CAST(sum(CASE WHEN doc_id % 5 >= 3 THEN n_chars ELSE 0 END) AS BIGINT)
+           AS s_new,
+         sum(CASE WHEN doc_id % 5 >= 3
+                  THEN CAST(n_chars AS DECIMAL(19,0))
+                       * CAST(n_chars AS DECIMAL(19,0))
+                  ELSE CAST(0 AS DECIMAL(38,0)) END) AS q_new
+  FROM documents GROUP BY source
+), stats AS (
+  SELECT source, n_old, n_new,
+         CAST(s_old AS DOUBLE) / nullif(CAST(n_old AS DOUBLE), 0.0) AS mean_old,
+         CAST(s_new AS DOUBLE) / nullif(CAST(n_new AS DOUBLE), 0.0) AS mean_new,
+         (CAST(n_old AS DOUBLE) * CAST(q_old AS DOUBLE)
+            - CAST(s_old AS DOUBLE) * CAST(s_old AS DOUBLE))
+           / nullif(CAST(n_old AS DOUBLE) * (CAST(n_old AS DOUBLE) - 1.0), 0.0)
+           AS var_old,
+         (CAST(n_new AS DOUBLE) * CAST(q_new AS DOUBLE)
+            - CAST(s_new AS DOUBLE) * CAST(s_new AS DOUBLE))
+           / nullif(CAST(n_new AS DOUBLE) * (CAST(n_new AS DOUBLE) - 1.0), 0.0)
+           AS var_new
+  FROM agg
+)
+SELECT source, n_old, n_new, mean_old, mean_new, var_old, var_new,
+       (mean_old - mean_new)
+         / nullif(sqrt(var_old / CAST(n_old AS DOUBLE)
+                       + var_new / CAST(n_new AS DOUBLE)), 0.0) AS t_stat
+FROM stats
+"""
+
+
+# trend residual outliers (round 5): the top-3 days per region whose
+# revenue deviates most from q159's least-squares fit — the
+# anomaly-review face of the trend operator, composed from the SAME
+# helpers (_region_daily_revenue, _trend_sums, _slope_col) so a fit fix
+# cannot drift this query. The fit is a regions-sized broadcast onto
+# the day-grain series; the rank window partitions by region over that
+# bounded day grain. Ordering on the residual double is portable
+# because both engines compute it from identical exact operands with an
+# identical expression tree.
+
+def q165_trend_residuals(
+    spark: SparkSession, sf: str, top_n: int = 3
+) -> DataFrame:
+    daily = _region_daily_revenue(spark, sf)
+    sums = _trend_sums(daily)
+    slope = _slope_col()
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    fit = sums.select(
+        "region",
+        slope.alias("slope"),
+        ((F.col("sy").cast("double") - slope * sx) / nd).alias("icept"),
+    )
+    j = daily.join(F.broadcast(fit), "region")
+    resid = F.col("y").cast("double") - (
+        F.col("slope") * F.col("x").cast("double") + F.col("icept")
+    )
+    scored = j.select(
+        "region",
+        F.col("x").cast("bigint").alias("day_index"),
+        F.col("y").cast("bigint").alias("y_cents"),
+        resid.alias("residual"),
+    )
+    w = Window.partitionBy("region").orderBy(
+        F.abs(F.col("residual")).desc(), F.col("day_index")
+    )
+    return scored.withColumn("rk", F.row_number().over(w).cast("int")).filter(
+        F.col("rk") <= top_n
+    )
+
+
+Q165_SQL = f"""
+WITH daily AS ({_TREND_DAILY_SQL}), sums AS ({_TREND_SUMS_SQL}),
+fit AS (
+  SELECT region, {_SLOPE_SQL} AS slope,
+         {_INTERCEPT_SQL} AS icept
+  FROM sums
+), scored AS (
+  SELECT d.region, CAST(d.x AS BIGINT) AS day_index,
+         CAST(d.y AS BIGINT) AS y_cents,
+         CAST(d.y AS DOUBLE)
+           - (f.slope * CAST(d.x AS DOUBLE) + f.icept) AS residual
+  FROM daily d JOIN fit f USING (region)
+)
+SELECT * FROM (
+  SELECT region, day_index, y_cents, residual,
+         CAST(row_number() OVER (PARTITION BY region
+                                 ORDER BY abs(residual) DESC, day_index)
+              AS INT) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+
+# order-backlog time series (round 5): how many orders are OPEN each
+# day — the event-sourcing interval-count pattern: every order emits a
+# +1 delta at its order date and a -1 delta the day after its last
+# shipment, deltas aggregate to the DAY grain, and a running sum turns
+# deltas into the level series. The running window orders the bounded
+# day grain (a few thousand rows regardless of fact volume), never raw
+# orders; orders with no lineitems open and never close, matching the
+# oracle's inner-join close side.
+
+def q166_order_backlog(spark: SparkSession, sf: str) -> DataFrame:
+    o = _ord(spark, sf).select("o_orderkey", "o_orderdate")
+    ship = _li(spark, sf).groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("last_ship")
+    )
+    opens = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count("*").cast("bigint").alias("opened")
+    )
+    closes = (
+        o.join(ship, o["o_orderkey"] == ship["l_orderkey"])
+        .groupBy(F.date_add("last_ship", 1).alias("day"))
+        .agg(F.count("*").cast("bigint").alias("closed"))
+    )
+    zero = F.lit(0).cast("bigint")
+    days = opens.join(closes, "day", "full_outer").select(
+        "day",
+        F.coalesce("opened", zero).alias("n_opened"),
+        F.coalesce("closed", zero).alias("n_closed"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return days.select(
+        "day",
+        "n_opened",
+        "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed"))
+        .over(w)
+        .cast("bigint")
+        .alias("backlog"),
+    )
+
+
+Q166_SQL = """
+WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders),
+ship AS (
+  SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS last_ship
+  FROM lineitem GROUP BY 1
+),
+opens AS (SELECT od AS day, CAST(count(*) AS BIGINT) AS opened FROM o GROUP BY 1),
+closes AS (
+  SELECT CAST(last_ship + INTERVAL 1 DAY AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS closed
+  FROM o JOIN ship ON o_orderkey = l_orderkey GROUP BY 1
+),
+days AS (
+  SELECT coalesce(opens.day, closes.day) AS day,
+         coalesce(opened, 0) AS n_opened, coalesce(closed, 0) AS n_closed
+  FROM opens FULL OUTER JOIN closes ON opens.day = closes.day
+)
+SELECT day, n_opened, n_closed,
+       CAST(sum(n_opened - n_closed)
+            OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS backlog
+FROM days
+"""
+
+
+# gains / lift table (round 5): rank customers into spend deciles BEST
+# FIRST (decile 1 = top spenders — q56 ranks ascending for the
+# distribution view; this is the campaign-targeting view) and report
+# each decile's cumulative share of total revenue — the gains-chart /
+# Lorenz-curve table. Exact decimal sums throughout; the cumulative and
+# grand-total window sums run over the TEN decile rows, and the share
+# is one double division of identical exact operands.
+
+def q167_gains_table(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    orders = _ord(spark, sf)
+    spend = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.col("o_custkey").alias("cust_key"))
+        .agg(_dec2(F.sum(_rev())).alias("spend"))
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("cust_key"))
+    per = (
+        spend.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("spend").alias("ssum"),
+        )
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        "decile",
+        "n_customers",
+        F.col("ssum").cast("double").alias("sum_spend"),
+        (
+            F.sum("ssum").over(wc).cast("double")
+            / F.sum("ssum").over(wt).cast("double")
+        ).alias("cum_share"),
+    )
+
+
+Q167_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey AS cust_key, {_sql_dec2(f"sum({_REV})")} AS spend
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+), ranked AS (
+  SELECT cust_key, spend,
+         CAST(ntile(10) OVER (ORDER BY spend DESC, cust_key) AS INT) AS decile
+  FROM spend
+), per AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_customers, sum(spend) AS ssum
+  FROM ranked GROUP BY 1
+)
+SELECT decile, n_customers, CAST(ssum AS DOUBLE) AS sum_spend,
+       CAST(sum(ssum) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(sum(ssum) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              AS DOUBLE) AS cum_share
+FROM per
+"""
+
+
+# per-label embedding outliers (round 5): flag members whose centroid
+# cosine falls below their OWN label's exact nearest-rank p10 — the
+# embedding-space mislabel/contamination gate, composed from q105's
+# quantized scoring helper (exact-integer cosines make the threshold
+# row identical on both engines). The p10 rank k = ceil(n/10) is pure
+# INTEGER arithmetic ((n+9) div 10 — never n*0.1, whose binary-float
+# representation rounds ceil the wrong way at exact multiples); the
+# label-sized threshold table broadcasts onto the scored members.
+
+def q168_label_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    # persisted: scored feeds both the threshold ranking and the
+    # below-threshold count join
+    scored = _label_cosine_scores(spark, sf).persist()
+    w = Window.partitionBy("label").orderBy("__cos", "vec_id")
+    wn = Window.partitionBy("label")
+    ranked = scored.select(
+        "label",
+        "__cos",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    thr = ranked.filter(
+        F.col("rn") == F.expr("(n + 9) div 10")
+    ).select("label", F.col("__cos").alias("thr"), "n")
+    return (
+        scored.join(F.broadcast(thr), "label")
+        .groupBy("label")
+        .agg(
+            F.max("n").cast("bigint").alias("n_members"),
+            F.max("thr").cast("double").alias("p10_cos"),
+            F.sum(F.when(F.col("__cos") < F.col("thr"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_below"),
+        )
+    )
+
+
+Q168_SQL = f"""{_COS_SCORED_CTE}, ranked AS (
+  SELECT label, cos,
+         row_number() OVER (PARTITION BY label ORDER BY cos, vec_id) AS rn,
+         count(*) OVER (PARTITION BY label) AS n
+  FROM scored
+), thr AS (
+  SELECT label, cos AS thr, n FROM ranked WHERE rn = (n + 9) // 10
+)
+SELECT s.label, CAST(t.n AS BIGINT) AS n_members,
+       CAST(t.thr AS DOUBLE) AS p10_cos,
+       CAST(sum(CASE WHEN s.cos < t.thr THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_below
+FROM scored s JOIN thr t USING (label)
+GROUP BY s.label, t.n, t.thr
+"""
 
 
 # ------------------------------------------------- canonical output boundary
@@ -8593,6 +9134,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q159_revenue_trend": q159_revenue_trend,
     "q160_column_profile": q160_column_profile,
     "q161_fk_integrity": q161_fk_integrity,
+    "q162_association_rules": q162_association_rules,
+    "q163_rfm_segments": q163_rfm_segments,
+    "q164_numeric_drift": q164_numeric_drift,
+    "q165_trend_residuals": q165_trend_residuals,
+    "q166_order_backlog": q166_order_backlog,
+    "q167_gains_table": q167_gains_table,
+    "q168_label_outliers": q168_label_outliers,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -8846,6 +9394,13 @@ ORACLES: dict[str, str] = {
     "q159_revenue_trend": Q159_SQL,
     "q160_column_profile": Q160_SQL,
     "q161_fk_integrity": Q161_SQL,
+    "q162_association_rules": Q162_SQL,
+    "q163_rfm_segments": Q163_SQL,
+    "q164_numeric_drift": Q164_SQL,
+    "q165_trend_residuals": Q165_SQL,
+    "q166_order_backlog": Q166_SQL,
+    "q167_gains_table": Q167_SQL,
+    "q168_label_outliers": Q168_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
