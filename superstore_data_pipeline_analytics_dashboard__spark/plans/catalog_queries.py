@@ -2647,7 +2647,8 @@ def q70_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
     return DD.benchmark_overlap(corpus, bench, "doc_id", "text", n=3)
 
 
-Q70_SQL = r"""
+#: shared oracle CTE — corpus/benchmark 3-gram shingles (q70, q172)
+_CONTAM_CTE = r"""
 WITH toks AS (
   SELECT doc_id, source,
          list_filter(regexp_split_to_array(
@@ -2663,7 +2664,9 @@ WITH toks AS (
   )
 ), bench AS (
   SELECT DISTINCT shingle FROM sh WHERE source = 'src0'
-)
+)"""
+
+Q70_SQL = f"""{_CONTAM_CTE}
 SELECT c.doc_id,
        count(*) AS n_grams,
        count(b.shingle) AS n_contaminated,
@@ -8868,6 +8871,247 @@ GROUP BY s.label, t.n, t.thr
 """
 
 
+# ABC / Pareto classification (round 5): parts bucketed A/B/C by
+# cumulative revenue share (80 / 95 cut points) — the inventory-policy
+# classic. The global best-first running sum is
+# recipe.two_phase_running_sum with a VALUE-RANGE shard over the cents
+# (monotone in the revenue-desc order, q144's convention) — NO
+# single-partition window over the part grain; the oracle runs the
+# naive global window, and the two-phase contract makes them
+# bit-identical. Class boundaries compare the same exact-integer
+# cum/total as doubles on both engines.
+
+def q169_abc_classification(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.recipe import two_phase_running_sum
+
+    li = _li(spark, sf)
+    per = (
+        li.groupBy(F.col("l_partkey").alias("part_key"))
+        .agg(_dec2(F.sum(_rev())).alias("spend"))
+        .select(
+            "part_key", (F.col("spend") * 100).cast("bigint").alias("rev_cents")
+        )
+    )
+    bounds = per.agg(
+        F.max("rev_cents").alias("__hi"), F.min("rev_cents").alias("__lo")
+    )
+    staged = per.crossJoin(F.broadcast(bounds)).withColumn(
+        "__w", F.expr("(__hi - __lo) div 16 + 1")
+    )
+    cum = two_phase_running_sum(
+        staged,
+        group_cols=[],
+        shard=F.expr("CAST((__hi - rev_cents) div __w AS INT)"),
+        order=[F.desc("rev_cents"), F.asc("part_key")],
+        value_col="rev_cents",
+        out_col="cum_cents",
+    )
+    tot = per.agg(F.sum("rev_cents").alias("__tot"))
+    share = F.col("cum_cents").cast("double") / F.col("__tot").cast("double")
+    cls = (
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select("part_key", "rev_cents", "__tot", cls.alias("abc_class"))
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("rev_cents").alias("class_cents"),
+            (
+                F.sum("rev_cents").cast("double")
+                / F.max("__tot").cast("double")
+            ).alias("class_share"),
+        )
+    )
+
+
+Q169_SQL = f"""
+WITH per AS (
+  SELECT l_partkey AS part_key, {_sql_dec2(f"sum({_REV})")} AS spend
+  FROM lineitem GROUP BY 1
+), cents AS (
+  SELECT part_key, CAST(spend * 100 AS BIGINT) AS rev_cents FROM per
+), cum AS (
+  SELECT part_key, rev_cents,
+         sum(rev_cents) OVER (ORDER BY rev_cents DESC, part_key
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
+         sum(rev_cents) OVER () AS tot
+  FROM cents
+), cls AS (
+  SELECT part_key, rev_cents, tot,
+         CASE WHEN CAST(cum_cents AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.8
+                THEN 'A'
+              WHEN CAST(cum_cents AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.95
+                THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM cum
+)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(rev_cents) AS BIGINT) AS class_cents,
+       CAST(sum(rev_cents) AS DOUBLE) / CAST(max(tot) AS DOUBLE)
+         AS class_share
+FROM cls GROUP BY 1
+"""
+
+
+# seasonal-naive backtest (round 5): predict each region-month's
+# revenue with the same month one year earlier and score the forecast
+# with WAPE = Σ|actual−pred| / Σactual — the weighted form keeps every
+# operand an exact integer (per-month APE would mean-average doubles,
+# which is partition-order-dependent; WAPE is one trailing division).
+# The month join is a self-join on the bounded (region, month-index)
+# grain, not a window.
+
+def q170_seasonal_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    o = _ord(spark, sf)
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    reg = load_table(spark, sf, "region").select("r_regionkey", "r_name")
+    monthly = (
+        o.join(cust, o["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"),
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate")
+            ).alias("midx"),
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "bigint"
+                )
+            ).alias("cents")
+        )
+    )
+    a, p = monthly.alias("a"), monthly.alias("p")
+    j = a.join(
+        p,
+        (F.col("a.region") == F.col("p.region"))
+        & (F.col("a.midx") == F.col("p.midx") + 12),
+    )
+    err = F.abs(F.col("a.cents") - F.col("p.cents"))
+    out = j.groupBy(F.col("a.region").alias("region")).agg(
+        F.count("*").cast("bigint").alias("n_scored"),
+        F.sum(err).alias("err_cents"),
+        F.sum(F.col("a.cents")).alias("actual_cents"),
+    )
+    return out.select(
+        "*",
+        (
+            F.col("err_cents").cast("double")
+            / F.col("actual_cents").cast("double")
+        ).alias("wape"),
+    )
+
+
+Q170_SQL = """
+WITH monthly AS (
+  SELECT r.r_name AS region,
+         year(CAST(o.o_orderdate AS DATE)) * 12
+           + month(CAST(o.o_orderdate AS DATE)) AS midx,
+         CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT a.region, CAST(count(*) AS BIGINT) AS n_scored,
+       CAST(sum(abs(a.cents - p.cents)) AS BIGINT) AS err_cents,
+       CAST(sum(a.cents) AS BIGINT) AS actual_cents,
+       CAST(sum(abs(a.cents - p.cents)) AS DOUBLE)
+         / CAST(sum(a.cents) AS DOUBLE) AS wape
+FROM monthly a JOIN monthly p
+  ON a.region = p.region AND a.midx = p.midx + 12
+GROUP BY 1
+"""
+
+
+# duplicate-payment audit (round 5): orders by the same customer on the
+# same day for the same exact amount — the classic finance
+# double-charge review queue. One groupBy on the composite natural key
+# with exact cents; output is only the offending groups.
+
+def q171_duplicate_orders(spark: SparkSession, sf: str) -> DataFrame:
+    o = _ord(spark, sf)
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    return (
+        o.groupBy(
+            F.col("o_custkey").alias("cust_key"),
+            F.col("o_orderdate").alias("day"),
+            cents.alias("amount_cents"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+Q171_SQL = """
+SELECT o_custkey AS cust_key, CAST(o_orderdate AS DATE) AS day,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         AS amount_cents,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM orders
+GROUP BY 1, 2, 3
+HAVING count(*) > 1
+"""
+
+
+# benchmark decontamination rewrite (round 5): q70 measures
+# contamination, this ACTS on it — drop corpus documents whose 3-gram
+# benchmark overlap exceeds 0.5 (the audit→action pairing of
+# q121 strip / q112 rewrite) and report the per-source removal bill.
+# Composes DD.benchmark_overlap verbatim, so the detector cannot drift
+# from the audit; the threshold compares the same DECIMAL(9,6) ratio on
+# both engines; the rollup is one sources-sized conditional agg.
+
+def q172_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    cont = DD.benchmark_overlap(corpus, bench, "doc_id", "text", n=3).select(
+        "doc_id", "contamination"
+    )
+    dropped = F.col("contamination") > 0.5
+    return (
+        corpus.select("doc_id", "source", "n_chars")
+        .join(cont, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(dropped, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.sum(F.when(dropped, 0).otherwise(F.col("n_chars")))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+    )
+
+
+Q172_SQL = f"""{_CONTAM_CTE}, cont AS (
+  SELECT c.doc_id,
+         CAST(CAST(count(b.shingle) AS DOUBLE) / count(*) AS DECIMAL(9,6))
+           AS contamination
+  FROM sh c LEFT JOIN bench b ON c.shingle = b.shingle
+  WHERE c.source <> 'src0'
+  GROUP BY 1
+)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN cont.contamination > 0.5 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN cont.contamination > 0.5 THEN 0 ELSE d.n_chars END)
+            AS BIGINT) AS kept_chars
+FROM documents d JOIN cont ON d.doc_id = cont.doc_id
+WHERE d.source <> 'src0'
+GROUP BY 1
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -9141,6 +9385,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q166_order_backlog": q166_order_backlog,
     "q167_gains_table": q167_gains_table,
     "q168_label_outliers": q168_label_outliers,
+    "q169_abc_classification": q169_abc_classification,
+    "q170_seasonal_backtest": q170_seasonal_backtest,
+    "q171_duplicate_orders": q171_duplicate_orders,
+    "q172_decontaminate": q172_decontaminate,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -9401,6 +9649,10 @@ ORACLES: dict[str, str] = {
     "q166_order_backlog": Q166_SQL,
     "q167_gains_table": Q167_SQL,
     "q168_label_outliers": Q168_SQL,
+    "q169_abc_classification": Q169_SQL,
+    "q170_seasonal_backtest": Q170_SQL,
+    "q171_duplicate_orders": Q171_SQL,
+    "q172_decontaminate": Q172_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean

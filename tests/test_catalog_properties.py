@@ -376,3 +376,352 @@ def test_interleave_order_is_proportional_permutation(spark):
         seen[r["source"]] += 1
     for s, c in seen.items():
         assert abs(c - sizes[s] / 2) <= 2, (s, c, sizes[s])
+
+
+# ---------------------------------------------------------------- round 5b
+
+
+def _cents(x: float) -> int:
+    """Exact cents of a double the way both engines compute it: round
+    the EXACT binary value half-up at scale 2 (Spark cast double →
+    DECIMAL(18,2); Decimal(float) is that exact value)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(x).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP) * 100
+    )
+
+
+def test_association_rules_match_counter(spark):
+    """q162: pair counts, margins, basket total and lift all reproduce
+    a brute-force Counter over the distinct (order, part) grain."""
+    from collections import Counter, defaultdict
+
+    li = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    orders = defaultdict(set)
+    for r in li:
+        orders[r["l_orderkey"]].add(r["l_partkey"])
+    item: Counter = Counter()
+    pair: Counter = Counter()
+    for parts in orders.values():
+        for a in parts:
+            item[a] += 1
+            for b in parts:
+                if a != b:
+                    pair[(a, b)] += 1
+    n_orders = len(orders)
+    rows = Q.QUERIES["q162_association_rules"](spark, SF_SMOKE).collect()
+    want = {k: v for k, v in pair.items() if v >= 2}
+    got = {(r["antecedent"], r["consequent"]): r["n_both"] for r in rows}
+    assert got == want
+    for r in rows:
+        assert r["n_ante"] == item[r["antecedent"]]
+        assert r["n_cons"] == item[r["consequent"]]
+        assert r["n_orders"] == n_orders
+        lift = (r["n_both"] * n_orders) / (r["n_ante"] * r["n_cons"])
+        assert abs(r["lift"] - lift) < 1e-12
+
+
+def test_rfm_segments_partition_customers(spark):
+    """q163: segments partition the customer base (counts sum to the
+    distinct-customer total) and every digit is a 1..5 quintile."""
+    rows = Q.QUERIES["q163_rfm_segments"](spark, SF_SMOKE).collect()
+    n_cust = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        seg = r["segment"]
+        assert 1 <= seg // 100 <= 5
+        assert 1 <= seg // 10 % 10 <= 5
+        assert 1 <= seg % 10 <= 5
+
+
+def test_welch_drift_matches_python(spark):
+    """q164: per-source t statistic reproduces a float recomputation
+    with the same operand order over the exact integer sums."""
+    import math
+    from collections import defaultdict
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    )
+    halves = defaultdict(lambda: ([], []))
+    for r in docs:
+        halves[r["source"]][0 if r["doc_id"] % 5 < 3 else 1].append(
+            r["n_chars"]
+        )
+
+    def mv(xs):
+        n, s, q = float(len(xs)), float(sum(xs)), float(
+            sum(x * x for x in xs)
+        )
+        if len(xs) < 2:
+            return (s / n if xs else None), None
+        return s / n, (n * q - s * s) / (n * (n - 1.0))
+
+    for r in Q.QUERIES["q164_numeric_drift"](spark, SF_SMOKE).collect():
+        old, new = halves[r["source"]]
+        assert r["n_old"] == len(old) and r["n_new"] == len(new)
+        m1, v1 = mv(old)
+        m2, v2 = mv(new)
+        if v1 is None or v2 is None:
+            assert r["t_stat"] is None
+            continue
+        t = (m1 - m2) / math.sqrt(v1 / len(old) + v2 / len(new))
+        assert abs(r["t_stat"] - t) < 1e-9
+
+
+def _region_daily_cents(spark):
+    import datetime
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect()
+    c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").collect()
+    n = spark.read.parquet(f"{SF_SMOKE}/nation.parquet").collect()
+    r = spark.read.parquet(f"{SF_SMOKE}/region.parquet").collect()
+    nat_of = {x["c_custkey"]: x["c_nationkey"] for x in c}
+    reg_of = {x["n_nationkey"]: x["n_regionkey"] for x in n}
+    name_of = {x["r_regionkey"]: x["r_name"] for x in r}
+    daily: dict = {}
+    epoch = datetime.date(1970, 1, 1)
+    for row in o:
+        region = name_of[reg_of[nat_of[row["o_custkey"]]]]
+        day = row["o_orderdate"].date()
+        daily[(region, (day - epoch).days)] = daily.get(
+            (region, (day - epoch).days), 0
+        ) + _cents(row["o_totalprice"])
+    return daily
+
+
+def test_trend_residuals_match_python(spark):
+    """q165: the flagged top-3 days per region reproduce a full Python
+    normal-equations fit + residual ranking (identical float ops)."""
+    from collections import defaultdict
+
+    daily = _region_daily_cents(spark)
+    series = defaultdict(list)
+    for (region, x), y in daily.items():
+        series[region].append((x, y))
+    want = {}
+    for region, pts in series.items():
+        n = float(len(pts))
+        sx = float(sum(x for x, _ in pts))
+        sy = float(sum(y for _, y in pts))
+        sxy = float(sum(x * y for x, y in pts))
+        sxx = float(sum(x * x for x, _ in pts))
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        icept = (sy - slope * sx) / n
+        scored = [
+            (x, y, float(y) - (slope * float(x) + icept)) for x, y in pts
+        ]
+        scored.sort(key=lambda t: (-abs(t[2]), t[0]))
+        for rk, (x, y, resid) in enumerate(scored[:3], start=1):
+            want[(region, x)] = (y, rk)
+    got = {
+        (r["region"], r["day_index"]): (r["y_cents"], r["rk"])
+        for r in Q.QUERIES["q165_trend_residuals"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_backlog_matches_event_replay(spark):
+    """q166: the backlog series equals a Python event replay (+1 at
+    order date, -1 the day after the last shipment)."""
+    import datetime
+    from collections import defaultdict
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect()
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").collect()
+    last_ship: dict = {}
+    for r in li:
+        d = r["l_shipdate"].date()
+        k = r["l_orderkey"]
+        last_ship[k] = max(last_ship.get(k, d), d)
+    opened = defaultdict(int)
+    closed = defaultdict(int)
+    for r in o:
+        opened[r["o_orderdate"].date()] += 1
+        if r["o_orderkey"] in last_ship:
+            closed[
+                last_ship[r["o_orderkey"]] + datetime.timedelta(days=1)
+            ] += 1
+    days = sorted(set(opened) | set(closed))
+    want, bal = {}, 0
+    for d in days:
+        bal += opened[d] - closed[d]
+        want[d] = (opened[d], closed[d], bal)
+    got = {
+        r["day"]: (r["n_opened"], r["n_closed"], r["backlog"])
+        for r in Q.QUERIES["q166_order_backlog"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_gains_table_is_monotone_lorenz(spark):
+    """q167: ten deciles, cum_share strictly increasing to 1.0, and the
+    best-first ordering makes per-decile spend non-increasing."""
+    rows = sorted(
+        Q.QUERIES["q167_gains_table"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    shares = [r["cum_share"] for r in rows]
+    assert all(b > a for a, b in zip(shares, shares[1:]))
+    assert abs(shares[-1] - 1.0) < 1e-12
+    spends = [r["sum_spend"] for r in rows]
+    assert all(a >= b for a, b in zip(spends, spends[1:]))
+
+
+def test_label_outliers_match_python(spark):
+    """q168: threshold row and strict-below count reproduce a Python
+    nearest-rank over the shared cosine scores."""
+    scored = Q._label_cosine_scores(spark, SF_SMOKE).collect()
+    from collections import defaultdict
+
+    by_label = defaultdict(list)
+    for r in scored:
+        by_label[r["label"]].append((r["__cos"], r["vec_id"]))
+    want = {}
+    for label, rows in by_label.items():
+        rows.sort()
+        k = (len(rows) + 9) // 10
+        thr = rows[k - 1][0]
+        below = sum(1 for cos, _ in rows if cos < thr)
+        want[label] = (len(rows), float(thr), below)
+    got = {
+        r["label"]: (r["n_members"], r["p10_cos"], r["n_below"])
+        for r in Q.QUERIES["q168_label_outliers"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_abc_classification_matches_python(spark):
+    """q169: class counts and revenue totals reproduce a Python
+    best-first cumulative-share sweep over exact part cents."""
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").collect()
+    q4 = Decimal("0.0001")
+    spend = defaultdict(Decimal)
+    for r in li:
+        ep = Decimal(r["l_extendedprice"]).quantize(q4, ROUND_HALF_UP)
+        disc = Decimal(r["l_discount"]).quantize(q4, ROUND_HALF_UP)
+        spend[r["l_partkey"]] += ep * (1 - disc)
+    cents = {
+        k: int(v.quantize(Decimal("0.01"), ROUND_HALF_UP) * 100)
+        for k, v in spend.items()
+    }
+    tot = sum(cents.values())
+    want = defaultdict(lambda: [0, 0])
+    cum = 0
+    for part, rv in sorted(cents.items(), key=lambda kv: (-kv[1], kv[0])):
+        cum += rv
+        share = float(cum) / float(tot)
+        cls = "A" if share <= 0.8 else ("B" if share <= 0.95 else "C")
+        want[cls][0] += 1
+        want[cls][1] += rv
+    got = {
+        r["abc_class"]: [r["n_parts"], r["class_cents"]]
+        for r in Q.QUERIES["q169_abc_classification"](spark, SF_SMOKE).collect()
+    }
+    assert got == dict(want)
+
+
+def test_seasonal_backtest_matches_python(spark):
+    """q170: per-region WAPE reproduces a Python month-index replay."""
+    from collections import defaultdict
+
+    import datetime
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect()
+    c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").collect()
+    n = spark.read.parquet(f"{SF_SMOKE}/nation.parquet").collect()
+    r = spark.read.parquet(f"{SF_SMOKE}/region.parquet").collect()
+    nat_of = {x["c_custkey"]: x["c_nationkey"] for x in c}
+    reg_of = {x["n_nationkey"]: x["n_regionkey"] for x in n}
+    name_of = {x["r_regionkey"]: x["r_name"] for x in r}
+    monthly = defaultdict(int)
+    for row in o:
+        region = name_of[reg_of[nat_of[row["o_custkey"]]]]
+        d = row["o_orderdate"]
+        monthly[(region, d.year * 12 + d.month)] += _cents(
+            row["o_totalprice"]
+        )
+    agg = defaultdict(lambda: [0, 0, 0])
+    for (region, midx), cents in monthly.items():
+        prev = monthly.get((region, midx - 12))
+        if prev is not None:
+            a = agg[region]
+            a[0] += 1
+            a[1] += abs(cents - prev)
+            a[2] += cents
+    for row in Q.QUERIES["q170_seasonal_backtest"](spark, SF_SMOKE).collect():
+        n_scored, err, actual = agg[row["region"]]
+        assert row["n_scored"] == n_scored
+        assert row["err_cents"] == err
+        assert row["actual_cents"] == actual
+        assert abs(row["wape"] - float(err) / float(actual)) < 1e-15
+    assert len(agg) == Q.QUERIES["q170_seasonal_backtest"](
+        spark, SF_SMOKE
+    ).count()
+
+
+def test_duplicate_orders_match_python(spark):
+    """q171: flagged groups equal a Counter over the natural key."""
+    from collections import Counter
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect()
+    cnt = Counter(
+        (r["o_custkey"], r["o_orderdate"].date(), _cents(r["o_totalprice"]))
+        for r in o
+    )
+    want = {k: v for k, v in cnt.items() if v > 1}
+    got = {
+        (r["cust_key"], r["day"], r["amount_cents"]): r["n_dups"]
+        for r in Q.QUERIES["q171_duplicate_orders"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_decontaminate_consistent_with_q70(spark):
+    """q172: the removal bill is exactly q70's audit thresholded at
+    0.5 and rolled up per source."""
+    from collections import defaultdict
+
+    cont = {
+        r["doc_id"]: r["contamination"]
+        for r in Q.QUERIES["q70_contamination_check"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    )
+    want = defaultdict(lambda: [0, 0, 0])
+    half = 0.5
+    for r in docs:
+        if r["source"] == "src0":
+            continue
+        w = want[r["source"]]
+        w[0] += 1
+        if float(cont[r["doc_id"]]) > half:
+            w[1] += 1
+        else:
+            w[2] += r["n_chars"]
+    got = {
+        r["source"]: [r["n_docs"], r["n_dropped"], r["kept_chars"]]
+        for r in Q.QUERIES["q172_decontaminate"](spark, SF_SMOKE).collect()
+    }
+    assert got == dict(want)
