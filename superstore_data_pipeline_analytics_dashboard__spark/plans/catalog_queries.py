@@ -9112,6 +9112,352 @@ GROUP BY 1
 """
 
 
+# quality/length correlation per source (round 5): does a feed's
+# quality score just proxy document length? Pearson r between the q22
+# quality score and character count per source — q151's
+# portable-exactness recipe on the DOC grain: quality lifted to exact
+# integer MICRO-units (decimal(9,6)·10⁶), all five sums exact
+# DECIMAL(19,0) products, then ONE identical double expression. The
+# oracle embeds Q22's quality subquery verbatim, so the score cannot
+# drift between audit and correlation.
+
+def q173_quality_length_corr(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    q = T.quality_score("text").cast("decimal(9,6)")
+    base = docs.select(
+        "source",
+        (q * 1000000).cast("bigint").alias("x"),
+        F.length("text").cast("bigint").alias("y"),
+    )
+    d19 = "decimal(19,0)"
+    sums = base.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(d19) * F.col("y").cast(d19)).alias("sxy"),
+        F.sum(F.col("x").cast(d19) * F.col("x").cast(d19)).alias("sxx"),
+        F.sum(F.col("y").cast(d19) * F.col("y").cast(d19)).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    denom = F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    corr = (nd * sxy - sx * sy) / F.nullif(denom, F.lit(0.0))
+    return sums.select(
+        "source", F.col("n").cast("bigint").alias("n_docs"), corr.alias("corr")
+    )
+
+
+Q173_SQL = f"""
+WITH joined AS (
+  SELECT d.source,
+         CAST(q.quality * 1000000 AS BIGINT) AS x,
+         CAST(length(d.text) AS BIGINT) AS y
+  FROM ({Q22_SQL}) q JOIN documents d USING (doc_id)
+), sums AS (
+  SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+         sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+         sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy
+  FROM joined GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / nullif(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0)
+         AS corr
+FROM sums
+"""
+
+
+# cross-language duplicate fingerprints (round 5): content fingerprints
+# that appear under MORE THAN ONE declared language — the
+# metadata-error / boilerplate-translation artifact q153's
+# detector-based audit cannot see (identical bytes, different labels).
+# One groupBy on the 16-byte fingerprint; canonical member via the
+# min-struct arg-min (q122's shape).
+
+def q174_crosslang_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    fp = docs.select(
+        T.fingerprint("text").alias("fingerprint"), "lang", "doc_id"
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct("lang").cast("bigint").alias("n_langs"),
+            F.min("doc_id").alias("canon_id"),
+        )
+        .filter(F.col("n_langs") > 1)
+    )
+
+
+Q174_SQL = r"""
+WITH fp AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+         lang, doc_id
+  FROM documents
+)
+SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       min(doc_id) AS canon_id
+FROM fp GROUP BY 1
+HAVING count(DISTINCT lang) > 1
+"""
+
+
+# profile drift report (round 5): q160's column census split across the
+# old/new snapshot halves (q156's doc_id%5 convention applied to
+# o_orderkey) — null-rate or cardinality moves per column are the
+# schema-health alarm a profile table exists to raise. One conditional
+# agg per column over a pruned single-column scan; doubles excluded
+# like q160 (engine float FORMATTING differs in string space).
+
+def q175_profile_drift(spark: SparkSession, sf: str) -> DataFrame:
+    o = _ord(spark, sf)
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_orderdate",
+    ]
+    parts = []
+    for c in cols:
+        old = F.col("o_orderkey") % 5 < 3
+        sc = F.col(c).cast("string")
+        parts.append(
+            o.select(F.col("o_orderkey"), sc.alias("v")).agg(
+                F.lit(c).alias("col_name"),
+                F.sum(F.when(old, 1).otherwise(0)).cast("bigint").alias("n_old"),
+                F.sum(F.when(~old, 1).otherwise(0)).cast("bigint").alias("n_new"),
+                F.sum(F.when(old & F.col("v").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("null_old"),
+                F.sum(F.when(~old & F.col("v").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("null_new"),
+                F.count_distinct(F.when(old, F.col("v")))
+                .cast("bigint")
+                .alias("distinct_old"),
+                F.count_distinct(F.when(~old, F.col("v")))
+                .cast("bigint")
+                .alias("distinct_new"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _q175_col_sql(name: str, expr: str) -> str:
+    return f"""
+  SELECT '{name}' AS col_name,
+         CAST(sum(CASE WHEN o_orderkey % 5 < 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_old,
+         CAST(sum(CASE WHEN o_orderkey % 5 >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+         CAST(sum(CASE WHEN o_orderkey % 5 < 3 AND v IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS null_old,
+         CAST(sum(CASE WHEN o_orderkey % 5 >= 3 AND v IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS null_new,
+         CAST(count(DISTINCT CASE WHEN o_orderkey % 5 < 3 THEN v END)
+              AS BIGINT) AS distinct_old,
+         CAST(count(DISTINCT CASE WHEN o_orderkey % 5 >= 3 THEN v END)
+              AS BIGINT) AS distinct_new
+  FROM (SELECT o_orderkey, CAST({expr} AS VARCHAR) AS v FROM orders)"""
+
+
+Q175_SQL = "\nUNION ALL\n".join(
+    _q175_col_sql(name, expr)
+    for name, expr in [
+        ("o_orderkey", "o_orderkey"),
+        ("o_custkey", "o_custkey"),
+        ("o_orderstatus", "o_orderstatus"),
+        ("o_orderpriority", "o_orderpriority"),
+        ("o_orderdate", "CAST(o_orderdate AS DATE)"),
+    ]
+)
+
+
+# A/B experiment readout (round 5): users hashed into two arms (q57's
+# md5-bucket convention — deterministic, seed-free, reproducible on any
+# cluster), per-arm conversion = PURCHASE WITHIN 24H OF FIRST SIGNUP
+# (the ever-purchased definition saturates at 100% on long event
+# histories — measured — and degenerates the z), and the
+# two-proportion pooled z statistic — exact integer counts all the
+# way, then one identical double tree with sqrt (IEEE-portable). One
+# user-grain agg, one arms-sized rollup to a single row; the 24h bound
+# is wall-clock NTZ interval arithmetic on both engines.
+
+def q176_ab_experiment(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.sampling import hash_bucket
+
+    ev = load_table(spark, sf, "events")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("st"))
+    )
+    users = (
+        ev.join(signup, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") <= F.col("st") + F.expr("INTERVAL 24 HOURS")),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    arm = hash_bucket(F.col("user_id"), 2)
+    per = users.select(arm.alias("arm"), "conv").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ca, cb = F.col("conv_a").cast("double"), F.col("conv_b").cast("double")
+    rate_a, rate_b = ca / na, cb / nb
+    pool = (ca + cb) / (na + nb)
+    z = (rate_a - rate_b) / F.nullif(
+        F.sqrt(pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)),
+        F.lit(0.0),
+    )
+    return per.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        z.alias("z_stat"),
+    )
+
+
+Q176_SQL = """
+WITH signup AS (
+  SELECT user_id, min(ts) AS st FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), users AS (
+  SELECT e.user_id,
+         max(CASE WHEN e.event_type = 'purchase'
+                   AND e.ts <= s.st + INTERVAL 24 HOURS
+                  THEN 1 ELSE 0 END) AS conv,
+         CAST(('0x' || substr(md5(CAST(e.user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 2 AS arm
+  FROM events e JOIN signup s USING (user_id) GROUP BY 1
+), per AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+  FROM users
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+       CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+       (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+          - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         / nullif(sqrt(
+             ((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+             * (1.0 - (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                  / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+             * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 0.0)
+         AS z_stat
+FROM per
+"""
+
+
+# time-weighted average event value (round 5): each event's value is
+# held until the user's NEXT event; the per-user average weights value
+# by that holding duration — the finance/telemetry TWA that a plain
+# avg() misrepresents under irregular sampling. Durations are exact
+# wall-clock micros (timestampdiff on the NTZ reading — TZ-free since
+# only differences survive). PORTABILITY LESSON (measured, 1-ulp
+# mismatches): a Σ(value·micros) decimal numerator exceeds 2⁵³ and the
+# engines' wide-decimal→double conversions round DIFFERENTLY at 17+
+# significant digits — so the division operands are kept exactly
+# double-representable instead: centi-unit values × SECOND-resolution
+# weights (both sums < 2⁵³, conversion exact on any engine), one
+# identical double tree at the end. Micros still surface exactly as
+# BIGINT. The lead() window partitions per user over bounded per-user
+# event counts.
+
+def q177_time_weighted_value(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.withColumn("next_ts", F.lead("ts").over(w))
+    dur = F.expr("timestampdiff(MICROSECOND, ts, next_ts)")
+    d19 = "decimal(19,0)"
+    weighted = nxt.filter(F.col("next_ts").isNotNull()).select(
+        "user_id",
+        dur.alias("dur_us"),
+        F.expr("timestampdiff(MICROSECOND, ts, next_ts) div 1000000").alias(
+            "dur_s"
+        ),
+        F.round(F.col("v") * 100, 0).cast("bigint").alias("vc"),
+    )
+    out = weighted.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_held"),
+        F.sum("dur_us").cast("bigint").alias("dur_us"),
+        F.sum("dur_s").cast("bigint").alias("_sdur"),
+        F.sum(F.col("vc").cast(d19) * F.col("dur_s").cast(d19)).alias("_swv"),
+    )
+    twa = (
+        F.col("_swv").cast("double")
+        / F.nullif(F.col("_sdur").cast("double"), F.lit(0.0))
+    ) / F.lit(100.0)
+    return out.select("user_id", "n_held", "dur_us", twa.alias("twa_value"))
+
+
+Q177_SQL = """
+WITH ev AS (
+  SELECT user_id, ts, event_id, CAST(value AS DECIMAL(18,4)) AS v,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM events
+), weighted AS (
+  SELECT user_id,
+         date_diff('microsecond', ts, next_ts) AS dur_us,
+         date_diff('microsecond', ts, next_ts) // 1000000 AS dur_s,
+         CAST(round(v * 100, 0) AS BIGINT) AS vc
+  FROM ev WHERE next_ts IS NOT NULL
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_held,
+       CAST(sum(dur_us) AS BIGINT) AS dur_us,
+       (CAST(sum(CAST(vc AS DECIMAL(19,0)) * CAST(dur_s AS DECIMAL(19,0)))
+             AS DOUBLE)
+          / nullif(CAST(sum(dur_s) AS DOUBLE), 0.0)) / 100.0 AS twa_value
+FROM weighted GROUP BY 1
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -9389,6 +9735,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q170_seasonal_backtest": q170_seasonal_backtest,
     "q171_duplicate_orders": q171_duplicate_orders,
     "q172_decontaminate": q172_decontaminate,
+    "q173_quality_length_corr": q173_quality_length_corr,
+    "q174_crosslang_fingerprints": q174_crosslang_fingerprints,
+    "q175_profile_drift": q175_profile_drift,
+    "q176_ab_experiment": q176_ab_experiment,
+    "q177_time_weighted_value": q177_time_weighted_value,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -9653,6 +10004,11 @@ ORACLES: dict[str, str] = {
     "q170_seasonal_backtest": Q170_SQL,
     "q171_duplicate_orders": Q171_SQL,
     "q172_decontaminate": Q172_SQL,
+    "q173_quality_length_corr": Q173_SQL,
+    "q174_crosslang_fingerprints": Q174_SQL,
+    "q175_profile_drift": Q175_SQL,
+    "q176_ab_experiment": Q176_SQL,
+    "q177_time_weighted_value": Q177_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean

@@ -725,3 +725,175 @@ def test_decontaminate_consistent_with_q70(spark):
         for r in Q.QUERIES["q172_decontaminate"](spark, SF_SMOKE).collect()
     }
     assert got == dict(want)
+
+
+def test_quality_length_corr_matches_python(spark):
+    """q173: per-source Pearson r reproduces a float recomputation over
+    the (hash-proven) q22 score table."""
+    src_of = {
+        r["doc_id"]: r["source"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    from collections import defaultdict
+
+    pts = defaultdict(list)
+    for r in Q.QUERIES["q22_text_quality"](spark, SF_SMOKE).collect():
+        pts[src_of[r["doc_id"]]].append(
+            (int(round(r["quality"] * 1000000)), r["n_chars"])
+        )
+    import math
+
+    for r in Q.QUERIES["q173_quality_length_corr"](spark, SF_SMOKE).collect():
+        xy = pts[r["source"]]
+        assert r["n_docs"] == len(xy)
+        n = float(len(xy))
+        sx = float(sum(x for x, _ in xy))
+        sy = float(sum(y for _, y in xy))
+        sxy = float(sum(x * y for x, y in xy))
+        sxx = float(sum(x * x for x, _ in xy))
+        syy = float(sum(y * y for _, y in xy))
+        corr = (n * sxy - sx * sy) / (
+            math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        )
+        assert abs(r["corr"] - corr) < 1e-12
+        assert -1.0 <= r["corr"] <= 1.0
+
+
+def test_crosslang_fingerprints_match_python(spark):
+    """q174: flagged fingerprints equal a hashlib recomputation."""
+    from collections import defaultdict
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    groups = defaultdict(lambda: (set(), []))
+    for r in docs:
+        norm = " ".join(r["text"].lower().split())
+        fp = hashlib.md5(norm.encode()).hexdigest()
+        langs, ids = groups[fp]
+        langs.add(r["lang"])
+        ids.append(r["doc_id"])
+    want = {
+        fp: (len(ids), len(langs), min(ids))
+        for fp, (langs, ids) in groups.items()
+        if len(langs) > 1
+    }
+    got = {
+        r["fingerprint"]: (r["n_docs"], r["n_langs"], r["canon_id"])
+        for r in Q.QUERIES["q174_crosslang_fingerprints"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == want
+
+
+def test_profile_drift_matches_python(spark):
+    """q175: per-column half-split census equals a Python recompute."""
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect()
+    cols = {
+        "o_orderkey": lambda r: str(r["o_orderkey"]),
+        "o_custkey": lambda r: str(r["o_custkey"]),
+        "o_orderstatus": lambda r: r["o_orderstatus"],
+        "o_orderpriority": lambda r: r["o_orderpriority"],
+        "o_orderdate": lambda r: str(r["o_orderdate"].date()),
+    }
+    rows = Q.QUERIES["q175_profile_drift"](spark, SF_SMOKE).collect()
+    assert {r["col_name"] for r in rows} == set(cols)
+    for r in rows:
+        get = cols[r["col_name"]]
+        old = [get(x) for x in o if x["o_orderkey"] % 5 < 3]
+        new = [get(x) for x in o if x["o_orderkey"] % 5 >= 3]
+        assert r["n_old"] == len(old) and r["n_new"] == len(new)
+        assert r["null_old"] == sum(1 for v in old if v is None)
+        assert r["distinct_old"] == len({v for v in old if v is not None})
+        assert r["distinct_new"] == len({v for v in new if v is not None})
+
+
+def test_ab_experiment_matches_python(spark):
+    """q176: arm assignment, conversions and the pooled z reproduce a
+    hashlib + float recomputation."""
+    import math
+
+    import datetime
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    signup: dict = {}
+    for r in ev:
+        if r["event_type"] == "signup":
+            uid = r["user_id"]
+            signup[uid] = min(signup.get(uid, r["ts"]), r["ts"])
+    conv: dict = {}
+    for r in ev:
+        uid = r["user_id"]
+        if uid not in signup:
+            continue
+        hit = (
+            r["event_type"] == "purchase"
+            and r["ts"] <= signup[uid] + datetime.timedelta(hours=24)
+        )
+        conv[uid] = max(conv.get(uid, 0), 1 if hit else 0)
+    arms = {0: [0, 0], 1: [0, 0]}
+    for uid, c in conv.items():
+        arm = int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16) % 2
+        arms[arm][0] += 1
+        arms[arm][1] += c
+    [row] = Q.QUERIES["q176_ab_experiment"](spark, SF_SMOKE).collect()
+    assert (row["n_a"], row["conv_a"]) == tuple(arms[0])
+    assert (row["n_b"], row["conv_b"]) == tuple(arms[1])
+    na, ca = float(arms[0][0]), float(arms[0][1])
+    nb, cb = float(arms[1][0]), float(arms[1][1])
+    pool = (ca + cb) / (na + nb)
+    denom = math.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))
+    if denom == 0.0:
+        assert row["z_stat"] is None
+    else:
+        z = (ca / na - cb / nb) / denom
+        assert abs(row["z_stat"] - z) < 1e-12
+
+
+def test_time_weighted_value_matches_python(spark):
+    """q177: per-user TWA reproduces an exact integer replay with
+    centi-values and second-resolution weights."""
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    per = defaultdict(list)
+    for r in ev:
+        per[r["user_id"]].append((r["ts"], r["event_id"], r["value"]))
+    want = {}
+    for uid, rows in per.items():
+        rows.sort(key=lambda t: (t[0], t[1]))
+        n_held = 0
+        sdur_us = 0
+        sdur_s = 0
+        swv = 0
+        for (ts, _, val), (nts, _, _) in zip(rows, rows[1:]):
+            dur_us = (nts - ts) // __import__("datetime").timedelta(
+                microseconds=1
+            )
+            v4 = Decimal(val).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+            vc = int((v4 * 100).quantize(Decimal("1"), ROUND_HALF_UP))
+            n_held += 1
+            sdur_us += dur_us
+            sdur_s += dur_us // 1000000
+            swv += vc * (dur_us // 1000000)
+        if n_held:
+            twa = (
+                (float(swv) / float(sdur_s)) / 100.0 if sdur_s else None
+            )
+            want[uid] = (n_held, sdur_us, twa)
+    got = {
+        r["user_id"]: (r["n_held"], r["dur_us"], r["twa_value"])
+        for r in Q.QUERIES["q177_time_weighted_value"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for uid, (n, d, t) in want.items():
+        gn, gd, gt = got[uid]
+        assert (gn, gd) == (n, d)
+        if t is None:
+            assert gt is None
+        else:
+            assert abs(gt - t) < 1e-12
