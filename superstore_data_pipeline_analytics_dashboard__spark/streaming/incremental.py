@@ -548,3 +548,66 @@ def start_quota_fill_append(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_profile_append(
+    stream: DataFrame,
+    sink_path: str,
+    profile_path: str,
+    checkpoint: str,
+    profile_cols: Sequence[str],
+) -> StreamingQuery:
+    """Streaming append that PUBLISHES a per-batch column profile next
+    to the data — the streaming face of the q160 census / q175 drift
+    report: each micro-batch lands in its own ``batch=<id>`` partition
+    and its rows/nulls/exact-distinct/min/max per profiled column land
+    in the profile table's matching ``batch`` partition, so a drift
+    monitor diffs two SOURCES-SIZED profile partitions instead of
+    rescanning data. The batch is persisted across the data write and
+    the per-column aggregates (one scan, not 1+|cols| re-reads of the
+    source). Replay safety follows start_append_with_manifest: a
+    replayed batch overwrites its data partition wholesale, so its
+    profile rows are REPLACED via dynamic partition overwrite on the
+    ``batch`` key — never appended."""
+
+    def _append(batch: DataFrame, batch_id: int) -> None:
+        part_dir = f"{sink_path}/batch={batch_id}"
+        batch.persist()
+        try:
+            batch.write.mode("overwrite").parquet(part_dir)
+            parts = []
+            for c in profile_cols:
+                v = F.col(c).cast("string")
+                parts.append(
+                    batch.select(v.alias("v")).agg(
+                        F.lit(c).alias("col_name"),
+                        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+                        .cast("bigint")
+                        .alias("n_null"),
+                        F.count_distinct(F.col("v"))
+                        .cast("bigint")
+                        .alias("n_distinct"),
+                        F.min("v").alias("min_str"),
+                        F.max("v").alias("max_str"),
+                    )
+                )
+            prof = parts[0]
+            for p in parts[1:]:
+                prof = prof.unionByName(p)
+            (
+                prof.withColumn("batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch")
+                .parquet(profile_path)
+            )
+        finally:
+            batch.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -897,3 +897,127 @@ def test_time_weighted_value_matches_python(spark):
             assert gt is None
         else:
             assert abs(gt - t) < 1e-12
+
+
+def test_entity_resolution_matches_python(spark):
+    """q178: blocked-Levenshtein pairs, union-find components and
+    consolidated revenue all reproduce a Python replay."""
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    parts = spark.read.parquet(f"{SF_SMOKE}/part.parquet").collect()
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    blocks = defaultdict(list)
+    for r in parts:
+        blocks[(r["p_brand"], r["p_size"])].append((r["p_partkey"], r["p_name"]))
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    nodes = set()
+    for members in blocks.values():
+        members.sort()
+        for i, (ka, na) in enumerate(members):
+            for kb, nb in members[i + 1 :]:
+                if lev(na, nb) <= 8:
+                    nodes.update((ka, kb))
+                    union(ka, kb)
+    q4 = Decimal("0.0001")
+    spend = defaultdict(Decimal)
+    for r in spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").collect():
+        ep = Decimal(r["l_extendedprice"]).quantize(q4, ROUND_HALF_UP)
+        disc = Decimal(r["l_discount"]).quantize(q4, ROUND_HALF_UP)
+        spend[r["l_partkey"]] += ep * (1 - disc)
+    want = defaultdict(lambda: [0, Decimal(0)])
+    for n in nodes:
+        w = want[find(n)]
+        w[0] += 1
+        w[1] += spend[n].quantize(Decimal("0.01"), ROUND_HALF_UP)
+    got = {
+        r["entity_id"]: (r["n_members"], r["entity_rev"])
+        for r in Q.QUERIES["q178_entity_resolution"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for eid, (n, rev) in want.items():
+        assert got[eid][0] == n
+        assert abs(got[eid][1] - float(rev)) < 1e-9
+
+
+def test_segment_confidence_matches_python(spark):
+    """q179: mean and CI half-width reproduce the float recompute."""
+    import math
+    from collections import defaultdict
+
+    seg_of = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/customer.parquet").collect()
+    }
+    xs = defaultdict(list)
+    for r in spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect():
+        xs[seg_of[r["o_custkey"]]].append(_cents(r["o_totalprice"]))
+    for r in Q.QUERIES["q179_segment_confidence"](spark, SF_SMOKE).collect():
+        v = xs[r["segment"]]
+        n, s, q = float(len(v)), float(sum(v)), float(sum(x * x for x in v))
+        mean = s / n
+        var = (n * q - s * s) / (n * (n - 1.0))
+        h = 1.96 * math.sqrt(var) / math.sqrt(n)
+        assert r["n_orders"] == len(v)
+        assert abs(r["mean_cents"] - mean) < 1e-9
+        assert abs(r["ci_lo_cents"] - (mean - h)) < 1e-9
+        assert abs(r["ci_hi_cents"] - (mean + h)) < 1e-9
+        assert r["ci_lo_cents"] < r["mean_cents"] < r["ci_hi_cents"]
+
+
+def test_new_vs_returning_matches_python(spark):
+    """q180: first-month attribution reproduces a Python replay and the
+    split partitions each month's orders."""
+    from collections import defaultdict
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect()
+    month_of = lambda d: (d.year, d.month)  # noqa: E731
+    first: dict = {}
+    for r in o:
+        m = month_of(r["o_orderdate"])
+        k = r["o_custkey"]
+        first[k] = min(first.get(k, m), m)
+    want = defaultdict(lambda: [0, 0, 0, 0])
+    for r in o:
+        m = month_of(r["o_orderdate"])
+        w = want[m]
+        c = _cents(r["o_totalprice"])
+        if m == first[r["o_custkey"]]:
+            w[0] += c
+            w[2] += 1
+        else:
+            w[1] += c
+            w[3] += 1
+    got = {
+        (r["month"].year, r["month"].month): [
+            r["rev_new"],
+            r["rev_returning"],
+            r["n_new"],
+            r["n_returning"],
+        ]
+        for r in Q.QUERIES["q180_new_vs_returning"](spark, SF_SMOKE).collect()
+    }
+    assert got == dict(want)

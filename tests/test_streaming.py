@@ -460,3 +460,63 @@ def test_quota_fill_full_replay_does_not_double_spend(spark, tmpdir):
     used_second = sum(r["used"] for r in spark.read.parquet(state).collect())
     assert second == first
     assert used_second == used_first
+
+
+def test_profile_append_publishes_per_batch_census(spark, tmpdir):
+    """start_profile_append: every landed batch partition has a profile
+    partition whose counts/nulls/distincts/min/max equal a direct
+    recompute over that partition, and a full replay REPLACES profile
+    rows instead of appending stale ones."""
+    drop = tmpdir / "in"
+    b1 = [(i, "x" if i % 3 else None) for i in range(0, 40)]
+    b2 = [(i, "y" if i % 2 else "z") for i in range(40, 100)]
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, "id BIGINT, tag STRING").coalesce(
+            1
+        ).write.parquet(str(drop / f"b{i}"))
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("id BIGINT, tag STRING")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", True)
+            .parquet(str(drop))
+        )
+        q = S.start_profile_append(
+            stream,
+            str(tmpdir / "sink"),
+            str(tmpdir / "profile"),
+            str(tmpdir / ck),
+            profile_cols=["id", "tag"],
+        )
+        q.awaitTermination(120)
+
+    run("ck")
+    prof = spark.read.parquet(str(tmpdir / "profile")).collect()
+    batches = {r["batch"] for r in prof}
+    assert len(batches) == 2
+    for b in batches:
+        data = spark.read.parquet(str(tmpdir / f"sink/batch={b}")).collect()
+        by_col = {
+            r["col_name"]: r for r in prof if r["batch"] == b
+        }
+        assert set(by_col) == {"id", "tag"}
+        ids = [str(r["id"]) for r in data]
+        tags = [r["tag"] for r in data]
+        assert by_col["id"]["n_rows"] == len(data)
+        assert by_col["id"]["n_null"] == 0
+        assert by_col["id"]["n_distinct"] == len(set(ids))
+        assert by_col["id"]["min_str"] == min(ids)
+        assert by_col["id"]["max_str"] == max(ids)
+        assert by_col["tag"]["n_null"] == sum(1 for t in tags if t is None)
+        assert by_col["tag"]["n_distinct"] == len(
+            {t for t in tags if t is not None}
+        )
+
+    # replay: fresh checkpoint re-lands both batches; the profile table
+    # must hold exactly one census per (batch, column) — no stale rows
+    run("ck2")
+    prof2 = spark.read.parquet(str(tmpdir / "profile")).collect()
+    keys = [(r["batch"], r["col_name"]) for r in prof2]
+    assert len(keys) == len(set(keys)) == 4
+    assert sum(r["n_rows"] for r in prof2 if r["col_name"] == "id") == 100
