@@ -208,3 +208,24 @@ def test_two_phase_running_sum_property(spark):
         assert got == want
 
     check()
+
+
+def test_abc_window_runs_per_shard_not_single_partition(spark):
+    """q169's scale pin: the data-grain cumulative window must run per
+    __shard (a parallel Exchange on the value-range shard), with the
+    only SinglePartition exchange under the 16-row shard-offsets branch
+    — never a global window over the part grain."""
+    df = Q.q169_abc_classification(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    win_specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert any("__shard" in s and "rev_cents" in s for s in win_specs), (
+        f"data window not sharded:\n{win_specs}"
+    )
+    # the single-partition window exists only for the shard OFFSETS
+    # (16 rows): every windowspec ordering raw rev_cents must be
+    # shard-partitioned
+    for s in win_specs:
+        if "rev_cents" in s and "part_key" in s:
+            assert "__shard" in s, f"global data-grain window:\n{s}"
