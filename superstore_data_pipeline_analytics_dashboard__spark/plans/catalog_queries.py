@@ -9642,6 +9642,234 @@ GROUP BY 1
 """
 
 
+# sole-blame late supplier (round 5): the TPC-H Q21 shape — suppliers
+# whose lines shipped late (> 60 days after the order date) on
+# MULTI-SUPPLIER orders where every OTHER supplier shipped on time.
+# The classic formulation is a correlated EXISTS + NOT-EXISTS pair;
+# the Spark-first rewrite DECORRELATES it into one (order, supplier)
+# aggregation and one per-order rollup — no correlated subquery, no
+# per-row re-scan, two shuffles total. Oracle runs the textbook
+# EXISTS/NOT-EXISTS form, proving the rewrite.
+
+def q181_sole_blame_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf).select(
+        "l_orderkey", "l_suppkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    o = _ord(spark, sf).select("o_orderkey", "o_orderdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("sd") > F.date_add(F.col("o_orderdate"), 60)).alias("late"),
+    )
+    per_os = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("late"), 1).otherwise(0)).alias("any_late")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("any_late").alias("n_late_supp"),
+    )
+    blame = (
+        per_os.filter(F.col("any_late") == 1)
+        .join(
+            per_o.filter(
+                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+        )
+    )
+    return blame.groupBy(F.col("l_suppkey").alias("supp_key")).agg(
+        F.count("*").cast("bigint").alias("n_blame_orders")
+    )
+
+
+Q181_SQL = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60 AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT l_suppkey AS supp_key, CAST(count(*) AS BIGINT) AS n_blame_orders
+FROM (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM li a
+  WHERE a.late
+    AND EXISTS (SELECT 1 FROM li b
+                WHERE b.l_orderkey = a.l_orderkey
+                  AND b.l_suppkey <> a.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM li c
+                    WHERE c.l_orderkey = a.l_orderkey
+                      AND c.l_suppkey <> a.l_suppkey AND c.late)
+)
+GROUP BY 1
+"""
+
+
+# customer quintile migration matrix (round 5): how customers move
+# between spend quintiles from the FIRST to the SECOND half of the
+# timeline (half = order date before/after the global midpoint date,
+# derived from exact min/max) — the Sankey/churn-mobility readout.
+# Quintiles rank the customer grain per half with explicit tie-breaks;
+# customers active in only one half land in bucket 0 of the other via
+# the full-outer join.
+
+def q182_quintile_migration(spark: SparkSession, sf: str) -> DataFrame:
+    o = _ord(spark, sf)
+    bounds = o.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    # integer div on BOTH engines — CAST(double AS INT) truncates on
+    # Spark but rounds on DuckDB, so never derive the midpoint via /2
+    mid = F.expr("date_add(lo, CAST(datediff(hi, lo) div 2 AS INT))")
+    staged = o.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        (F.col("o_orderdate") <= mid).alias("is_h1"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+
+    def half(df: DataFrame, flag: bool, out: str) -> DataFrame:
+        spend = (
+            df.filter(F.col("is_h1") == flag)
+            .groupBy("o_custkey")
+            .agg(F.sum("cents").alias("spend"))
+        )
+        w = Window.orderBy(F.col("spend"), F.col("o_custkey"))
+        return spend.select(
+            "o_custkey", F.ntile(5).over(w).cast("int").alias(out)
+        )
+
+    h1 = half(staged, True, "q_h1")
+    h2 = half(staged, False, "q_h2")
+    m = h1.join(h2, "o_custkey", "full_outer").select(
+        F.coalesce("q_h1", F.lit(0)).alias("q_h1"),
+        F.coalesce("q_h2", F.lit(0)).alias("q_h2"),
+    )
+    return m.groupBy("q_h1", "q_h2").agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    )
+
+
+Q182_SQL = """
+WITH bounds AS (
+  SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+         max(CAST(o_orderdate AS DATE)) AS hi
+  FROM orders
+), staged AS (
+  SELECT o_custkey,
+         CAST(o_orderdate AS DATE)
+           <= lo + CAST(datediff('day', lo, hi) // 2 AS INTEGER) AS is_h1,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders CROSS JOIN bounds
+), h1 AS (
+  SELECT o_custkey, CAST(ntile(5) OVER (ORDER BY spend, o_custkey) AS INT)
+           AS q_h1
+  FROM (SELECT o_custkey, sum(cents) AS spend FROM staged
+        WHERE is_h1 GROUP BY 1)
+), h2 AS (
+  SELECT o_custkey, CAST(ntile(5) OVER (ORDER BY spend, o_custkey) AS INT)
+           AS q_h2
+  FROM (SELECT o_custkey, sum(cents) AS spend FROM staged
+        WHERE NOT is_h1 GROUP BY 1)
+)
+SELECT coalesce(q_h1, 0) AS q_h1, coalesce(q_h2, 0) AS q_h2,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM h1 FULL OUTER JOIN h2 USING (o_custkey)
+GROUP BY 1, 2
+"""
+
+
+# duplicate line-number audit (round 5): the synthetic lineitem carries
+# duplicate (l_orderkey, l_linenumber) pairs BY DESIGN (the module-doc
+# tie-break warning exists because of them) — this query is the audit
+# that would surface such key violations in production: per order, how
+# many line numbers are reused and how many rows are involved.
+
+def q183_duplicate_linenumbers(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    per_ln = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.count("*").alias("n_rows")
+    )
+    return (
+        per_ln.filter(F.col("n_rows") > 1)
+        .groupBy(F.col("l_orderkey").alias("order_key"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_dup_linenumbers"),
+            F.sum("n_rows").cast("bigint").alias("n_rows_involved"),
+        )
+    )
+
+
+Q183_SQL = """
+WITH per_ln AS (
+  SELECT l_orderkey, l_linenumber, count(*) AS n_rows
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_orderkey AS order_key,
+       CAST(count(*) AS BIGINT) AS n_dup_linenumbers,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows_involved
+FROM per_ln WHERE n_rows > 1
+GROUP BY 1
+"""
+
+
+# weekday seasonality index (round 5): each (region, weekday)'s average
+# daily revenue relative to the region's overall daily average — the
+# seasonality profile a forecaster divides out before trending (q159's
+# complement). Both averages come from the SAME exact day-grain sums
+# (revenue cents, day counts); the index is one identical double tree.
+# weekday() is the one portable day anchoring (q143's lesson:
+# Spark weekday() == DuckDB isodow - 1).
+
+def q184_weekday_seasonality(spark: SparkSession, sf: str) -> DataFrame:
+    daily = _region_daily_revenue(spark, sf)
+    wd = daily.select(
+        "region",
+        F.expr("weekday(date_add(DATE'1970-01-01', CAST(x AS INT)))").alias(
+            "weekday"
+        ),
+        "y",
+    )
+    per_wd = wd.groupBy("region", "weekday").agg(
+        F.count("*").alias("n_days"), F.sum("y").alias("rev")
+    )
+    per_r = wd.groupBy("region").agg(
+        F.count("*").alias("n_all"), F.sum("y").alias("rev_all")
+    )
+    j = per_wd.join(F.broadcast(per_r), "region")
+    idx = (
+        F.col("rev").cast("double") / F.col("n_days").cast("double")
+    ) / (F.col("rev_all").cast("double") / F.col("n_all").cast("double"))
+    return j.select(
+        "region",
+        F.col("weekday").cast("int").alias("weekday"),
+        F.col("n_days").cast("bigint").alias("n_days"),
+        idx.alias("seasonality_idx"),
+    )
+
+
+Q184_SQL = f"""
+WITH daily AS ({_TREND_DAILY_SQL}),
+wd AS (
+  SELECT region,
+         CAST(isodow(DATE '1970-01-01' + CAST(x AS INT)) - 1 AS INT)
+           AS weekday,
+         y
+  FROM daily
+), per_wd AS (
+  SELECT region, weekday, count(*) AS n_days, sum(y) AS rev
+  FROM wd GROUP BY 1, 2
+), per_r AS (
+  SELECT region, count(*) AS n_all, sum(y) AS rev_all FROM wd GROUP BY 1
+)
+SELECT w.region, w.weekday, CAST(w.n_days AS BIGINT) AS n_days,
+       (CAST(w.rev AS DOUBLE) / CAST(w.n_days AS DOUBLE))
+         / (CAST(r.rev_all AS DOUBLE) / CAST(r.n_all AS DOUBLE))
+         AS seasonality_idx
+FROM per_wd w JOIN per_r r USING (region)
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -9927,6 +10155,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q178_entity_resolution": q178_entity_resolution,
     "q179_segment_confidence": q179_segment_confidence,
     "q180_new_vs_returning": q180_new_vs_returning,
+    "q181_sole_blame_supplier": q181_sole_blame_supplier,
+    "q182_quintile_migration": q182_quintile_migration,
+    "q183_duplicate_linenumbers": q183_duplicate_linenumbers,
+    "q184_weekday_seasonality": q184_weekday_seasonality,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -10199,6 +10431,10 @@ ORACLES: dict[str, str] = {
     "q178_entity_resolution": Q178_SQL,
     "q179_segment_confidence": Q179_SQL,
     "q180_new_vs_returning": Q180_SQL,
+    "q181_sole_blame_supplier": Q181_SQL,
+    "q182_quintile_migration": Q182_SQL,
+    "q183_duplicate_linenumbers": Q183_SQL,
+    "q184_weekday_seasonality": Q184_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean

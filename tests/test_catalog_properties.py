@@ -1021,3 +1021,141 @@ def test_new_vs_returning_matches_python(spark):
         for r in Q.QUERIES["q180_new_vs_returning"](spark, SF_SMOKE).collect()
     }
     assert got == dict(want)
+
+
+def test_sole_blame_supplier_matches_python(spark):
+    """q181: the decorrelated rewrite reproduces a direct Python replay
+    of the EXISTS/NOT-EXISTS definition."""
+    from collections import defaultdict
+
+    o = {
+        r["o_orderkey"]: r["o_orderdate"].date()
+        for r in spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect()
+    }
+    import datetime
+
+    per_os = defaultdict(bool)
+    supps = defaultdict(set)
+    for r in spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").collect():
+        ok = r["l_orderkey"]
+        if ok not in o:
+            continue
+        late = r["l_shipdate"].date() > o[ok] + datetime.timedelta(days=60)
+        per_os[(ok, r["l_suppkey"])] |= late
+        supps[ok].add(r["l_suppkey"])
+    want = defaultdict(int)
+    for ok, ss in supps.items():
+        late_supps = [s for s in ss if per_os[(ok, s)]]
+        if len(ss) > 1 and len(late_supps) == 1:
+            want[late_supps[0]] += 1
+    got = {
+        r["supp_key"]: r["n_blame_orders"]
+        for r in Q.QUERIES["q181_sole_blame_supplier"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == dict(want)
+
+
+def _ntile(ranked: list, n: int) -> dict:
+    """DuckDB/Spark ntile semantics: first (len mod n) buckets get one
+    extra row."""
+    total = len(ranked)
+    base, rem = divmod(total, n)
+    out, i = {}, 0
+    for b in range(1, n + 1):
+        size = base + (1 if b <= rem else 0)
+        for key in ranked[i : i + size]:
+            out[key] = b
+        i += size
+    return out
+
+
+def test_quintile_migration_matches_python(spark):
+    """q182: midpoint split, per-half quintiles and the transition
+    counts reproduce a Python replay (including bucket-0 for customers
+    active in only one half)."""
+    from collections import defaultdict
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect()
+    days = [r["o_orderdate"].date() for r in o]
+    lo, hi = min(days), max(days)
+    mid_off = (hi - lo).days // 2
+    import datetime
+
+    mid = lo + datetime.timedelta(days=mid_off)
+    spend = {True: defaultdict(int), False: defaultdict(int)}
+    for r in o:
+        h1 = r["o_orderdate"].date() <= mid
+        spend[h1][r["o_custkey"]] += _cents(r["o_totalprice"])
+    q_of = {}
+    for h1, sp in spend.items():
+        ranked = [k for k, _ in sorted(sp.items(), key=lambda kv: (kv[1], kv[0]))]
+        q_of[h1] = _ntile(ranked, 5)
+    want = defaultdict(int)
+    for cust in set(spend[True]) | set(spend[False]):
+        want[
+            (q_of[True].get(cust, 0), q_of[False].get(cust, 0))
+        ] += 1
+    got = {
+        (r["q_h1"], r["q_h2"]): r["n_customers"]
+        for r in Q.QUERIES["q182_quintile_migration"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == dict(want)
+
+
+def test_duplicate_linenumbers_match_python(spark):
+    """q183: reused (order, linenumber) groups equal a Counter replay —
+    and the synthetic data is REQUIRED to contain some (the module-doc
+    tie-break warning exists because of them)."""
+    from collections import Counter, defaultdict
+
+    cnt = Counter(
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").collect()
+    )
+    want = defaultdict(lambda: [0, 0])
+    for (ok, _), n in cnt.items():
+        if n > 1:
+            want[ok][0] += 1
+            want[ok][1] += n
+    got = {
+        r["order_key"]: [r["n_dup_linenumbers"], r["n_rows_involved"]]
+        for r in Q.QUERIES["q183_duplicate_linenumbers"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == dict(want)
+    assert got, "synthetic lineitem should contain duplicate line numbers"
+
+
+def test_weekday_seasonality_matches_python(spark):
+    """q184: per-(region, weekday) index reproduces the Python replay
+    over the shared daily-revenue grain; per-region day counts
+    partition the region's days."""
+    import datetime
+    from collections import defaultdict
+
+    daily = _region_daily_cents(spark)
+    per_wd = defaultdict(lambda: [0, 0])
+    per_r = defaultdict(lambda: [0, 0])
+    epoch = datetime.date(1970, 1, 1)
+    for (region, x), y in daily.items():
+        wd = (epoch + datetime.timedelta(days=x)).weekday()
+        per_wd[(region, wd)][0] += 1
+        per_wd[(region, wd)][1] += y
+        per_r[region][0] += 1
+        per_r[region][1] += y
+    rows = Q.QUERIES["q184_weekday_seasonality"](spark, SF_SMOKE).collect()
+    for r in rows:
+        n, rev = per_wd[(r["region"], r["weekday"])]
+        n_all, rev_all = per_r[r["region"]]
+        assert r["n_days"] == n
+        idx = (float(rev) / float(n)) / (float(rev_all) / float(n_all))
+        assert abs(r["seasonality_idx"] - idx) < 1e-12
+    by_region = defaultdict(int)
+    for r in rows:
+        by_region[r["region"]] += r["n_days"]
+    assert by_region == {k: v[0] for k, v in per_r.items()}
