@@ -9870,6 +9870,188 @@ FROM per_wd w JOIN per_r r USING (region)
 """
 
 
+# per-day session stats (round 5): sessions-per-day with the bounce
+# rate (single-event sessions) and mean session size — the product-
+# analytics headline COMPOSED from q31's sessionizer (this query calls
+# the same function; the oracle embeds Q31's SQL verbatim), so the gap
+# rule cannot drift between the two. Day-grain conditional agg over
+# the session table.
+
+def q185_session_stats(spark: SparkSession, sf: str) -> DataFrame:
+    sess = q31_sessionize_batch(spark, sf)
+    per = sess.select(
+        F.col("session_start").cast("date").alias("day"),
+        "n_events",
+    )
+    return per.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bounces"),
+        (
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count("*").cast("double")
+        ).alias("bounce_rate"),
+        (
+            F.sum("n_events").cast("double") / F.count("*").cast("double")
+        ).alias("avg_events"),
+    )
+
+
+Q185_SQL = f"""
+WITH sess AS ({Q31_SQL}),
+per AS (
+  SELECT CAST(session_start AS DATE) AS day, n_events FROM sess
+)
+SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS bounce_rate,
+       CAST(sum(n_events) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_events
+FROM per GROUP BY 1
+"""
+
+
+# supplier-concentration HHI (round 5): per brand, the Herfindahl
+# index of supplier revenue shares — procurement's single-number
+# concentration risk. HHI = Σrevᵢ²/(Σrevᵢ)² keeps every operand an
+# EXACT integer (never sum squared double shares — partition-order-
+# dependent); revenue in whole DOLLARS so both conversion operands
+# stay exactly double-representable at gate scales (q177's 2⁵³
+# lesson applied preemptively).
+
+def q186_supplier_hhi(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    part = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"), F.col("l_suppkey"))
+        .agg(_dec2(F.sum(_rev())).alias("spend"))
+        .select(
+            "brand",
+            F.round(F.col("spend"), 0).cast("bigint").alias("rev_d"),
+        )
+    )
+    d19 = "decimal(19,0)"
+    agg = rev.groupBy("brand").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.sum("rev_d").alias("tot_d"),
+        F.sum(F.col("rev_d").cast(d19) * F.col("rev_d").cast(d19)).alias(
+            "sq"
+        ),
+    )
+    hhi = F.col("sq").cast("double") / F.nullif(
+        F.col("tot_d").cast("double") * F.col("tot_d").cast("double"),
+        F.lit(0.0),
+    )
+    return agg.select(
+        "brand",
+        "n_suppliers",
+        F.col("tot_d").cast("bigint").alias("total_dollars"),
+        hhi.alias("hhi"),
+    )
+
+
+Q186_SQL = f"""
+WITH rev AS (
+  SELECT p.p_brand AS brand, l.l_suppkey,
+         CAST(round({_sql_dec2(f"sum({_REV})")}, 0) AS BIGINT) AS rev_d
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+), agg AS (
+  SELECT brand, CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(sum(rev_d) AS BIGINT) AS tot_d,
+         sum(CAST(rev_d AS DECIMAL(19,0)) * CAST(rev_d AS DECIMAL(19,0)))
+           AS sq
+  FROM rev GROUP BY 1
+)
+SELECT brand, n_suppliers, tot_d AS total_dollars,
+       CAST(sq AS DOUBLE)
+         / nullif(CAST(tot_d AS DOUBLE) * CAST(tot_d AS DOUBLE), 0.0) AS hhi
+FROM agg
+"""
+
+
+# revenue Gini coefficient (round 5): customer-spend inequality in one
+# number — G = (2·Σ(rank·x) − (n+1)·Σx) / (n·Σx) over spends ranked
+# ascending. The global rank is recipe.two_phase_running_sum OF ONES
+# with a value-range shard (q155's rank-sharding, q169's bounds
+# convention) — NO single-partition window over the customer grain;
+# the oracle ranks with the naive global row_number. Whole-dollar
+# spends keep Σ(rank·x) exactly double-representable at gate scales.
+
+def q187_revenue_gini(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.recipe import two_phase_running_sum
+
+    li = _li(spark, sf)
+    orders = _ord(spark, sf)
+    spend = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.col("o_custkey").alias("cust_key"))
+        .agg(_dec2(F.sum(_rev())).alias("spend"))
+        .select(
+            "cust_key",
+            F.round(F.col("spend"), 0).cast("bigint").alias("x"),
+        )
+    )
+    bounds = spend.agg(F.max("x").alias("__hi"), F.min("x").alias("__lo"))
+    staged = spend.crossJoin(F.broadcast(bounds)).withColumn(
+        "__w", F.expr("(__hi - __lo) div 16 + 1")
+    )
+    ranked = two_phase_running_sum(
+        staged.withColumn("__one", F.lit(1)),
+        group_cols=[],
+        shard=F.expr("CAST((x - __lo) div __w AS INT)"),
+        order=[F.asc("x"), F.asc("cust_key")],
+        value_col="__one",
+        out_col="rnk",
+    )
+    d19 = "decimal(19,0)"
+    agg = ranked.agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("rnk").cast(d19) * F.col("x").cast(d19)).alias("srx"),
+    )
+    nd = F.col("n_customers").cast("double")
+    sx = F.col("sx").cast("double")
+    srx = F.col("srx").cast("double")
+    gini = (F.lit(2.0) * srx - (nd + F.lit(1.0)) * sx) / F.nullif(
+        nd * sx, F.lit(0.0)
+    )
+    return agg.select(
+        "n_customers",
+        F.col("sx").cast("bigint").alias("total_dollars"),
+        gini.alias("gini"),
+    )
+
+
+Q187_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey AS cust_key,
+         CAST(round({_sql_dec2(f"sum({_REV})")}, 0) AS BIGINT) AS x
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+), ranked AS (
+  SELECT x, CAST(row_number() OVER (ORDER BY x, cust_key) AS BIGINT) AS rnk
+  FROM spend
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(x) AS BIGINT) AS sx,
+         sum(CAST(rnk AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS srx
+  FROM ranked
+)
+SELECT n_customers, sx AS total_dollars,
+       (2.0 * CAST(srx AS DOUBLE)
+          - (CAST(n_customers AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+         / nullif(CAST(n_customers AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)
+         AS gini
+FROM agg
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -10159,6 +10341,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q182_quintile_migration": q182_quintile_migration,
     "q183_duplicate_linenumbers": q183_duplicate_linenumbers,
     "q184_weekday_seasonality": q184_weekday_seasonality,
+    "q185_session_stats": q185_session_stats,
+    "q186_supplier_hhi": q186_supplier_hhi,
+    "q187_revenue_gini": q187_revenue_gini,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -10435,6 +10620,9 @@ ORACLES: dict[str, str] = {
     "q182_quintile_migration": Q182_SQL,
     "q183_duplicate_linenumbers": Q183_SQL,
     "q184_weekday_seasonality": Q184_SQL,
+    "q185_session_stats": Q185_SQL,
+    "q186_supplier_hhi": Q186_SQL,
+    "q187_revenue_gini": Q187_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean

@@ -1159,3 +1159,110 @@ def test_weekday_seasonality_matches_python(spark):
     for r in rows:
         by_region[r["region"]] += r["n_days"]
     assert by_region == {k: v[0] for k, v in per_r.items()}
+
+
+def test_session_stats_consistent_with_sessionizer(spark):
+    """q185: day rollup equals a direct recompute over q31's session
+    table (the same function it composes)."""
+    from collections import defaultdict
+
+    import datetime
+
+    sess = Q.QUERIES["q31_sessionize_batch"](spark, SF_SMOKE).collect()
+    want = defaultdict(lambda: [0, 0, 0])
+    epoch = datetime.datetime(1970, 1, 1)
+    for r in sess:
+        # the canon boundary exports session_start as epoch-micros
+        day = (
+            epoch + datetime.timedelta(microseconds=r["session_start"])
+        ).date()
+        w = want[day]
+        w[0] += 1
+        w[1] += 1 if r["n_events"] == 1 else 0
+        w[2] += r["n_events"]
+    rows = Q.QUERIES["q185_session_stats"](spark, SF_SMOKE).collect()
+    assert {r["day"] for r in rows} == set(want)
+    for r in rows:
+        n, b, e = want[r["day"]]
+        assert (r["n_sessions"], r["n_bounces"]) == (n, b)
+        assert abs(r["bounce_rate"] - b / n) < 1e-15
+        assert abs(r["avg_events"] - e / n) < 1e-12
+
+
+def test_supplier_hhi_matches_python(spark):
+    """q186: per-brand HHI reproduces an exact integer replay; bounds
+    1/n ≤ HHI ≤ 1 hold."""
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    brand_of = {
+        r["p_partkey"]: r["p_brand"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/part.parquet").collect()
+    }
+    q4 = Decimal("0.0001")
+    spend = defaultdict(Decimal)
+    for r in spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").collect():
+        ep = Decimal(r["l_extendedprice"]).quantize(q4, ROUND_HALF_UP)
+        disc = Decimal(r["l_discount"]).quantize(q4, ROUND_HALF_UP)
+        spend[(brand_of[r["l_partkey"]], r["l_suppkey"])] += ep * (1 - disc)
+    rev_d = {
+        k: int(
+            v.quantize(Decimal("0.01"), ROUND_HALF_UP).quantize(
+                Decimal("1"), ROUND_HALF_UP
+            )
+        )
+        for k, v in spend.items()
+    }
+    agg = defaultdict(lambda: [0, 0, 0])
+    for (brand, _), d in rev_d.items():
+        a = agg[brand]
+        a[0] += 1
+        a[1] += d
+        a[2] += d * d
+    for r in Q.QUERIES["q186_supplier_hhi"](spark, SF_SMOKE).collect():
+        n, tot, sq = agg[r["brand"]]
+        assert r["n_suppliers"] == n
+        assert r["total_dollars"] == tot
+        hhi = float(sq) / (float(tot) * float(tot))
+        assert abs(r["hhi"] - hhi) < 1e-15
+        assert 1.0 / n - 1e-12 <= r["hhi"] <= 1.0
+
+
+def test_revenue_gini_matches_python(spark):
+    """q187: the sharded-rank Gini equals a naive sorted replay and
+    lands in [0, 1)."""
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    cust_of = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect()
+    }
+    q4 = Decimal("0.0001")
+    spend = defaultdict(Decimal)
+    for r in spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").collect():
+        if r["l_orderkey"] not in cust_of:
+            continue
+        ep = Decimal(r["l_extendedprice"]).quantize(q4, ROUND_HALF_UP)
+        disc = Decimal(r["l_discount"]).quantize(q4, ROUND_HALF_UP)
+        spend[cust_of[r["l_orderkey"]]] += ep * (1 - disc)
+    xs = sorted(
+        (
+            int(
+                v.quantize(Decimal("0.01"), ROUND_HALF_UP).quantize(
+                    Decimal("1"), ROUND_HALF_UP
+                )
+            ),
+            k,
+        )
+        for k, v in spend.items()
+    )
+    n = len(xs)
+    sx = sum(x for x, _ in xs)
+    srx = sum(i * x for i, (x, _) in enumerate(xs, start=1))
+    gini = (2.0 * srx - (n + 1.0) * sx) / (n * float(sx))
+    [row] = Q.QUERIES["q187_revenue_gini"](spark, SF_SMOKE).collect()
+    assert row["n_customers"] == n
+    assert row["total_dollars"] == sx
+    assert abs(row["gini"] - gini) < 1e-12
+    assert 0.0 <= row["gini"] < 1.0
