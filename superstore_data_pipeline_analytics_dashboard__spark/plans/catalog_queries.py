@@ -10052,6 +10052,56 @@ FROM agg
 """
 
 
+# dedup threshold sweep (round 5): how aggressive should near-dedup
+# be? For each Jaccard threshold 0.2..0.9 (held as integer TENTHS —
+# never float thresholds, which compare differently at bucket edges),
+# the surviving exact-pair count and the distinct documents involved —
+# the tuning curve a curation team reads before fixing q38's
+# threshold. Composes the q20 exact pair tier (persisted: it feeds
+# both the pair counts and the doc-distinct counts); the 8-row
+# threshold spine broadcasts.
+
+def q188_dedup_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = q20_ngram_jaccard_pairs(spark, sf).persist()
+    spine = spark.range(2, 10).select(
+        F.col("id").cast("int").alias("thr_tenths")
+    )
+    staged = pairs.crossJoin(F.broadcast(spine)).filter(
+        F.col("jaccard") * 10 >= F.col("thr_tenths")
+    )
+    n_pairs = staged.groupBy("thr_tenths").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    n_docs = (
+        staged.select(
+            "thr_tenths",
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
+        )
+        .groupBy("thr_tenths")
+        .agg(F.count_distinct("doc_id").cast("bigint").alias("n_docs"))
+    )
+    return n_pairs.join(n_docs, "thr_tenths")
+
+
+Q188_SQL = f"""
+WITH pairs AS ({Q20_SQL}),
+spine AS (SELECT CAST(unnest(generate_series(2, 9)) AS INT) AS thr_tenths),
+staged AS (
+  SELECT s.thr_tenths, p.doc_a, p.doc_b
+  FROM pairs p CROSS JOIN spine s
+  WHERE p.jaccard * 10 >= s.thr_tenths
+), np AS (
+  SELECT thr_tenths, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM staged GROUP BY 1
+), nd AS (
+  SELECT thr_tenths, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM (SELECT thr_tenths, unnest([doc_a, doc_b]) AS doc_id FROM staged)
+  GROUP BY 1
+)
+SELECT thr_tenths, n_pairs, n_docs FROM np JOIN nd USING (thr_tenths)
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -10344,6 +10394,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q185_session_stats": q185_session_stats,
     "q186_supplier_hhi": q186_supplier_hhi,
     "q187_revenue_gini": q187_revenue_gini,
+    "q188_dedup_threshold_sweep": q188_dedup_threshold_sweep,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -10623,6 +10674,7 @@ ORACLES: dict[str, str] = {
     "q185_session_stats": Q185_SQL,
     "q186_supplier_hhi": Q186_SQL,
     "q187_revenue_gini": Q187_SQL,
+    "q188_dedup_threshold_sweep": Q188_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean

@@ -1266,3 +1266,23 @@ def test_revenue_gini_matches_python(spark):
     assert row["total_dollars"] == sx
     assert abs(row["gini"] - gini) < 1e-12
     assert 0.0 <= row["gini"] < 1.0
+
+
+def test_dedup_threshold_sweep_consistent_with_pairs(spark):
+    """q188: per-threshold pair/doc counts equal a direct recompute
+    over q20's pair table, and both curves are non-increasing in the
+    threshold."""
+    from collections import defaultdict
+
+    pairs = Q.QUERIES["q20_ngram_jaccard_pairs"](spark, SF_SMOKE).collect()
+    want = defaultdict(lambda: [0, set()])
+    for t in range(2, 10):
+        for p in pairs:
+            if float(p["jaccard"]) * 10 >= t:
+                want[t][0] += 1
+                want[t][1].update((p["doc_a"], p["doc_b"]))
+    rows = Q.QUERIES["q188_dedup_threshold_sweep"](spark, SF_SMOKE).collect()
+    got = {r["thr_tenths"]: (r["n_pairs"], r["n_docs"]) for r in rows}
+    assert got == {t: (n, len(d)) for t, (n, d) in want.items() if n}
+    seq = [got[t] for t in sorted(got)]
+    assert all(a[0] >= b[0] and a[1] >= b[1] for a, b in zip(seq, seq[1:]))
