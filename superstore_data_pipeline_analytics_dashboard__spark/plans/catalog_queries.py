@@ -10102,6 +10102,63 @@ SELECT thr_tenths, n_pairs, n_docs FROM np JOIN nd USING (thr_tenths)
 """
 
 
+# deterministic PPS systematic sample (round 5): select documents with
+# probability PROPORTIONAL TO TOKEN COUNT and zero RNG — walk the
+# corpus in md5-hash order (recipe.hash_order_cumsum, group_cols=():
+# the GLOBAL two-phase cumsum, no single-partition window) and keep
+# every document whose token interval [cum−n, cum) crosses a multiple
+# of the step T. The A-ES weighted-sampling classic needs -ln(u)/w
+# keys (libm log — banned as non-portable); systematic PPS over an
+# unbiased hash order delivers the same ∝-size inclusion with PURE
+# INTEGER arithmetic: selected iff (cum div T) > ((cum−n) div T).
+# Long documents (n ≥ T) are always selected; expected sample size is
+# total_tokens/T.
+
+def q189_pps_systematic_sample(
+    spark: SparkSession, sf: str, step: int = 2000
+) -> DataFrame:
+    from ..operators.recipe import hash_order_cumsum
+
+    docs = load_table(spark, sf, "documents")
+    staged = docs.select(
+        "doc_id",
+        "source",
+        T.token_count("text").cast("bigint").alias("n_tok"),
+    )
+    cum = hash_order_cumsum(staged, group_cols=())
+    sel = cum.filter(
+        F.expr(f"(cum_tok div {step}) > ((cum_tok - n_tok) div {step})")
+    )
+    return sel.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.col("cum_tok").cast("bigint").alias("cum_tok"),
+        F.expr(f"CAST(cum_tok div {step} AS BIGINT)").alias("k"),
+    )
+
+
+Q189_SQL = r"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             x -> x <> '')) AS BIGINT) AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), cum AS (
+  SELECT doc_id, source, n_tok,
+         sum(n_tok) OVER (ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+  FROM base
+)
+SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok,
+       CAST(cum_tok // 2000 AS BIGINT) AS k
+FROM cum
+WHERE (cum_tok // 2000) > ((cum_tok - n_tok) // 2000)
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -10395,6 +10452,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q186_supplier_hhi": q186_supplier_hhi,
     "q187_revenue_gini": q187_revenue_gini,
     "q188_dedup_threshold_sweep": q188_dedup_threshold_sweep,
+    "q189_pps_systematic_sample": q189_pps_systematic_sample,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -10675,6 +10733,7 @@ ORACLES: dict[str, str] = {
     "q186_supplier_hhi": Q186_SQL,
     "q187_revenue_gini": Q187_SQL,
     "q188_dedup_threshold_sweep": Q188_SQL,
+    "q189_pps_systematic_sample": Q189_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean

@@ -1286,3 +1286,34 @@ def test_dedup_threshold_sweep_consistent_with_pairs(spark):
     assert got == {t: (n, len(d)) for t, (n, d) in want.items() if n}
     seq = [got[t] for t in sorted(got)]
     assert all(a[0] >= b[0] and a[1] >= b[1] for a, b in zip(seq, seq[1:]))
+
+
+def test_pps_sample_covers_every_step_multiple(spark):
+    """q189: the selected set reproduces a Python hash-order replay;
+    the covered step multiples partition 1..total//T exactly once; any
+    doc with n_tok ≥ T is selected."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    T_STEP = 2000
+    rows = sorted(
+        (hashlib.md5(str(r["doc_id"]).encode()).hexdigest(), r["doc_id"],
+         len(_tokens(r["text"])))
+        for r in docs
+    )
+    want = {}
+    cum = 0
+    covered = []
+    for _, did, n in rows:
+        lo, cum = cum, cum + n
+        if cum // T_STEP > lo // T_STEP:
+            want[did] = (n, cum, cum // T_STEP)
+            covered.extend(range(lo // T_STEP + 1, cum // T_STEP + 1))
+    got = {
+        r["doc_id"]: (r["n_tok"], r["cum_tok"], r["k"])
+        for r in Q.QUERIES["q189_pps_systematic_sample"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == want
+    assert covered == list(range(1, cum // T_STEP + 1))
+    big = [did for _, did, n in rows if n >= T_STEP]
+    assert all(did in got for did in big)
