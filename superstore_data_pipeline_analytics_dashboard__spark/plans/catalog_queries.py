@@ -10159,6 +10159,182 @@ WHERE (cum_tok // 2000) > ((cum_tok - n_tok) // 2000)
 """
 
 
+# day-N retention curve (round 5): per first-activity cohort day, how
+# many users return EXACTLY N days later (N = 1, 7, 14) — the product-
+# analytics retention table at the EVENT grain (q140 is the monthly
+# ORDER-cohort matrix). One distinct (user, day) activity grain, one
+# customer-grain first-day agg, three exact-day flags in a single
+# conditional pass.
+
+def q190_event_retention(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    activity = ev.distinct()
+    first = activity.groupBy("user_id").agg(F.min("day").alias("d0"))
+    j = activity.join(first, "user_id")
+    flag = lambda k: F.max(  # noqa: E731
+        F.when(F.col("day") == F.date_add(F.col("d0"), k), 1).otherwise(0)
+    )
+    per_user = j.groupBy("user_id", "d0").agg(
+        flag(1).alias("r1"), flag(7).alias("r7"), flag(14).alias("r14")
+    )
+    out = per_user.groupBy(F.col("d0").alias("cohort_day")).agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("r1").cast("bigint").alias("ret_1"),
+        F.sum("r7").cast("bigint").alias("ret_7"),
+        F.sum("r14").cast("bigint").alias("ret_14"),
+    )
+    rate = lambda c: (  # noqa: E731
+        F.col(c).cast("double") / F.col("n_users").cast("double")
+    )
+    return out.select(
+        "cohort_day",
+        "n_users",
+        "ret_1",
+        "ret_7",
+        "ret_14",
+        rate("ret_1").alias("rate_1"),
+        rate("ret_7").alias("rate_7"),
+        rate("ret_14").alias("rate_14"),
+    )
+
+
+Q190_SQL = """
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), first AS (
+  SELECT user_id, min(day) AS d0 FROM activity GROUP BY 1
+), per_user AS (
+  SELECT a.user_id, f.d0,
+         max(CASE WHEN a.day = f.d0 + 1 THEN 1 ELSE 0 END) AS r1,
+         max(CASE WHEN a.day = f.d0 + 7 THEN 1 ELSE 0 END) AS r7,
+         max(CASE WHEN a.day = f.d0 + 14 THEN 1 ELSE 0 END) AS r14
+  FROM activity a JOIN first f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT d0 AS cohort_day, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(r1) AS BIGINT) AS ret_1,
+       CAST(sum(r7) AS BIGINT) AS ret_7,
+       CAST(sum(r14) AS BIGINT) AS ret_14,
+       CAST(sum(r1) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rate_1,
+       CAST(sum(r7) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rate_7,
+       CAST(sum(r14) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rate_14
+FROM per_user GROUP BY 1
+"""
+
+
+# funnel step summary (round 5): q78's per-user funnel collapsed to
+# the 3-row step table — users reaching each stage, step-to-step and
+# overall conversion. COMPOSES q78's function (and embeds its oracle
+# SQL), so the ordered-timestamp stage rule cannot drift between the
+# detail and the summary.
+
+def q191_funnel_summary(spark: SparkSession, sf: str) -> DataFrame:
+    f = q78_event_funnel(spark, sf)
+    counts = f.agg(
+        F.count("*").cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("stage") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum(F.when(F.col("stage") >= 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n3"),
+    )
+    spine = spark.range(1, 4).select(F.col("id").cast("int").alias("stage"))
+    j = spine.crossJoin(F.broadcast(counts))
+    n_at = (
+        F.when(F.col("stage") == 1, F.col("n1"))
+        .when(F.col("stage") == 2, F.col("n2"))
+        .otherwise(F.col("n3"))
+    )
+    n_prev = (
+        F.when(F.col("stage") == 1, F.col("n1"))
+        .when(F.col("stage") == 2, F.col("n1"))
+        .otherwise(F.col("n2"))
+    )
+    return j.select(
+        "stage",
+        n_at.alias("n_users"),
+        (n_at.cast("double") / F.nullif(n_prev.cast("double"), F.lit(0.0))).alias(
+            "conv_from_prev"
+        ),
+        (
+            n_at.cast("double") / F.nullif(F.col("n1").cast("double"), F.lit(0.0))
+        ).alias("conv_overall"),
+    )
+
+
+Q191_SQL = f"""
+WITH funnel AS ({Q78_SQL}),
+counts AS (
+  SELECT CAST(count(*) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN stage >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN stage >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+  FROM funnel
+), spine AS (SELECT CAST(unnest(generate_series(1, 3)) AS INT) AS stage)
+SELECT stage,
+       CASE WHEN stage = 1 THEN n1 WHEN stage = 2 THEN n2 ELSE n3 END
+         AS n_users,
+       CAST(CASE WHEN stage = 1 THEN n1 WHEN stage = 2 THEN n2 ELSE n3 END
+            AS DOUBLE)
+         / nullif(CAST(CASE WHEN stage = 1 THEN n1 WHEN stage = 2 THEN n1
+                            ELSE n2 END AS DOUBLE), 0.0) AS conv_from_prev,
+       CAST(CASE WHEN stage = 1 THEN n1 WHEN stage = 2 THEN n2 ELSE n3 END
+            AS DOUBLE)
+         / nullif(CAST(n1 AS DOUBLE), 0.0) AS conv_overall
+FROM spine CROSS JOIN counts
+"""
+
+
+# dead-stock report (round 5): parts never ordered, per brand — the
+# inverse direction of q161's FK audit (parents without children
+# instead of orphaned children). One LeftAnti against the lineitem
+# part keys, one brand rollup.
+
+def q192_dead_stock(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    ordered = _li(spark, sf).select("l_partkey").distinct()
+    dead = part.join(
+        ordered, part["p_partkey"] == ordered["l_partkey"], "left_anti"
+    )
+    per_brand = part.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count("*").cast("bigint").alias("n_parts")
+    )
+    dead_brand = dead.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count("*").cast("bigint").alias("n_dead")
+    )
+    j = per_brand.join(dead_brand, "brand", "left").select(
+        "brand",
+        "n_parts",
+        F.coalesce("n_dead", F.lit(0).cast("bigint")).alias("n_dead"),
+    )
+    return j.select(
+        "*",
+        (
+            F.col("n_dead").cast("double") / F.col("n_parts").cast("double")
+        ).alias("dead_frac"),
+    )
+
+
+Q192_SQL = """
+WITH dead AS (
+  SELECT p_partkey, p_brand FROM part
+  WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+), per_brand AS (
+  SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY 1
+), dead_brand AS (
+  SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n_dead
+  FROM dead GROUP BY 1
+)
+SELECT b.brand, b.n_parts, coalesce(d.n_dead, 0) AS n_dead,
+       CAST(coalesce(d.n_dead, 0) AS DOUBLE) / CAST(b.n_parts AS DOUBLE)
+         AS dead_frac
+FROM per_brand b LEFT JOIN dead_brand d USING (brand)
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -10453,6 +10629,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q187_revenue_gini": q187_revenue_gini,
     "q188_dedup_threshold_sweep": q188_dedup_threshold_sweep,
     "q189_pps_systematic_sample": q189_pps_systematic_sample,
+    "q190_event_retention": q190_event_retention,
+    "q191_funnel_summary": q191_funnel_summary,
+    "q192_dead_stock": q192_dead_stock,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -10734,6 +10913,9 @@ ORACLES: dict[str, str] = {
     "q187_revenue_gini": Q187_SQL,
     "q188_dedup_threshold_sweep": Q188_SQL,
     "q189_pps_systematic_sample": Q189_SQL,
+    "q190_event_retention": Q190_SQL,
+    "q191_funnel_summary": Q191_SQL,
+    "q192_dead_stock": Q192_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean

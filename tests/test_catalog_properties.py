@@ -1317,3 +1317,72 @@ def test_pps_sample_covers_every_step_multiple(spark):
     assert covered == list(range(1, cum // T_STEP + 1))
     big = [did for _, did, n in rows if n >= T_STEP]
     assert all(did in got for did in big)
+
+
+def test_event_retention_matches_python(spark):
+    """q190: day-N flags reproduce a Python replay; cohort sizes
+    partition the user base."""
+    import datetime
+    from collections import defaultdict
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    activity = defaultdict(set)
+    for r in ev:
+        activity[r["user_id"]].add(r["ts"].date())
+    want = defaultdict(lambda: [0, 0, 0, 0])
+    for uid, days in activity.items():
+        d0 = min(days)
+        w = want[d0]
+        w[0] += 1
+        for i, k in enumerate((1, 7, 14), start=1):
+            if d0 + datetime.timedelta(days=k) in days:
+                w[i] += 1
+    got = {
+        r["cohort_day"]: [r["n_users"], r["ret_1"], r["ret_7"], r["ret_14"]]
+        for r in Q.QUERIES["q190_event_retention"](spark, SF_SMOKE).collect()
+    }
+    assert got == dict(want)
+    assert sum(v[0] for v in want.values()) == len(activity)
+
+
+def test_funnel_summary_consistent_with_funnel(spark):
+    """q191: the 3-row summary equals a recount over q78's stages and
+    the funnel only narrows."""
+    stages = [
+        r["stage"]
+        for r in Q.QUERIES["q78_event_funnel"](spark, SF_SMOKE).collect()
+    ]
+    n1 = len(stages)
+    n2 = sum(1 for s in stages if s >= 2)
+    n3 = sum(1 for s in stages if s >= 3)
+    rows = {
+        r["stage"]: r
+        for r in Q.QUERIES["q191_funnel_summary"](spark, SF_SMOKE).collect()
+    }
+    assert [rows[s]["n_users"] for s in (1, 2, 3)] == [n1, n2, n3]
+    assert n1 >= n2 >= n3
+    assert abs(rows[3]["conv_overall"] - n3 / n1) < 1e-15
+    assert abs(rows[3]["conv_from_prev"] - (n3 / n2 if n2 else 0)) < 1e-15
+
+
+def test_dead_stock_matches_python(spark):
+    """q192: never-ordered parts per brand equal a set-difference
+    replay."""
+    from collections import defaultdict
+
+    parts = spark.read.parquet(f"{SF_SMOKE}/part.parquet").collect()
+    ordered = {
+        r["l_partkey"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").collect()
+    }
+    want = defaultdict(lambda: [0, 0])
+    for r in parts:
+        w = want[r["p_brand"]]
+        w[0] += 1
+        if r["p_partkey"] not in ordered:
+            w[1] += 1
+    got = {
+        r["brand"]: [r["n_parts"], r["n_dead"]]
+        for r in Q.QUERIES["q192_dead_stock"](spark, SF_SMOKE).collect()
+    }
+    assert got == dict(want)
