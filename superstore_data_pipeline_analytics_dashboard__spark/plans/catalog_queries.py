@@ -4346,18 +4346,15 @@ FROM per_doc
 # ONE narrow pass with a zip_with dot product, and the rollup shuffles
 # labels only.
 
-def _label_cosine_scores(spark: SparkSession, sf: str) -> DataFrame:
-    """(label, vec_id, __cos): every member's quantized cosine to its own
-    label centroid — the shared core of q105 (cohesion rollup) and q168
-    (per-label outlier gate). Quantization makes the scores exact-integer
-    rationals, so the DECIMAL(18,9) cosine is engine-portable."""
+def _quantized_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """(vec_id, label, q): per-vector int8-grid quantization (round to a
+    127-step grid of the vector's own max-abs) — exact integers, so
+    every downstream geometry is engine-portable. PERSISTED by callers
+    that fan out."""
     emb = load_table(spark, sf, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     max_abs = F.array_max(F.transform(v, F.abs))
-    # persisted: the quantized table feeds BOTH the centroid aggregation
-    # and the member-scoring join — unpersisted, the 64-element quantize
-    # transform runs twice over the scan
-    quant = emb.select(
+    return emb.select(
         "vec_id",
         "label",
         F.transform(
@@ -4366,7 +4363,18 @@ def _label_cosine_scores(spark: SparkSession, sf: str) -> DataFrame:
                 x * F.lit(127.0) / F.greatest(max_abs, F.lit(1e-12))
             ).cast("long"),
         ).alias("q"),
-    ).persist()
+    )
+
+
+def _label_cosine_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """(label, vec_id, __cos): every member's quantized cosine to its own
+    label centroid — the shared core of q105 (cohesion rollup) and q168
+    (per-label outlier gate). Quantization makes the scores exact-integer
+    rationals, so the DECIMAL(18,9) cosine is engine-portable."""
+    # persisted: the quantized table feeds BOTH the centroid aggregation
+    # and the member-scoring join — unpersisted, the 64-element quantize
+    # transform runs twice over the scan
+    quant = _quantized_embeddings(spark, sf).persist()
     # integer centroid numerators per (label, dim) — exact, mergeable.
     # The centroid's squared norm is folded ONCE PER LABEL here (10 rows)
     # instead of once per member row in the join below — the per-member
@@ -10335,6 +10343,176 @@ FROM per_brand b LEFT JOIN dead_brand d USING (brand)
 """
 
 
+# token-weighted median quality (round 5): the median quality where
+# each document votes with its TOKEN COUNT, next to the plain doc
+# median — curation decisions weight by tokens, and the two diverge
+# whenever quality correlates with length (q173 measures that). Both
+# medians come from ONE ordered walk per source: quality lifted to
+# integer micro-units, cumulative token weight AND cumulative doc
+# count via recipe.two_phase_running_sum on a VALUE-RANGE shard of the
+# quality axis (no single-partition window); the median value is then
+# min(qm) over rows at/past the integer nearest-rank target.
+
+def q193_token_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.recipe import two_phase_running_sum
+
+    docs = load_table(spark, sf, "documents")
+    staged = docs.select(
+        "doc_id",
+        "source",
+        (T.quality_score("text").cast("decimal(9,6)") * 1000000)
+        .cast("bigint")
+        .alias("qm"),
+        T.token_count("text").cast("bigint").alias("n_tok"),
+    ).persist()
+    shard = F.expr("CAST(qm div 62501 AS INT)")  # qm ∈ [0, 1e6] → 0..15
+    order = [F.asc("qm"), F.asc("doc_id")]
+    cw = two_phase_running_sum(staged, ["source"], shard, order, "n_tok", "cw")
+    cn = two_phase_running_sum(
+        staged.withColumn("__one", F.lit(1)),
+        ["source"],
+        shard,
+        order,
+        "__one",
+        "cn",
+    )
+    tot = staged.groupBy("source").agg(
+        F.sum("n_tok").alias("W"), F.count("*").alias("N")
+    )
+    wm = (
+        cw.join(tot, "source")
+        .filter(F.col("cw") >= F.expr("(W + 1) div 2"))
+        .groupBy("source")
+        .agg(F.min("qm").alias("token_median_qm"))
+    )
+    dm = (
+        cn.join(tot, "source")
+        .filter(F.col("cn") >= F.expr("(N + 1) div 2"))
+        .groupBy("source")
+        .agg(F.min("qm").alias("doc_median_qm"))
+    )
+    return (
+        tot.join(dm, "source")
+        .join(wm, "source")
+        .select(
+            "source",
+            F.col("N").cast("bigint").alias("n_docs"),
+            F.col("W").cast("bigint").alias("total_tokens"),
+            "doc_median_qm",
+            "token_median_qm",
+        )
+    )
+
+
+Q193_SQL = f"""
+WITH base AS (
+  SELECT d.source, q.doc_id,
+         CAST(q.quality * 1000000 AS BIGINT) AS qm,
+         CAST(q.n_tokens AS BIGINT) AS n_tok
+  FROM ({Q22_SQL}) q JOIN documents d USING (doc_id)
+), cum AS (
+  SELECT source, qm, n_tok,
+         sum(n_tok) OVER w AS cw,
+         row_number() OVER w AS cn
+  FROM base
+  WINDOW w AS (PARTITION BY source ORDER BY qm, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tot AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS w_tot,
+         CAST(count(*) AS BIGINT) AS n_tot
+  FROM base GROUP BY 1
+), wm AS (
+  SELECT c.source, min(c.qm) AS token_median_qm
+  FROM cum c JOIN tot t USING (source)
+  WHERE c.cw >= (t.w_tot + 1) // 2 GROUP BY 1
+), dm AS (
+  SELECT c.source, min(c.qm) AS doc_median_qm
+  FROM cum c JOIN tot t USING (source)
+  WHERE c.cn >= (t.n_tot + 1) // 2 GROUP BY 1
+)
+SELECT t.source, t.n_tot AS n_docs, t.w_tot AS total_tokens,
+       dm.doc_median_qm, wm.token_median_qm
+FROM tot t JOIN dm USING (source) JOIN wm USING (source)
+"""
+
+
+# per-label embedding centroid drift (round 5): how far each label's
+# centroid moved between the old and new snapshot halves (vec_id%5,
+# the q156 convention) — the embedding-space drift monitor that
+# catches encoder or upstream-distribution changes. Geometry stays
+# EXACT integers to the last step: per-dim means in centi-units on the
+# +127-shifted grid via non-negative integer division (floor on BOTH
+# engines — signed div would truncate on Spark and floor on DuckDB),
+# squared diffs summed exactly, ONE sqrt+scale at the end. Composes
+# the shared _quantized_embeddings grid.
+
+def q194_embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
+    quant = _quantized_embeddings(spark, sf)
+    exploded = quant.select(
+        "label",
+        (F.col("vec_id") % 5 < 3).alias("is_old"),
+        F.posexplode("q").alias("dim", "qv"),
+    )
+    cent = exploded.groupBy("label", "is_old", "dim").agg(
+        F.sum("qv").alias("cv"), F.count("*").alias("n")
+    )
+    o = cent.filter(F.col("is_old")).select(
+        "label", "dim", F.col("cv").alias("cv_o"), F.col("n").alias("n_o")
+    )
+    w = cent.filter(~F.col("is_old")).select(
+        "label", "dim", F.col("cv").alias("cv_n"), F.col("n").alias("n_n")
+    )
+    j = o.join(w, ["label", "dim"])
+    dd = F.expr(
+        "((cv_o + 127 * n_o) * 100) div n_o"
+        " - ((cv_n + 127 * n_n) * 100) div n_n"
+    )
+    agg = j.select("label", "n_o", "n_n", dd.alias("dd")).groupBy("label").agg(
+        F.max("n_o").cast("bigint").alias("n_old"),
+        F.max("n_n").cast("bigint").alias("n_new"),
+        F.sum(F.col("dd") * F.col("dd")).alias("ss"),
+    )
+    return agg.select(
+        "label",
+        "n_old",
+        "n_new",
+        (F.sqrt(F.col("ss").cast("double")) / F.lit(100.0)).alias(
+            "centroid_drift"
+        ),
+    )
+
+
+Q194_SQL = """
+WITH quant AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 127.0 /
+                  greatest(list_max(list_transform(embedding,
+                      y -> abs(CAST(y AS DOUBLE)))), 1e-12)) AS BIGINT)) AS q
+  FROM embeddings
+), exploded AS (
+  SELECT label, (vec_id % 5 < 3) AS is_old, d.dim, q[d.dim] AS qv
+  FROM quant, LATERAL (SELECT unnest(generate_series(1, len(q))) AS dim) d
+), cent AS (
+  SELECT label, is_old, dim, sum(qv) AS cv, count(*) AS n
+  FROM exploded GROUP BY 1, 2, 3
+), j AS (
+  SELECT o.label, o.dim, o.cv AS cv_o, o.n AS n_o, w.cv AS cv_n, w.n AS n_n
+  FROM cent o JOIN cent w
+    ON o.label = w.label AND o.dim = w.dim AND o.is_old AND NOT w.is_old
+), d AS (
+  SELECT label, n_o, n_n,
+         ((cv_o + 127 * n_o) * 100) // n_o
+           - ((cv_n + 127 * n_n) * 100) // n_n AS dd
+  FROM j
+)
+SELECT label, CAST(max(n_o) AS BIGINT) AS n_old,
+       CAST(max(n_n) AS BIGINT) AS n_new,
+       sqrt(CAST(sum(dd * dd) AS DOUBLE)) / 100.0 AS centroid_drift
+FROM d GROUP BY label
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -10632,6 +10810,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q190_event_retention": q190_event_retention,
     "q191_funnel_summary": q191_funnel_summary,
     "q192_dead_stock": q192_dead_stock,
+    "q193_token_weighted_median": q193_token_weighted_median,
+    "q194_embedding_drift": q194_embedding_drift,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -10916,6 +11096,8 @@ ORACLES: dict[str, str] = {
     "q190_event_retention": Q190_SQL,
     "q191_funnel_summary": Q191_SQL,
     "q192_dead_stock": Q192_SQL,
+    "q193_token_weighted_median": Q193_SQL,
+    "q194_embedding_drift": Q194_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean

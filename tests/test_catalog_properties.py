@@ -1386,3 +1386,90 @@ def test_dead_stock_matches_python(spark):
         for r in Q.QUERIES["q192_dead_stock"](spark, SF_SMOKE).collect()
     }
     assert got == dict(want)
+
+
+def test_token_weighted_median_matches_python(spark):
+    """q193: both medians reproduce a sorted replay; the weighted
+    median is the value where cumulative token mass crosses half."""
+    from collections import defaultdict
+
+    src_of = {
+        r["doc_id"]: r["source"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    per = defaultdict(list)
+    for r in Q.QUERIES["q22_text_quality"](spark, SF_SMOKE).collect():
+        per[src_of[r["doc_id"]]].append(
+            (int(round(r["quality"] * 1000000)), r["doc_id"], r["n_tokens"])
+        )
+    want = {}
+    for src, rows in per.items():
+        rows.sort()
+        W = sum(n for _, _, n in rows)
+        N = len(rows)
+        cw = cn = 0
+        tok_med = doc_med = None
+        for qm, _, n in rows:
+            cw += n
+            cn += 1
+            if doc_med is None and cn >= (N + 1) // 2:
+                doc_med = qm
+            if tok_med is None and cw >= (W + 1) // 2:
+                tok_med = qm
+        want[src] = (N, W, doc_med, tok_med)
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["total_tokens"],
+            r["doc_median_qm"],
+            r["token_median_qm"],
+        )
+        for r in Q.QUERIES["q193_token_weighted_median"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == want
+
+
+def test_embedding_drift_matches_python(spark):
+    """q194: the exact-integer centroid drift reproduces a Python
+    replay over the shared quantized grid."""
+    import math
+    from collections import defaultdict
+
+    quant = Q._quantized_embeddings(spark, SF_SMOKE).collect()
+    sums = defaultdict(lambda: [0, 0])  # (label, half, dim) -> [cv, n]
+    for r in quant:
+        half = 0 if r["vec_id"] % 5 < 3 else 1
+        for dim, qv in enumerate(r["q"]):
+            s = sums[(r["label"], half, dim)]
+            s[0] += qv
+            s[1] += 1
+    labels = {lbl for lbl, _, _ in sums}
+    want = {}
+    for lbl in labels:
+        dims = {d for l2, _, d in sums if l2 == lbl}
+        ss = 0
+        n_o = n_n = 0
+        ok = True
+        for d in sorted(dims):
+            if (lbl, 0, d) not in sums or (lbl, 1, d) not in sums:
+                ok = False
+                break
+            cv_o, n_o = sums[(lbl, 0, d)]
+            cv_n, n_n = sums[(lbl, 1, d)]
+            m_o = ((cv_o + 127 * n_o) * 100) // n_o
+            m_n = ((cv_n + 127 * n_n) * 100) // n_n
+            ss += (m_o - m_n) ** 2
+        if ok:
+            want[lbl] = (n_o, n_n, math.sqrt(float(ss)) / 100.0)
+    got = {
+        r["label"]: (r["n_old"], r["n_new"], r["centroid_drift"])
+        for r in Q.QUERIES["q194_embedding_drift"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for lbl, (no, nn, drift) in want.items():
+        assert got[lbl][0] == no and got[lbl][1] == nn
+        assert abs(got[lbl][2] - drift) < 1e-12
