@@ -8641,7 +8641,8 @@ FROM stats
 def q165_trend_residuals(
     spark: SparkSession, sf: str, top_n: int = 3
 ) -> DataFrame:
-    daily = _region_daily_revenue(spark, sf)
+    # persisted: daily feeds both the fit sums and the residual join
+    daily = _region_daily_revenue(spark, sf).persist()
     sums = _trend_sums(daily)
     slope = _slope_col()
     nd = F.col("n").cast("double")
@@ -8893,12 +8894,14 @@ def q169_abc_classification(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.recipe import two_phase_running_sum
 
     li = _li(spark, sf)
+    # persisted: per feeds the bounds, the sharded walk and the total
     per = (
         li.groupBy(F.col("l_partkey").alias("part_key"))
         .agg(_dec2(F.sum(_rev())).alias("spend"))
         .select(
             "part_key", (F.col("spend") * 100).cast("bigint").alias("rev_cents")
         )
+        .persist()
     )
     bounds = per.agg(
         F.max("rev_cents").alias("__hi"), F.min("rev_cents").alias("__lo")
@@ -9669,9 +9672,10 @@ def q181_sole_blame_supplier(spark: SparkSession, sf: str) -> DataFrame:
         "l_suppkey",
         (F.col("sd") > F.date_add(F.col("o_orderdate"), 60)).alias("late"),
     )
+    # persisted: per_os feeds the per-order rollup and the blame join
     per_os = j.groupBy("l_orderkey", "l_suppkey").agg(
         F.max(F.when(F.col("late"), 1).otherwise(0)).alias("any_late")
-    )
+    ).persist()
     per_o = per_os.groupBy("l_orderkey").agg(
         F.count("*").alias("n_supp"),
         F.sum("any_late").alias("n_late_supp"),
@@ -9728,12 +9732,17 @@ def q182_quintile_migration(spark: SparkSession, sf: str) -> DataFrame:
     # integer div on BOTH engines — CAST(double AS INT) truncates on
     # Spark but rounds on DuckDB, so never derive the midpoint via /2
     mid = F.expr("date_add(lo, CAST(datediff(hi, lo) div 2 AS INT))")
-    staged = o.crossJoin(F.broadcast(bounds)).select(
-        "o_custkey",
-        (F.col("o_orderdate") <= mid).alias("is_h1"),
-        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("bigint")
-        .alias("cents"),
+    # persisted: staged feeds both half rankings
+    staged = (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            "o_custkey",
+            (F.col("o_orderdate") <= mid).alias("is_h1"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .persist()
     )
 
     def half(df: DataFrame, flag: bool, out: str) -> DataFrame:
@@ -9838,6 +9847,7 @@ def q184_weekday_seasonality(spark: SparkSession, sf: str) -> DataFrame:
         ),
         "y",
     )
+    wd = wd.persist()  # feeds the weekday rollup and the region totals
     per_wd = wd.groupBy("region", "weekday").agg(
         F.count("*").alias("n_days"), F.sum("y").alias("rev")
     )
@@ -10004,6 +10014,7 @@ def q187_revenue_gini(spark: SparkSession, sf: str) -> DataFrame:
             "cust_key",
             F.round(F.col("spend"), 0).cast("bigint").alias("x"),
         )
+        .persist()  # feeds the bounds and the sharded rank walk
     )
     bounds = spend.agg(F.max("x").alias("__hi"), F.min("x").alias("__lo"))
     staged = spend.crossJoin(F.broadcast(bounds)).withColumn(
@@ -10178,7 +10189,8 @@ def q190_event_retention(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").select(
         "user_id", F.col("ts").cast("date").alias("day")
     )
-    activity = ev.distinct()
+    # persisted: the distinct grain feeds the first-day agg and the join
+    activity = ev.distinct().persist()
     first = activity.groupBy("user_id").agg(F.min("day").alias("d0"))
     j = activity.join(first, "user_id")
     flag = lambda k: F.max(  # noqa: E731
@@ -10453,9 +10465,10 @@ def q194_embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("vec_id") % 5 < 3).alias("is_old"),
         F.posexplode("q").alias("dim", "qv"),
     )
+    # persisted: cent feeds both half selections of the join
     cent = exploded.groupBy("label", "is_old", "dim").agg(
         F.sum("qv").alias("cv"), F.count("*").alias("n")
-    )
+    ).persist()
     o = cent.filter(F.col("is_old")).select(
         "label", "dim", F.col("cv").alias("cv_o"), F.col("n").alias("n_o")
     )
