@@ -10526,6 +10526,131 @@ FROM d GROUP BY label
 """
 
 
+#: Benford expected first-digit shares, log10(1 + 1/d). Computed ONCE
+#: in Python and inlined as identical literals on both engines — the
+#: libm-log portability ban applies to ENGINE-side math, not to a
+#: compile-time constant shared by construction.
+import math as _math  # noqa: E402
+
+_BENFORD = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+# Benford first-digit audit (round 5): the fraud/data-quality classic
+# — the first-digit distribution of order amounts against Benford's
+# law, with per-digit chi-square contributions. The digit comes from
+# the CENTS integer's string form (×100 never changes the leading
+# digit; a double's string form differs between engines, an integer's
+# never does). One conditional-free groupBy on the digit.
+
+def q195_benford_audit(spark: SparkSession, sf: str) -> DataFrame:
+    o = _ord(spark, sf)
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    digits = o.select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    ).filter(F.col("digit") >= 1)
+    counts = digits.groupBy("digit").agg(
+        F.count("*").cast("bigint").alias("n_orders")
+    )
+    bench = spark.createDataFrame(
+        [(d, b) for d, b in _BENFORD.items()], "digit INT, benford_frac DOUBLE"
+    )
+    tot = counts.agg(F.sum("n_orders").alias("__tot"))
+    j = counts.join(F.broadcast(bench), "digit").crossJoin(F.broadcast(tot))
+    nd = F.col("n_orders").cast("double")
+    td = F.col("__tot").cast("double")
+    expect = td * F.col("benford_frac")
+    return j.select(
+        "digit",
+        "n_orders",
+        (nd / td).alias("frac"),
+        "benford_frac",
+        ((nd - expect) * (nd - expect) / expect).alias("chi2_term"),
+    )
+
+
+Q195_SQL = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                               AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+), counts AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n_orders
+  FROM digits WHERE digit >= 1 GROUP BY 1
+), bench(digit, benford_frac) AS (
+  VALUES {", ".join(f"({d}, CAST({b!r} AS DOUBLE))" for d, b in _BENFORD.items())}
+), tot AS (SELECT sum(n_orders) AS t FROM counts)
+SELECT c.digit, c.n_orders,
+       CAST(c.n_orders AS DOUBLE) / CAST(t.t AS DOUBLE) AS frac,
+       b.benford_frac,
+       (CAST(c.n_orders AS DOUBLE) - CAST(t.t AS DOUBLE) * b.benford_frac)
+         * (CAST(c.n_orders AS DOUBLE) - CAST(t.t AS DOUBLE) * b.benford_frac)
+         / (CAST(t.t AS DOUBLE) * b.benford_frac) AS chi2_term
+FROM counts c JOIN bench b USING (digit) CROSS JOIN tot t
+"""
+
+
+# robust daily-revenue anomaly (round 5): q129's trailing-window
+# detector with MEDIAN/MAD instead of mean/sigma — robust to the very
+# outliers it hunts (one bad day cannot inflate its own threshold).
+# The trailing-7 frame is collected as a LIST and array_sort'ed
+# (collect order is frame-order-unstable; sorting makes it
+# irrelevant), so median and MAD are EXACT INTEGER selections — the
+# anomaly inequality |y − med| > 3·MAD never touches a float. Day
+# grain per region, bounded regardless of fact volume.
+
+def q196_revenue_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
+    daily = _region_daily_revenue(spark, sf)
+    w = (
+        Window.partitionBy("region")
+        .orderBy("x")
+        .rowsBetween(-7, -1)
+    )
+    arr = F.array_sort(F.collect_list("y").over(w))
+    scored = daily.select(
+        "region",
+        F.col("x").cast("bigint").alias("day_index"),
+        F.col("y").cast("bigint").alias("y_cents"),
+        arr.alias("__w"),
+    ).filter(F.size("__w") >= 3)
+    k = F.expr("CAST((size(__w) + 1) div 2 AS INT)")
+    med = F.element_at(F.col("__w"), k)
+    devs = F.array_sort(
+        F.transform(F.col("__w"), lambda v: F.abs(v - med))
+    )
+    mad = F.element_at(devs, k)
+    out = scored.select(
+        "region",
+        "day_index",
+        "y_cents",
+        med.cast("bigint").alias("med_cents"),
+        mad.cast("bigint").alias("mad_cents"),
+    )
+    return out.filter(
+        F.abs(F.col("y_cents") - F.col("med_cents"))
+        > 3 * F.col("mad_cents")
+    )
+
+
+Q196_SQL = f"""
+WITH daily AS ({_TREND_DAILY_SQL}),
+scored AS (
+  SELECT region, CAST(x AS BIGINT) AS day_index, CAST(y AS BIGINT) AS y_cents,
+         list_sort(list(y) OVER (PARTITION BY region ORDER BY x
+             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS w
+  FROM daily
+), stats AS (
+  SELECT region, day_index, y_cents,
+         CAST(w[(len(w) + 1) // 2] AS BIGINT) AS med_cents,
+         CAST(list_sort(list_transform(w, v -> abs(v - w[(len(w) + 1) // 2])))
+              [(len(w) + 1) // 2] AS BIGINT) AS mad_cents
+  FROM scored WHERE len(w) >= 3
+)
+SELECT region, day_index, y_cents, med_cents, mad_cents
+FROM stats
+WHERE abs(y_cents - med_cents) > 3 * mad_cents
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -10825,6 +10950,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q192_dead_stock": q192_dead_stock,
     "q193_token_weighted_median": q193_token_weighted_median,
     "q194_embedding_drift": q194_embedding_drift,
+    "q195_benford_audit": q195_benford_audit,
+    "q196_revenue_anomaly_mad": q196_revenue_anomaly_mad,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -11111,6 +11238,8 @@ ORACLES: dict[str, str] = {
     "q192_dead_stock": Q192_SQL,
     "q193_token_weighted_median": Q193_SQL,
     "q194_embedding_drift": Q194_SQL,
+    "q195_benford_audit": Q195_SQL,
+    "q196_revenue_anomaly_mad": Q196_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean

@@ -1473,3 +1473,60 @@ def test_embedding_drift_matches_python(spark):
     for lbl, (no, nn, drift) in want.items():
         assert got[lbl][0] == no and got[lbl][1] == nn
         assert abs(got[lbl][2] - drift) < 1e-12
+
+
+def test_benford_audit_matches_python(spark):
+    """q195: digit counts, fractions and chi-square terms reproduce a
+    Python replay; fractions sum to 1."""
+    import math
+    from collections import Counter
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect()
+    digits = Counter(str(_cents(r["o_totalprice"]))[0] for r in o)
+    digits = {int(d): n for d, n in digits.items() if int(d) >= 1}
+    tot = sum(digits.values())
+    rows = {
+        r["digit"]: r
+        for r in Q.QUERIES["q195_benford_audit"](spark, SF_SMOKE).collect()
+    }
+    assert {d: r["n_orders"] for d, r in rows.items()} == digits
+    assert abs(sum(r["frac"] for r in rows.values()) - 1.0) < 1e-12
+    for d, r in rows.items():
+        b = math.log10(1.0 + 1.0 / d)
+        assert abs(r["benford_frac"] - b) < 1e-15
+        expect = tot * b
+        assert abs(r["chi2_term"] - (digits[d] - expect) ** 2 / expect) < 1e-9
+
+
+def test_revenue_anomaly_mad_matches_python(spark):
+    """q196: flagged days reproduce a trailing-window median/MAD
+    replay with exact integers."""
+    from collections import defaultdict
+
+    daily = _region_daily_cents(spark)
+    series = defaultdict(list)
+    for (region, x), y in daily.items():
+        series[region].append((x, y))
+    want = {}
+    for region, pts in series.items():
+        pts.sort()
+        for i, (x, y) in enumerate(pts):
+            w = sorted(v for _, v in pts[max(0, i - 7) : i])
+            if len(w) < 3:
+                continue
+            k = (len(w) + 1) // 2
+            med = w[k - 1]
+            mad = sorted(abs(v - med) for v in w)[k - 1]
+            if abs(y - med) > 3 * mad:
+                want[(region, x)] = (y, med, mad)
+    got = {
+        (r["region"], r["day_index"]): (
+            r["y_cents"],
+            r["med_cents"],
+            r["mad_cents"],
+        )
+        for r in Q.QUERIES["q196_revenue_anomaly_mad"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == want
