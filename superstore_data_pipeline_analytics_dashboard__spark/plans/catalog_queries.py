@@ -10651,6 +10651,184 @@ WHERE abs(y_cents - med_cents) > 3 * mad_cents
 """
 
 
+# BM25-lite keyword search (round 5): top-10 documents for a fixed
+# two-term query with BM25 term saturation and length normalization —
+# the IR scorer next to q76's TF-IDF terms. The idf is the LOG-FREE
+# odds form (N−df+0.5)/(df+0.5) (engine libm log is banned; the odds
+# ratio orders identically), and the per-document score is ONE fixed
+# double expression over conditional-agg term counts — never a SUM of
+# per-term doubles, whose partial-agg combine order is partition-
+# dependent. The rank window orders only MATCHED documents (posting-
+# list-bounded, not corpus-bounded).
+
+def q197_keyword_search(
+    spark: SparkSession, sf: str, t1: str = "data", t2: str = "stream"
+) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    base = docs.select(
+        "doc_id", T.tokens("text").alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        F.size(F.filter("toks", lambda t: t == F.lit(t1)))
+        .cast("bigint")
+        .alias("tf1"),
+        F.size(F.filter("toks", lambda t: t == F.lit(t2)))
+        .cast("bigint")
+        .alias("tf2"),
+    )
+    # persisted: base feeds the corpus stats and the candidate scoring
+    base = base.persist()
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        F.sum(F.when(F.col("tf1") > 0, 1).otherwise(0)).alias("df1"),
+        F.sum(F.when(F.col("tf2") > 0, 1).otherwise(0)).alias("df2"),
+    )
+    j = base.filter((F.col("tf1") > 0) | (F.col("tf2") > 0)).crossJoin(
+        F.broadcast(stats)
+    )
+    nd = F.col("n_docs").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / nd
+    k1, b = F.lit(1.2), F.lit(0.75)
+
+    def part(tf: str, df: str) -> Column:
+        tfd = F.col(tf).cast("double")
+        idf = (nd - F.col(df).cast("double") + F.lit(0.5)) / (
+            F.col(df).cast("double") + F.lit(0.5)
+        )
+        norm = (
+            tfd
+            * (k1 + F.lit(1.0))
+            / (
+                tfd
+                + k1
+                * (
+                    F.lit(1.0)
+                    - b
+                    + b * F.col("dl").cast("double") / avgdl
+                )
+            )
+        )
+        return idf * norm
+
+    scored = j.select(
+        "doc_id",
+        "dl",
+        "tf1",
+        "tf2",
+        (part("tf1", "df1") + part("tf2", "df2")).alias("score"),
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 10)
+    )
+
+
+Q197_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS dl,
+         CAST(len(list_filter(t, x -> x = 'data')) AS BIGINT) AS tf1,
+         CAST(len(list_filter(t, x -> x = 'stream')) AS BIGINT) AS tf2
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+               x -> x <> '') AS t
+    FROM documents
+  )
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_dl,
+         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+  FROM base
+), scored AS (
+  SELECT b.doc_id, b.dl, b.tf1, b.tf2,
+         ((CAST(s.n_docs AS DOUBLE) - CAST(s.df1 AS DOUBLE) + 0.5)
+            / (CAST(s.df1 AS DOUBLE) + 0.5))
+           * (CAST(b.tf1 AS DOUBLE) * (1.2 + 1.0)
+              / (CAST(b.tf1 AS DOUBLE)
+                 + 1.2 * (1.0 - 0.75
+                          + 0.75 * CAST(b.dl AS DOUBLE)
+                            / (CAST(s.sum_dl AS DOUBLE)
+                               / CAST(s.n_docs AS DOUBLE)))))
+         + ((CAST(s.n_docs AS DOUBLE) - CAST(s.df2 AS DOUBLE) + 0.5)
+              / (CAST(s.df2 AS DOUBLE) + 0.5))
+           * (CAST(b.tf2 AS DOUBLE) * (1.2 + 1.0)
+              / (CAST(b.tf2 AS DOUBLE)
+                 + 1.2 * (1.0 - 0.75
+                          + 0.75 * CAST(b.dl AS DOUBLE)
+                            / (CAST(s.sum_dl AS DOUBLE)
+                               / CAST(s.n_docs AS DOUBLE)))))
+           AS score
+  FROM base b CROSS JOIN stats s
+  WHERE b.tf1 > 0 OR b.tf2 > 0
+)
+SELECT doc_id, dl, tf1, tf2, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rnk
+FROM scored
+QUALIFY rnk <= 10
+"""
+
+
+# bucket-skew audit (round 5): before committing a bucketed layout
+# (q85's z-order, sinks.py's bucketed serving tables), measure how the
+# proposed key actually distributes — rows per md5-bucket, the
+# max/avg skew factor a straggler analysis starts from. Exact integer
+# histogram, one double ratio at the end.
+
+def q198_bucket_skew_audit(
+    spark: SparkSession, sf: str, n_buckets: int = 64
+) -> DataFrame:
+    from ..functions.sampling import hash_bucket
+
+    li = _li(spark, sf)
+    hist = li.groupBy(
+        hash_bucket(F.col("l_orderkey"), n_buckets).alias("bucket")
+    ).agg(F.count("*").alias("n_rows"))
+    agg = hist.agg(
+        F.count("*").cast("bigint").alias("n_buckets_used"),
+        F.min("n_rows").cast("bigint").alias("min_rows"),
+        F.max("n_rows").cast("bigint").alias("max_rows"),
+        F.sum("n_rows").alias("__tot"),
+    )
+    avg = F.col("__tot").cast("double") / F.col("n_buckets_used").cast(
+        "double"
+    )
+    return agg.select(
+        "n_buckets_used",
+        "min_rows",
+        "max_rows",
+        avg.alias("avg_rows"),
+        (F.col("max_rows").cast("double") / avg).alias("skew_factor"),
+    )
+
+
+Q198_SQL = """
+WITH hist AS (
+  SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+              AS BIGINT) % 64 AS bucket,
+         count(*) AS n_rows
+  FROM lineitem GROUP BY 1
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_buckets_used,
+         CAST(min(n_rows) AS BIGINT) AS min_rows,
+         CAST(max(n_rows) AS BIGINT) AS max_rows,
+         CAST(sum(n_rows) AS BIGINT) AS tot
+  FROM hist
+)
+SELECT n_buckets_used, min_rows, max_rows,
+       CAST(tot AS DOUBLE) / CAST(n_buckets_used AS DOUBLE) AS avg_rows,
+       CAST(max_rows AS DOUBLE)
+         / (CAST(tot AS DOUBLE) / CAST(n_buckets_used AS DOUBLE))
+         AS skew_factor
+FROM agg
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -10952,6 +11130,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q194_embedding_drift": q194_embedding_drift,
     "q195_benford_audit": q195_benford_audit,
     "q196_revenue_anomaly_mad": q196_revenue_anomaly_mad,
+    "q197_keyword_search": q197_keyword_search,
+    "q198_bucket_skew_audit": q198_bucket_skew_audit,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -11240,6 +11420,8 @@ ORACLES: dict[str, str] = {
     "q194_embedding_drift": Q194_SQL,
     "q195_benford_audit": Q195_SQL,
     "q196_revenue_anomaly_mad": Q196_SQL,
+    "q197_keyword_search": Q197_SQL,
+    "q198_bucket_skew_audit": Q198_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean

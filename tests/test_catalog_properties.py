@@ -1530,3 +1530,58 @@ def test_revenue_anomaly_mad_matches_python(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_keyword_search_matches_python(spark):
+    """q197: BM25-lite top-10 reproduces a Python replay with the same
+    fixed double expression order."""
+    docs = {
+        r["doc_id"]: _tokens(r["text"])
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    }
+    n = float(len(docs))
+    sum_dl = float(sum(len(t) for t in docs.values()))
+    avgdl = sum_dl / n
+    df1 = float(sum(1 for t in docs.values() if "data" in t))
+    df2 = float(sum(1 for t in docs.values() if "stream" in t))
+
+    def part(tf, df, dl):
+        idf = (n - df + 0.5) / (df + 0.5)
+        return idf * (tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+
+    scored = []
+    for did, t in docs.items():
+        tf1, tf2 = float(t.count("data")), float(t.count("stream"))
+        if tf1 or tf2:
+            scored.append(
+                (-(part(tf1, df1, len(t)) + part(tf2, df2, len(t))), did)
+            )
+    scored.sort()
+    want = {did: (i + 1, -s) for i, (s, did) in enumerate(scored[:10])}
+    got = {
+        r["doc_id"]: (r["rnk"], r["score"])
+        for r in Q.QUERIES["q197_keyword_search"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for did, (rnk, score) in want.items():
+        assert got[did][0] == rnk
+        assert abs(got[did][1] - score) < 1e-12
+
+
+def test_bucket_skew_audit_matches_python(spark):
+    """q198: histogram stats reproduce a hashlib replay."""
+    from collections import Counter
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").collect()
+    hist = Counter(
+        int(hashlib.md5(str(r["l_orderkey"]).encode()).hexdigest()[:15], 16)
+        % 64
+        for r in li
+    )
+    [row] = Q.QUERIES["q198_bucket_skew_audit"](spark, SF_SMOKE).collect()
+    assert row["n_buckets_used"] == len(hist)
+    assert row["min_rows"] == min(hist.values())
+    assert row["max_rows"] == max(hist.values())
+    avg = sum(hist.values()) / len(hist)
+    assert abs(row["avg_rows"] - avg) < 1e-9
+    assert row["skew_factor"] >= 1.0
