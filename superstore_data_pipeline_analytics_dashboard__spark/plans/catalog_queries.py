@@ -10829,6 +10829,139 @@ FROM agg
 """
 
 
+# multi-grain reconciliation audit (round 5): the same grand total
+# computed through THREE independent paths — direct lineitem sum,
+# per-brand rollup re-summed, per-month rollup re-summed — with
+# equality booleans. The data-engineering "do the dashboards agree"
+# check; every path keeps EXACT decimal sums to the end (rounding
+# per-group before re-summing would make the paths legitimately
+# disagree — the audit rounds ONCE, after agreement is established).
+
+def q199_reconciliation_audit(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    part = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    orders = _ord(spark, sf)
+    direct = li.agg(F.sum(_rev()).alias("t_direct"))
+    by_brand = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(F.sum(_rev()).alias("s"))
+        .agg(F.sum("s").alias("t_brand"))
+    )
+    by_month = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.trunc("o_orderdate", "month").alias("m"))
+        .agg(F.sum(_rev()).alias("s"))
+        .agg(F.sum("s").alias("t_month"))
+    )
+    j = direct.crossJoin(by_brand).crossJoin(by_month)
+    return j.select(
+        _dec2(F.col("t_direct")).cast("double").alias("total_revenue"),
+        (F.col("t_direct") == F.col("t_brand")).alias("brand_path_ok"),
+        (F.col("t_direct") == F.col("t_month")).alias("month_path_ok"),
+        (
+            (F.col("t_direct") == F.col("t_brand"))
+            & (F.col("t_direct") == F.col("t_month"))
+        ).alias("reconciled"),
+    )
+
+
+Q199_SQL = f"""
+WITH direct AS (SELECT sum({_REV}) AS t_direct FROM lineitem),
+by_brand AS (
+  SELECT sum(s) AS t_brand FROM (
+    SELECT p.p_brand, sum({_REV}) AS s
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+  )
+),
+by_month AS (
+  SELECT sum(s) AS t_month FROM (
+    SELECT date_trunc('month', CAST(o.o_orderdate AS DATE)) AS m,
+           sum({_REV}) AS s
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+  )
+)
+SELECT CAST({_sql_dec2("t_direct")} AS DOUBLE) AS total_revenue,
+       t_direct = t_brand AS brand_path_ok,
+       t_direct = t_month AS month_path_ok,
+       t_direct = t_brand AND t_direct = t_month AS reconciled
+FROM direct CROSS JOIN by_brand CROSS JOIN by_month
+"""
+
+
+# corpus release-readiness check (round 5): the AUDIT face of q134's
+# recipe — one row of release-gate metrics and booleans composed from
+# the already-green audit family: max per-source duplicate rate
+# (q109's datacard), fraction of corpus docs over the q70/q172
+# contamination threshold, and the global declared-vs-detected
+# language mismatch rate (q153). Each metric CALLS the component
+# query's function and the oracle embeds the component's SQL, so a
+# detector fix propagates to the gate on both sides. Thresholds are
+# release CONFIG (dup ≤ 0.1, contamination ≤ 0.05, mismatch ≤ 0.8 —
+# the last is lenient because the q21 detector is an honest heuristic
+# with a measured ~0.6 disagreement rate on the synthetic corpus).
+
+def q200_release_readiness(spark: SparkSession, sf: str) -> DataFrame:
+    dup = q109_corpus_datacard(spark, sf).agg(
+        F.max("dup_rate").cast("double").alias("dup_rate_max")
+    )
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    cont = DD.benchmark_overlap(corpus, bench, "doc_id", "text", n=3).agg(
+        (
+            F.sum(
+                F.when(F.col("contamination") > 0.5, 1).otherwise(0)
+            ).cast("double")
+            / F.count("*").cast("double")
+        ).alias("contam_frac")
+    )
+    mism = q153_lang_mismatch_audit(spark, sf).agg(
+        (
+            F.sum("n_mismatch").cast("double")
+            / F.sum("n_docs").cast("double")
+        ).alias("mismatch_rate")
+    )
+    j = dup.crossJoin(cont).crossJoin(mism)
+    dup_ok = F.col("dup_rate_max") <= 0.1
+    con_ok = F.col("contam_frac") <= 0.05
+    lang_ok = F.col("mismatch_rate") <= 0.8
+    return j.select(
+        "dup_rate_max",
+        "contam_frac",
+        "mismatch_rate",
+        dup_ok.alias("dup_ok"),
+        con_ok.alias("contam_ok"),
+        lang_ok.alias("lang_ok"),
+        (dup_ok & con_ok & lang_ok).alias("release_ok"),
+    )
+
+
+Q200_SQL = f"""
+WITH dup AS (
+  SELECT CAST(max(dup_rate) AS DOUBLE) AS dup_rate_max
+  FROM ({Q109_SQL})
+), cont AS (
+  SELECT CAST(sum(CASE WHEN contamination > 0.5 THEN 1 ELSE 0 END)
+              AS DOUBLE) / CAST(count(*) AS DOUBLE) AS contam_frac
+  FROM ({Q70_SQL})
+), mism AS (
+  SELECT CAST(sum(n_mismatch) AS DOUBLE) / CAST(sum(n_docs) AS DOUBLE)
+           AS mismatch_rate
+  FROM ({Q153_SQL})
+)
+SELECT dup_rate_max, contam_frac, mismatch_rate,
+       dup_rate_max <= 0.1 AS dup_ok,
+       contam_frac <= 0.05 AS contam_ok,
+       mismatch_rate <= 0.8 AS lang_ok,
+       dup_rate_max <= 0.1 AND contam_frac <= 0.05
+         AND mismatch_rate <= 0.8 AS release_ok
+FROM dup CROSS JOIN cont CROSS JOIN mism
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -11132,6 +11265,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q196_revenue_anomaly_mad": q196_revenue_anomaly_mad,
     "q197_keyword_search": q197_keyword_search,
     "q198_bucket_skew_audit": q198_bucket_skew_audit,
+    "q199_reconciliation_audit": q199_reconciliation_audit,
+    "q200_release_readiness": q200_release_readiness,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -11422,6 +11557,8 @@ ORACLES: dict[str, str] = {
     "q196_revenue_anomaly_mad": Q196_SQL,
     "q197_keyword_search": Q197_SQL,
     "q198_bucket_skew_audit": Q198_SQL,
+    "q199_reconciliation_audit": Q199_SQL,
+    "q200_release_readiness": Q200_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean

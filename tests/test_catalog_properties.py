@@ -1585,3 +1585,45 @@ def test_bucket_skew_audit_matches_python(spark):
     avg = sum(hist.values()) / len(hist)
     assert abs(row["avg_rows"] - avg) < 1e-9
     assert row["skew_factor"] >= 1.0
+
+
+def test_reconciliation_audit_reconciles(spark):
+    """q199: all three total paths agree (exact decimal sums) and the
+    rounded total matches a Decimal replay of the direct path."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    [row] = Q.QUERIES["q199_reconciliation_audit"](spark, SF_SMOKE).collect()
+    assert row["brand_path_ok"] and row["month_path_ok"] and row["reconciled"]
+    q4 = Decimal("0.0001")
+    tot = Decimal(0)
+    for r in spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").collect():
+        ep = Decimal(r["l_extendedprice"]).quantize(q4, ROUND_HALF_UP)
+        disc = Decimal(r["l_discount"]).quantize(q4, ROUND_HALF_UP)
+        tot += ep * (1 - disc)
+    want = float(tot.quantize(Decimal("0.01"), ROUND_HALF_UP))
+    assert abs(row["total_revenue"] - want) < 1e-6
+
+
+def test_release_readiness_consistent_with_components(spark):
+    """q200: every metric equals a recompute over the component query
+    it composes, and the booleans follow the configured thresholds."""
+    [row] = Q.QUERIES["q200_release_readiness"](spark, SF_SMOKE).collect()
+    dup_max = max(
+        float(r["dup_rate"])
+        for r in Q.QUERIES["q109_corpus_datacard"](spark, SF_SMOKE).collect()
+    )
+    cont = Q.QUERIES["q70_contamination_check"](spark, SF_SMOKE).collect()
+    contam_frac = sum(
+        1 for r in cont if float(r["contamination"]) > 0.5
+    ) / len(cont)
+    mism = Q.QUERIES["q153_lang_mismatch_audit"](spark, SF_SMOKE).collect()
+    rate = sum(r["n_mismatch"] for r in mism) / sum(r["n_docs"] for r in mism)
+    assert abs(row["dup_rate_max"] - dup_max) < 1e-12
+    assert abs(row["contam_frac"] - contam_frac) < 1e-12
+    assert abs(row["mismatch_rate"] - rate) < 1e-12
+    assert row["dup_ok"] == (dup_max <= 0.1)
+    assert row["contam_ok"] == (contam_frac <= 0.05)
+    assert row["lang_ok"] == (rate <= 0.8)
+    assert row["release_ok"] == (
+        row["dup_ok"] and row["contam_ok"] and row["lang_ok"]
+    )
