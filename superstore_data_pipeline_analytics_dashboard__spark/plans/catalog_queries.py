@@ -10962,6 +10962,42 @@ FROM dup CROSS JOIN cont CROSS JOIN mism
 """
 
 
+# double-billing exposure (round 5): q183 COUNTS the duplicate
+# (orderkey, linenumber) key violations; this prices them — revenue
+# carried by every row BEYOND the first of each duplicated key, the
+# amount at risk if the duplicates are double-billing rather than
+# intentional. Keep-first follows the module's total-order tie-break
+# convention; the exposure sum stays exact decimal until one rounding
+# at the report boundary.
+
+def q201_double_billing_exposure(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        *[F.asc(c) for c in _LI_TIEBREAK]
+    )
+    ranked = li.withColumn("rn", F.row_number().over(w))
+    extras = ranked.filter(F.col("rn") > 1)
+    return extras.groupBy(F.col("l_orderkey").alias("order_key")).agg(
+        F.count("*").cast("bigint").alias("n_extra_rows"),
+        _dec2(F.sum(_rev())).cast("double").alias("exposure"),
+    )
+
+
+Q201_SQL = f"""
+WITH ranked AS (
+  SELECT l_orderkey, l_extendedprice, l_discount,
+         row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+                            ORDER BY {_LI_TIEBREAK_SQL}) AS rn
+  FROM lineitem
+)
+SELECT l_orderkey AS order_key,
+       CAST(count(*) AS BIGINT) AS n_extra_rows,
+       CAST({_sql_dec2(f"sum({_REV})")} AS DOUBLE) AS exposure
+FROM ranked WHERE rn > 1
+GROUP BY 1
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -11267,6 +11303,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q198_bucket_skew_audit": q198_bucket_skew_audit,
     "q199_reconciliation_audit": q199_reconciliation_audit,
     "q200_release_readiness": q200_release_readiness,
+    "q201_double_billing_exposure": q201_double_billing_exposure,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -11559,6 +11596,7 @@ ORACLES: dict[str, str] = {
     "q198_bucket_skew_audit": Q198_SQL,
     "q199_reconciliation_audit": Q199_SQL,
     "q200_release_readiness": Q200_SQL,
+    "q201_double_billing_exposure": Q201_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean

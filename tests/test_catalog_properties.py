@@ -1627,3 +1627,53 @@ def test_release_readiness_consistent_with_components(spark):
     assert row["release_ok"] == (
         row["dup_ok"] and row["contam_ok"] and row["lang_ok"]
     )
+
+
+def test_double_billing_exposure_matches_python(spark):
+    """q201: extra-row counts and exposure reproduce a keep-first
+    replay with the module tie-break order; orders flagged here are
+    exactly q183's."""
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").collect()
+    q4 = Decimal("0.0001")
+    groups = defaultdict(list)
+    for r in li:
+        groups[(r["l_orderkey"], r["l_linenumber"])].append(r)
+    want = defaultdict(lambda: [0, Decimal(0)])
+    for (ok, _), rows in groups.items():
+        rows.sort(
+            key=lambda r: (
+                r["l_orderkey"],
+                r["l_linenumber"],
+                r["l_partkey"],
+                r["l_suppkey"],
+                r["l_extendedprice"],
+                r["l_quantity"],
+            )
+        )
+        for r in rows[1:]:
+            ep = Decimal(r["l_extendedprice"]).quantize(q4, ROUND_HALF_UP)
+            disc = Decimal(r["l_discount"]).quantize(q4, ROUND_HALF_UP)
+            w = want[ok]
+            w[0] += 1
+            w[1] += ep * (1 - disc)
+    got = {
+        r["order_key"]: (r["n_extra_rows"], r["exposure"])
+        for r in Q.QUERIES["q201_double_billing_exposure"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for ok, (n, rev) in want.items():
+        assert got[ok][0] == n
+        rounded = float(rev.quantize(Decimal("0.01"), ROUND_HALF_UP))
+        assert abs(got[ok][1] - rounded) < 1e-9
+    q183 = {
+        r["order_key"]
+        for r in Q.QUERIES["q183_duplicate_linenumbers"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(got) == q183
