@@ -10998,6 +10998,37 @@ GROUP BY 1
 """
 
 
+# ensemble near-dup pairs (round 5): pairs flagged by BOTH the exact
+# text tier (q20 ≥0.2 Jaccard) and the exact embedding tier (q33
+# ≥0.40 cosine) — the precision-first review view: two independent
+# modalities agreeing is the strongest duplicate signal the corpus
+# offers. The first cross-modal composition: vec_id aligns with doc_id
+# by testdata construction (identical id ranges — the TESTDATA
+# contract). Both sides are already-green exact tiers; the join is
+# pair-keyed with both (a < b)-ordered.
+
+def q202_ensemble_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    text_pairs = q20_ngram_jaccard_pairs(spark, sf).select(
+        "doc_a", "doc_b", F.col("jaccard").cast("double").alias("jaccard")
+    )
+    emb_pairs = q33_embedding_neardup(spark, sf).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.col("cos_sim").cast("double").alias("cos_sim"),
+    )
+    return text_pairs.join(emb_pairs, ["doc_a", "doc_b"])
+
+
+Q202_SQL = f"""
+WITH text_pairs AS ({Q20_SQL}),
+emb_pairs AS ({Q33_SQL})
+SELECT t.doc_a, t.doc_b, CAST(t.jaccard AS DOUBLE) AS jaccard,
+       CAST(e.cos_sim AS DOUBLE) AS cos_sim
+FROM text_pairs t
+JOIN emb_pairs e ON t.doc_a = e.id_a AND t.doc_b = e.id_b
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -11304,6 +11335,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q199_reconciliation_audit": q199_reconciliation_audit,
     "q200_release_readiness": q200_release_readiness,
     "q201_double_billing_exposure": q201_double_billing_exposure,
+    "q202_ensemble_neardup": q202_ensemble_neardup,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -11597,6 +11629,7 @@ ORACLES: dict[str, str] = {
     "q199_reconciliation_audit": Q199_SQL,
     "q200_release_readiness": Q200_SQL,
     "q201_double_billing_exposure": Q201_SQL,
+    "q202_ensemble_neardup": Q202_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean

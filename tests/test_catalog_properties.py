@@ -1677,3 +1677,28 @@ def test_double_billing_exposure_matches_python(spark):
         ).collect()
     }
     assert set(got) == q183
+
+
+def test_ensemble_neardup_is_tier_intersection(spark):
+    """q202: the ensemble is exactly the pair-key intersection of the
+    two exact tiers, carrying each tier's score."""
+    text = {
+        (r["doc_a"], r["doc_b"]): float(r["jaccard"])
+        for r in Q.QUERIES["q20_ngram_jaccard_pairs"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    emb = {
+        (r["id_a"], r["id_b"]): float(r["cos_sim"])
+        for r in Q.QUERIES["q33_embedding_neardup"](spark, SF_SMOKE).collect()
+    }
+    want = {
+        k: (text[k], emb[k]) for k in set(text) & set(emb)
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["jaccard"], r["cos_sim"])
+        for r in Q.QUERIES["q202_ensemble_neardup"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for k, (j, c) in want.items():
+        assert abs(got[k][0] - j) < 1e-12 and abs(got[k][1] - c) < 1e-12
