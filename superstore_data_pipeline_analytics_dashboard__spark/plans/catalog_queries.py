@@ -11029,6 +11029,128 @@ JOIN emb_pairs e ON t.doc_a = e.id_a AND t.doc_b = e.id_b
 """
 
 
+# contingency standardized residuals (round 5): WHICH cells drive a
+# source × length-quartile dependence — the drill-down q97's omnibus
+# chi-square can't give. Quartile cuts are global exact nearest-rank
+# thresholds (integer targets, broadcast); each cell's expected count
+# under independence and its standardized residual (o−e)/√e are one
+# identical double tree over exact integer margins. |resid| > 2 flags
+# the cells a reviewer reads first.
+
+def q203_contingency_residuals(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("source", "n_chars")
+    # persisted: docs feeds the quartile thresholds and the cell counts
+    docs = docs.persist()
+    # quartile thresholds via exact nearest-rank over the bounded
+    # distinct-length grain (lengths collapse the doc grain; the rank
+    # runs on |distinct lengths| rows, cumsum carries the multiplicity)
+    lengths = docs.groupBy("n_chars").agg(F.count("*").alias("cnt"))
+    wl = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = lengths.withColumn("cum", F.sum("cnt").over(wl))
+    tot = docs.agg(F.count("*").alias("n_tot"))
+    thr = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "n_chars",
+            "cum",
+            "n_tot",
+        )
+    )
+
+    def cut(q_num: int) -> Column:
+        # smallest length whose cumulative count reaches ceil(q·n/4) —
+        # integer div (Python/Spark `/` on ints is DOUBLE division)
+        return F.min(
+            F.when(
+                F.expr(f"cum >= (n_tot * {q_num} + 3) div 4"),
+                F.col("n_chars"),
+            )
+        )
+
+    cuts = thr.agg(
+        cut(1).alias("c1"), cut(2).alias("c2"), cut(3).alias("c3")
+    )
+    staged = docs.crossJoin(F.broadcast(cuts)).select(
+        "source",
+        F.when(F.col("n_chars") <= F.col("c1"), 1)
+        .when(F.col("n_chars") <= F.col("c2"), 2)
+        .when(F.col("n_chars") <= F.col("c3"), 3)
+        .otherwise(4)
+        .alias("quartile"),
+    )
+    cells = staged.groupBy("source", "quartile").agg(
+        F.count("*").cast("bigint").alias("observed")
+    )
+    row_m = staged.groupBy("source").agg(F.count("*").alias("n_row"))
+    col_m = staged.groupBy("quartile").agg(F.count("*").alias("n_col"))
+    j = (
+        cells.join(F.broadcast(row_m), "source")
+        .join(F.broadcast(col_m), "quartile")
+        .crossJoin(F.broadcast(tot))
+    )
+    expect = (
+        F.col("n_row").cast("double")
+        * F.col("n_col").cast("double")
+        / F.col("n_tot").cast("double")
+    )
+    resid = (F.col("observed").cast("double") - expect) / F.sqrt(expect)
+    return j.select(
+        "source",
+        F.col("quartile").cast("int").alias("quartile"),
+        "observed",
+        expect.alias("expected"),
+        resid.alias("std_resid"),
+        (F.abs(resid) > 2.0).alias("flagged"),
+    )
+
+
+Q203_SQL = """
+WITH docs AS (SELECT source, n_chars FROM documents),
+lengths AS (SELECT n_chars, count(*) AS cnt FROM docs GROUP BY 1),
+cum AS (
+  SELECT n_chars, sum(cnt) OVER (ORDER BY n_chars
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM lengths
+), tot AS (SELECT count(*) AS n_tot FROM docs),
+cuts AS (
+  SELECT min(CASE WHEN cum >= (n_tot * 1 + 3) // 4 THEN n_chars END) AS c1,
+         min(CASE WHEN cum >= (n_tot * 2 + 3) // 4 THEN n_chars END) AS c2,
+         min(CASE WHEN cum >= (n_tot * 3 + 3) // 4 THEN n_chars END) AS c3
+  FROM cum CROSS JOIN tot
+), staged AS (
+  SELECT source,
+         CASE WHEN n_chars <= c1 THEN 1
+              WHEN n_chars <= c2 THEN 2
+              WHEN n_chars <= c3 THEN 3
+              ELSE 4 END AS quartile
+  FROM docs CROSS JOIN cuts
+), cells AS (
+  SELECT source, quartile, CAST(count(*) AS BIGINT) AS observed
+  FROM staged GROUP BY 1, 2
+), row_m AS (SELECT source, count(*) AS n_row FROM staged GROUP BY 1),
+col_m AS (SELECT quartile, count(*) AS n_col FROM staged GROUP BY 1)
+SELECT c.source, CAST(c.quartile AS INT) AS quartile, c.observed,
+       CAST(r.n_row AS DOUBLE) * CAST(q.n_col AS DOUBLE)
+         / CAST(t.n_tot AS DOUBLE) AS expected,
+       (CAST(c.observed AS DOUBLE)
+          - CAST(r.n_row AS DOUBLE) * CAST(q.n_col AS DOUBLE)
+            / CAST(t.n_tot AS DOUBLE))
+         / sqrt(CAST(r.n_row AS DOUBLE) * CAST(q.n_col AS DOUBLE)
+                / CAST(t.n_tot AS DOUBLE)) AS std_resid,
+       abs((CAST(c.observed AS DOUBLE)
+              - CAST(r.n_row AS DOUBLE) * CAST(q.n_col AS DOUBLE)
+                / CAST(t.n_tot AS DOUBLE))
+           / sqrt(CAST(r.n_row AS DOUBLE) * CAST(q.n_col AS DOUBLE)
+                  / CAST(t.n_tot AS DOUBLE))) > 2.0 AS flagged
+FROM cells c
+JOIN row_m r USING (source)
+JOIN col_m q USING (quartile)
+CROSS JOIN tot t
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -11336,6 +11458,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q200_release_readiness": q200_release_readiness,
     "q201_double_billing_exposure": q201_double_billing_exposure,
     "q202_ensemble_neardup": q202_ensemble_neardup,
+    "q203_contingency_residuals": q203_contingency_residuals,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -11630,6 +11753,7 @@ ORACLES: dict[str, str] = {
     "q200_release_readiness": Q200_SQL,
     "q201_double_billing_exposure": Q201_SQL,
     "q202_ensemble_neardup": Q202_SQL,
+    "q203_contingency_residuals": Q203_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean

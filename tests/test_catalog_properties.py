@@ -1702,3 +1702,48 @@ def test_ensemble_neardup_is_tier_intersection(spark):
     assert set(got) == set(want)
     for k, (j, c) in want.items():
         assert abs(got[k][0] - j) < 1e-12 and abs(got[k][1] - c) < 1e-12
+
+
+def test_contingency_residuals_match_python(spark):
+    """q203: quartile cuts, cell counts and standardized residuals
+    reproduce a Python replay; residuals weighted by expected sum to
+    ~0 per row margin."""
+    import math
+    from collections import Counter, defaultdict
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("source", "n_chars")
+        .collect()
+    )
+    lens = sorted(r["n_chars"] for r in docs)
+    n = len(lens)
+    cuts = [lens[(n * k + 3) // 4 - 1] for k in (1, 2, 3)]
+
+    def quart(x):
+        for i, c in enumerate(cuts, start=1):
+            if x <= c:
+                return i
+        return 4
+
+    cells = Counter((r["source"], quart(r["n_chars"])) for r in docs)
+    rows = Counter(r["source"] for r in docs)
+    cols = Counter(quart(r["n_chars"]) for r in docs)
+    got = {
+        (r["source"], r["quartile"]): r
+        for r in Q.QUERIES["q203_contingency_residuals"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert {k: r["observed"] for k, r in got.items()} == dict(cells)
+    for (src, q), r in got.items():
+        e = rows[src] * cols[q] / n
+        assert abs(r["expected"] - e) < 1e-9
+        resid = (cells[(src, q)] - e) / math.sqrt(e)
+        assert abs(r["std_resid"] - resid) < 1e-9
+        assert r["flagged"] == (abs(resid) > 2.0)
+    per_src = defaultdict(float)
+    for (src, q), r in got.items():
+        per_src[src] += r["std_resid"] * math.sqrt(r["expected"])
+    for v in per_src.values():
+        assert abs(v) < 1e-6  # Σ(o−e) per row margin is 0
