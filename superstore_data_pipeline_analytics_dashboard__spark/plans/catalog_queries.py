@@ -11151,6 +11151,310 @@ CROSS JOIN tot t
 """
 
 
+# 4-4-5 fiscal calendar rollup (round 5): the retail-BI calendar the
+# reference's date dimension (F7-F10) stops short of — fiscal year
+# starts Feb 1, weeks are integer day-offsets from the FY start, the
+# 4-4-5 pattern maps week-in-quarter to period (weeks 1-4 → P1,
+# 5-8 → P2, 9-13 → P3; week 53 folds into P12). Everything is integer
+# date arithmetic — no locale, no week-of-year function (ISO vs US
+# week rules differ between engines; day-offset // 7 does not).
+# Scale: fiscal columns are narrow per-order exprs; the lineitem join
+# is the standard fact-fact shuffle on orderkey that AQE re-plans.
+
+def q204_fiscal_calendar(spark: SparkSession, sf: str) -> DataFrame:
+    o = _ord(spark, sf).select("o_orderkey", "o_orderdate")
+    o = o.withColumn(
+        "fy",
+        F.when(F.month("o_orderdate") >= 2, F.year("o_orderdate")).otherwise(
+            F.year("o_orderdate") - 1
+        ),
+    )
+    o = o.withColumn("fy_start", F.make_date("fy", F.lit(2), F.lit(1)))
+    o = o.withColumn(
+        "wk",
+        F.least(F.lit(53), F.expr("datediff(o_orderdate, fy_start) div 7 + 1")),
+    )
+    o = o.withColumn("fq", F.least(F.lit(4), F.expr("(wk - 1) div 13 + 1")))
+    o = o.withColumn(
+        "fp",
+        F.expr(
+            "3 * (fq - 1) + CASE WHEN wk - 13 * (fq - 1) <= 4 THEN 1 "
+            "WHEN wk - 13 * (fq - 1) <= 8 THEN 2 ELSE 3 END"
+        ),
+    )
+    li = _li(spark, sf).select("l_orderkey", _rev().alias("rev"))
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return j.groupBy(
+        F.col("fy").cast("int").alias("fy"),
+        F.col("fq").cast("int").alias("fq"),
+        F.col("fp").cast("int").alias("fp"),
+    ).agg(
+        F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        _dec2(F.sum("rev")).cast("double").alias("revenue"),
+    )
+
+
+Q204_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+         CASE WHEN month(CAST(o_orderdate AS DATE)) >= 2
+              THEN year(CAST(o_orderdate AS DATE))
+              ELSE year(CAST(o_orderdate AS DATE)) - 1 END AS fy
+  FROM orders
+), f AS (
+  SELECT o_orderkey, fy,
+         least(53, datediff('day', make_date(fy, 2, 1), od) // 7 + 1) AS wk
+  FROM o
+), g AS (
+  SELECT o_orderkey, fy, wk, least(4, (wk - 1) // 13 + 1) AS fq FROM f
+), h AS (
+  SELECT o_orderkey, fy, fq,
+         3 * (fq - 1) + CASE WHEN wk - 13 * (fq - 1) <= 4 THEN 1
+                             WHEN wk - 13 * (fq - 1) <= 8 THEN 2
+                             ELSE 3 END AS fp
+  FROM g
+)
+SELECT CAST(fy AS INT) AS fy, CAST(fq AS INT) AS fq, CAST(fp AS INT) AS fp,
+       CAST(count(DISTINCT h.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST({_sql_dec2(f"sum({_REV})")} AS DOUBLE) AS revenue
+FROM lineitem l JOIN h ON l.l_orderkey = h.o_orderkey
+GROUP BY 1, 2, 3
+"""
+
+
+# multi-touch attribution (round 5): q46 attributes each purchase to
+# ONE as-of click; this scores every click/view touch in the 7-day
+# lookback under the three classic models at once — first-touch,
+# last-touch, and position stats per channel. Credits stay exact
+# integer counts (a fractional 1/n linear credit would need a
+# non-portable float sum); avg_rank is the single double division at
+# the boundary. Scale: the touch⋈conversion join shuffles on user_id
+# once and the 7-day window bounds pairs per user; both windows reuse
+# the conv_id partitioning.
+
+def q205_touch_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("touch_ts"),
+    )
+    j = touch.join(conv, "user_id").filter(
+        (F.col("touch_ts") < F.col("conv_ts"))
+        & (F.col("touch_ts") >= F.col("conv_ts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    w = Window.partitionBy("conv_id").orderBy("touch_ts", "touch_id")
+    wc = Window.partitionBy("conv_id")
+    j = j.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_touch", F.count("*").over(wc)
+    )
+    return j.groupBy("touch_type").agg(
+        F.count("*").cast("bigint").alias("n_touch_rows"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_first"),
+        F.sum(F.when(F.col("rn") == F.col("n_touch"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_last"),
+        F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
+        (
+            F.sum("rn").cast("bigint").cast("double")
+            / F.count("*").cast("double")
+        ).alias("avg_rank"),
+    )
+
+
+Q205_SQL = """
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, ts AS conv_ts
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT event_id AS touch_id, user_id, event_type AS touch_type,
+         ts AS touch_ts
+  FROM events WHERE event_type IN ('click', 'view')
+), j AS (
+  SELECT t.touch_type, c.conv_id,
+         row_number() OVER (PARTITION BY c.conv_id
+                            ORDER BY t.touch_ts, t.touch_id) AS rn,
+         count(*) OVER (PARTITION BY c.conv_id) AS n_touch
+  FROM touch t JOIN conv c ON t.user_id = c.user_id
+   AND t.touch_ts < c.conv_ts
+   AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY
+)
+SELECT touch_type,
+       CAST(count(*) AS BIGINT) AS n_touch_rows,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+       CAST(sum(CASE WHEN rn = n_touch THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(CAST(sum(rn) AS BIGINT) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS avg_rank
+FROM j GROUP BY 1
+"""
+
+
+# kNN label-vote accuracy (round 5): leave-one-out 5-NN classification
+# over the embedding table — majority label of the 5 exact-cosine
+# nearest neighbors vs the vector's own label, accuracy per class.
+# The standard embedding-quality eval for a labeled corpus. Exact
+# brute-force is the verification tier (O(n²) dot products, same
+# position as q25/q33); the 100 TB path swaps the neighbor source for
+# the IVF probe (q28) with this vote/accuracy composition unchanged.
+# Vote tie-break: (count DESC, label ASC) — total per query.
+
+def q206_knn_label_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    nn = SIM.knn_bruteforce(emb, emb, k=5)
+    lab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    votes = nn.join(F.broadcast(lab), "neighbor_id").groupBy(
+        "query_id", "n_label"
+    ).agg(F.count("*").alias("cnt"))
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("cnt"), F.asc("n_label")
+    )
+    pred = (
+        votes.withColumn("pr", F.row_number().over(wv))
+        .filter(F.col("pr") == 1)
+        .select("query_id", F.col("n_label").alias("pred_label"))
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    correct = F.sum(
+        F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        pred.join(truth, "query_id")
+        .groupBy(F.col("true_label").cast("int").alias("label"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_eval"),
+            correct.alias("n_correct"),
+            (correct.cast("double") / F.count("*").cast("double")).alias(
+                "accuracy"
+            ),
+        )
+    )
+
+
+Q206_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                  label AS true_label
+           FROM embeddings),
+scored AS (
+  SELECT q.query_id, q.true_label, e.vec_id AS neighbor_id,
+         e.label AS n_label,
+         list_dot_product(e.embedding::DOUBLE[], q.qv) /
+           nullif(sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv)), 0.0) AS cs
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, true_label, n_label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cs DESC, neighbor_id) AS rn
+  FROM scored
+), votes AS (
+  SELECT query_id, true_label, n_label, count(*) AS cnt
+  FROM ranked WHERE rn <= 5 GROUP BY 1, 2, 3
+), pred AS (
+  SELECT query_id, true_label, n_label AS pred_label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cnt DESC, n_label) AS pr
+  FROM votes
+)
+SELECT CAST(true_label AS INT) AS label,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                 AS BIGINT) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS accuracy
+FROM pred WHERE pr = 1
+GROUP BY 1
+"""
+
+
+# CUSUM change-point scan (round 5): where does cumulative daily
+# revenue depart from its global trend — the classic mean-shift
+# detector q165's per-month residuals can't localize to a day. The
+# centered statistic is kept EXACT by clearing the mean's division:
+# C_t = N·prefix_t − t·S_N (all decimal), so the peak flag is an
+# exact-decimal comparison; the reported cusum = C_t / N is the one
+# double division at the boundary. The cumulative window runs on the
+# bounded DAY grain (≈2.4k rows — the q203 distinct-grain pattern),
+# never on raw lineitem.
+
+def q208_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    daily = li.groupBy(F.to_date("l_shipdate").alias("ship_day")).agg(
+        _dec2(F.sum(_rev())).alias("day_rev_d")
+    )
+    # bounded-day grain: single-partition cumulative window is ~2.4k
+    # rows at any sf (documented q203-style exception)
+    w_cum = Window.orderBy("ship_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_idx = Window.orderBy("ship_day")
+    cum = daily.withColumn("prefix", F.sum("day_rev_d").over(w_cum)).withColumn(
+        "t_idx", F.row_number().over(w_idx).cast("bigint")
+    )
+    tot = daily.agg(
+        F.sum("day_rev_d").alias("s_n"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    c_t = F.col("prefix") * F.col("n_days") - F.col("t_idx") * F.col("s_n")
+    j = j.withColumn("c_t", c_t)
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    j = j.withColumn("max_abs", F.max(F.abs(F.col("c_t"))).over(w_all))
+    return j.select(
+        "ship_day",
+        F.col("day_rev_d").cast("double").alias("day_rev"),
+        (F.col("c_t").cast("double") / F.col("n_days").cast("double")).alias(
+            "cusum"
+        ),
+        (F.abs(F.col("c_t")) == F.col("max_abs")).alias("is_peak"),
+    )
+
+
+Q208_SQL = f"""
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS ship_day,
+         {_sql_dec2(f"sum({_REV})")} AS day_rev_d
+  FROM lineitem GROUP BY 1
+), cum AS (
+  SELECT ship_day, day_rev_d,
+         sum(day_rev_d) OVER (ORDER BY ship_day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+         CAST(row_number() OVER (ORDER BY ship_day) AS BIGINT) AS t_idx
+  FROM daily
+), tot AS (
+  SELECT sum(day_rev_d) AS s_n, CAST(count(*) AS BIGINT) AS n_days
+  FROM daily
+), c AS (
+  SELECT ship_day, day_rev_d, n_days,
+         prefix * n_days - t_idx * s_n AS c_t
+  FROM cum CROSS JOIN tot
+)
+SELECT ship_day,
+       CAST(day_rev_d AS DOUBLE) AS day_rev,
+       CAST(c_t AS DOUBLE) / CAST(n_days AS DOUBLE) AS cusum,
+       abs(c_t) = max(abs(c_t)) OVER () AS is_peak
+FROM c
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -11459,6 +11763,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q201_double_billing_exposure": q201_double_billing_exposure,
     "q202_ensemble_neardup": q202_ensemble_neardup,
     "q203_contingency_residuals": q203_contingency_residuals,
+    "q204_fiscal_calendar": q204_fiscal_calendar,
+    "q205_touch_attribution": q205_touch_attribution,
+    "q206_knn_label_accuracy": q206_knn_label_accuracy,
+    "q208_cusum_changepoint": q208_cusum_changepoint,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -11754,6 +12062,10 @@ ORACLES: dict[str, str] = {
     "q201_double_billing_exposure": Q201_SQL,
     "q202_ensemble_neardup": Q202_SQL,
     "q203_contingency_residuals": Q203_SQL,
+    "q204_fiscal_calendar": Q204_SQL,
+    "q205_touch_attribution": Q205_SQL,
+    "q206_knn_label_accuracy": Q206_SQL,
+    "q208_cusum_changepoint": Q208_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean

@@ -1747,3 +1747,75 @@ def test_contingency_residuals_match_python(spark):
         per_src[src] += r["std_resid"] * math.sqrt(r["expected"])
     for v in per_src.values():
         assert abs(v) < 1e-6  # Σ(o−e) per row margin is 0
+
+
+def test_knn_label_accuracy_matches_numpy(spark):
+    """q206: leave-one-out 5-NN majority vote recomputed with numpy
+    full-precision cosines; per-label accuracy must agree exactly."""
+    import numpy as np
+    from collections import Counter
+
+    rows = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    labels = {r["vec_id"]: r["label"] for r in rows}
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mn @ Mn.T
+    n_eval = Counter()
+    n_correct = Counter()
+    for i, vid in enumerate(ids):
+        order = sorted(
+            ((-sims[i, j], ids[j]) for j in range(len(ids)) if j != i)
+        )[:5]
+        votes = Counter(labels[nid] for _, nid in order)
+        pred = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        n_eval[labels[vid]] += 1
+        n_correct[labels[vid]] += int(pred == labels[vid])
+    got = {
+        r["label"]: r
+        for r in Q.QUERIES["q206_knn_label_accuracy"](spark, SF_SMOKE).collect()
+    }
+    assert {k: r["n_eval"] for k, r in got.items()} == dict(n_eval)
+    assert {k: r["n_correct"] for k, r in got.items()} == {
+        k: n_correct[k] for k in n_eval
+    }
+    for k, r in got.items():
+        assert abs(r["accuracy"] - n_correct[k] / n_eval[k]) < 1e-12
+
+
+def test_cusum_changepoint_matches_decimal_replay(spark):
+    """q208: the centered CUSUM statistic recomputed with exact
+    Decimal arithmetic; the peak day is the argmax of |C_t| and the
+    reported cusum is C_t / N."""
+    from decimal import Decimal
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").collect()
+    daily = {}
+    for r in li:
+        d = r["l_shipdate"].date()
+        rev = Decimal(str(r["l_extendedprice"])).quantize(Decimal("0.0001")) * (
+            1 - Decimal(str(r["l_discount"])).quantize(Decimal("0.0001"))
+        )
+        daily[d] = daily.get(d, Decimal(0)) + rev
+    days = sorted(daily)
+    rev2 = {
+        d: daily[d].quantize(Decimal("0.01"), rounding="ROUND_HALF_UP")
+        for d in days
+    }
+    n = len(days)
+    s_n = sum(rev2.values())
+    want_c = {}
+    prefix = Decimal(0)
+    for t, d in enumerate(days, start=1):
+        prefix += rev2[d]
+        want_c[d] = prefix * n - t * s_n
+    peak = max(abs(c) for c in want_c.values())
+    got = {
+        r["ship_day"]: r
+        for r in Q.QUERIES["q208_cusum_changepoint"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(days)
+    for d in days:
+        assert got[d]["day_rev"] == float(rev2[d])
+        assert abs(got[d]["cusum"] - float(want_c[d]) / n) < 1e-6
+        assert got[d]["is_peak"] == (abs(want_c[d]) == peak)
