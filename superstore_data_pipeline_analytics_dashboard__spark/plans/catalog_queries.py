@@ -11455,6 +11455,328 @@ FROM c
 """
 
 
+# session concurrency sweep (round 5): how many 30-minute sessions
+# (q31's gap rule, composed not re-implemented) are open at once —
+# the capacity metric sessionization alone can't give. Classic
+# interval sweep: +1 at session start, −1 at end, running sum over
+# the global endpoint order. The global cumsum is recipe.
+# two_phase_running_sum sharded on the endpoint DAY (a prefix of the
+# ts order — the contract), so no single-partition window exists at
+# any volume; endpoints ∝ sessions, not raw events. Tie rule: starts
+# sort before ends at the same instant (closed intervals — touching
+# sessions count as concurrent).
+
+def q207_session_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.recipe import two_phase_running_sum
+
+    sess = q31_sessionize_batch(spark, sf).select(
+        "user_id", "session_no", "session_start", "session_end"
+    )
+    starts = sess.select(
+        F.col("session_start").alias("ts"),
+        F.lit(1).alias("delta"),
+        "user_id",
+        "session_no",
+    )
+    ends = sess.select(
+        F.col("session_end").alias("ts"),
+        F.lit(-1).alias("delta"),
+        "user_id",
+        "session_no",
+    )
+    pts = starts.unionByName(ends)
+    swept = two_phase_running_sum(
+        pts,
+        [],
+        F.to_date("ts"),
+        [
+            F.col("ts").asc(),
+            F.col("delta").desc(),
+            F.col("user_id").asc(),
+            F.col("session_no").asc(),
+        ],
+        "delta",
+        "conc",
+    )
+    return swept.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_started"),
+        F.sum(F.when(F.col("delta") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ended"),
+        F.max("conc").cast("bigint").alias("max_concurrent"),
+    )
+
+
+Q207_SQL = f"""
+WITH sess AS ({Q31_SQL}),
+pts AS (
+  SELECT session_start AS ts, 1 AS delta, user_id, session_no FROM sess
+  UNION ALL
+  SELECT session_end AS ts, -1 AS delta, user_id, session_no FROM sess
+), swept AS (
+  SELECT ts, delta,
+         sum(delta) OVER (ORDER BY ts, delta DESC, user_id, session_no
+                          ROWS UNBOUNDED PRECEDING) AS conc
+  FROM pts
+)
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_started,
+       CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ended,
+       CAST(max(conc) AS BIGINT) AS max_concurrent
+FROM swept GROUP BY 1
+"""
+
+
+# XYZ demand-volatility classes (round 5): the inventory-planning
+# companion to q169's ABC value classes — X (steady), Y (variable),
+# Z (erratic) by the coefficient of variation of monthly demand.
+# The CV thresholds never touch a float: cv² = (n·Σq² − S²)/S², so
+# cv < 0.5 ⟺ 4·(n·Σq² − S²) < S² — an exact-decimal inequality
+# (operands quantized to fixed scales so neither engine's decimal
+# typing rounds: Spark caps products at precision 38 by REDUCING
+# scale, DuckDB doesn't). One month-grain agg, one part-grain agg,
+# one broadcast dim join.
+
+def q209_xyz_volatility(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    monthly = li.groupBy(
+        "l_partkey", F.trunc(F.to_date("l_shipdate"), "month").alias("mo")
+    ).agg(
+        F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 2)
+        .cast("decimal(18,2)")
+        .alias("q")
+    )
+    per_part = monthly.groupBy("l_partkey").agg(
+        F.count("*").cast("decimal(10,0)").alias("n"),
+        F.round(F.sum("q"), 2).cast("decimal(18,2)").alias("s"),
+        F.round(F.sum(F.col("q") * F.col("q")), 4)
+        .cast("decimal(18,4)")
+        .alias("qq"),
+    )
+    var_num = F.col("n") * F.col("qq") - F.col("s") * F.col("s")
+    classed = per_part.select(
+        "l_partkey",
+        "s",
+        F.when(F.lit(4) * var_num < F.col("s") * F.col("s"), "X")
+        .when(var_num < F.col("s") * F.col("s"), "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    part = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    return (
+        classed.join(
+            F.broadcast(part), classed.l_partkey == part.p_partkey
+        )
+        .groupBy(F.col("p_brand").alias("brand"), "xyz_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.round(F.sum("s"), 2)
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total_qty"),
+        )
+    )
+
+
+Q209_SQL = """
+WITH monthly AS (
+  SELECT l_partkey,
+         date_trunc('month', CAST(l_shipdate AS DATE)) AS mo,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2)
+              AS DECIMAL(18,2)) AS q
+  FROM lineitem GROUP BY 1, 2
+), per_part AS (
+  SELECT l_partkey,
+         CAST(count(*) AS DECIMAL(10,0)) AS n,
+         CAST(round(sum(q), 2) AS DECIMAL(18,2)) AS s,
+         CAST(round(sum(q * q), 4) AS DECIMAL(18,4)) AS qq
+  FROM monthly GROUP BY 1
+), classed AS (
+  SELECT l_partkey, s,
+         CASE WHEN 4 * (n * qq - s * s) < s * s THEN 'X'
+              WHEN (n * qq - s * s) < s * s THEN 'Y'
+              ELSE 'Z' END AS xyz_class
+  FROM per_part
+)
+SELECT pt.p_brand AS brand, xyz_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(CAST(round(sum(s), 2) AS DECIMAL(18,2)) AS DOUBLE) AS total_qty
+FROM classed c JOIN part pt ON c.l_partkey = pt.p_partkey
+GROUP BY 1, 2
+"""
+
+
+# frequent item TRIPLES with Apriori pruning (round 5): the L3 step
+# q162's pair rules stop short of. The three-way basket self-join —
+# quadratic-to-cubic if run raw — is gated the Apriori way: triple
+# candidates exist only where ALL THREE sub-pairs are frequent, so
+# the second join runs on frequent-pair OCCURRENCES (semi-joined
+# down) and the third item is semi-join-checked against the frequent
+# pair set twice. At 100 TB the pair support threshold is what keeps
+# candidate volume ∝ genuinely co-bought assortments, not baskets².
+
+def q211_frequent_triples(
+    spark: SparkSession, sf: str, min_support: int = 2
+) -> DataFrame:
+    op = (
+        _li(spark, sf).select("l_orderkey", "l_partkey").distinct().persist()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    pair_occ = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_orderkey").alias("okey"),
+        F.col("a.l_partkey").alias("pa"),
+        F.col("b.l_partkey").alias("pb"),
+    )
+    fp = (
+        pair_occ.groupBy("pa", "pb")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_support)
+        .select("pa", "pb")
+        .persist()
+    )
+    freq_occ = pair_occ.join(fp, ["pa", "pb"], "left_semi")
+    c = op.alias("c")
+    tri_occ = freq_occ.join(
+        c,
+        (F.col("okey") == F.col("c.l_orderkey"))
+        & (F.col("pb") < F.col("c.l_partkey")),
+    ).select("okey", "pa", "pb", F.col("c.l_partkey").alias("pc"))
+    tri_occ = tri_occ.join(
+        fp.select(F.col("pa").alias("pa"), F.col("pb").alias("pc")),
+        ["pa", "pc"],
+        "left_semi",
+    ).join(
+        fp.select(F.col("pa").alias("pb"), F.col("pb").alias("pc")),
+        ["pb", "pc"],
+        "left_semi",
+    )
+    tot = op.agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    return (
+        tri_occ.groupBy(
+            F.col("pa").alias("item_a"),
+            F.col("pb").alias("item_b"),
+            F.col("pc").alias("item_c"),
+        )
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .filter(F.col("support") >= min_support)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "item_a",
+            "item_b",
+            "item_c",
+            "support",
+            (
+                F.col("support").cast("double")
+                / F.col("n_orders").cast("double")
+            ).alias("support_frac"),
+        )
+    )
+
+
+Q211_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pair_occ AS (
+  SELECT a.l_orderkey AS okey, a.l_partkey AS pa, b.l_partkey AS pb
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), fp AS (
+  SELECT pa, pb FROM pair_occ GROUP BY 1, 2 HAVING count(*) >= 2
+), freq_occ AS (
+  SELECT p.* FROM pair_occ p SEMI JOIN fp USING (pa, pb)
+), tri_occ AS (
+  SELECT f.okey, f.pa, f.pb, c.l_partkey AS pc
+  FROM freq_occ f JOIN op c
+    ON f.okey = c.l_orderkey AND f.pb < c.l_partkey
+), pruned AS (
+  SELECT t.* FROM tri_occ t
+  SEMI JOIN fp f1 ON t.pa = f1.pa AND t.pc = f1.pb
+  SEMI JOIN fp f2 ON t.pb = f2.pa AND t.pc = f2.pb
+), tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op)
+SELECT pa AS item_a, pb AS item_b, pc AS item_c,
+       CAST(count(*) AS BIGINT) AS support,
+       CAST(CAST(count(*) AS BIGINT) AS DOUBLE)
+         / CAST(n_orders AS DOUBLE) AS support_frac
+FROM pruned CROSS JOIN tot
+GROUP BY pa, pb, pc, n_orders
+HAVING count(*) >= 2
+"""
+
+
+# price/volume bridge (round 5): the finance decomposition of each
+# brand's month-over-month revenue change into a volume effect
+# (quantity change at LAST month's realized unit price) and a price
+# effect (the residual — so the two effects reconcile to Δrevenue
+# exactly, the q199 reconciliation discipline applied to a derived
+# report). R and Q stay exact decimals through the lag; the effects
+# are one fixed double tree per row. Lag windows partition by brand.
+
+def q212_price_volume_bridge(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    part = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    m = j.groupBy(
+        F.col("p_brand").alias("brand"),
+        F.trunc(F.to_date("l_shipdate"), "month").alias("month"),
+    ).agg(
+        _dec2(F.sum(_rev())).alias("r"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 2)
+        .cast("decimal(18,2)")
+        .alias("q"),
+    )
+    w = Window.partitionBy("brand").orderBy("month")
+    m = m.withColumn("r_p", F.lag("r").over(w)).withColumn(
+        "q_p", F.lag("q").over(w)
+    )
+    m = m.filter(F.col("r_p").isNotNull() & (F.col("q_p") > 0))
+    d_rev = F.col("r").cast("double") - F.col("r_p").cast("double")
+    vol = (F.col("q").cast("double") - F.col("q_p").cast("double")) * (
+        F.col("r_p").cast("double") / F.col("q_p").cast("double")
+    )
+    return m.select(
+        "brand",
+        "month",
+        d_rev.alias("d_rev"),
+        vol.alias("vol_effect"),
+        (d_rev - vol).alias("price_effect"),
+    )
+
+
+Q212_SQL = f"""
+WITH m AS (
+  SELECT pt.p_brand AS brand,
+         date_trunc('month', CAST(l_shipdate AS DATE)) AS month,
+         {_sql_dec2(f"sum({_REV})")} AS r,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2)
+              AS DECIMAL(18,2)) AS q
+  FROM lineitem l JOIN part pt ON l.l_partkey = pt.p_partkey
+  GROUP BY 1, 2
+), lagged AS (
+  SELECT brand, month, r, q,
+         lag(r) OVER (PARTITION BY brand ORDER BY month) AS r_p,
+         lag(q) OVER (PARTITION BY brand ORDER BY month) AS q_p
+  FROM m
+)
+SELECT brand, CAST(month AS DATE) AS month,
+       CAST(r AS DOUBLE) - CAST(r_p AS DOUBLE) AS d_rev,
+       (CAST(q AS DOUBLE) - CAST(q_p AS DOUBLE))
+         * (CAST(r_p AS DOUBLE) / CAST(q_p AS DOUBLE)) AS vol_effect,
+       (CAST(r AS DOUBLE) - CAST(r_p AS DOUBLE))
+         - (CAST(q AS DOUBLE) - CAST(q_p AS DOUBLE))
+           * (CAST(r_p AS DOUBLE) / CAST(q_p AS DOUBLE)) AS price_effect
+FROM lagged WHERE r_p IS NOT NULL AND q_p > 0
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -11766,7 +12088,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q204_fiscal_calendar": q204_fiscal_calendar,
     "q205_touch_attribution": q205_touch_attribution,
     "q206_knn_label_accuracy": q206_knn_label_accuracy,
+    "q207_session_concurrency": q207_session_concurrency,
     "q208_cusum_changepoint": q208_cusum_changepoint,
+    "q209_xyz_volatility": q209_xyz_volatility,
+    "q211_frequent_triples": q211_frequent_triples,
+    "q212_price_volume_bridge": q212_price_volume_bridge,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -12065,7 +12391,11 @@ ORACLES: dict[str, str] = {
     "q204_fiscal_calendar": Q204_SQL,
     "q205_touch_attribution": Q205_SQL,
     "q206_knn_label_accuracy": Q206_SQL,
+    "q207_session_concurrency": Q207_SQL,
     "q208_cusum_changepoint": Q208_SQL,
+    "q209_xyz_volatility": Q209_SQL,
+    "q211_frequent_triples": Q211_SQL,
+    "q212_price_volume_bridge": Q212_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean

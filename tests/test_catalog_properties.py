@@ -1819,3 +1819,63 @@ def test_cusum_changepoint_matches_decimal_replay(spark):
         assert got[d]["day_rev"] == float(rev2[d])
         assert abs(got[d]["cusum"] - float(want_c[d]) / n) < 1e-6
         assert got[d]["is_peak"] == (abs(want_c[d]) == peak)
+
+
+def test_session_concurrency_matches_sweep_replay(spark):
+    """q207: per-day max open sessions recomputed with a plain Python
+    interval sweep over q31's sessions (starts before ends at ties)."""
+    sess = Q.q31_sessionize_batch(spark, SF_SMOKE).collect()
+    pts = []
+    for r in sess:
+        pts.append((r["session_start"], -1, r["user_id"], r["session_no"], +1))
+        pts.append((r["session_end"], +1, r["user_id"], r["session_no"], -1))
+    # sort key: ts asc, delta desc (encoded as -delta asc), then ids
+    pts.sort(key=lambda p: (p[0], p[1], p[2], p[3]))
+    conc = 0
+    want = {}
+    for ts, _, _, _, delta in pts:
+        conc += delta
+        d = ts.date()
+        st, en, mx = want.get(d, (0, 0, -(10 ** 9)))
+        want[d] = (
+            st + (delta == 1),
+            en + (delta == -1),
+            max(mx, conc),
+        )
+    got = {
+        r["day"]: (r["n_started"], r["n_ended"], r["max_concurrent"])
+        for r in Q.QUERIES["q207_session_concurrency"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == want
+
+
+def test_frequent_triples_match_bruteforce(spark):
+    """q211: Apriori-pruned triple supports equal the unpruned
+    brute-force count (pruning must never lose a frequent triple)."""
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets = defaultdict(set)
+    for r in rows:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    tri = Counter()
+    for items in baskets.values():
+        for c in combinations(sorted(items), 3):
+            tri[c] += 1
+    n_orders = len(baskets)
+    want = {c: n for c, n in tri.items() if n >= 2}
+    got = {
+        (r["item_a"], r["item_b"], r["item_c"]): r
+        for r in Q.QUERIES["q211_frequent_triples"](spark, SF_SMOKE).collect()
+    }
+    assert {k: r["support"] for k, r in got.items()} == want
+    for k, r in got.items():
+        assert abs(r["support_frac"] - want[k] / n_orders) < 1e-12
