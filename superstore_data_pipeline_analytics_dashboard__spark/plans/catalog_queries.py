@@ -11777,6 +11777,319 @@ FROM lagged WHERE r_p IS NOT NULL AND q_p > 0
 """
 
 
+# quantile normalization (round 5): map each source's length
+# distribution onto the GLOBAL one — the cross-source calibration
+# step (microarray-style quantile normalization) that makes
+# per-source quality gates comparable. All integer: a doc at
+# within-source rank r_hi of n_s maps to global rank
+# g = ceil(r_hi·N/n_s) and takes the g-th smallest global value.
+# Both sides of the mapping collapse to the DISTINCT-length grain
+# first (the q203 pattern — bounded at any corpus size), so the
+# interval join [lo, hi] ∋ g runs bounded × broadcast(bounded),
+# never doc × grain.
+
+def q210_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("source", "n_chars")
+    docs = docs.persist()
+    src_grain = docs.groupBy("source", "n_chars").agg(
+        F.count("*").alias("cnt")
+    )
+    w_src = Window.partitionBy("source").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    src_grain = src_grain.withColumn("r_hi", F.sum("cnt").over(w_src))
+    n_src = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    tot = docs.agg(F.count("*").alias("n_tot"))
+    glob = docs.groupBy("n_chars").agg(F.count("*").alias("gcnt"))
+    w_g = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    glob = glob.withColumn("hi", F.sum("gcnt").over(w_g)).withColumn(
+        "lo", F.col("hi") - F.col("gcnt") + 1
+    )
+    staged = src_grain.join(F.broadcast(n_src), "source").crossJoin(
+        F.broadcast(tot)
+    )
+    # ceil(r_hi·N/n_s) as pure integer arithmetic (decimal(38,0)
+    # headroom at corpus scale is the documented swap)
+    staged = staged.withColumn(
+        "g", F.expr("(r_hi * n_tot + n_s - 1) div n_s")
+    )
+    g2 = F.broadcast(
+        glob.select(F.col("n_chars").alias("norm_chars"), "lo", "hi")
+    )
+    return (
+        staged.join(
+            g2, (F.col("g") >= F.col("lo")) & (F.col("g") <= F.col("hi"))
+        )
+        .select(
+            "source",
+            "n_chars",
+            F.col("g").cast("bigint").alias("g"),
+            F.col("norm_chars").cast("bigint").alias("norm_chars"),
+        )
+    )
+
+
+Q210_SQL = """
+WITH docs AS (SELECT source, n_chars FROM documents),
+src_grain AS (
+  SELECT source, n_chars, count(*) AS cnt FROM docs GROUP BY 1, 2
+), src_cum AS (
+  SELECT source, n_chars,
+         sum(cnt) OVER (PARTITION BY source ORDER BY n_chars
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r_hi
+  FROM src_grain
+), n_src AS (SELECT source, count(*) AS n_s FROM docs GROUP BY 1),
+tot AS (SELECT count(*) AS n_tot FROM docs),
+gdist AS (
+  SELECT n_chars AS norm_chars,
+         sum(count(*)) OVER (ORDER BY n_chars
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+         sum(count(*)) OVER (ORDER BY n_chars
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - count(*) + 1 AS lo
+  FROM docs GROUP BY n_chars
+), staged AS (
+  SELECT s.source, s.n_chars,
+         (s.r_hi * t.n_tot + n.n_s - 1) // n.n_s AS g
+  FROM src_cum s JOIN n_src n USING (source) CROSS JOIN tot t
+)
+SELECT source, n_chars, CAST(g AS BIGINT) AS g,
+       CAST(norm_chars AS BIGINT) AS norm_chars
+FROM staged JOIN gdist ON g >= lo AND g <= hi
+"""
+
+
+# late-arriving dimension repair (round 5): the Kimball unknown-member
+# pattern the reference's star needs the day a fact arrives before its
+# dimension row. Simulated late dim: customers with custkey % 97 = 0
+# arrive late. Phase 'initial' left-joins the on-time dim and routes
+# orphans to the UNKNOWN member; phase 'repaired' re-resolves ONLY the
+# orphan rows against the full dim (repair cost ∝ orphans, never a
+# fact rewrite). Output reconciles per segment across phases.
+
+def q213_unknown_member_repair(spark: SparkSession, sf: str) -> DataFrame:
+    o = _ord(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    ontime = cust.filter(F.col("c_custkey") % 97 != 0)
+    initial = o.join(
+        F.broadcast(ontime), o.o_custkey == ontime.c_custkey, "left"
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+    )
+    orphans = initial.filter(F.col("segment") == "UNKNOWN").drop("segment")
+    repaired_orphans = orphans.join(
+        F.broadcast(cust), orphans.o_custkey == cust.c_custkey, "left"
+    ).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+    )
+    repaired = initial.filter(F.col("segment") != "UNKNOWN").select(
+        "o_orderkey", "o_totalprice", "segment"
+    ).unionByName(repaired_orphans)
+
+    def roll(df: DataFrame, phase: str) -> DataFrame:
+        return df.groupBy(F.lit(phase).alias("phase"), "segment").agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            _dec2(F.sum(F.col("o_totalprice").cast("decimal(18,4)")))
+            .cast("double")
+            .alias("revenue"),
+        )
+
+    return roll(
+        initial.select("o_orderkey", "o_totalprice", "segment"), "initial"
+    ).unionByName(roll(repaired, "repaired"))
+
+
+Q213_SQL = f"""
+WITH ontime AS (
+  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 97 <> 0
+), initial AS (
+  SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+         coalesce(c.c_mktsegment, 'UNKNOWN') AS segment
+  FROM orders o LEFT JOIN ontime c ON o.o_custkey = c.c_custkey
+), repaired AS (
+  SELECT o_orderkey, o_totalprice, segment FROM initial
+  WHERE segment <> 'UNKNOWN'
+  UNION ALL
+  SELECT i.o_orderkey, i.o_totalprice,
+         coalesce(c.c_mktsegment, 'UNKNOWN') AS segment
+  FROM initial i LEFT JOIN customer c ON i.o_custkey = c.c_custkey
+  WHERE i.segment = 'UNKNOWN'
+)
+SELECT 'initial' AS phase, segment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST({_sql_dec2("sum(CAST(o_totalprice AS DECIMAL(18,4)))")}
+            AS DOUBLE) AS revenue
+FROM initial GROUP BY 1, 2
+UNION ALL
+SELECT 'repaired' AS phase, segment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST({_sql_dec2("sum(CAST(o_totalprice AS DECIMAL(18,4)))")}
+            AS DOUBLE) AS revenue
+FROM repaired GROUP BY 1, 2
+"""
+
+
+# rarity-weighted Jaccard (round 5): q20 counts every shared shingle
+# equally; here each shingle votes with its INTEGER rarity weight
+# w = N_docs − df, so boilerplate shared by everything contributes
+# ~0 and rare shared content dominates — the precision upgrade for
+# near-dup REVIEW. Integer weights keep the sums exact (a 1/df or
+# idf weight would sum floats in partition order); one double
+# division at the boundary, then the q20 DECIMAL(9,6) quantize.
+# Same Σdf² inverted-index verification tier as q20 — the LSH tier
+# (q26) is the 100 TB candidate generator.
+
+def q214_weighted_jaccard(
+    spark: SparkSession, sf: str, threshold: float = 0.2
+) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    sh = DD.shingle_sets(docs, "doc_id", "text", 3).persist()
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    wdf = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("shingle", (F.col("n_docs") - F.col("df")).alias("w"))
+    )
+    shw = sh.join(wdf, "shingle").persist()
+    wsum = shw.groupBy("doc_id").agg(F.sum("w").alias("wsum"))
+    a = shw.select(F.col("doc_id").alias("doc_a"), "shingle", "w")
+    b = shw.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("w").alias("w_common"))
+    )
+    j = (
+        common.join(
+            wsum.select(F.col("doc_id").alias("doc_a"), F.col("wsum").alias("wa")),
+            "doc_a",
+        )
+        .join(
+            wsum.select(F.col("doc_id").alias("doc_b"), F.col("wsum").alias("wb")),
+            "doc_b",
+        )
+    )
+    wj = (
+        F.col("w_common").cast("double")
+        / (F.col("wa") + F.col("wb") - F.col("w_common"))
+    ).cast("decimal(9,6)")
+    return (
+        j.withColumn("w_jaccard", wj)
+        .filter(F.col("w_jaccard") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("w_common").cast("bigint").alias("w_common"),
+            "w_jaccard",
+        )
+    )
+
+
+Q214_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x <> '')
+           AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM toks, LATERAL (
+    SELECT unnest(list_transform(
+        generate_series(1, greatest(len(t) - 2, 1)),
+        i -> array_to_string(t[i:i+2], ' '))) AS shingle
+  )
+), n AS (SELECT count(*) AS n_docs FROM documents),
+wdf AS (
+  SELECT shingle, n_docs - count(*) AS w
+  FROM sh CROSS JOIN n GROUP BY shingle, n_docs
+), shw AS (
+  SELECT s.doc_id, s.shingle, w.w FROM sh s JOIN wdf w USING (shingle)
+), wsum AS (
+  SELECT doc_id, sum(w) AS wsum FROM shw GROUP BY 1
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w) AS w_common
+  FROM shw a JOIN shw b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(w_common AS BIGINT) AS w_common,
+       CAST(CAST(w_common AS DOUBLE)
+            / (wa.wsum + wb.wsum - w_common) AS DECIMAL(9,6)) AS w_jaccard
+FROM common
+JOIN wsum wa ON wa.doc_id = doc_a
+JOIN wsum wb ON wb.doc_id = doc_b
+WHERE CAST(CAST(w_common AS DOUBLE)
+           / (wa.wsum + wb.wsum - w_common) AS DECIMAL(9,6)) >= 0.2
+"""
+
+
+# stratified k-fold assignment (round 5): 5-fold cross-validation
+# folds with EXACT per-label balance — fold = (within-label md5-rank
+# − 1) mod 5, so every label's fold sizes differ by at most one (the
+# guarantee q48's independent hash split cannot give). The
+# within-label rank is two_phase_running_sum of ones sharded on the
+# hash's first hex char — no single-partition window even when one
+# label dominates the corpus.
+
+def q217_stratified_kfold(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.recipe import two_phase_running_sum
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "label")
+    staged = emb.withColumn(
+        "h", F.md5(F.col("vec_id").cast("string"))
+    ).withColumn("one", F.lit(1))
+    ranked = two_phase_running_sum(
+        staged,
+        ["label"],
+        F.substring("h", 1, 1),
+        [F.col("h").asc(), F.col("vec_id").asc()],
+        "one",
+        "rnk",
+    )
+    folds = ranked.withColumn(
+        "fold", ((F.col("rnk") - 1) % 5).cast("int")
+    )
+    counts = folds.groupBy("fold", F.col("label").cast("int").alias("label")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w_l = Window.partitionBy("label")
+    return counts.withColumn(
+        "balanced",
+        (F.max("n").over(w_l) - F.min("n").over(w_l)) <= 1,
+    )
+
+
+Q217_SQL = """
+WITH ranked AS (
+  SELECT vec_id, label,
+         row_number() OVER (PARTITION BY label
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
+  FROM embeddings
+), folds AS (
+  SELECT CAST((rnk - 1) % 5 AS INT) AS fold, CAST(label AS INT) AS label
+  FROM ranked
+), counts AS (
+  SELECT fold, label, CAST(count(*) AS BIGINT) AS n
+  FROM folds GROUP BY 1, 2
+)
+SELECT fold, label, n,
+       max(n) OVER (PARTITION BY label)
+         - min(n) OVER (PARTITION BY label) <= 1 AS balanced
+FROM counts
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -11870,6 +12183,7 @@ _CANON_SQL_CASTS: dict[str, dict[str, str]] = {
     "q25_knn_bruteforce": {"cos_sim": "DOUBLE"},
     "q144_global_nucleus_fill": {"q": "DOUBLE"},
     "q154_minhash_recall": {"jaccard": "DOUBLE"},
+    "q214_weighted_jaccard": {"w_jaccard": "DOUBLE"},
     "q158_cluster_quality": {"min_jaccard": "DOUBLE"},
     "q29_event_type_stats": {"sum_value": "DOUBLE", "avg_k": "DOUBLE"},
     "q31_sessionize_batch": {"session_no": "BIGINT", "sum_value": "DOUBLE", "session_start": "EPOCH_US", "session_end": "EPOCH_US"},
@@ -12091,8 +12405,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q207_session_concurrency": q207_session_concurrency,
     "q208_cusum_changepoint": q208_cusum_changepoint,
     "q209_xyz_volatility": q209_xyz_volatility,
+    "q210_quantile_normalize": q210_quantile_normalize,
     "q211_frequent_triples": q211_frequent_triples,
     "q212_price_volume_bridge": q212_price_volume_bridge,
+    "q213_unknown_member_repair": q213_unknown_member_repair,
+    "q214_weighted_jaccard": q214_weighted_jaccard,
+    "q217_stratified_kfold": q217_stratified_kfold,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -12394,8 +12712,12 @@ ORACLES: dict[str, str] = {
     "q207_session_concurrency": Q207_SQL,
     "q208_cusum_changepoint": Q208_SQL,
     "q209_xyz_volatility": Q209_SQL,
+    "q210_quantile_normalize": Q210_SQL,
     "q211_frequent_triples": Q211_SQL,
     "q212_price_volume_bridge": Q212_SQL,
+    "q213_unknown_member_repair": Q213_SQL,
+    "q214_weighted_jaccard": Q214_SQL,
+    "q217_stratified_kfold": Q217_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean

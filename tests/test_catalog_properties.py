@@ -1879,3 +1879,70 @@ def test_frequent_triples_match_bruteforce(spark):
     assert {k: r["support"] for k, r in got.items()} == want
     for k, r in got.items():
         assert abs(r["support_frac"] - want[k] / n_orders) < 1e-12
+
+
+def test_quantile_normalize_matches_python(spark):
+    """q210: the source→global rank mapping recomputed in plain Python
+    (nearest-rank on sorted lists); monotone per source."""
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("source", "n_chars")
+        .collect()
+    )
+    all_sorted = sorted(r["n_chars"] for r in docs)
+    n_tot = len(all_sorted)
+    per_src = {}
+    for r in docs:
+        per_src.setdefault(r["source"], []).append(r["n_chars"])
+    want = {}
+    for src, vals in per_src.items():
+        vals.sort()
+        n_s = len(vals)
+        seen = {}
+        for idx, v in enumerate(vals, start=1):
+            seen[v] = idx  # r_hi = last rank of this distinct value
+        for v, r_hi in seen.items():
+            g = (r_hi * n_tot + n_s - 1) // n_s
+            want[(src, v)] = (g, all_sorted[g - 1])
+    got = {
+        (r["source"], r["n_chars"]): (r["g"], r["norm_chars"])
+        for r in Q.QUERIES["q210_quantile_normalize"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    for src, vals in per_src.items():
+        ordered = [got[(src, v)][1] for v in sorted(set(vals))]
+        assert ordered == sorted(ordered)  # monotone mapping
+
+
+def test_unknown_member_repair_reconciles(spark):
+    """q213: phase totals agree (repair moves rows between segments,
+    never creates or loses them), orphans leave UNKNOWN after repair."""
+    rows = Q.QUERIES["q213_unknown_member_repair"](spark, SF_SMOKE).collect()
+    by_phase = {}
+    for r in rows:
+        ph = by_phase.setdefault(r["phase"], {"n": 0, "rev": 0.0, "segs": {}})
+        ph["n"] += r["n_orders"]
+        ph["rev"] += r["revenue"]
+        ph["segs"][r["segment"]] = r["n_orders"]
+    assert by_phase["initial"]["n"] == by_phase["repaired"]["n"]
+    assert abs(by_phase["initial"]["rev"] - by_phase["repaired"]["rev"]) < 1e-6
+    assert by_phase["initial"]["segs"].get("UNKNOWN", 0) > 0
+    assert "UNKNOWN" not in by_phase["repaired"]["segs"]
+
+
+def test_stratified_kfold_balance(spark):
+    """q217: fold sizes within each label differ by ≤1, every
+    (fold,label) cell is present, totals per label match the table."""
+    from collections import Counter
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    label_n = Counter(r["label"] for r in emb)
+    rows = Q.QUERIES["q217_stratified_kfold"](spark, SF_SMOKE).collect()
+    per_label = {}
+    for r in rows:
+        assert r["balanced"] is True
+        per_label.setdefault(r["label"], []).append(r["n"])
+    for lbl, ns in per_label.items():
+        assert sum(ns) == label_n[lbl]
+        assert max(ns) - min(ns) <= 1
+        assert len(ns) == min(5, label_n[lbl])
