@@ -1750,8 +1750,9 @@ def test_contingency_residuals_match_python(spark):
 
 
 def test_knn_label_accuracy_matches_numpy(spark):
-    """q206: leave-one-out 5-NN majority vote recomputed with numpy
-    full-precision cosines; per-label accuracy must agree exactly."""
+    """q206: 5-NN majority vote on the 10% holdout recomputed with
+    numpy full-precision cosines; per-label accuracy must agree
+    exactly."""
     import numpy as np
     from collections import Counter
 
@@ -1764,6 +1765,8 @@ def test_knn_label_accuracy_matches_numpy(spark):
     n_eval = Counter()
     n_correct = Counter()
     for i, vid in enumerate(ids):
+        if vid % 10 != 0:
+            continue
         order = sorted(
             ((-sims[i, j], ids[j]) for j in range(len(ids)) if j != i)
         )[:5]
