@@ -12094,6 +12094,276 @@ FROM counts
 """
 
 
+# skew rebalance plan (round 5): q198 AUDITS bucket skew; this emits
+# the REPAIR — per heavy join key, the salting split factor that
+# brings every sub-shard under the per-task cap (cap = ceil(total /
+# 1000) rows — the "1000 healthy tasks" sizing rule). Feeds
+# operators/skew.py's salted join. Pure integer arithmetic:
+# split_factor = ceil(load / cap), max_shard_load = ceil(load /
+# split_factor), and the plan proves itself (ok boolean) — so the
+# oracle catches an off-by-one in the ceiling algebra. Output is
+# heavy keys only (∝ skew, not keyspace).
+
+def q215_rebalance_plan(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    loads = li.groupBy("l_partkey").agg(F.count("*").alias("load"))
+    tot = loads.agg(F.sum("load").cast("bigint").alias("total"))
+    j = loads.crossJoin(F.broadcast(tot)).withColumn(
+        "cap", F.expr("(total + 999) div 1000")
+    )
+    heavy = j.filter(F.col("load") > F.col("cap"))
+    heavy = heavy.withColumn(
+        "split_factor", F.expr("(load + cap - 1) div cap")
+    ).withColumn(
+        "max_shard_load", F.expr("(load + split_factor - 1) div split_factor")
+    )
+    return heavy.select(
+        F.col("l_partkey").alias("part_key"),
+        F.col("load").cast("bigint").alias("load"),
+        F.col("cap").cast("bigint").alias("cap"),
+        F.col("split_factor").cast("bigint").alias("split_factor"),
+        F.col("max_shard_load").cast("bigint").alias("max_shard_load"),
+        (F.col("max_shard_load") <= F.col("cap")).alias("ok"),
+    )
+
+
+Q215_SQL = """
+WITH loads AS (
+  SELECT l_partkey, count(*) AS load FROM lineitem GROUP BY 1
+), tot AS (SELECT CAST(sum(load) AS BIGINT) AS total FROM loads),
+j AS (
+  SELECT l_partkey, load, (total + 999) // 1000 AS cap
+  FROM loads CROSS JOIN tot
+), heavy AS (
+  SELECT l_partkey, load, cap,
+         (load + cap - 1) // cap AS split_factor
+  FROM j WHERE load > cap
+)
+SELECT l_partkey AS part_key,
+       CAST(load AS BIGINT) AS load,
+       CAST(cap AS BIGINT) AS cap,
+       CAST(split_factor AS BIGINT) AS split_factor,
+       CAST((load + split_factor - 1) // split_factor AS BIGINT)
+         AS max_shard_load,
+       (load + split_factor - 1) // split_factor <= cap AS ok
+FROM heavy
+"""
+
+
+# mergeable statistics audit (round 5): incremental ANALYZE — the
+# per-partition partial stats (count/sum/min/max/Σx²) each source
+# maintains, MERGED to global, proven equal to a direct global pass.
+# The merge rule is what lets 100 TB stats refresh touch only new
+# partitions; the audit pins that count/sum/min/max/Σx² actually
+# merge losslessly (all exact integers — a variance partial would
+# need Chan's correction; keeping raw Σx² is the mergeable form).
+
+def q216_stats_merge_audit(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("source", "n_chars")
+    docs = docs.persist()
+    partials = docs.groupBy("source").agg(
+        F.count("*").alias("p_n"),
+        F.sum("n_chars").alias("p_sum"),
+        F.min("n_chars").alias("p_min"),
+        F.max("n_chars").alias("p_max"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("p_sumsq"),
+    )
+    merged = partials.agg(
+        F.sum("p_n").cast("bigint").alias("n_merged"),
+        F.sum("p_sum").cast("bigint").alias("sum_merged"),
+        F.min("p_min").cast("bigint").alias("min_merged"),
+        F.max("p_max").cast("bigint").alias("max_merged"),
+        F.sum("p_sumsq").cast("bigint").alias("sumsq_merged"),
+    )
+    direct = docs.agg(
+        F.count("*").cast("bigint").alias("n_direct"),
+        F.sum("n_chars").cast("bigint").alias("sum_direct"),
+        F.min("n_chars").cast("bigint").alias("min_direct"),
+        F.max("n_chars").cast("bigint").alias("max_direct"),
+        F.sum(F.col("n_chars") * F.col("n_chars"))
+        .cast("bigint")
+        .alias("sumsq_direct"),
+    )
+    out = merged.crossJoin(F.broadcast(direct))
+    return out.withColumn(
+        "all_equal",
+        (F.col("n_merged") == F.col("n_direct"))
+        & (F.col("sum_merged") == F.col("sum_direct"))
+        & (F.col("min_merged") == F.col("min_direct"))
+        & (F.col("max_merged") == F.col("max_direct"))
+        & (F.col("sumsq_merged") == F.col("sumsq_direct")),
+    )
+
+
+Q216_SQL = """
+WITH partials AS (
+  SELECT source, count(*) AS p_n, sum(n_chars) AS p_sum,
+         min(n_chars) AS p_min, max(n_chars) AS p_max,
+         sum(n_chars * n_chars) AS p_sumsq
+  FROM documents GROUP BY 1
+), merged AS (
+  SELECT CAST(sum(p_n) AS BIGINT) AS n_merged,
+         CAST(sum(p_sum) AS BIGINT) AS sum_merged,
+         CAST(min(p_min) AS BIGINT) AS min_merged,
+         CAST(max(p_max) AS BIGINT) AS max_merged,
+         CAST(sum(p_sumsq) AS BIGINT) AS sumsq_merged
+  FROM partials
+), direct AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_direct,
+         CAST(sum(n_chars) AS BIGINT) AS sum_direct,
+         CAST(min(n_chars) AS BIGINT) AS min_direct,
+         CAST(max(n_chars) AS BIGINT) AS max_direct,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS sumsq_direct
+  FROM documents
+)
+SELECT m.*, d.*,
+       n_merged = n_direct AND sum_merged = sum_direct
+         AND min_merged = min_direct AND max_merged = max_direct
+         AND sumsq_merged = sumsq_direct AS all_equal
+FROM merged m CROSS JOIN direct d
+"""
+
+
+# equi-depth histogram (round 5): the CBO statistic q62's equi-WIDTH
+# histogram can't give — 10 buckets of equal row depth over order
+# value cents, boundaries at integer nearest-ranks. Runs on the
+# DISTINCT-cents grain (q203 pattern); the grain's cumulative count
+# is two_phase_running_sum value-range-sharded on the $1000 band of
+# the cents value (a prefix of the cents order — the contract), so
+# no single-partition window even over a wide price domain. A
+# distinct value is assigned wholly to the bucket of its LAST rank
+# (depths equal up to value multiplicity — the standard compromise).
+
+def q218_equidepth_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.recipe import two_phase_running_sum
+
+    o = _ord(spark, sf)
+    cents = (
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    grain = o.select(cents).groupBy("cents").agg(F.count("*").alias("cnt"))
+    cum = two_phase_running_sum(
+        grain,
+        [],
+        F.expr("cents div 100000"),
+        [F.col("cents").asc()],
+        "cnt",
+        "r_hi",
+    )
+    tot = grain.agg(F.sum("cnt").cast("bigint").alias("n_tot"))
+    bucketed = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "bucket", F.expr("((r_hi - 1) * 10) div n_tot").cast("int")
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.min("cents").cast("bigint").alias("lo_cents"),
+        F.max("cents").cast("bigint").alias("hi_cents"),
+        F.sum("cnt").cast("bigint").alias("depth"),
+    )
+
+
+Q218_SQL = """
+WITH grain AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         count(*) AS cnt
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT cents, cnt,
+         sum(cnt) OVER (ORDER BY cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r_hi
+  FROM grain
+), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tot FROM grain)
+SELECT CAST(((r_hi - 1) * 10) // n_tot AS INT) AS bucket,
+       CAST(min(cents) AS BIGINT) AS lo_cents,
+       CAST(max(cents) AS BIGINT) AS hi_cents,
+       CAST(sum(cnt) AS BIGINT) AS depth
+FROM cum CROSS JOIN tot
+GROUP BY 1
+"""
+
+
+# user lifecycle states (round 5): the growth-accounting state
+# machine — per week, how many users are new / retained /
+# resurrected / churned / dormant. Week = integer day-offset // 7
+# from the stream epoch (engine week-of-year rules differ; integer
+# arithmetic doesn't). The user×week spine is bounded by
+# |users| × |weeks|, built from each user's first week forward;
+# lag over the per-user spine gives the previous week's activity.
+# Per-user windows partition on user_id — the natural key, no skew.
+
+def q219_user_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    uw = (
+        ev.select(
+            "user_id",
+            F.expr(
+                "datediff(to_date(ts), DATE '2024-01-01') div 7"
+            ).alias("week"),
+        )
+        .distinct()
+        .persist()
+    )
+    fw = uw.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    weeks = uw.select("week").distinct()
+    spine = fw.join(
+        F.broadcast(weeks), F.col("week") >= F.col("first_week")
+    )
+    active = uw.withColumn("is_active", F.lit(True))
+    flagged = spine.join(active, ["user_id", "week"], "left").withColumn(
+        "act", F.coalesce(F.col("is_active"), F.lit(False))
+    )
+    w = Window.partitionBy("user_id").orderBy("week")
+    flagged = flagged.withColumn("prev_act", F.lag("act").over(w))
+    state = (
+        F.when(F.col("week") == F.col("first_week"), "new")
+        .when(F.col("act") & F.col("prev_act"), "retained")
+        .when(F.col("act") & ~F.col("prev_act"), "resurrected")
+        .when(~F.col("act") & F.col("prev_act"), "churned")
+        .otherwise("dormant")
+    )
+    return (
+        flagged.withColumn("state", state)
+        .groupBy(F.col("week").cast("int").alias("week"), "state")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+
+
+Q219_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '2024-01-01',
+                  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) // 7
+           AS week
+  FROM events
+), fw AS (
+  SELECT user_id, min(week) AS first_week FROM uw GROUP BY 1
+), weeks AS (SELECT DISTINCT week FROM uw),
+spine AS (
+  SELECT f.user_id, f.first_week, w.week
+  FROM fw f JOIN weeks w ON w.week >= f.first_week
+), flagged AS (
+  SELECT s.user_id, s.first_week, s.week,
+         coalesce(u.user_id IS NOT NULL, FALSE) AS act
+  FROM spine s LEFT JOIN uw u
+    ON s.user_id = u.user_id AND s.week = u.week
+), lagged AS (
+  SELECT *,
+         lag(act) OVER (PARTITION BY user_id ORDER BY week) AS prev_act
+  FROM flagged
+)
+SELECT CAST(week AS INT) AS week,
+       CASE WHEN week = first_week THEN 'new'
+            WHEN act AND prev_act THEN 'retained'
+            WHEN act AND NOT prev_act THEN 'resurrected'
+            WHEN NOT act AND prev_act THEN 'churned'
+            ELSE 'dormant' END AS state,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM lagged
+GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -12414,7 +12684,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q212_price_volume_bridge": q212_price_volume_bridge,
     "q213_unknown_member_repair": q213_unknown_member_repair,
     "q214_weighted_jaccard": q214_weighted_jaccard,
+    "q215_rebalance_plan": q215_rebalance_plan,
+    "q216_stats_merge_audit": q216_stats_merge_audit,
     "q217_stratified_kfold": q217_stratified_kfold,
+    "q218_equidepth_histogram": q218_equidepth_histogram,
+    "q219_user_lifecycle": q219_user_lifecycle,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -12721,7 +12995,11 @@ ORACLES: dict[str, str] = {
     "q212_price_volume_bridge": Q212_SQL,
     "q213_unknown_member_repair": Q213_SQL,
     "q214_weighted_jaccard": Q214_SQL,
+    "q215_rebalance_plan": Q215_SQL,
+    "q216_stats_merge_audit": Q216_SQL,
     "q217_stratified_kfold": Q217_SQL,
+    "q218_equidepth_histogram": Q218_SQL,
+    "q219_user_lifecycle": Q219_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean

@@ -1949,3 +1949,85 @@ def test_stratified_kfold_balance(spark):
         assert sum(ns) == label_n[lbl]
         assert max(ns) - min(ns) <= 1
         assert len(ns) == min(5, label_n[lbl])
+
+
+def test_rebalance_plan_caps_every_shard(spark):
+    """q215: replaying the ceiling algebra in Python — every heavy key
+    is split so its max shard load fits the cap, and no light key
+    appears."""
+    from collections import Counter
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_partkey")
+        .collect()
+    )
+    loads = Counter(r["l_partkey"] for r in rows)
+    total = sum(loads.values())
+    cap = (total + 999) // 1000
+    want = {}
+    for k, load in loads.items():
+        if load > cap:
+            sfct = (load + cap - 1) // cap
+            want[k] = (load, sfct, (load + sfct - 1) // sfct)
+    got = {
+        r["part_key"]: (r["load"], r["split_factor"], r["max_shard_load"])
+        for r in Q.QUERIES["q215_rebalance_plan"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    for r in Q.QUERIES["q215_rebalance_plan"](spark, SF_SMOKE).collect():
+        assert r["ok"] is True
+        assert r["max_shard_load"] <= cap
+
+
+def test_equidepth_histogram_depths_and_coverage(spark):
+    """q218: buckets tile the cents domain in order, depths sum to the
+    order count, and each depth is within max-multiplicity of N/10."""
+    from collections import Counter
+    from decimal import Decimal
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect()
+    cents = Counter(
+        int(
+            (Decimal(str(r["o_totalprice"])).quantize(Decimal("0.01"),
+             rounding="ROUND_HALF_EVEN") * 100)
+        )
+        for r in o
+    )
+    n = sum(cents.values())
+    max_mult = max(cents.values())
+    rows = sorted(
+        Q.QUERIES["q218_equidepth_histogram"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert sum(r["depth"] for r in rows) == n
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["hi_cents"] < cur["lo_cents"]
+    for r in rows:
+        assert r["depth"] <= n // 10 + max_mult + 1
+
+
+def test_user_lifecycle_states_sum_and_flow(spark):
+    """q219: per-week state counts partition each user-week exactly
+    once; new-user total equals the distinct user count; churned in
+    week w never exceeds active in w−1."""
+    from collections import defaultdict
+
+    rows = Q.QUERIES["q219_user_lifecycle"](spark, SF_SMOKE).collect()
+    by_week = defaultdict(dict)
+    for r in rows:
+        by_week[r["week"]][r["state"]] = r["n_users"]
+    n_users = sum(w.get("new", 0) for w in by_week.values())
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert n_users == ev
+    weeks = sorted(by_week)
+    for prev, cur in zip(weeks, weeks[1:]):
+        active_prev = sum(
+            by_week[prev].get(s, 0) for s in ("new", "retained", "resurrected")
+        )
+        assert by_week[cur].get("churned", 0) <= active_prev
