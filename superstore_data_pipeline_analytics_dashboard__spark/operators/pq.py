@@ -1,0 +1,340 @@
+"""Product quantization (PQ) ANN — the memory-bound scale path.
+
+IVF (similarity.knn_ivf) prunes WHICH vectors a query scores;
+PQ compresses HOW each vector is scored: d float components become
+m 4-bit codebook ids (here 64 dims → 8 codes → one packed bigint), and
+a query scores a candidate with m table lookups + adds instead of d
+multiplies. This is the layout every billion-vector ANN service uses
+(IVF-PQ): at 100 TB the code table is ~1/32 the raw embedding bytes
+and scan-scored without touching the vectors. Reference scope: the
+reference ships no ANN operator; q25/q28/q136 built the exact/IVF/
+recall tiers, this adds the compressed-codes tier.
+
+Exactness contract (the clustering.py discipline): ALL geometry runs
+on the int8-quantized grid (quantize_embeddings), so subspace Lloyd
+training, code assignment, ADC lookup tables, and the exact reference
+distances are INTEGER arithmetic — order-independent, engine-portable,
+deterministic run-to-run (seeds = the m subvectors of the k lowest
+ids; arg-min ties break on lowest code id). A float PQ would
+hash-diverge on summation order; integer PQ cannot.
+
+Scale shape (N vectors, m subspaces, k codes, d dims):
+* training: per iteration ONE narrow assignment pass over the N·m
+  subvector rows (fold against a one-row broadcast codebook — the
+  measured-right call from clustering.py vs plan literals) and one
+  (m·k·d/m)-key partial-aggregated update; driver traffic m·k·(d/m)
+  longs per iteration (= one codebook, kilobytes).
+* encode: the final assignment pass + a per-vector groupBy packing
+  m codes into one bigint.
+* ADC search: |Q| lookup tables of m·k ints are computed driver-side
+  from the |Q| collected query rows (bounded by the eval set — the
+  documented dimension-sized collect) and broadcast; scoring is a
+  narrow fold per (vector, query), then a per-query top-k window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .clustering import quantize_embeddings
+
+__all__ = ["pq_train_encode", "pq_adc_recall"]
+
+_CB_SCHEMA = (
+    "cb array<array<struct<cid: int, c: array<bigint>, nc: bigint>>>"
+)
+
+
+def _sq(v: list[int]) -> int:
+    return sum(x * x for x in v)
+
+
+def _subvectors(quant: DataFrame, m: int, dsub: int) -> DataFrame:
+    """(vec_id, j, sq, nsq): the N·m subvector rows."""
+    slices = F.array(
+        *[F.slice("q", j * dsub + 1, dsub) for j in range(m)]
+    )
+    sub = quant.select(
+        "vec_id", F.posexplode(slices).alias("j", "sq")
+    )
+    nsq = F.aggregate(
+        F.transform("sq", lambda a: a * a),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return sub.withColumn("nsq", nsq)
+
+
+def _assign_codes(
+    sub: DataFrame, codebooks: list[list[tuple[int, list[int], int]]]
+) -> DataFrame:
+    """Narrow arg-min of each subvector against ITS subspace's codes.
+
+    The codebook travels as a one-row broadcast DataFrame (array
+    indexed by subspace), never as plan literals — clustering.py
+    measured ~1 s/iteration of Catalyst re-analysis for the literal
+    form."""
+    spark = sub.sparkSession
+    payload = [
+        [(cid, c, nc) for cid, c, nc in book] for book in codebooks
+    ]
+    cdf = spark.createDataFrame([(payload,)], _CB_SCHEMA)
+
+    def dist(s: Column) -> Column:
+        dot = F.aggregate(
+            F.zip_with(F.col("sq"), s["c"], lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return F.col("nsq") + s["nc"] - F.lit(2).cast("long") * dot
+
+    cand = F.element_at(F.col("cb"), F.col("j") + 1)
+    best = F.array_min(
+        F.transform(
+            cand, lambda s: F.struct(dist(s).alias("dist"), s["cid"].alias("cid"))
+        )
+    )
+    return (
+        sub.crossJoin(F.broadcast(cdf))
+        .withColumn("__b", best)
+        .select(
+            "vec_id",
+            "j",
+            "sq",
+            "nsq",
+            F.col("__b.cid").alias("cid"),
+        )
+    )
+
+
+def pq_train_encode(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+) -> tuple[DataFrame, list[list[tuple[int, list[int], int]]], DataFrame]:
+    """Train m per-subspace codebooks (integer Lloyd, k codes each),
+    encode every vector. Returns (codes, codebooks, quant):
+
+    * codes: (vec_id, codes array<int>[m], pq_code bigint) — pq_code
+      packs the m codes base-k, so the whole encoding is one
+      hash-comparable integer;
+    * codebooks: python list[j][(cid, subvector, sq_norm)];
+    * quant: the persisted int8 quantization (callers running an
+      exact reference tier reuse it; they own the unpersist).
+    """
+    d = len(emb.select(vec_col).first()[0])
+    dsub = d // m
+    quant = quantize_embeddings(
+        emb.select(F.col(id_col).alias("vec_id"), vec_col), vec_col
+    ).persist()
+    sub = _subvectors(quant, m, dsub).persist()
+
+    seed_rows = (
+        sub.filter(
+            F.col("vec_id").isin(
+                [r["vec_id"] for r in quant.select("vec_id").orderBy("vec_id").limit(k).collect()]
+            )
+        )
+        .orderBy("j", "vec_id")
+        .collect()
+    )
+    codebooks: list[list[tuple[int, list[int], int]]] = []
+    for j in range(m):
+        rows_j = [r for r in seed_rows if r["j"] == j]
+        codebooks.append(
+            [(i, list(r["sq"]), _sq(list(r["sq"]))) for i, r in enumerate(rows_j)]
+        )
+
+    for _ in range(iters):
+        assigned = _assign_codes(sub, codebooks)
+        sums = (
+            assigned.select("j", "cid", F.posexplode("sq").alias("dim", "v"))
+            .groupBy("j", "cid", "dim")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        )
+        rows = (
+            sums.select(
+                "j",
+                "cid",
+                "dim",
+                F.floor(F.col("s") / F.col("n")).alias("cv"),
+            )
+            .groupBy("j", "cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))).alias("__dc")
+            )
+            .select(
+                "j",
+                "cid",
+                F.transform("__dc", lambda s: s["cv"]).alias("c"),
+            )
+            .collect()
+        )
+        codebooks = [[] for _ in range(m)]
+        for r in sorted(rows, key=lambda r: (r["j"], r["cid"])):
+            c = list(r["c"])
+            codebooks[r["j"]].append((int(r["cid"]), c, _sq(c)))
+
+    final = _assign_codes(sub, codebooks)
+    packed = (
+        final.groupBy("vec_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("j", "cid"))).alias("__jc")
+        )
+        .select(
+            "vec_id",
+            F.transform("__jc", lambda s: s["cid"].cast("int")).alias("codes"),
+        )
+        .withColumn(
+            "pq_code",
+            F.aggregate(
+                F.col("codes"),
+                F.lit(0).cast("bigint"),
+                lambda acc, c: acc * k + c.cast("bigint"),
+            ),
+        )
+    )
+    sub.unpersist()
+    return packed, codebooks, quant
+
+
+def pq_adc_recall(
+    emb: DataFrame,
+    query_pred: Column,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    k_top: int = 10,
+) -> DataFrame:
+    """End-to-end PQ eval: train+encode, ADC top-k for the query rows
+    selected by ``query_pred``, recall vs the EXACT integer tier on
+    the same grid. Returns one row per query:
+    (query_id, adc_best, exact_best, n_overlap, recall).
+
+    The |Q| lookup tables (m·k ints each) are computed driver-side
+    from the collected query subvectors — bounded by the eval set,
+    the same documented collect class as IVF's centroid seeds."""
+    codes, codebooks, quant = pq_train_encode(emb, m=m, k=k, iters=iters)
+    spark = emb.sparkSession
+    d = len(quant.select("q").first()[0])
+    dsub = d // m
+
+    qrows = quant.filter(query_pred).select("vec_id", "q", "nq").collect()
+    tables = []
+    for r in qrows:
+        qv = list(r["q"])
+        tbl = []
+        for j in range(m):
+            sq = qv[j * dsub : (j + 1) * dsub]
+            nsq = _sq(sq)
+            tbl.append(
+                [
+                    nsq + nc - 2 * sum(a * b for a, b in zip(sq, c))
+                    for _, c, nc in codebooks[j]
+                ]
+            )
+        tables.append((int(r["vec_id"]), tbl))
+    tdf = spark.createDataFrame(
+        [(tables,)],
+        "qt array<struct<qid: bigint, tbl: array<array<bigint>>>>",
+    )
+
+    # ADC scoring: fold the m table lookups per (vector, query)
+    scored = codes.crossJoin(F.broadcast(tdf)).select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                "qt",
+                lambda s: F.struct(
+                    s["qid"].alias("qid"),
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("codes"),
+                            s["tbl"],
+                            lambda c, row: F.element_at(row, c + 1),
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x,
+                    ).alias("est"),
+                ),
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.qid").alias("qid"), F.col("s.est").alias("est"))
+    scored = scored.filter(F.col("vec_id") != F.col("qid"))
+    w = Window.partitionBy("qid").orderBy(F.asc("est"), F.asc("vec_id"))
+    adc_top = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k_top
+    )
+
+    # exact tier on the SAME int8 grid: integer distances, same ties
+    qvec = spark.createDataFrame(
+        [([(int(r["vec_id"]), list(r["q"]), int(r["nq"])) for r in qrows],)],
+        "qs array<struct<qid: bigint, q: array<bigint>, nq: bigint>>",
+    )
+    exact = quant.crossJoin(F.broadcast(qvec)).select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                "qs",
+                lambda s: F.struct(
+                    s["qid"].alias("qid"),
+                    (
+                        F.col("nq")
+                        + s["nq"]
+                        - F.lit(2).cast("long")
+                        * F.aggregate(
+                            F.zip_with(
+                                F.col("q"), s["q"], lambda a, b: a * b
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda acc, x: acc + x,
+                        )
+                    ).alias("dist"),
+                ),
+            )
+        ).alias("s"),
+    ).select(
+        "vec_id", F.col("s.qid").alias("qid"), F.col("s.dist").alias("dist")
+    )
+    exact = exact.filter(F.col("vec_id") != F.col("qid"))
+    we = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
+    exact_top = exact.withColumn("rnk", F.row_number().over(we)).filter(
+        F.col("rnk") <= k_top
+    )
+
+    overlap = (
+        adc_top.select("qid", "vec_id")
+        .join(exact_top.select("qid", "vec_id"), ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    bests = (
+        adc_top.filter(F.col("rnk") == 1)
+        .select("qid", F.col("vec_id").alias("adc_best"))
+        .join(
+            exact_top.filter(F.col("rnk") == 1).select(
+                "qid", F.col("vec_id").alias("exact_best")
+            ),
+            "qid",
+        )
+    )
+    out = (
+        bests.join(overlap, "qid", "left")
+        .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)))
+        .select(
+            F.col("qid").alias("query_id"),
+            "adc_best",
+            "exact_best",
+            F.col("n_overlap").cast("bigint").alias("n_overlap"),
+            (F.col("n_overlap").cast("double") / F.lit(float(k_top))).alias(
+                "recall"
+            ),
+        )
+    )
+    rows = out.collect()
+    quant.unpersist()
+    return spark.createDataFrame(rows, out.schema)
