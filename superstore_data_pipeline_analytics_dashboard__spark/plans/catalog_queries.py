@@ -12404,6 +12404,212 @@ def q220_pq_ann(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# backfill restatement report (round 5): when late-arriving facts
+# (ship > order date + 60 d — the rows a daily load would miss) land,
+# which months RESTATE and by how much — the report a finance user
+# demands before trusting incremental loads. rev_initial excludes
+# late rows, rev_final includes them; both from ONE scan via
+# conditional aggregation (never two passes), exact decimal until the
+# boundary.
+
+def q221_backfill_restatement(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf).select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship_day"), _rev().alias("rev")
+    )
+    o = _ord(spark, sf).select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    late = F.col("ship_day") > F.date_add(F.col("o_orderdate"), 60)
+    month = F.trunc("o_orderdate", "month")
+    return j.groupBy(month.alias("month")).agg(
+        _dec2(F.sum(F.when(~late, F.col("rev")).otherwise(F.lit(0))))
+        .cast("double")
+        .alias("rev_initial"),
+        _dec2(F.sum("rev")).cast("double").alias("rev_final"),
+        _dec2(F.sum(F.when(late, F.col("rev")).otherwise(F.lit(0))))
+        .cast("double")
+        .alias("restated"),
+        F.sum(late.cast("int")).cast("bigint").alias("n_late_rows"),
+    )
+
+
+Q221_SQL = f"""
+WITH j AS (
+  SELECT date_trunc('month', CAST(o.o_orderdate AS DATE)) AS month,
+         CAST(l.l_shipdate AS DATE)
+           > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY AS late,
+         {_REV} AS rev
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT CAST(month AS DATE) AS month,
+       CAST({_sql_dec2("sum(CASE WHEN NOT late THEN rev ELSE 0 END)")}
+            AS DOUBLE) AS rev_initial,
+       CAST({_sql_dec2("sum(rev)")} AS DOUBLE) AS rev_final,
+       CAST({_sql_dec2("sum(CASE WHEN late THEN rev ELSE 0 END)")}
+            AS DOUBLE) AS restated,
+       CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late_rows
+FROM j GROUP BY 1
+"""
+
+
+# dedup tier cost model (round 5): BEFORE running near-dup at 100 TB,
+# which tier can we afford? The exact tier's candidate volume is
+# Σ_sh df·(df−1)/2 (the q20/q214 inverted-index join size) — this
+# query computes it from the shingle-df histogram, alongside the same
+# sum under a max_df=32 stop-shingle filter (operators/dedup.py
+# max_df_filter) and the LSH tier's linear costs (n_docs signatures,
+# n_docs·16 band rows). The planning numbers that justify the knob:
+# all exact integers, one row.
+
+def q222_dedup_cost_model(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    sh = DD.shingle_sets(docs, "doc_id", "text", 3)
+    dfh = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    # df·(df−1) is even → integer div is exact (a `/` would sum
+    # DOUBLES in partition order — the banned float sum)
+    pairs = F.expr("df * (df - 1) div 2")
+    agg = dfh.agg(
+        F.count("*").cast("bigint").alias("n_shingles"),
+        F.sum("df").cast("bigint").alias("n_postings"),
+        F.max("df").cast("bigint").alias("max_df"),
+        F.sum(pairs).cast("bigint").alias("exact_candidates"),
+        F.sum(F.when(F.col("df") <= 32, pairs).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("candidates_maxdf32"),
+    )
+    out = agg.crossJoin(F.broadcast(n_docs))
+    return out.select(
+        "n_docs",
+        "n_shingles",
+        "n_postings",
+        "max_df",
+        "exact_candidates",
+        "candidates_maxdf32",
+        (F.col("n_docs") * 16).cast("bigint").alias("lsh_band_rows"),
+    )
+
+
+Q222_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x <> '')
+           AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM toks, LATERAL (
+    SELECT unnest(list_transform(
+        generate_series(1, greatest(len(t) - 2, 1)),
+        i -> array_to_string(t[i:i+2], ' '))) AS shingle
+  )
+), dfh AS (
+  SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT n_docs,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(df) AS BIGINT) AS n_postings,
+       CAST(max(df) AS BIGINT) AS max_df,
+       CAST(sum(df * (df - 1) // 2) AS BIGINT) AS exact_candidates,
+       CAST(sum(CASE WHEN df <= 32 THEN df * (df - 1) // 2 ELSE 0 END)
+            AS BIGINT) AS candidates_maxdf32,
+       CAST(n_docs * 16 AS BIGINT) AS lsh_band_rows
+FROM dfh CROSS JOIN n
+GROUP BY n_docs
+"""
+
+
+# SLA attainment (round 5): the rate readout over q60's late-order
+# list — per (order priority, month), what fraction shipped its FIRST
+# line within 30 days. First-ship per order is a min-agg, attainment
+# a conditional count, the rate one boundary division.
+
+def q223_sla_attainment(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf).groupBy("l_orderkey").agg(
+        F.min(F.to_date("l_shipdate")).alias("first_ship")
+    )
+    o = _ord(spark, sf).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey)
+    attained = F.datediff("first_ship", "o_orderdate") <= 30
+    return j.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.trunc("o_orderdate", "month").alias("month"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(attained.cast("int")).cast("bigint").alias("n_attained"),
+        (
+            F.sum(attained.cast("int")).cast("bigint").cast("double")
+            / F.count("*").cast("double")
+        ).alias("attainment"),
+    )
+
+
+Q223_SQL = """
+WITH fs AS (
+  SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS first_ship
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT o.o_orderpriority AS priority,
+         date_trunc('month', CAST(o.o_orderdate AS DATE)) AS month,
+         datediff('day', CAST(o.o_orderdate AS DATE), fs.first_ship) <= 30
+           AS attained
+  FROM orders o JOIN fs ON o.o_orderkey = fs.l_orderkey
+)
+SELECT priority, CAST(month AS DATE) AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN attained THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_attained,
+       CAST(CAST(sum(CASE WHEN attained THEN 1 ELSE 0 END) AS BIGINT)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS attainment
+FROM j GROUP BY 1, 2
+"""
+
+
+# basket diversity (round 5): how many distinct brands an order
+# spans, the cross-sell readout behind q41/q88's co-purchase graph —
+# histogram of orders by brand count plus average order revenue per
+# diversity level (do diverse baskets spend more?). Exact counts,
+# exact decimal revenue, one boundary division.
+
+def q224_basket_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    part = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("p_brand").alias("n_brands"),
+        F.sum(_rev()).alias("rev"),
+    )
+    return per_order.groupBy(
+        F.col("n_brands").cast("int").alias("n_brands")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        _dec2(F.sum("rev")).cast("double").alias("revenue"),
+        (
+            _dec2(F.sum("rev")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("avg_order_rev"),
+    )
+
+
+Q224_SQL = f"""
+WITH per_order AS (
+  SELECT l.l_orderkey,
+         count(DISTINCT p.p_brand) AS n_brands,
+         sum({_REV}) AS rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1
+)
+SELECT CAST(n_brands AS INT) AS n_brands,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST({_sql_dec2("sum(rev)")} AS DOUBLE) AS revenue,
+       CAST({_sql_dec2("sum(rev)")} AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS avg_order_rev
+FROM per_order GROUP BY 1
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -12730,6 +12936,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q218_equidepth_histogram": q218_equidepth_histogram,
     "q219_user_lifecycle": q219_user_lifecycle,
     "q220_pq_ann": q220_pq_ann,
+    "q221_backfill_restatement": q221_backfill_restatement,
+    "q222_dedup_cost_model": q222_dedup_cost_model,
+    "q223_sla_attainment": q223_sla_attainment,
+    "q224_basket_diversity": q224_basket_diversity,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -13041,6 +13251,10 @@ ORACLES: dict[str, str] = {
     "q217_stratified_kfold": Q217_SQL,
     "q218_equidepth_histogram": Q218_SQL,
     "q219_user_lifecycle": Q219_SQL,
+    "q221_backfill_restatement": Q221_SQL,
+    "q222_dedup_cost_model": Q222_SQL,
+    "q223_sla_attainment": Q223_SQL,
+    "q224_basket_diversity": Q224_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean

@@ -2031,3 +2031,37 @@ def test_user_lifecycle_states_sum_and_flow(spark):
             by_week[prev].get(s, 0) for s in ("new", "retained", "resurrected")
         )
         assert by_week[cur].get("churned", 0) <= active_prev
+
+
+def test_dedup_cost_model_matches_counter_replay(spark):
+    """q222: the df histogram costs recomputed with a Python Counter
+    over the same 3-gram shingle sets; the max_df-filtered candidate
+    count never exceeds the unfiltered one."""
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+
+    def tokens(text):
+        return [t for t in " ".join(text.lower().split()).split(" ") if t]
+
+    dfc = Counter()
+    n_postings = 0
+    for r in docs:
+        t = tokens(r["text"])
+        if len(t) <= 2:
+            grams = {" ".join(t)}
+        else:
+            grams = {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+        dfc.update(grams)
+        n_postings += len(grams)
+    row = Q.QUERIES["q222_dedup_cost_model"](spark, SF_SMOKE).collect()[0]
+    assert row["n_docs"] == len(docs)
+    assert row["n_shingles"] == len(dfc)
+    assert row["n_postings"] == n_postings
+    assert row["max_df"] == max(dfc.values())
+    exact = sum(d * (d - 1) // 2 for d in dfc.values())
+    filt = sum(d * (d - 1) // 2 for d in dfc.values() if d <= 32)
+    assert row["exact_candidates"] == exact
+    assert row["candidates_maxdf32"] == filt
+    assert filt <= exact
+    assert row["lsh_band_rows"] == 16 * len(docs)
