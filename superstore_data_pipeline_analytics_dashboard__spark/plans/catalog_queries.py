@@ -12610,6 +12610,241 @@ FROM per_order GROUP BY 1
 """
 
 
+# discount elasticity (round 5): does discounting move volume —
+# per-brand OLS slope of quantity on discount. The regression
+# sufficient statistics (n, Σx, Σy, Σxy, Σx²) are EXACT decimals at
+# fixed quantized scales (the q209 discipline — Spark caps decimal
+# products by reducing scale, so every partial is re-quantized before
+# multiplying); slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is one double
+# division at the boundary. One scan, one brand-keyed agg.
+
+def q225_discount_elasticity(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    part = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    x = F.col("l_discount").cast("decimal(9,4)")
+    y = F.col("l_quantity").cast("decimal(12,2)")
+    agg = j.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count("*").cast("decimal(10,0)").alias("n"),
+        F.round(F.sum(x), 4).cast("decimal(18,4)").alias("sx"),
+        F.round(F.sum(y), 2).cast("decimal(18,2)").alias("sy"),
+        F.round(F.sum(x * y), 6).cast("decimal(18,6)").alias("sxy"),
+        F.round(F.sum(x * x), 8).cast("decimal(18,8)").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    return agg.select(
+        "brand",
+        F.col("n").cast("bigint").alias("n_rows"),
+        slope.alias("slope"),
+        (slope < 0).alias("elastic"),
+    )
+
+
+Q225_SQL = """
+WITH agg AS (
+  SELECT p.p_brand AS brand,
+         CAST(count(*) AS DECIMAL(10,0)) AS n,
+         CAST(round(sum(CAST(l_discount AS DECIMAL(9,4))), 4)
+              AS DECIMAL(18,4)) AS sx,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2)
+              AS DECIMAL(18,2)) AS sy,
+         CAST(round(sum(CAST(l_discount AS DECIMAL(9,4))
+                        * CAST(l_quantity AS DECIMAL(12,2))), 6)
+              AS DECIMAL(18,6)) AS sxy,
+         CAST(round(sum(CAST(l_discount AS DECIMAL(9,4))
+                        * CAST(l_discount AS DECIMAL(9,4))), 8)
+              AS DECIMAL(18,8)) AS sxx
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1
+)
+SELECT brand,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) < 0 AS elastic
+FROM agg
+"""
+
+
+# cohort LTV curve (round 5): q140 counts RETENTION per cohort; this
+# accumulates REVENUE — per (cohort month, months-of-age) the cohort's
+# period revenue, running cumulative revenue, and LTV per user. Age is
+# integer month arithmetic (year·12+month differences — no engine
+# date-diff semantics); the cumulative window partitions per cohort
+# over the bounded age axis. The standard payback/LTV planning curve.
+
+def q226_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    o = _ord(spark, sf)
+    mnum = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    o = o.select(
+        "o_custkey",
+        mnum.alias("mnum"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("mnum").alias("cohort_m"))
+    sizes = firsts.groupBy("cohort_m").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    j = o.join(firsts, "o_custkey")
+    cells = j.groupBy(
+        "cohort_m", (F.col("mnum") - F.col("cohort_m")).alias("age")
+    ).agg(_dec2(F.sum("price")).alias("rev_d"))
+    w = Window.partitionBy("cohort_m").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cells = cells.withColumn(
+        "cum_d", F.round(F.sum("rev_d").over(w), 2).cast("decimal(18,2)")
+    )
+    out = cells.join(F.broadcast(sizes), "cohort_m")
+    return out.select(
+        F.col("cohort_m").cast("int").alias("cohort_m"),
+        F.col("age").cast("int").alias("age"),
+        "n_users",
+        F.col("rev_d").cast("double").alias("revenue"),
+        F.col("cum_d").cast("double").alias("cum_revenue"),
+        (F.col("cum_d").cast("double") / F.col("n_users").cast("double")).alias(
+            "ltv_per_user"
+        ),
+    )
+
+
+Q226_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         year(CAST(o_orderdate AS DATE)) * 12
+           + month(CAST(o_orderdate AS DATE)) AS mnum,
+         CAST(o_totalprice AS DECIMAL(18,4)) AS price
+  FROM orders
+), firsts AS (
+  SELECT o_custkey, min(mnum) AS cohort_m FROM o GROUP BY 1
+), sizes AS (
+  SELECT cohort_m, CAST(count(*) AS BIGINT) AS n_users
+  FROM firsts GROUP BY 1
+), cells AS (
+  SELECT f.cohort_m, o.mnum - f.cohort_m AS age,
+         CAST(round(sum(o.price), 2) AS DECIMAL(18,2)) AS rev_d
+  FROM o JOIN firsts f USING (o_custkey)
+  GROUP BY 1, 2
+), cum AS (
+  SELECT cohort_m, age, rev_d,
+         CAST(round(sum(rev_d) OVER (PARTITION BY cohort_m ORDER BY age
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS DECIMAL(18,2)) AS cum_d
+  FROM cells
+)
+SELECT CAST(cohort_m AS INT) AS cohort_m, CAST(age AS INT) AS age,
+       s.n_users,
+       CAST(rev_d AS DOUBLE) AS revenue,
+       CAST(cum_d AS DOUBLE) AS cum_revenue,
+       CAST(cum_d AS DOUBLE) / CAST(s.n_users AS DOUBLE) AS ltv_per_user
+FROM cum JOIN sizes s USING (cohort_m)
+"""
+
+
+# top session paths (round 5): the clickstream readout — the 20 most
+# common opening paths (first 3 event types of each 30-minute
+# session, q31's gap rule) with session counts, distinct users, and
+# share of all sessions. The per-session path is an ordered
+# collect_list sorted by (ts, event_id) — a TOTAL order, so the
+# string is deterministic; sessions grain bounds everything else.
+
+def q227_session_paths(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    with_prev = ev.withColumn("prev_ts", F.lag("ts").over(w_order))
+    flagged = with_prev.withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_no",
+        F.sum("is_new").over(w_order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = numbered.groupBy("user_id", "session_no").agg(
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    1,
+                    3,
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    tot = paths.agg(F.count("*").cast("bigint").alias("n_total"))
+    agg = paths.groupBy("path").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+    w_rank = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= 20)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "path",
+            "n_sessions",
+            "n_users",
+            F.col("rnk").cast("int").alias("rnk"),
+            (
+                F.col("n_sessions").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("share"),
+        )
+    )
+
+
+Q227_SQL = """
+WITH flagged AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+         CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                OR epoch_us(CAST(ts AS TIMESTAMP))
+                   - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+                   > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+), numbered AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+), paths AS (
+  SELECT user_id, session_no,
+         array_to_string(list(event_type ORDER BY ts, event_id)[1:3], '>')
+           AS path
+  FROM numbered GROUP BY 1, 2
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM paths),
+agg AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM paths GROUP BY 1
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path) AS rnk
+  FROM agg
+)
+SELECT path, n_sessions, n_users, CAST(rnk AS INT) AS rnk,
+       CAST(n_sessions AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+FROM ranked CROSS JOIN tot
+WHERE rnk <= 20
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -12940,6 +13175,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q222_dedup_cost_model": q222_dedup_cost_model,
     "q223_sla_attainment": q223_sla_attainment,
     "q224_basket_diversity": q224_basket_diversity,
+    "q225_discount_elasticity": q225_discount_elasticity,
+    "q226_cohort_ltv": q226_cohort_ltv,
+    "q227_session_paths": q227_session_paths,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -13255,6 +13493,9 @@ ORACLES: dict[str, str] = {
     "q222_dedup_cost_model": Q222_SQL,
     "q223_sla_attainment": Q223_SQL,
     "q224_basket_diversity": Q224_SQL,
+    "q225_discount_elasticity": Q225_SQL,
+    "q226_cohort_ltv": Q226_SQL,
+    "q227_session_paths": Q227_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean

@@ -2065,3 +2065,65 @@ def test_dedup_cost_model_matches_counter_replay(spark):
     assert row["candidates_maxdf32"] == filt
     assert filt <= exact
     assert row["lsh_band_rows"] == 16 * len(docs)
+
+
+def test_discount_elasticity_matches_numpy(spark):
+    """q225: per-brand OLS slope recomputed with numpy.polyfit-style
+    closed form at full float precision."""
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_partkey", "l_discount", "l_quantity")
+        .collect()
+    )
+    parts = {
+        r["p_partkey"]: r["p_brand"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/part.parquet").collect()
+    }
+    from collections import defaultdict
+
+    pts = defaultdict(list)
+    for r in rows:
+        pts[parts[r["l_partkey"]]].append(
+            (round(r["l_discount"], 4), round(r["l_quantity"], 2))
+        )
+    got = {
+        r["brand"]: r
+        for r in Q.QUERIES["q225_discount_elasticity"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(pts)
+    for b, xy in pts.items():
+        n = len(xy)
+        sx = sum(x for x, _ in xy)
+        sy = sum(y for _, y in xy)
+        sxy = sum(x * y for x, y in xy)
+        sxx = sum(x * x for x, _ in xy)
+        want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        assert got[b]["n_rows"] == n
+        assert abs(got[b]["slope"] - want) < 1e-6
+        assert got[b]["elastic"] == (got[b]["slope"] < 0)
+
+
+def test_cohort_ltv_cumulates_and_reconciles(spark):
+    """q226: cum_revenue telescopes the per-age revenue; the grand
+    total over all cells equals total order revenue; cohort sizes sum
+    to the customer count with orders."""
+    rows = Q.QUERIES["q226_cohort_ltv"](spark, SF_SMOKE).collect()
+    from collections import defaultdict
+
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r["cohort_m"]].append(r)
+    for cells in by_cohort.values():
+        cells.sort(key=lambda r: r["age"])
+        run = 0.0
+        for r in cells:
+            run = round(run + r["revenue"], 2)
+            assert abs(r["cum_revenue"] - run) < 1e-6
+            assert abs(r["ltv_per_user"] - r["cum_revenue"] / r["n_users"]) < 1e-9
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    total = round(sum(round(r["o_totalprice"], 4) for r in o.collect()), 2)
+    got_total = round(sum(r["revenue"] for r in rows), 2)
+    assert abs(got_total - total) < 0.05
+    n_cust = o.select("o_custkey").distinct().count()
+    assert sum({r["cohort_m"]: r["n_users"] for r in rows}[c] for c in
+               {r["cohort_m"] for r in rows}) == n_cust
