@@ -611,3 +611,90 @@ def start_profile_append(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_heavy_hitters_sink(
+    stream: DataFrame,
+    key_col: str,
+    cms_path: str,
+    cand_path: str,
+    checkpoint: str,
+    width: int = 2048,
+    depth: int = 4,
+    k_per_batch: int = 20,
+) -> StreamingQuery:
+    """Streaming heavy-hitters maintenance — the micro-batch form of
+    the classic CMS + candidate-heap stream algorithm (the streaming
+    face of q80): per batch, the key column's count-min sketch cells
+    and the batch's top-``k_per_batch`` keys land in their own
+    ``batch=<id>`` partitions. State is APPEND-ONLY and mergeable —
+    CMS cells merge by cell-wise re-sum, candidates by distinct-union
+    (the incremental_dedup.py state discipline), so the maintained
+    state is ∝ batches·(depth·width + k), independent of stream
+    volume, and readers never rescan the stream. Replay-safe the
+    start_append_with_manifest way: a replayed batch id REPLACES its
+    two partitions via dynamic partition overwrite, never appends.
+    ``read_heavy_hitters`` merges and probes: a key's estimate is the
+    min over depth rows of its merged cells — every candidate that
+    any batch surfaced, scored against the WHOLE stream's sketch."""
+    from ..operators.sketches import cms_table
+
+    def _append(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.persist()
+        try:
+            cms = cms_table(batch, key_col, width=width, depth=depth)
+            (
+                cms.withColumn("batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch")
+                .parquet(cms_path)
+            )
+            top = (
+                batch.groupBy(F.col(key_col).alias("cand_key"))
+                .agg(F.count("*").alias("batch_cnt"))
+                .orderBy(F.desc("batch_cnt"), F.asc("cand_key"))
+                .limit(k_per_batch)
+            )
+            (
+                top.withColumn("batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch")
+                .parquet(cand_path)
+            )
+        finally:
+            batch.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_heavy_hitters(
+    spark: SparkSession,
+    cms_path: str,
+    cand_path: str,
+    threshold: int,
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """Merge the per-batch CMS partitions (cell-wise re-sum) and probe
+    every candidate key ever surfaced; keep estimates ≥ threshold.
+    Returns (cand_key, est_count) — estimates are one-sided (≥ true
+    count), the q80 CMS contract."""
+    from ..operators.sketches import cms_probe
+
+    merged = (
+        spark.read.parquet(cms_path)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    cands = spark.read.parquet(cand_path).select("cand_key").distinct()
+    est = cms_probe(merged, cands, "cand_key", width=width, depth=depth)
+    return est.filter(F.col("est_count") >= threshold).select(
+        F.col("probe_key").alias("cand_key"), "est_count"
+    )

@@ -520,3 +520,60 @@ def test_profile_append_publishes_per_batch_census(spark, tmpdir):
     keys = [(r["batch"], r["col_name"]) for r in prof2]
     assert len(keys) == len(set(keys)) == 4
     assert sum(r["n_rows"] for r in prof2 if r["col_name"] == "id") == 100
+
+
+def test_heavy_hitters_sink_merges_and_survives_replay(spark, tmpdir):
+    """start_heavy_hitters_sink: the merged CMS estimate for every
+    candidate is ≥ its true count (one-sided), every key whose TRUE
+    total crosses the threshold and was a batch top-k candidate is
+    reported, and a full replay leaves the state identical."""
+    drop = tmpdir / "hh_in"
+    # batch 0: 'a' hot (30), others light; batch 1: 'b' hot (40)
+    b0 = [("a",)] * 30 + [(f"x{i}",) for i in range(10)]
+    b1 = [("b",)] * 40 + [("a",)] * 5 + [(f"y{i}",) for i in range(10)]
+    for i, rows in enumerate((b0, b1)):
+        spark.createDataFrame(rows, "k STRING").coalesce(1).write.parquet(
+            str(drop / f"b{i}")
+        )
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("k STRING")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", True)
+            .parquet(str(drop))
+        )
+        q = S.start_heavy_hitters_sink(
+            stream,
+            "k",
+            str(tmpdir / "hh_cms"),
+            str(tmpdir / "hh_cand"),
+            str(tmpdir / ck),
+            k_per_batch=5,
+        )
+        q.awaitTermination(120)
+
+    run("hh_ck")
+    hot = {
+        r["cand_key"]: r["est_count"]
+        for r in S.read_heavy_hitters(
+            spark, str(tmpdir / "hh_cms"), str(tmpdir / "hh_cand"), 20
+        ).collect()
+    }
+    assert set(hot) == {"a", "b"}
+    assert hot["a"] >= 35 and hot["b"] >= 40  # one-sided estimates
+
+    # state is bounded: cells ≤ batches·depth·width, candidates ≤ batches·k
+    cand_rows = spark.read.parquet(str(tmpdir / "hh_cand")).collect()
+    assert len(cand_rows) <= 2 * 5
+
+    run("hh_ck2")  # full replay — same batch ids replace, never append
+    hot2 = {
+        r["cand_key"]: r["est_count"]
+        for r in S.read_heavy_hitters(
+            spark, str(tmpdir / "hh_cms"), str(tmpdir / "hh_cand"), 20
+        ).collect()
+    }
+    assert hot2 == hot
+    cand_rows2 = spark.read.parquet(str(tmpdir / "hh_cand")).collect()
+    assert len(cand_rows2) == len(cand_rows)
