@@ -12845,6 +12845,256 @@ WHERE rnk <= 20
 """
 
 
+# revenue decomposition with tax (round 5): the gross → discount →
+# net → tax → take-home waterfall per month — the finance view of the
+# _REV convention, and the first consumer of l_tax (net-of-discount
+# base × tax rate, the TPC-H charge formula). Every component is an
+# exact decimal sum; the reconciliation booleans (gross − discount =
+# net; net + tax = charged) are exact-decimal identities, so the
+# oracle would catch a scale slip in any component.
+
+def q228_revenue_decomposition(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    ep = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(9,4)")
+    tax = F.col("l_tax").cast("decimal(9,4)")
+    gross = ep
+    disc_amt = ep * disc
+    net = ep * (F.lit(1).cast("decimal(9,4)") - disc)
+    tax_amt = net * tax
+    month = F.trunc(F.to_date("l_shipdate"), "month")
+    agg = li.groupBy(month.alias("month")).agg(
+        _dec2(F.sum(gross)).alias("gross_d"),
+        _dec2(F.sum(disc_amt)).alias("discount_d"),
+        _dec2(F.sum(net)).alias("net_d"),
+        _dec2(F.sum(tax_amt)).alias("tax_d"),
+        _dec2(F.sum(net * (F.lit(1).cast("decimal(9,4)") + tax))).alias(
+            "charged_d"
+        ),
+    )
+    return agg.select(
+        "month",
+        F.col("gross_d").cast("double").alias("gross"),
+        F.col("discount_d").cast("double").alias("discount_amt"),
+        F.col("net_d").cast("double").alias("net"),
+        F.col("tax_d").cast("double").alias("tax_amt"),
+        F.col("charged_d").cast("double").alias("charged"),
+        (F.col("gross_d") - F.col("discount_d") == F.col("net_d")).alias(
+            "net_reconciles"
+        ),
+        (
+            F.round(F.col("net_d") + F.col("tax_d"), 2).cast("decimal(18,2)")
+            == F.col("charged_d")
+        ).alias("charge_reconciles"),
+    )
+
+
+Q228_SQL = f"""
+WITH agg AS (
+  SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS month,
+         {_sql_dec2("sum(CAST(l_extendedprice AS DECIMAL(18,4)))")} AS gross_d,
+         {_sql_dec2("sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(9,4)))")} AS discount_d,
+         {_sql_dec2(f"sum({_REV})")} AS net_d,
+         {_sql_dec2(f"sum(({_REV}) * CAST(l_tax AS DECIMAL(9,4)))")} AS tax_d,
+         {_sql_dec2(f"sum(({_REV}) * (CAST(1 AS DECIMAL(9,4)) + CAST(l_tax AS DECIMAL(9,4))))")} AS charged_d
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(month AS DATE) AS month,
+       CAST(gross_d AS DOUBLE) AS gross,
+       CAST(discount_d AS DOUBLE) AS discount_amt,
+       CAST(net_d AS DOUBLE) AS net,
+       CAST(tax_d AS DOUBLE) AS tax_amt,
+       CAST(charged_d AS DOUBLE) AS charged,
+       gross_d - discount_d = net_d AS net_reconciles,
+       CAST(round(net_d + tax_d, 2) AS DECIMAL(18,2)) = charged_d
+         AS charge_reconciles
+FROM agg
+"""
+
+
+# language confusion matrix (round 5): q21 predicts per document;
+# this is the EVAL rollup — declared × predicted counts with
+# per-declared-language recall, the matrix a lang-ID reviewer reads
+# before trusting the gate. Composes q21's function (Spark) and
+# embeds its SQL (oracle) — the q191 anti-drift discipline.
+
+def q229_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    pred = q21_lang_id(spark, sf)
+    cells = pred.groupBy(
+        F.col("lang_declared").alias("declared"),
+        F.col("lang_pred").alias("predicted"),
+    ).agg(F.count("*").cast("bigint").alias("n_docs"))
+    w = Window.partitionBy("declared")
+    return cells.withColumn(
+        "n_declared", F.sum("n_docs").over(w).cast("bigint")
+    ).withColumn(
+        "recall",
+        F.when(
+            F.col("declared") == F.col("predicted"),
+            F.col("n_docs").cast("double") / F.col("n_declared").cast("double"),
+        ),
+    )
+
+
+Q229_SQL = f"""
+WITH pred AS ({Q21_SQL}),
+cells AS (
+  SELECT lang_declared AS declared, lang_pred AS predicted,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY 1, 2
+)
+SELECT declared, predicted, n_docs,
+       CAST(sum(n_docs) OVER (PARTITION BY declared) AS BIGINT) AS n_declared,
+       CASE WHEN declared = predicted
+            THEN CAST(n_docs AS DOUBLE)
+               / CAST(sum(n_docs) OVER (PARTITION BY declared) AS DOUBLE)
+       END AS recall
+FROM cells
+"""
+
+
+# share-of-total matrix (round 5): region × market-segment revenue
+# with row, column, and grand shares — the percent-of-total reading
+# of q203's contingency cells (q203 asks "is it independent", this
+# answers "who is how big"). Exact decimal cells; the three share
+# divisions are each a single double division against a broadcast
+# margin.
+
+def q230_share_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    o = _ord(spark, sf)
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    nat = load_table(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    reg = load_table(spark, sf, "region").select("r_regionkey", "r_name")
+    j = (
+        o.join(cust, o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    cells = j.groupBy(
+        F.col("r_name").alias("region"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(_dec2(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))).alias("rev_d"))
+    wr = Window.partitionBy("region")
+    ws = Window.partitionBy("segment")
+    wg = Window.partitionBy(F.lit(1))
+    row_m = F.round(F.sum("rev_d").over(wr), 2).cast("decimal(18,2)")
+    col_m = F.round(F.sum("rev_d").over(ws), 2).cast("decimal(18,2)")
+    grand = F.round(F.sum("rev_d").over(wg), 2).cast("decimal(18,2)")
+    return cells.select(
+        "region",
+        "segment",
+        F.col("rev_d").cast("double").alias("revenue"),
+        (F.col("rev_d").cast("double") / row_m.cast("double")).alias(
+            "share_of_region"
+        ),
+        (F.col("rev_d").cast("double") / col_m.cast("double")).alias(
+            "share_of_segment"
+        ),
+        (F.col("rev_d").cast("double") / grand.cast("double")).alias(
+            "share_of_total"
+        ),
+    )
+
+
+Q230_SQL = """
+WITH cells AS (
+  SELECT r.r_name AS region, c.c_mktsegment AS segment,
+         CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 2)
+              AS DECIMAL(18,2)) AS rev_d
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, segment,
+       CAST(rev_d AS DOUBLE) AS revenue,
+       CAST(rev_d AS DOUBLE) / CAST(CAST(round(sum(rev_d)
+           OVER (PARTITION BY region), 2) AS DECIMAL(18,2)) AS DOUBLE)
+         AS share_of_region,
+       CAST(rev_d AS DOUBLE) / CAST(CAST(round(sum(rev_d)
+           OVER (PARTITION BY segment), 2) AS DECIMAL(18,2)) AS DOUBLE)
+         AS share_of_segment,
+       CAST(rev_d AS DOUBLE) / CAST(CAST(round(sum(rev_d)
+           OVER (), 2) AS DECIMAL(18,2)) AS DOUBLE) AS share_of_total
+FROM cells
+"""
+
+
+# supplier concentration trend (round 5): q186's HHI made a time
+# series — per (year, part type) the supplier Herfindahl index in
+# BASIS POINTS as exact integer arithmetic (share² sums scaled by
+# 10⁸ before ONE division), plus the year-over-year delta via lag.
+# Concentration drift is the procurement-risk trend a static HHI
+# can't show.
+
+def q231_hhi_trend(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    part = load_table(spark, sf, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cell = j.groupBy(
+        F.year(F.to_date("l_shipdate")).alias("yr"),
+        F.col("p_type").alias("ptype"),
+        "l_suppkey",
+    ).agg(_dec2(F.sum(_rev())).alias("srev"))
+    tot = cell.groupBy("yr", "ptype").agg(
+        F.round(F.sum("srev"), 2).cast("decimal(18,2)").alias("trev")
+    )
+    jj = cell.join(tot, ["yr", "ptype"])
+    # HHI in basis points: 1e8 · Σ s_i² / T² — s_i² is rounded to whole
+    # dollars² BEFORE summing so the numerator stays below 2^53 and its
+    # double conversion is exact on BOTH engines (a scale-4 decimal sum
+    # here exceeds 2^53, and wide-decimal→double is not correctly
+    # rounded in every engine — measured 1-ulp drift); at 1000× scale
+    # quantize s_i to k$ first. One double division at the boundary.
+    num = F.sum(
+        F.round(F.col("srev") * F.col("srev"), 0).cast("decimal(38,0)")
+    ).cast("decimal(38,0)")
+    hhi = (num.cast("double") * F.lit(10000.0)) / (
+        F.col("trev").cast("double") * F.col("trev").cast("double")
+    )
+    per = jj.groupBy("yr", "ptype", "trev").agg(hhi.alias("hhi_raw"))
+    w = Window.partitionBy("ptype").orderBy("yr")
+    out = per.withColumn("hhi_prev", F.lag("hhi_raw").over(w))
+    return out.select(
+        F.col("yr").cast("int").alias("yr"),
+        "ptype",
+        F.col("trev").cast("double").alias("revenue"),
+        F.col("hhi_raw").alias("hhi_bp"),
+        (F.col("hhi_raw") - F.col("hhi_prev")).alias("hhi_delta"),
+    )
+
+
+Q231_SQL = f"""
+WITH cell AS (
+  SELECT year(CAST(l_shipdate AS DATE)) AS yr, p.p_type AS ptype,
+         l_suppkey,
+         {_sql_dec2(f"sum({_REV})")} AS srev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2, 3
+), tot AS (
+  SELECT yr, ptype,
+         CAST(round(sum(srev), 2) AS DECIMAL(18,2)) AS trev
+  FROM cell GROUP BY 1, 2
+), per AS (
+  SELECT c.yr, c.ptype, t.trev,
+         CAST(sum(CAST(round(c.srev * c.srev, 0) AS DECIMAL(38,0))) AS DOUBLE)
+           * 10000.0
+           / (CAST(t.trev AS DOUBLE) * CAST(t.trev AS DOUBLE)) AS hhi_raw
+  FROM cell c JOIN tot t ON c.yr = t.yr AND c.ptype = t.ptype
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(yr AS INT) AS yr, ptype,
+       CAST(trev AS DOUBLE) AS revenue,
+       hhi_raw AS hhi_bp,
+       hhi_raw - lag(hhi_raw) OVER (PARTITION BY ptype ORDER BY yr)
+         AS hhi_delta
+FROM per
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -13178,6 +13428,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q225_discount_elasticity": q225_discount_elasticity,
     "q226_cohort_ltv": q226_cohort_ltv,
     "q227_session_paths": q227_session_paths,
+    "q228_revenue_decomposition": q228_revenue_decomposition,
+    "q229_lang_confusion": q229_lang_confusion,
+    "q230_share_matrix": q230_share_matrix,
+    "q231_hhi_trend": q231_hhi_trend,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -13496,6 +13750,10 @@ ORACLES: dict[str, str] = {
     "q225_discount_elasticity": Q225_SQL,
     "q226_cohort_ltv": Q226_SQL,
     "q227_session_paths": Q227_SQL,
+    "q228_revenue_decomposition": Q228_SQL,
+    "q229_lang_confusion": Q229_SQL,
+    "q230_share_matrix": Q230_SQL,
+    "q231_hhi_trend": Q231_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
