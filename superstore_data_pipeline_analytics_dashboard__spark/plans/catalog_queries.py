@@ -13095,6 +13095,201 @@ FROM per
 """
 
 
+# tokenizer fertility (round 5): tokens-per-word by (lang, source) —
+# the standard tokenizer-quality readout (a high-fertility language is
+# under-served by the vocabulary). Uses the portable BPE-ish regex
+# tokens (q23) so the oracle reproduces it exactly; composes q23's
+# expressions with the documents grain. Integer sums, two boundary
+# divisions over the same exact operands.
+
+def q232_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    stats = q23_token_stats(spark, sf)
+    meta = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    j = stats.join(meta, "doc_id")
+    return j.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_bpe_tokens").cast("bigint").alias("n_bpe"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        (
+            F.sum("n_bpe_tokens").cast("bigint").cast("double")
+            / F.sum("n_words").cast("bigint").cast("double")
+        ).alias("fertility"),
+        (
+            F.sum("n_chars").cast("bigint").cast("double")
+            / F.sum("n_bpe_tokens").cast("bigint").cast("double")
+        ).alias("chars_per_token"),
+    )
+
+
+Q232_SQL = f"""
+WITH stats AS ({Q23_SQL}),
+j AS (
+  SELECT s.*, d.lang, d.source
+  FROM stats s JOIN documents d USING (doc_id)
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bpe_tokens) AS BIGINT) AS n_bpe,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(CAST(sum(n_bpe_tokens) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(sum(n_words) AS BIGINT) AS DOUBLE) AS fertility,
+       CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(sum(n_bpe_tokens) AS BIGINT) AS DOUBLE)
+         AS chars_per_token
+FROM j GROUP BY 1, 2
+"""
+
+
+# near-dup review queue (round 5): the human-review sampling step —
+# q20's exact pairs stratified into Jaccard bands (floor(j·10)), at
+# most 5 pairs per band picked in md5 order (deterministic, unbiased
+# by doc id assignment). Reviewers see the full similarity spectrum
+# instead of whatever sorts first; the rank window is bounded by the
+# band's pair count.
+
+def q233_review_queue(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = q20_ngram_jaccard_pairs(spark, sf).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    band = F.floor(F.col("jaccard") * 10).cast("int")
+    h = F.md5(
+        F.concat_ws("_", F.col("doc_a").cast("string"), F.col("doc_b").cast("string"))
+    )
+    w = Window.partitionBy("band").orderBy("h", "doc_a", "doc_b")
+    return (
+        pairs.withColumn("band", band)
+        .withColumn("h", h)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "band",
+            "doc_a",
+            "doc_b",
+            F.col("jaccard").cast("double").alias("jaccard"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+Q233_SQL = f"""
+WITH pairs AS ({Q20_SQL}),
+banded AS (
+  SELECT doc_a, doc_b, jaccard,
+         CAST(floor(jaccard * 10) AS INT) AS band,
+         md5(CAST(doc_a AS VARCHAR) || '_' || CAST(doc_b AS VARCHAR)) AS h
+  FROM pairs
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY band
+                               ORDER BY h, doc_a, doc_b) AS rnk
+  FROM banded
+)
+SELECT band, doc_a, doc_b, CAST(jaccard AS DOUBLE) AS jaccard,
+       CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+# quality-gate ablation (round 5): WHICH gate does the work — for
+# each curation gate (length, quality score, repetition, lang
+# agreement), how many docs fail it at all and how many fail ONLY it
+# (the gate's unique contribution — the ablation a curation reviewer
+# asks for before loosening thresholds). Composes q22 + q71 + q21 on
+# the doc grain; one aggregation, unpivoted to a 4-row report.
+
+def q234_gate_ablation(spark: SparkSession, sf: str) -> DataFrame:
+    quality = q22_text_quality(spark, sf).select(
+        "doc_id", "n_tokens", "quality"
+    )
+    rep = q71_doc_repetition(spark, sf).select("doc_id", "dup_tri_frac")
+    lang = q21_lang_id(spark, sf).select(
+        "doc_id", "lang_declared", "lang_pred"
+    )
+    j = quality.join(rep, "doc_id").join(lang, "doc_id")
+    f_len = (F.col("n_tokens") < 5).cast("int")
+    f_q = (F.col("quality") < 0.5).cast("int")
+    f_rep = (F.col("dup_tri_frac") > 0.2).cast("int")
+    f_lang = (F.col("lang_pred") != F.col("lang_declared")).cast("int")
+    n_fails = f_len + f_q + f_rep + f_lang
+
+    def only(f: Column) -> Column:
+        return ((f == 1) & (n_fails == 1)).cast("int")
+
+    agg = j.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum((n_fails == 0).cast("int")).cast("bigint").alias("n_pass_all"),
+        F.sum(f_len).cast("bigint").alias("fail_len"),
+        F.sum(only(f_len)).cast("bigint").alias("only_len"),
+        F.sum(f_q).cast("bigint").alias("fail_q"),
+        F.sum(only(f_q)).cast("bigint").alias("only_q"),
+        F.sum(f_rep).cast("bigint").alias("fail_rep"),
+        F.sum(only(f_rep)).cast("bigint").alias("only_rep"),
+        F.sum(f_lang).cast("bigint").alias("fail_lang"),
+        F.sum(only(f_lang)).cast("bigint").alias("only_lang"),
+    )
+
+    def row(gate: str, fail_c: str, only_c: str) -> DataFrame:
+        return agg.select(
+            F.lit(gate).alias("gate"),
+            F.col(fail_c).alias("n_fail"),
+            F.col(only_c).alias("n_fail_only"),
+            "n_docs",
+            "n_pass_all",
+        )
+
+    return (
+        row("length", "fail_len", "only_len")
+        .unionByName(row("quality", "fail_q", "only_q"))
+        .unionByName(row("repetition", "fail_rep", "only_rep"))
+        .unionByName(row("lang", "fail_lang", "only_lang"))
+    )
+
+
+Q234_SQL = f"""
+WITH quality AS ({Q22_SQL}),
+rep AS ({Q71_SQL}),
+lang AS ({Q21_SQL}),
+j AS (
+  SELECT q.doc_id,
+         CASE WHEN q.n_tokens < 5 THEN 1 ELSE 0 END AS f_len,
+         CASE WHEN q.quality < 0.5 THEN 1 ELSE 0 END AS f_q,
+         CASE WHEN r.dup_tri_frac > 0.2 THEN 1 ELSE 0 END AS f_rep,
+         CASE WHEN l.lang_pred <> l.lang_declared THEN 1 ELSE 0 END AS f_lang
+  FROM quality q
+  JOIN rep r ON q.doc_id = r.doc_id
+  JOIN lang l ON q.doc_id = l.doc_id
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN f_len + f_q + f_rep + f_lang = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all,
+         CAST(sum(f_len) AS BIGINT) AS fail_len,
+         CAST(sum(CASE WHEN f_len = 1 AND f_len + f_q + f_rep + f_lang = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS only_len,
+         CAST(sum(f_q) AS BIGINT) AS fail_q,
+         CAST(sum(CASE WHEN f_q = 1 AND f_len + f_q + f_rep + f_lang = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS only_q,
+         CAST(sum(f_rep) AS BIGINT) AS fail_rep,
+         CAST(sum(CASE WHEN f_rep = 1 AND f_len + f_q + f_rep + f_lang = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS only_rep,
+         CAST(sum(f_lang) AS BIGINT) AS fail_lang,
+         CAST(sum(CASE WHEN f_lang = 1 AND f_len + f_q + f_rep + f_lang = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS only_lang
+  FROM j
+)
+SELECT 'length' AS gate, fail_len AS n_fail, only_len AS n_fail_only,
+       n_docs, n_pass_all FROM agg
+UNION ALL
+SELECT 'quality', fail_q, only_q, n_docs, n_pass_all FROM agg
+UNION ALL
+SELECT 'repetition', fail_rep, only_rep, n_docs, n_pass_all FROM agg
+UNION ALL
+SELECT 'lang', fail_lang, only_lang, n_docs, n_pass_all FROM agg
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -13432,6 +13627,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q229_lang_confusion": q229_lang_confusion,
     "q230_share_matrix": q230_share_matrix,
     "q231_hhi_trend": q231_hhi_trend,
+    "q232_tokenizer_fertility": q232_tokenizer_fertility,
+    "q233_review_queue": q233_review_queue,
+    "q234_gate_ablation": q234_gate_ablation,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -13754,6 +13952,9 @@ ORACLES: dict[str, str] = {
     "q229_lang_confusion": Q229_SQL,
     "q230_share_matrix": Q230_SQL,
     "q231_hhi_trend": Q231_SQL,
+    "q232_tokenizer_fertility": Q232_SQL,
+    "q233_review_queue": Q233_SQL,
+    "q234_gate_ablation": Q234_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean

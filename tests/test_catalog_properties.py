@@ -2127,3 +2127,33 @@ def test_cohort_ltv_cumulates_and_reconciles(spark):
     n_cust = o.select("o_custkey").distinct().count()
     assert sum({r["cohort_m"]: r["n_users"] for r in rows}[c] for c in
                {r["cohort_m"] for r in rows}) == n_cust
+
+
+def test_gate_ablation_matches_python_replay(spark):
+    """q234: fail/fail-only counts recomputed from the three component
+    query outputs; fail-only ≤ fail per gate and pass-all + any-fail
+    partitions the corpus."""
+    q22 = {r["doc_id"]: r for r in Q.QUERIES["q22_text_quality"](spark, SF_SMOKE).collect()}
+    q71 = {r["doc_id"]: r for r in Q.QUERIES["q71_doc_repetition"](spark, SF_SMOKE).collect()}
+    q21 = {r["doc_id"]: r for r in Q.QUERIES["q21_lang_id"](spark, SF_SMOKE).collect()}
+    fails = {}
+    for d in q22:
+        fails[d] = {
+            "length": q22[d]["n_tokens"] < 5,
+            "quality": q22[d]["quality"] < 0.5,
+            "repetition": q71[d]["dup_tri_frac"] > 0.2,
+            "lang": q21[d]["lang_pred"] != q21[d]["lang_declared"],
+        }
+    rows = {r["gate"]: r for r in Q.QUERIES["q234_gate_ablation"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {"length", "quality", "repetition", "lang"}
+    n_pass_all = sum(1 for f in fails.values() if not any(f.values()))
+    for gate, r in rows.items():
+        want_fail = sum(1 for f in fails.values() if f[gate])
+        want_only = sum(
+            1 for f in fails.values() if f[gate] and sum(f.values()) == 1
+        )
+        assert r["n_fail"] == want_fail, gate
+        assert r["n_fail_only"] == want_only, gate
+        assert r["n_fail_only"] <= r["n_fail"]
+        assert r["n_docs"] == len(fails)
+        assert r["n_pass_all"] == n_pass_all
