@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from .clustering import quantize_embeddings
 
-__all__ = ["pq_train_encode", "pq_adc_recall"]
+__all__ = ["pq_train_encode", "pq_adc_recall", "ivf_pq_recall"]
 
 _CB_SCHEMA = (
     "cb array<array<struct<cid: int, c: array<bigint>, nc: bigint>>>"
@@ -202,6 +202,29 @@ def pq_train_encode(
     return packed, codebooks, quant
 
 
+def _adc_tables(
+    qrows, codebooks: list[list[tuple[int, list[int], int]]], m: int, dsub: int
+) -> list[tuple[int, list[list[int]]]]:
+    """Per-query ADC lookup tables (m·k exact integer distances from the
+    query's subvectors to every codebook entry), computed driver-side
+    from the |Q| collected query rows."""
+    tables = []
+    for r in qrows:
+        qv = list(r["q"])
+        tbl = []
+        for j in range(m):
+            sq = qv[j * dsub : (j + 1) * dsub]
+            nsq = _sq(sq)
+            tbl.append(
+                [
+                    nsq + nc - 2 * sum(a * b for a, b in zip(sq, c))
+                    for _, c, nc in codebooks[j]
+                ]
+            )
+        tables.append((int(r["vec_id"]), tbl))
+    return tables
+
+
 def pq_adc_recall(
     emb: DataFrame,
     query_pred: Column,
@@ -224,20 +247,7 @@ def pq_adc_recall(
     dsub = d // m
 
     qrows = quant.filter(query_pred).select("vec_id", "q", "nq").collect()
-    tables = []
-    for r in qrows:
-        qv = list(r["q"])
-        tbl = []
-        for j in range(m):
-            sq = qv[j * dsub : (j + 1) * dsub]
-            nsq = _sq(sq)
-            tbl.append(
-                [
-                    nsq + nc - 2 * sum(a * b for a, b in zip(sq, c))
-                    for _, c, nc in codebooks[j]
-                ]
-            )
-        tables.append((int(r["vec_id"]), tbl))
+    tables = _adc_tables(qrows, codebooks, m, dsub)
     tdf = spark.createDataFrame(
         [(tables,)],
         "qt array<struct<qid: bigint, tbl: array<array<bigint>>>>",
@@ -327,6 +337,159 @@ def pq_adc_recall(
         .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)))
         .select(
             F.col("qid").alias("query_id"),
+            "adc_best",
+            "exact_best",
+            F.col("n_overlap").cast("bigint").alias("n_overlap"),
+            (F.col("n_overlap").cast("double") / F.lit(float(k_top))).alias(
+                "recall"
+            ),
+        )
+    )
+    rows = out.collect()
+    quant.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+def ivf_pq_recall(
+    emb: DataFrame,
+    query_pred: Column,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    k_top: int = 10,
+) -> DataFrame:
+    """IVF-PQ — the composed billion-scale ANN layout: IVF prunes WHICH
+    vectors a query scores (probe ``nprobe`` of ``n_cells`` cells), PQ
+    compresses HOW each survivor is scored (m table lookups on the
+    packed codes). Search cost ≈ (nprobe/n_cells) · N code-scored rows
+    per query, and n_scored is REPORTED per query so the pruning claim
+    is visible in the output, next to recall vs the exact integer tier
+    over the FULL corpus (recall pays for pruning twice: a missed cell
+    loses its neighbors entirely — the q136 IVF position, compounded by
+    code quantization).
+
+    Shapes: cells route on float L2 against the deterministic lowest-id
+    seed centroids (similarity.ivf_assign — at rest the codes table is
+    partitioned by cell so probes prune partitions); the |Q| ADC tables
+    and |Q|·nprobe probe pairs travel as broadcast DataFrames; scoring
+    joins codes⋈probes on cell — the only wide op, sized by the pruned
+    candidate set."""
+    from .similarity import ivf_assign, seed_centroids
+
+    spark = emb.sparkSession
+    codes, codebooks, quant = pq_train_encode(emb, m=m, k=k, iters=iters)
+    d = len(quant.select("q").first()[0])
+    dsub = d // m
+
+    cents = seed_centroids(emb, n_cells)
+    cells = ivf_assign(emb, cents).select("vec_id", "cell")
+    coded = codes.join(cells, "vec_id")
+
+    qrows = quant.filter(query_pred).select("vec_id", "q", "nq").collect()
+    tdf = spark.createDataFrame(
+        _adc_tables(qrows, codebooks, m, dsub),
+        "qid BIGINT, tbl ARRAY<ARRAY<BIGINT>>",
+    )
+
+    qe = emb.filter(query_pred).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("__qvec")
+    )
+    from ..functions import vectors as V
+
+    qd = V.squared_l2(
+        F.col("__qvec").cast("array<double>"),
+        F.col("embedding").cast("array<double>"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.asc("__qdist"), F.asc("centroid_id"))
+    probes = (
+        qe.crossJoin(F.broadcast(cents))
+        .select("qid", "centroid_id", qd.alias("__qdist"))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("qid", F.col("centroid_id").alias("cell"))
+    )
+
+    cand = coded.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    est = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("tbl"),
+            lambda c, row: F.element_at(row, c + 1),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.join(F.broadcast(tdf), "qid").select(
+        "qid", "vec_id", est.alias("est")
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("est"), F.asc("vec_id"))
+    adc_top = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k_top
+    )
+    n_scored = scored.groupBy("qid").agg(
+        F.count("*").cast("bigint").alias("n_scored")
+    )
+
+    # exact integer tier over the FULL corpus (same grid, same ties)
+    qvec = spark.createDataFrame(
+        [([(int(r["vec_id"]), list(r["q"]), int(r["nq"])) for r in qrows],)],
+        "qs array<struct<qid: bigint, q: array<bigint>, nq: bigint>>",
+    )
+    exact = quant.crossJoin(F.broadcast(qvec)).select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                "qs",
+                lambda s: F.struct(
+                    s["qid"].alias("qid"),
+                    (
+                        F.col("nq")
+                        + s["nq"]
+                        - F.lit(2).cast("long")
+                        * F.aggregate(
+                            F.zip_with(F.col("q"), s["q"], lambda a, b: a * b),
+                            F.lit(0).cast("long"),
+                            lambda acc, x: acc + x,
+                        )
+                    ).alias("dist"),
+                ),
+            )
+        ).alias("s"),
+    ).select(
+        "vec_id", F.col("s.qid").alias("qid"), F.col("s.dist").alias("dist")
+    ).filter(F.col("vec_id") != F.col("qid"))
+    we = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
+    exact_top = exact.withColumn("rnk", F.row_number().over(we)).filter(
+        F.col("rnk") <= k_top
+    )
+
+    overlap = (
+        adc_top.select("qid", "vec_id")
+        .join(exact_top.select("qid", "vec_id"), ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    bests = (
+        adc_top.filter(F.col("rnk") == 1)
+        .select("qid", F.col("vec_id").alias("adc_best"))
+        .join(
+            exact_top.filter(F.col("rnk") == 1).select(
+                "qid", F.col("vec_id").alias("exact_best")
+            ),
+            "qid",
+        )
+    )
+    out = (
+        bests.join(n_scored, "qid")
+        .join(overlap, "qid", "left")
+        .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)))
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_scored",
             "adc_best",
             "exact_best",
             F.col("n_overlap").cast("bigint").alias("n_overlap"),

@@ -13290,6 +13290,45 @@ SELECT 'lang', fail_lang, only_lang, n_docs, n_pass_all FROM agg
 """
 
 
+# IVF-PQ composed ANN (round 5): the full billion-scale layout —
+# q28's IVF cell pruning UNDER q220's PQ code scoring (operators/
+# pq.py ivf_pq_recall). Per eval query the output carries n_scored
+# (the pruning proof: ≈ nprobe/n_cells of the corpus), ADC/exact
+# bests, overlap@10 vs the exact integer tier over the FULL corpus,
+# and planted-twin recovery. Pruning compounds quantization loss —
+# a missed cell loses its neighbors entirely — which is exactly what
+# the recall column is for. Rows-only (q136's position).
+
+def q235_ivf_pq_ann(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.pq import ivf_pq_recall
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n = emb.count()  # dimension-scale scalar: offsets the planted ids
+    planted = emb.select(
+        (F.col("vec_id") + F.lit(n)).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias(
+            "embedding"
+        ),
+    )
+    out = ivf_pq_recall(
+        emb.unionByName(planted),
+        # %50 eval set: the composed query runs BOTH tiers (ADC and the
+        # full-corpus exact reference) per query — measured 20 s at %20,
+        # ~9 s at %50 on sf0.1
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < n),
+        n_cells=16,
+        nprobe=4,
+        m=8,
+        k=16,
+        iters=2,
+    )
+    return out.withColumn(
+        "found_planted", F.col("adc_best") == F.col("query_id") + F.lit(n)
+    )
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -13630,6 +13669,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q232_tokenizer_fertility": q232_tokenizer_fertility,
     "q233_review_queue": q233_review_queue,
     "q234_gate_ablation": q234_gate_ablation,
+    "q235_ivf_pq_ann": q235_ivf_pq_ann,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,

@@ -72,3 +72,22 @@ def test_pq_planted_twin_recovery(spark):
         # the exact integer tier MUST rank the twin first: distances on
         # the int8 grid between twin vectors are near-zero
         assert r["exact_best"] == r["query_id"] + 500
+
+
+def test_ivf_pq_prunes_and_recovers_planted(spark):
+    """q235: every query scores a PRUNED candidate set (well under the
+    corpus), and the twin sits in the query's own cell so IVF-PQ still
+    recovers it for most queries; exact tier always ranks the twin
+    first."""
+    out = {
+        r["query_id"]: r
+        for r in Q.QUERIES["q235_ivf_pq_ann"](spark, SF_SMOKE).collect()
+    }
+    assert len(out) == 10
+    corpus = 1000  # 500 + 500 planted twins
+    for r in out.values():
+        assert 0 < r["n_scored"] < corpus * 0.6  # pruning visible
+        assert r["exact_best"] == r["query_id"] + 500
+        assert 0.0 <= r["recall"] <= 1.0
+    n_found = sum(1 for r in out.values() if r["found_planted"])
+    assert n_found >= 7, n_found
