@@ -13329,6 +13329,276 @@ def q235_ivf_pq_ann(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# reorder survival (round 5): P(next order later than d days) — the
+# life-table read of q36's cadence gaps WITH censoring handled
+# honestly: a customer's open-ended wait since their last order is a
+# CENSORED observation, informative at horizon d only if it already
+# exceeds d (dropping censored waits entirely — the naive average —
+# biases survival low). Exact integer counts per horizon, one
+# boundary division; gaps from one per-customer lag window.
+
+def q236_reorder_survival(spark: SparkSession, sf: str) -> DataFrame:
+    o = _ord(spark, sf).select("o_custkey", "o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = o.withColumn("next_date", F.lead("o_orderdate").over(w))
+    maxd = o.agg(F.max("o_orderdate").alias("max_date"))
+    gaps = nxt.crossJoin(F.broadcast(maxd)).select(
+        F.when(
+            F.col("next_date").isNotNull(),
+            F.datediff("next_date", "o_orderdate"),
+        ).alias("gap"),
+        F.when(
+            F.col("next_date").isNull(),
+            F.datediff("max_date", "o_orderdate"),
+        ).alias("cens"),
+    )
+    horizons = gaps.sparkSession.createDataFrame(
+        [(7,), (30,), (60,), (90,)], "d INT"
+    )
+    j = gaps.crossJoin(F.broadcast(horizons))
+    n_comp = F.sum(F.col("gap").isNotNull().cast("int")).cast("bigint")
+    comp_gt = F.sum((F.col("gap") > F.col("d")).cast("int")).cast("bigint")
+    cens_ge = F.sum(
+        (F.col("cens").isNotNull() & (F.col("cens") >= F.col("d"))).cast("int")
+    ).cast("bigint")
+    return j.groupBy("d").agg(
+        n_comp.alias("n_completed"),
+        comp_gt.alias("n_open_past_d"),
+        cens_ge.alias("n_censored_informative"),
+        (
+            (comp_gt + cens_ge).cast("double")
+            / (n_comp + cens_ge).cast("double")
+        ).alias("survival"),
+    )
+
+
+Q236_SQL = """
+WITH nxt AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+         lead(CAST(o_orderdate AS DATE)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS next_date
+  FROM orders
+), maxd AS (SELECT max(CAST(o_orderdate AS DATE)) AS max_date FROM orders),
+gaps AS (
+  SELECT CASE WHEN next_date IS NOT NULL
+              THEN datediff('day', od, next_date) END AS gap,
+         CASE WHEN next_date IS NULL
+              THEN datediff('day', od, max_date) END AS cens
+  FROM nxt CROSS JOIN maxd
+), h AS (SELECT unnest([7, 30, 60, 90]) AS d)
+SELECT CAST(d AS INT) AS d,
+       CAST(sum(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_completed,
+       CAST(sum(CASE WHEN gap > d THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_open_past_d,
+       CAST(sum(CASE WHEN cens IS NOT NULL AND cens >= d
+                     THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_censored_informative,
+       CAST(CAST(sum(CASE WHEN gap > d THEN 1 ELSE 0 END)
+                 + sum(CASE WHEN cens IS NOT NULL AND cens >= d
+                            THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(sum(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END)
+                     + sum(CASE WHEN cens IS NOT NULL AND cens >= d
+                                THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         AS survival
+FROM gaps CROSS JOIN h
+GROUP BY d
+"""
+
+
+# vocabulary growth / Heaps' law (round 5): distinct regex-word
+# vocabulary vs cumulative tokens at 10 corpus checkpoints in md5 doc
+# order — the statistic that says whether a vocab/BPE budget is near
+# saturation (q114's sizing question) or the corpus keeps minting
+# types. Doc ranks and the cumulative token count are
+# two_phase_running_sum sharded on the hash prefix (no
+# single-partition doc-grain window); each word's FIRST-occurrence
+# rank joins a 10-row broadcast checkpoint table on its rank range,
+# so vocab counting shuffles word-grain rows exactly once.
+
+def q237_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.recipe import two_phase_running_sum
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    words = F.array_distinct(
+        F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), 0)
+    )
+    staged = docs.select(
+        "doc_id",
+        words.alias("ws"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    ).withColumn("one", F.lit(1))
+    ranked = two_phase_running_sum(
+        staged,
+        [],
+        F.substring("h", 1, 1),
+        [F.col("h").asc(), F.col("doc_id").asc()],
+        "one",
+        "rnk",
+    ).withColumn("n_w", F.size("ws"))
+    ranked = ranked.persist()
+    cum_tok = two_phase_running_sum(
+        ranked.select("doc_id", "h", "rnk", "n_w"),
+        [],
+        F.substring("h", 1, 1),
+        [F.col("h").asc(), F.col("doc_id").asc()],
+        "n_w",
+        "cum_w",
+    )
+    tot = ranked.agg(F.count("*").alias("n_docs"))
+    cps = (
+        tot.select(
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile"),
+            "n_docs",
+        )
+        .select(
+            "decile",
+            F.expr("(n_docs * decile + 9) div 10").alias("cp"),
+            F.expr("(n_docs * (decile - 1) + 9) div 10").alias("cp_prev"),
+        )
+    )
+    # tokens at each checkpoint: the cum at rank == cp
+    tok_at = cum_tok.join(
+        F.broadcast(cps), F.col("rnk") == F.col("cp")
+    ).select("decile", "cp", F.col("cum_w").alias("cum_tokens"))
+    first_rank = (
+        ranked.select(F.explode("ws").alias("w"), "rnk")
+        .groupBy("w")
+        .agg(F.min("rnk").alias("fr"))
+    )
+    vocab_new = first_rank.join(
+        F.broadcast(cps),
+        (F.col("fr") > F.col("cp_prev")) & (F.col("fr") <= F.col("cp")),
+    ).groupBy("decile").agg(F.count("*").alias("new_types"))
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = (
+        tok_at.join(vocab_new, "decile", "left")
+        .withColumn("new_types", F.coalesce("new_types", F.lit(0)))
+        .withColumn("vocab", F.sum("new_types").over(w_cum))
+    )
+    return out.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("cp").cast("bigint").alias("n_docs"),
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        F.col("vocab").cast("bigint").alias("vocab"),
+        (F.col("vocab").cast("double") / F.col("cum_tokens").cast("double")).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+Q237_SQL = """
+WITH staged AS (
+  SELECT doc_id,
+         list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS ws,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), ranked AS (
+  SELECT doc_id, ws, len(ws) AS n_w,
+         row_number() OVER (ORDER BY h, doc_id) AS rnk,
+         sum(len(ws)) OVER (ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w
+  FROM staged
+), tot AS (SELECT count(*) AS n_docs FROM staged),
+cps AS (
+  SELECT d AS decile,
+         (n_docs * d + 9) // 10 AS cp,
+         (n_docs * (d - 1) + 9) // 10 AS cp_prev
+  FROM (SELECT unnest(generate_series(1, 10)) AS d) CROSS JOIN tot
+), tok_at AS (
+  SELECT c.decile, c.cp, r.cum_w AS cum_tokens
+  FROM ranked r JOIN cps c ON r.rnk = c.cp
+), first_rank AS (
+  SELECT w, min(rnk) AS fr
+  FROM ranked, LATERAL (SELECT unnest(ws) AS w)
+  GROUP BY 1
+), vocab_new AS (
+  SELECT c.decile, count(*) AS new_types
+  FROM first_rank f JOIN cps c ON f.fr > c.cp_prev AND f.fr <= c.cp
+  GROUP BY 1
+)
+SELECT CAST(t.decile AS INT) AS decile,
+       CAST(t.cp AS BIGINT) AS n_docs,
+       CAST(t.cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(sum(coalesce(v.new_types, 0)) OVER (ORDER BY t.decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab,
+       CAST(sum(coalesce(v.new_types, 0)) OVER (ORDER BY t.decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(t.cum_tokens AS DOUBLE) AS type_token_ratio
+FROM tok_at t LEFT JOIN vocab_new v ON t.decile = v.decile
+"""
+
+
+# functional-dependency audit (round 5): does X determine Y — the
+# data-quality check q161's referential integrity can't express.
+# Three candidate FDs with three different verdicts in this data:
+# customer name → custkey HOLDS (names minted unique), part name →
+# partkey FAILS (generic names like 'blue rod' collide across keys —
+# the natural-key trap), orderkey → suppkey FAILS (orders span
+# suppliers) — so the audit demonstrably distinguishes, not blesses.
+# Per FD: LHS values, violating LHS count, max distinct RHS per LHS
+# — one two-level agg per FD on the (lhs, rhs) distinct grain.
+
+def q238_fd_audit(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    part = load_table(spark, sf, "part")
+    li = _li(spark, sf)
+
+    def audit(df: DataFrame, name: str, lhs: str, rhs: str) -> DataFrame:
+        grain = df.select(
+            F.col(lhs).alias("lhs"), F.col(rhs).alias("rhs")
+        ).distinct()
+        per = grain.groupBy("lhs").agg(F.count("*").alias("n_rhs"))
+        return per.agg(
+            F.lit(name).alias("fd"),
+            F.count("*").cast("bigint").alias("n_lhs"),
+            F.sum((F.col("n_rhs") > 1).cast("int"))
+            .cast("bigint")
+            .alias("n_violations"),
+            F.max("n_rhs").cast("bigint").alias("max_rhs"),
+            (F.sum((F.col("n_rhs") > 1).cast("int")) == 0).alias("holds"),
+        )
+
+    return (
+        audit(cust, "c_name->c_custkey", "c_name", "c_custkey")
+        .unionByName(audit(part, "p_name->p_partkey", "p_name", "p_partkey"))
+        .unionByName(
+            audit(li, "l_orderkey->l_suppkey", "l_orderkey", "l_suppkey")
+        )
+    )
+
+
+Q238_SQL = """
+WITH a1 AS (
+  SELECT 'c_name->c_custkey' AS fd, lhs, count(*) AS n_rhs
+  FROM (SELECT DISTINCT c_name AS lhs, c_custkey AS rhs FROM customer)
+  GROUP BY 1, 2
+), a2 AS (
+  SELECT 'p_name->p_partkey' AS fd, lhs, count(*) AS n_rhs
+  FROM (SELECT DISTINCT p_name AS lhs, p_partkey AS rhs FROM part)
+  GROUP BY 1, 2
+), a3 AS (
+  SELECT 'l_orderkey->l_suppkey' AS fd, CAST(lhs AS VARCHAR) AS lhs,
+         count(*) AS n_rhs
+  FROM (SELECT DISTINCT l_orderkey AS lhs, l_suppkey AS rhs FROM lineitem)
+  GROUP BY 1, 2
+), u AS (
+  SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3
+)
+SELECT fd,
+       CAST(count(*) AS BIGINT) AS n_lhs,
+       CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       CAST(max(n_rhs) AS BIGINT) AS max_rhs,
+       sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM u GROUP BY 1
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -13670,6 +13940,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q233_review_queue": q233_review_queue,
     "q234_gate_ablation": q234_gate_ablation,
     "q235_ivf_pq_ann": q235_ivf_pq_ann,
+    "q236_reorder_survival": q236_reorder_survival,
+    "q237_vocab_growth": q237_vocab_growth,
+    "q238_fd_audit": q238_fd_audit,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -13995,6 +14268,9 @@ ORACLES: dict[str, str] = {
     "q232_tokenizer_fertility": Q232_SQL,
     "q233_review_queue": Q233_SQL,
     "q234_gate_ablation": Q234_SQL,
+    "q236_reorder_survival": Q236_SQL,
+    "q237_vocab_growth": Q237_SQL,
+    "q238_fd_audit": Q238_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean

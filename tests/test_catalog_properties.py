@@ -2157,3 +2157,106 @@ def test_gate_ablation_matches_python_replay(spark):
         assert r["n_fail_only"] <= r["n_fail"]
         assert r["n_docs"] == len(fails)
         assert r["n_pass_all"] == n_pass_all
+
+
+def test_reorder_survival_matches_python(spark):
+    """q236: the life-table survival estimate recomputed in Python
+    with explicit censoring; survival is monotone non-increasing in d."""
+    from collections import defaultdict
+
+    o = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_custkey", "o_orderdate", "o_orderkey")
+        .collect()
+    )
+    per = defaultdict(list)
+    for r in o:
+        per[r["o_custkey"]].append((r["o_orderdate"], r["o_orderkey"]))
+    max_date = max(r["o_orderdate"] for r in o).date()
+    gaps, cens = [], []
+    for rows in per.values():
+        rows.sort()
+        for a, b in zip(rows, rows[1:]):
+            gaps.append((b[0].date() - a[0].date()).days)
+        cens.append((max_date - rows[-1][0].date()).days)
+    got = {
+        r["d"]: r
+        for r in Q.QUERIES["q236_reorder_survival"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == {7, 30, 60, 90}
+    prev = 1.1
+    for d in (7, 30, 60, 90):
+        comp_gt = sum(1 for g in gaps if g > d)
+        cens_ge = sum(1 for c in cens if c >= d)
+        want = (comp_gt + cens_ge) / (len(gaps) + cens_ge)
+        assert got[d]["n_completed"] == len(gaps)
+        assert got[d]["n_open_past_d"] == comp_gt
+        assert got[d]["n_censored_informative"] == cens_ge
+        assert abs(got[d]["survival"] - want) < 1e-12
+        assert got[d]["survival"] <= prev + 1e-12
+        prev = got[d]["survival"]
+
+
+def test_vocab_growth_matches_python(spark):
+    """q237: replay the md5-ordered corpus scan in Python; vocab and
+    cumulative tokens at every decile checkpoint must agree, and the
+    final vocab equals the corpus distinct-word count."""
+    import hashlib
+    import re
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    ordered = sorted(
+        docs, key=lambda r: (hashlib.md5(str(r["doc_id"]).encode()).hexdigest(), r["doc_id"])
+    )
+    word_lists = [
+        sorted(set(re.findall(r"[a-z0-9]+", r["text"].lower())))
+        for r in ordered
+    ]
+    n = len(ordered)
+    got = {
+        r["decile"]: r
+        for r in Q.QUERIES["q237_vocab_growth"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(range(1, 11))
+    for p in range(1, 11):
+        cp = (n * p + 9) // 10
+        seen = set()
+        cum = 0
+        for wl in word_lists[:cp]:
+            seen.update(wl)
+            cum += len(wl)
+        assert got[p]["n_docs"] == cp
+        assert got[p]["cum_tokens"] == cum
+        assert got[p]["vocab"] == len(seen), p
+    all_words = set()
+    for wl in word_lists:
+        all_words.update(wl)
+    assert got[10]["vocab"] == len(all_words)
+
+
+def test_fd_audit_sees_violations(spark):
+    """q238: the customer-name FD holds, the part-name and
+    orderkey→suppkey FDs are VIOLATED (generic part names collide;
+    multi-supplier orders exist), and counts match a Python replay."""
+    rows = {r["fd"]: r for r in Q.QUERIES["q238_fd_audit"](spark, SF_SMOKE).collect()}
+    assert rows["c_name->c_custkey"]["holds"] is True
+    assert rows["p_name->p_partkey"]["holds"] is False
+    assert rows["p_name->p_partkey"]["n_violations"] > 0
+    li = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+
+    per = defaultdict(set)
+    for r in li:
+        per[r["l_orderkey"]].add(r["l_suppkey"])
+    viol = sum(1 for s in per.values() if len(s) > 1)
+    r = rows["l_orderkey->l_suppkey"]
+    assert r["n_lhs"] == len(per)
+    assert r["n_violations"] == viol
+    assert r["max_rhs"] == max(len(s) for s in per.values())
+    assert r["holds"] == (viol == 0)
+    assert viol > 0  # the audit must demonstrably see violations
