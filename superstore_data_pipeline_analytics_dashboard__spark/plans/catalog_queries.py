@@ -13599,6 +13599,180 @@ FROM u GROUP BY 1
 """
 
 
+# LSH parameter planner (round 5): the S-curve table behind q26's
+# (b=16, r=4) choice — for each banding of 64 hashes, the collision
+# probability 1 − (1 − s^r)^b across the similarity grid. Engine libm
+# pow is banned, so the powers are UNROLLED REPEATED SQUARING with a
+# round(·, 12) after every multiply (identical fixed-point algebra on
+# both engines); the grid itself is exact decimal s = i·0.1. A pure
+# planning table — no scan, constant-folded by Catalyst.
+
+def q239_lsh_param_planner(spark: SparkSession, sf: str) -> DataFrame:
+    grid = spark.range(1, 10).select(
+        F.col("id").cast("decimal(3,1)").alias("i")
+    )
+    configs = spark.createDataFrame(
+        [(4, 16), (8, 8), (16, 4)], "b INT, r INT"
+    )
+    j = grid.crossJoin(F.broadcast(configs))
+    s = (F.col("i") * F.lit(0.1).cast("decimal(3,1)")).cast("decimal(14,12)")
+
+    def sq(c: Column) -> Column:
+        return F.round(c * c, 12).cast("decimal(14,12)")
+
+    s2 = sq(s)
+    s4 = sq(s2)
+    s8 = sq(s4)
+    s16 = sq(s8)
+    sr = (
+        F.when(F.col("r") == 4, s4)
+        .when(F.col("r") == 8, s8)
+        .otherwise(s16)
+    )
+    q = (F.lit(1).cast("decimal(14,12)") - sr).cast("decimal(14,12)")
+    q2 = sq(q)
+    q4 = sq(q2)
+    q8 = sq(q4)
+    q16 = sq(q8)
+    qb = (
+        F.when(F.col("b") == 4, q4)
+        .when(F.col("b") == 8, q8)
+        .otherwise(q16)
+    )
+    p = F.lit(1).cast("decimal(14,12)") - qb
+    return j.select(
+        "b",
+        "r",
+        s.cast("double").alias("s"),
+        p.cast("double").alias("p_collide"),
+        (p >= F.lit(0.5).cast("decimal(14,12)")).alias("above_half"),
+    )
+
+
+Q239_SQL = """
+WITH grid AS (
+  SELECT CAST(i AS DECIMAL(3,1)) AS i
+  FROM (SELECT unnest(generate_series(1, 9)) AS i)
+), configs AS (
+  SELECT * FROM (VALUES (4, 16), (8, 8), (16, 4)) AS t(b, r)
+), staged AS (
+  SELECT b, r,
+         CAST(i * CAST(0.1 AS DECIMAL(3,1)) AS DECIMAL(14,12)) AS s
+  FROM grid CROSS JOIN configs
+), p1 AS (
+  SELECT b, r, s,
+         CAST(round(s * s, 12) AS DECIMAL(14,12)) AS s2
+  FROM staged
+), p2 AS (
+  SELECT *, CAST(round(s2 * s2, 12) AS DECIMAL(14,12)) AS s4 FROM p1
+), p3 AS (
+  SELECT *, CAST(round(s4 * s4, 12) AS DECIMAL(14,12)) AS s8 FROM p2
+), p4 AS (
+  SELECT *, CAST(round(s8 * s8, 12) AS DECIMAL(14,12)) AS s16 FROM p3
+), pr AS (
+  SELECT b, r, s,
+         CAST(1 AS DECIMAL(14,12))
+           - CASE WHEN r = 4 THEN s4 WHEN r = 8 THEN s8 ELSE s16 END AS q0
+  FROM p4
+), q1 AS (
+  SELECT b, r, s, CAST(q0 AS DECIMAL(14,12)) AS q,
+         CAST(round(CAST(q0 AS DECIMAL(14,12))
+                    * CAST(q0 AS DECIMAL(14,12)), 12) AS DECIMAL(14,12)) AS q2
+  FROM pr
+), q2c AS (
+  SELECT *, CAST(round(q2 * q2, 12) AS DECIMAL(14,12)) AS q4 FROM q1
+), q3c AS (
+  SELECT *, CAST(round(q4 * q4, 12) AS DECIMAL(14,12)) AS q8 FROM q2c
+), q4c AS (
+  SELECT *, CAST(round(q8 * q8, 12) AS DECIMAL(14,12)) AS q16 FROM q3c
+), fin AS (
+  SELECT b, r, s,
+         CAST(1 AS DECIMAL(14,12))
+           - CASE WHEN b = 4 THEN q4 WHEN b = 8 THEN q8 ELSE q16 END AS p
+  FROM q4c
+)
+SELECT b, r, CAST(s AS DOUBLE) AS s, CAST(p AS DOUBLE) AS p_collide,
+       p >= CAST(0.5 AS DECIMAL(14,12)) AS above_half
+FROM fin
+"""
+
+
+# additive seasonal decomposition (round 5): monthly revenue =
+# trend + seasonal + residual — the classical decomposition behind
+# q170's seasonal-naive backtest. All structure is computed ×12
+# SCALED so the 12-month moving sum, the per-calendar-month seasonal
+# deviations, and their averages stay EXACT decimals (dividing by 12
+# early would float every downstream sum in partition order); each
+# output column is one fixed double tree at the boundary. Windows
+# run on the bounded month grain.
+
+def q242_seasonal_decomposition(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    monthly = li.groupBy(
+        F.trunc(F.to_date("l_shipdate"), "month").alias("month")
+    ).agg(_dec2(F.sum(_rev())).alias("rev"))
+    w12 = Window.orderBy("month").rowsBetween(-6, 5)
+    m = monthly.withColumn(
+        "sum12", F.round(F.sum("rev").over(w12), 2).cast("decimal(18,2)")
+    ).withColumn("n12", F.count("*").over(w12))
+    m = m.filter(F.col("n12") == 12).withColumn(
+        "dev12",
+        (F.col("rev") * 12 - F.col("sum12")).cast("decimal(20,2)"),
+    )
+    moy = F.month("month")
+    ws = Window.partitionBy(moy)
+    m = m.withColumn(
+        "seas_sum", F.round(F.sum("dev12").over(ws), 2).cast("decimal(20,2)")
+    ).withColumn("seas_n", F.count("*").over(ws).cast("bigint"))
+    seasonal12 = F.col("seas_sum").cast("double") / F.col("seas_n").cast(
+        "double"
+    )
+    return m.select(
+        "month",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("sum12").cast("double") / F.lit(12.0)).alias("trend"),
+        (seasonal12 / F.lit(12.0)).alias("seasonal"),
+        (
+            (F.col("dev12").cast("double") - seasonal12) / F.lit(12.0)
+        ).alias("residual"),
+    )
+
+
+Q242_SQL = f"""
+WITH monthly AS (
+  SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS month,
+         {_sql_dec2(f"sum({_REV})")} AS rev
+  FROM lineitem GROUP BY 1
+), win AS (
+  SELECT month, rev,
+         CAST(round(sum(rev) OVER (ORDER BY month
+             ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING), 2)
+           AS DECIMAL(18,2)) AS sum12,
+         count(*) OVER (ORDER BY month
+             ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS n12
+  FROM monthly
+), dev AS (
+  SELECT month, rev, sum12,
+         CAST(rev * 12 - sum12 AS DECIMAL(20,2)) AS dev12
+  FROM win WHERE n12 = 12
+), seas AS (
+  SELECT *,
+         CAST(round(sum(dev12) OVER (PARTITION BY month(month)), 2)
+           AS DECIMAL(20,2)) AS seas_sum,
+         CAST(count(*) OVER (PARTITION BY month(month)) AS BIGINT) AS seas_n
+  FROM dev
+)
+SELECT CAST(month AS DATE) AS month,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(sum12 AS DOUBLE) / 12.0 AS trend,
+       CAST(seas_sum AS DOUBLE) / CAST(seas_n AS DOUBLE) / 12.0 AS seasonal,
+       (CAST(dev12 AS DOUBLE)
+          - CAST(seas_sum AS DOUBLE) / CAST(seas_n AS DOUBLE)) / 12.0
+         AS residual
+FROM seas
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -13943,6 +14117,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q236_reorder_survival": q236_reorder_survival,
     "q237_vocab_growth": q237_vocab_growth,
     "q238_fd_audit": q238_fd_audit,
+    "q239_lsh_param_planner": q239_lsh_param_planner,
+    "q242_seasonal_decomposition": q242_seasonal_decomposition,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -14271,6 +14447,8 @@ ORACLES: dict[str, str] = {
     "q236_reorder_survival": Q236_SQL,
     "q237_vocab_growth": Q237_SQL,
     "q238_fd_audit": Q238_SQL,
+    "q239_lsh_param_planner": Q239_SQL,
+    "q242_seasonal_decomposition": Q242_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean

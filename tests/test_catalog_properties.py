@@ -2260,3 +2260,36 @@ def test_fd_audit_sees_violations(spark):
     assert r["max_rhs"] == max(len(s) for s in per.values())
     assert r["holds"] == (viol == 0)
     assert viol > 0  # the audit must demonstrably see violations
+
+
+def test_lsh_planner_matches_math(spark):
+    """q239: the S-curve table agrees with float math to the rounding
+    tolerance of the 12-digit fixed-point squaring ladder, and the
+    (16,4) banding's threshold behavior matches q26's design claim."""
+    rows = {
+        (r["b"], round(r["s"], 1)): r
+        for r in Q.QUERIES["q239_lsh_param_planner"](spark, SF_SMOKE).collect()
+    }
+    assert len(rows) == 27
+    for (b, s), r in rows.items():
+        want = 1 - (1 - s ** (64 // b)) ** b
+        assert abs(r["p_collide"] - want) < 1e-6, (b, s)
+        assert r["above_half"] == (r["p_collide"] >= 0.5)
+    # the q26 configuration: collisions rare at s=0.2, dominant at 0.7
+    assert rows[(16, 0.2)]["p_collide"] < 0.05
+    assert rows[(16, 0.7)]["p_collide"] > 0.9
+
+
+def test_seasonal_decomposition_reconstructs(spark):
+    """q242: trend + seasonal + residual == revenue for every interior
+    month, and each calendar month's seasonal is constant across
+    years."""
+    rows = Q.QUERIES["q242_seasonal_decomposition"](spark, SF_SMOKE).collect()
+    assert rows
+    seas_by_moy = {}
+    for r in rows:
+        assert abs(r["trend"] + r["seasonal"] + r["residual"] - r["revenue"]) < 1e-6
+        moy = r["month"].month
+        seas_by_moy.setdefault(moy, set()).add(round(r["seasonal"], 6))
+    for moy, vals in seas_by_moy.items():
+        assert len(vals) == 1, moy
