@@ -13773,6 +13773,126 @@ FROM seas
 """
 
 
+# active-learning margin sample (round 5): the 20 documents CLOSEST
+# to the quality-gate boundary (|quality − 0.5|, q137's adaptive
+# threshold family) in deterministic md5 tie-order — the "label these
+# next" queue: boundary examples move a threshold most per label.
+# TakeOrderedAndProject shape (global top-k without a global sort).
+
+def q240_margin_sample(spark: SparkSession, sf: str) -> DataFrame:
+    q = q22_text_quality(spark, sf).select("doc_id", "quality")
+    margin = F.abs(F.col("quality") - F.lit(0.5).cast("decimal(9,6)"))
+    h = F.md5(F.col("doc_id").cast("string"))
+    ranked = q.select(
+        "doc_id",
+        F.col("quality").cast("double").alias("quality"),
+        margin.alias("m"),
+        h.alias("h"),
+    ).orderBy(F.asc("m"), F.asc("h"), F.asc("doc_id")).limit(20)
+    w = Window.orderBy("m", "h", "doc_id")
+    return ranked.withColumn(
+        "rnk", F.row_number().over(w).cast("int")
+    ).select("rnk", "doc_id", "quality", F.col("m").cast("double").alias("margin"))
+
+
+Q240_SQL = f"""
+WITH q AS ({Q22_SQL}),
+ranked AS (
+  SELECT doc_id, CAST(quality AS DOUBLE) AS quality,
+         abs(quality - CAST(0.5 AS DECIMAL(9,6))) AS m,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM q
+)
+SELECT CAST(row_number() OVER (ORDER BY m, h, doc_id) AS INT) AS rnk,
+       doc_id, quality, CAST(m AS DOUBLE) AS margin
+FROM ranked
+ORDER BY m, h, doc_id
+LIMIT 20
+"""
+
+
+# join-cardinality estimator audit (round 5): the CBO's textbook
+# estimate |A⋈B| = |A|·|B| / max(ndv_A(k), ndv_B(k)) scored against
+# the TRUE join sizes for the star's two key joins — how wrong the
+# uniformity assumption is on THIS data is exactly what q218's
+# equi-depth histogram exists to correct. Exact counts, integer
+# estimate, one boundary division for the error ratio.
+
+def q241_join_cost_audit(spark: SparkSession, sf: str) -> DataFrame:
+    o = _ord(spark, sf)
+    c = load_table(spark, sf, "customer")
+    li = _li(spark, sf)
+
+    def audit(
+        name: str,
+        a: DataFrame,
+        ka: str,
+        b: DataFrame,
+        kb: str,
+    ) -> DataFrame:
+        stats = a.agg(
+            F.count("*").alias("na"),
+            F.count_distinct(F.col(ka)).alias("da"),
+        ).crossJoin(
+            b.agg(
+                F.count("*").alias("nb"),
+                F.count_distinct(F.col(kb)).alias("db"),
+            )
+        )
+        actual = a.join(b, a[ka] == b[kb]).agg(
+            F.count("*").cast("bigint").alias("actual")
+        )
+        j = stats.crossJoin(F.broadcast(actual))
+        est = F.expr("na * nb div greatest(da, db)")
+        return j.select(
+            F.lit(name).alias("join_name"),
+            est.cast("bigint").alias("estimated"),
+            "actual",
+            (
+                (est.cast("double") - F.col("actual").cast("double"))
+                / F.col("actual").cast("double")
+            ).alias("rel_err"),
+        )
+
+    return audit("orders~customer", o, "o_custkey", c, "c_custkey").unionByName(
+        audit("lineitem~orders", li, "l_orderkey", o, "o_orderkey")
+    )
+
+
+Q241_SQL = """
+WITH s1 AS (
+  SELECT (SELECT count(*) FROM orders) AS na,
+         (SELECT count(DISTINCT o_custkey) FROM orders) AS da,
+         (SELECT count(*) FROM customer) AS nb,
+         (SELECT count(DISTINCT c_custkey) FROM customer) AS db,
+         (SELECT count(*) FROM orders o JOIN customer c
+            ON o.o_custkey = c.c_custkey) AS actual
+), s2 AS (
+  SELECT (SELECT count(*) FROM lineitem) AS na,
+         (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS da,
+         (SELECT count(*) FROM orders) AS nb,
+         (SELECT count(DISTINCT o_orderkey) FROM orders) AS db,
+         (SELECT count(*) FROM lineitem l JOIN orders o
+            ON l.l_orderkey = o.o_orderkey) AS actual
+)
+SELECT 'orders~customer' AS join_name,
+       CAST(na * nb // greatest(da, db) AS BIGINT) AS estimated,
+       CAST(actual AS BIGINT) AS actual,
+       (CAST(na * nb // greatest(da, db) AS DOUBLE)
+          - CAST(CAST(actual AS BIGINT) AS DOUBLE))
+         / CAST(CAST(actual AS BIGINT) AS DOUBLE) AS rel_err
+FROM s1
+UNION ALL
+SELECT 'lineitem~orders',
+       CAST(na * nb // greatest(da, db) AS BIGINT),
+       CAST(actual AS BIGINT),
+       (CAST(na * nb // greatest(da, db) AS DOUBLE)
+          - CAST(CAST(actual AS BIGINT) AS DOUBLE))
+         / CAST(CAST(actual AS BIGINT) AS DOUBLE)
+FROM s2
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -14118,6 +14238,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q237_vocab_growth": q237_vocab_growth,
     "q238_fd_audit": q238_fd_audit,
     "q239_lsh_param_planner": q239_lsh_param_planner,
+    "q240_margin_sample": q240_margin_sample,
+    "q241_join_cost_audit": q241_join_cost_audit,
     "q242_seasonal_decomposition": q242_seasonal_decomposition,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
@@ -14448,6 +14570,8 @@ ORACLES: dict[str, str] = {
     "q237_vocab_growth": Q237_SQL,
     "q238_fd_audit": Q238_SQL,
     "q239_lsh_param_planner": Q239_SQL,
+    "q240_margin_sample": Q240_SQL,
+    "q241_join_cost_audit": Q241_SQL,
     "q242_seasonal_decomposition": Q242_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
