@@ -13893,6 +13893,170 @@ FROM s2
 """
 
 
+# dedup tier disagreement (round 5): where the uniform-vote tier
+# (q20) and the rarity-weighted tier (q214) DISAGREE at the same 0.2
+# threshold — the report that shows what the weighting actually
+# changes: uniform-only pairs are boilerplate-driven (down-weighted
+# away), weighted-only pairs share rare content below uniform
+# threshold. Full-outer join of two already-green exact tiers on the
+# pair grain; counts plus per-zone average scores.
+
+def q243_tier_disagreement(spark: SparkSession, sf: str) -> DataFrame:
+    uni = q20_ngram_jaccard_pairs(spark, sf).select(
+        "doc_a", "doc_b", F.col("jaccard").cast("double").alias("uni_j")
+    )
+    wtd = q214_weighted_jaccard(spark, sf).select(
+        "doc_a", "doc_b", F.col("w_jaccard").cast("double").alias("wtd_j")
+    )
+    j = uni.join(wtd, ["doc_a", "doc_b"], "full_outer")
+    zone = (
+        F.when(F.col("uni_j").isNotNull() & F.col("wtd_j").isNotNull(), "both")
+        .when(F.col("uni_j").isNotNull(), "uniform_only")
+        .otherwise("weighted_only")
+    )
+    return j.groupBy(zone.alias("zone")).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.avg("uni_j"), 6).cast("double").alias("avg_uniform_j"),
+        F.round(F.avg("wtd_j"), 6).cast("double").alias("avg_weighted_j"),
+    )
+
+
+Q243_SQL = f"""
+WITH uni AS (
+  SELECT doc_a, doc_b, CAST(jaccard AS DOUBLE) AS uni_j FROM ({Q20_SQL})
+), wtd AS (
+  SELECT doc_a, doc_b, CAST(w_jaccard AS DOUBLE) AS wtd_j FROM ({Q214_SQL})
+), j AS (
+  SELECT coalesce(u.doc_a, w.doc_a) AS doc_a,
+         coalesce(u.doc_b, w.doc_b) AS doc_b,
+         u.uni_j, w.wtd_j,
+         CASE WHEN u.uni_j IS NOT NULL AND w.wtd_j IS NOT NULL THEN 'both'
+              WHEN u.uni_j IS NOT NULL THEN 'uniform_only'
+              ELSE 'weighted_only' END AS zone
+  FROM uni u FULL OUTER JOIN wtd w
+    ON u.doc_a = w.doc_a AND u.doc_b = w.doc_b
+)
+SELECT zone,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(round(avg(uni_j), 6) AS DOUBLE) AS avg_uniform_j,
+       CAST(round(avg(wtd_j), 6) AS DOUBLE) AS avg_weighted_j
+FROM j GROUP BY 1
+"""
+
+
+# discount-cap what-if (round 5): policy simulation — revenue per
+# brand if every discount were capped at 5%, next to actual, with the
+# recovered amount. The counterfactual is the same exact-decimal
+# _REV tree with least(discount, 0.05) substituted, so actual,
+# capped, and delta reconcile exactly; one conditional-agg scan.
+
+def q244_discount_cap_whatif(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    part = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    ep = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(9,4)")
+    capped_d = F.least(disc, F.lit(0.05).cast("decimal(9,4)"))
+    actual = ep * (F.lit(1).cast("decimal(9,4)") - disc)
+    capped = ep * (F.lit(1).cast("decimal(9,4)") - capped_d)
+    agg = j.groupBy(F.col("p_brand").alias("brand")).agg(
+        _dec2(F.sum(actual)).alias("rev_actual_d"),
+        _dec2(F.sum(capped)).alias("rev_capped_d"),
+        F.sum((disc > F.lit(0.05).cast("decimal(9,4)")).cast("int"))
+        .cast("bigint")
+        .alias("n_capped_rows"),
+    )
+    return agg.select(
+        "brand",
+        F.col("rev_actual_d").cast("double").alias("rev_actual"),
+        F.col("rev_capped_d").cast("double").alias("rev_capped"),
+        (F.col("rev_capped_d") - F.col("rev_actual_d"))
+        .cast("double")
+        .alias("recovered"),
+        "n_capped_rows",
+    )
+
+
+Q244_SQL = f"""
+WITH agg AS (
+  SELECT p.p_brand AS brand,
+         {_sql_dec2(f"sum({_REV})")} AS rev_actual_d,
+         {_sql_dec2("sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(9,4)) - least(CAST(l_discount AS DECIMAL(9,4)), CAST(0.05 AS DECIMAL(9,4)))))")} AS rev_capped_d,
+         CAST(sum(CASE WHEN CAST(l_discount AS DECIMAL(9,4))
+                          > CAST(0.05 AS DECIMAL(9,4))
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_capped_rows
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1
+)
+SELECT brand,
+       CAST(rev_actual_d AS DOUBLE) AS rev_actual,
+       CAST(rev_capped_d AS DOUBLE) AS rev_capped,
+       CAST(rev_capped_d - rev_actual_d AS DOUBLE) AS recovered,
+       n_capped_rows
+FROM agg
+"""
+
+
+# order fill rate (round 5): per month, orders fully shipped within
+# 30 days vs partially vs not at all — the fulfillment readout q223's
+# first-line SLA can't give (an order counts FULL only when its LAST
+# line makes the window). One per-order min/max aggregation, one
+# month rollup, shares as boundary divisions.
+
+def q245_order_fill_rate(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf).groupBy("l_orderkey").agg(
+        F.min(F.to_date("l_shipdate")).alias("first_ship"),
+        F.max(F.to_date("l_shipdate")).alias("last_ship"),
+    )
+    o = _ord(spark, sf).select("o_orderkey", "o_orderdate")
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left")
+    status = (
+        F.when(
+            F.col("first_ship").isNull()
+            | (F.datediff("first_ship", "o_orderdate") > 30),
+            "none_in_window",
+        )
+        .when(F.datediff("last_ship", "o_orderdate") <= 30, "full")
+        .otherwise("partial")
+    )
+    cells = j.groupBy(
+        F.trunc("o_orderdate", "month").alias("month"),
+        status.alias("status"),
+    ).agg(F.count("*").cast("bigint").alias("n_orders"))
+    w = Window.partitionBy("month")
+    return cells.withColumn(
+        "share",
+        F.col("n_orders").cast("double")
+        / F.sum("n_orders").over(w).cast("double"),
+    )
+
+
+Q245_SQL = """
+WITH spans AS (
+  SELECT l_orderkey,
+         min(CAST(l_shipdate AS DATE)) AS first_ship,
+         max(CAST(l_shipdate AS DATE)) AS last_ship
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT date_trunc('month', CAST(o.o_orderdate AS DATE)) AS month,
+         CASE WHEN s.first_ship IS NULL
+                OR datediff('day', CAST(o.o_orderdate AS DATE),
+                            s.first_ship) > 30 THEN 'none_in_window'
+              WHEN datediff('day', CAST(o.o_orderdate AS DATE),
+                            s.last_ship) <= 30 THEN 'full'
+              ELSE 'partial' END AS status
+  FROM orders o LEFT JOIN spans s ON o.o_orderkey = s.l_orderkey
+), cells AS (
+  SELECT month, status, CAST(count(*) AS BIGINT) AS n_orders
+  FROM j GROUP BY 1, 2
+)
+SELECT CAST(month AS DATE) AS month, status, n_orders,
+       CAST(n_orders AS DOUBLE)
+         / CAST(sum(n_orders) OVER (PARTITION BY month) AS DOUBLE) AS share
+FROM cells
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -14241,6 +14405,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q240_margin_sample": q240_margin_sample,
     "q241_join_cost_audit": q241_join_cost_audit,
     "q242_seasonal_decomposition": q242_seasonal_decomposition,
+    "q243_tier_disagreement": q243_tier_disagreement,
+    "q244_discount_cap_whatif": q244_discount_cap_whatif,
+    "q245_order_fill_rate": q245_order_fill_rate,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -14573,6 +14740,9 @@ ORACLES: dict[str, str] = {
     "q240_margin_sample": Q240_SQL,
     "q241_join_cost_audit": Q241_SQL,
     "q242_seasonal_decomposition": Q242_SQL,
+    "q243_tier_disagreement": Q243_SQL,
+    "q244_discount_cap_whatif": Q244_SQL,
+    "q245_order_fill_rate": Q245_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
