@@ -447,3 +447,27 @@ def test_catalog_wide_plan_hygiene(spark):
         ):
             failures.append((name, "undocumented Arrow Python stage"))
     assert not failures, failures
+
+
+def test_margin_sample_is_take_ordered(spark):
+    """q240's global top-20 must be TakeOrderedAndProject — never a
+    global sort of the doc grain."""
+    plan = _executed_plan(Q.q240_margin_sample(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_elasticity_broadcasts_part_dim(spark):
+    """q225: the part dim join must broadcast; the regression agg is
+    the only wide op."""
+    plan = _executed_plan(Q.q225_discount_elasticity(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_revenue_decomposition_is_one_scan(spark):
+    """q228: gross/discount/net/tax/charged all come from ONE lineitem
+    scan (conditional aggregation, never five passes)."""
+    plan = _executed_plan(Q.q228_revenue_decomposition(spark, SF_SMOKE))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
