@@ -14057,6 +14057,204 @@ FROM cells
 """
 
 
+# customer acquisition curve (round 5): new and cumulative distinct
+# customers per month — distinct-counting under a cumulative window
+# done the scalable way: collapse to each customer's FIRST order
+# month (one custkey agg), then a month-grain cumsum of the news; a
+# naive per-month COUNT(DISTINCT) over expanding windows rescans the
+# fact per month.
+
+def q246_acquisition_curve(spark: SparkSession, sf: str) -> DataFrame:
+    o = _ord(spark, sf)
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.trunc("o_orderdate", "month")).alias("first_month")
+    )
+    news = firsts.groupBy(F.col("first_month").alias("month")).agg(
+        F.count("*").cast("bigint").alias("new_customers")
+    )
+    w = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return news.withColumn(
+        "cum_customers", F.sum("new_customers").over(w).cast("bigint")
+    )
+
+
+Q246_SQL = """
+WITH firsts AS (
+  SELECT o_custkey,
+         min(date_trunc('month', CAST(o_orderdate AS DATE))) AS first_month
+  FROM orders GROUP BY 1
+), news AS (
+  SELECT first_month AS month,
+         CAST(count(*) AS BIGINT) AS new_customers
+  FROM firsts GROUP BY 1
+)
+SELECT CAST(month AS DATE) AS month, new_customers,
+       CAST(sum(new_customers) OVER (ORDER BY month
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_customers
+FROM news
+"""
+
+
+# top-customer revenue concentration (round 5): per month, the share
+# of revenue held by the 10 biggest customers — the account-risk
+# companion to q186/q231's supplier HHI. Rank window partitions by
+# month; shares from exact decimal sums with one boundary division.
+
+def q247_top_customer_share(spark: SparkSession, sf: str) -> DataFrame:
+    o = _ord(spark, sf)
+    cells = o.groupBy(
+        F.trunc("o_orderdate", "month").alias("month"), "o_custkey"
+    ).agg(_dec2(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))).alias("crev"))
+    w = Window.partitionBy("month").orderBy(
+        F.desc("crev"), F.asc("o_custkey")
+    )
+    ranked = cells.withColumn("rnk", F.row_number().over(w))
+    agg = ranked.groupBy("month").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.round(F.sum("crev"), 2).cast("decimal(18,2)").alias("tot_d"),
+        F.round(
+            F.sum(F.when(F.col("rnk") <= 10, F.col("crev")).otherwise(0)), 2
+        )
+        .cast("decimal(18,2)")
+        .alias("top10_d"),
+    )
+    return agg.select(
+        "month",
+        "n_customers",
+        F.col("tot_d").cast("double").alias("revenue"),
+        F.col("top10_d").cast("double").alias("top10_revenue"),
+        (F.col("top10_d").cast("double") / F.col("tot_d").cast("double")).alias(
+            "top10_share"
+        ),
+    )
+
+
+Q247_SQL = """
+WITH cells AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+         o_custkey,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+              AS DECIMAL(18,2)) AS crev
+  FROM orders GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY month
+                               ORDER BY crev DESC, o_custkey) AS rnk
+  FROM cells
+), agg AS (
+  SELECT month,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(round(sum(crev), 2) AS DECIMAL(18,2)) AS tot_d,
+         CAST(round(sum(CASE WHEN rnk <= 10 THEN crev ELSE 0 END), 2)
+              AS DECIMAL(18,2)) AS top10_d
+  FROM ranked GROUP BY 1
+)
+SELECT CAST(month AS DATE) AS month, n_customers,
+       CAST(tot_d AS DOUBLE) AS revenue,
+       CAST(top10_d AS DOUBLE) AS top10_revenue,
+       CAST(top10_d AS DOUBLE) / CAST(tot_d AS DOUBLE) AS top10_share
+FROM agg
+"""
+
+
+# charset audit (round 5): UTF-8 bytes-per-character per source — the
+# cheap multilingual-content detector (pure ASCII ⇒ ratio 1.0) that
+# needs no regex at all: char counts and octet counts are both
+# engine-exact integers, so the audit dodges the Java∩RE2 regex
+# subset problem entirely. One narrow scan + source agg.
+
+def q248_charset_audit(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        F.sum(F.octet_length("text")).cast("bigint").alias("n_bytes"),
+        (
+            F.sum(F.octet_length("text")).cast("bigint").cast("double")
+            / F.sum(F.length("text")).cast("bigint").cast("double")
+        ).alias("bytes_per_char"),
+        F.sum(
+            (F.octet_length("text") > F.length("text")).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_non_ascii_docs"),
+    )
+
+
+Q248_SQL = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS n_bytes,
+       CAST(CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(sum(length(text)) AS BIGINT) AS DOUBLE)
+         AS bytes_per_char,
+       CAST(sum(CASE WHEN octet_length(CAST(text AS BLOB)) > length(text)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_non_ascii_docs
+FROM documents GROUP BY 1
+"""
+
+
+# supplier lead-time stats (round 5): ship-minus-order days per
+# supplier — mean and standard deviation from EXACT integer sums
+# (n·Σd² − (Σd)² under the q209 quantization discipline, one sqrt at
+# the boundary — sqrt is IEEE-portable, libm log/pow are not), plus
+# the worst observed lead time. The ops metric behind q223's SLA.
+
+def q249_lead_time_stats(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf).select(
+        "l_orderkey", "l_suppkey", F.to_date("l_shipdate").alias("sd")
+    )
+    o = _ord(spark, sf).select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    d = F.datediff("sd", "o_orderdate")
+    agg = j.groupBy(F.col("l_suppkey").alias("supp_key")).agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(d).cast("bigint").alias("sd_sum"),
+        F.sum((d * d).cast("bigint")).cast("bigint").alias("sd_sumsq"),
+        F.max(d).cast("int").alias("max_days"),
+    )
+    mean = F.col("sd_sum").cast("double") / F.col("n_lines").cast("double")
+    var = (
+        F.col("n_lines").cast("double") * F.col("sd_sumsq").cast("double")
+        - F.col("sd_sum").cast("double") * F.col("sd_sum").cast("double")
+    ) / (F.col("n_lines").cast("double") * F.col("n_lines").cast("double"))
+    return agg.select(
+        "supp_key",
+        "n_lines",
+        mean.alias("mean_days"),
+        F.sqrt(var).alias("std_days"),
+        "max_days",
+    )
+
+
+Q249_SQL = """
+WITH j AS (
+  SELECT l.l_suppkey,
+         datediff('day', CAST(o.o_orderdate AS DATE),
+                  CAST(l.l_shipdate AS DATE)) AS d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), agg AS (
+  SELECT l_suppkey AS supp_key,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(d) AS BIGINT) AS sd_sum,
+         CAST(sum(CAST(d * d AS BIGINT)) AS BIGINT) AS sd_sumsq,
+         CAST(max(d) AS INT) AS max_days
+  FROM j GROUP BY 1
+)
+SELECT supp_key, n_lines,
+       CAST(sd_sum AS DOUBLE) / CAST(n_lines AS DOUBLE) AS mean_days,
+       sqrt((CAST(n_lines AS DOUBLE) * CAST(sd_sumsq AS DOUBLE)
+             - CAST(sd_sum AS DOUBLE) * CAST(sd_sum AS DOUBLE))
+            / (CAST(n_lines AS DOUBLE) * CAST(n_lines AS DOUBLE)))
+         AS std_days,
+       max_days
+FROM agg
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -14408,6 +14606,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q243_tier_disagreement": q243_tier_disagreement,
     "q244_discount_cap_whatif": q244_discount_cap_whatif,
     "q245_order_fill_rate": q245_order_fill_rate,
+    "q246_acquisition_curve": q246_acquisition_curve,
+    "q247_top_customer_share": q247_top_customer_share,
+    "q248_charset_audit": q248_charset_audit,
+    "q249_lead_time_stats": q249_lead_time_stats,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -14743,6 +14945,10 @@ ORACLES: dict[str, str] = {
     "q243_tier_disagreement": Q243_SQL,
     "q244_discount_cap_whatif": Q244_SQL,
     "q245_order_fill_rate": Q245_SQL,
+    "q246_acquisition_curve": Q246_SQL,
+    "q247_top_customer_share": Q247_SQL,
+    "q248_charset_audit": Q248_SQL,
+    "q249_lead_time_stats": Q249_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
