@@ -14255,6 +14255,38 @@ FROM agg
 """
 
 
+# unbilled-order exposure (round 5): q161 COUNTS orders without
+# lineitems; this PRICES them per month (the q201 pricing discipline
+# applied to the parents-without-children direction) — revenue booked
+# at the order header with no shippable lines behind it. One LeftAnti
+# + month rollup, exact decimals to the boundary.
+
+def q250_unbilled_orders(spark: SparkSession, sf: str) -> DataFrame:
+    o = _ord(spark, sf)
+    li = _li(spark, sf).select("l_orderkey")
+    orphans = o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+    return orphans.groupBy(
+        F.trunc("o_orderdate", "month").alias("month")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        _dec2(F.sum(F.col("o_totalprice").cast("decimal(18,4)")))
+        .cast("double")
+        .alias("exposure"),
+    )
+
+
+Q250_SQL = f"""
+SELECT date_trunc('month', CAST(o_orderdate AS DATE))::DATE AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST({_sql_dec2("sum(CAST(o_totalprice AS DECIMAL(18,4)))")}
+            AS DOUBLE) AS exposure
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey)
+GROUP BY 1
+"""
+
+
 # ------------------------------------------------- canonical output boundary
 #
 # Round-1 driver evidence (VERDICT.md "What's wrong" #2): the driver's
@@ -14610,6 +14642,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q247_top_customer_share": q247_top_customer_share,
     "q248_charset_audit": q248_charset_audit,
     "q249_lead_time_stats": q249_lead_time_stats,
+    "q250_unbilled_orders": q250_unbilled_orders,
     # --- r4 greens, r5 composition refactor (output-identical; local
     #     parity verified; r6 rotation) ---
     "q103_temperature_mix": q103_temperature_mix,
@@ -14949,6 +14982,7 @@ ORACLES: dict[str, str] = {
     "q247_top_customer_share": Q247_SQL,
     "q248_charset_audit": Q248_SQL,
     "q249_lead_time_stats": Q249_SQL,
+    "q250_unbilled_orders": Q250_SQL,
     "q139_epoch_execute": Q139_SQL,
     # q26-q28 are approximate (MinHash/SimHash/IVF) — rows-only; q35's
     # HLL estimate was split into an exact-count + error-band boolean
