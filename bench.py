@@ -93,14 +93,20 @@ def main() -> None:
             timings[name] = -1.0
             print(f"# {name} failed: {e}", file=sys.stderr)
 
+    # Key order matters: the driver records only the LAST ~2000 chars of
+    # this line, and the per-query timings dict alone exceeds that. The
+    # headline fields (metric/value/unit/sf/n_queries) therefore go
+    # AFTER "queries" so a tail-truncated capture still contains the
+    # totals (VERDICT r5 item 5).
     print(
         json.dumps(
             {
+                "queries": timings,
                 "metric": "bench_total_sec",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
             }
         )
     )

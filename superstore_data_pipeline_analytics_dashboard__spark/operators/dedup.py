@@ -107,6 +107,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over n-word shingles.
 
@@ -118,8 +119,18 @@ def ngram_jaccard_pairs(
     scale, pass ``max_df`` so hot boilerplate shingles (the skewed
     postings lists) are dropped before the self-join — set sizes are then
     computed over the FILTERED index so Jaccard stays an exact similarity
-    over the retained shingle space."""
-    sh = hashed_shingles(df, id_col, text_col, n)
+    over the retained shingle space.
+
+    ``shingles``: an optional prebuilt (doc_id, shingle) frame (the
+    :func:`shingle_sets` contract) — the tier-sharing hook (same pattern
+    as :func:`split_leakage`'s ``pairs`` parameter): callers running
+    several similarity tiers over one corpus (catalog q243) build and
+    persist the shingle frame ONCE instead of re-tokenizing per tier."""
+    sh = (
+        shingles.select("doc_id", F.xxhash64("shingle").alias("sh"))
+        if shingles is not None
+        else hashed_shingles(df, id_col, text_col, n)
+    )
     if max_df is not None:
         sh = max_df_filter(sh, max_df)
     sh = sh.persist()

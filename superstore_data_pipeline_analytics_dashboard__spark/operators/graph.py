@@ -256,7 +256,18 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
         F.col("u") != F.col("v")
     )
-    und = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    # persisted: `und` feeds both the degree count and the orientation
+    # join, and `oriented` feeds both wedge sides plus the closing-edge
+    # set — without the persists each consumer re-expands the ENTIRE
+    # upstream edge-producing pipeline (q88's input is the whole
+    # co-purchase pair generation: 228 Exchanges in the unpersisted
+    # plan, recomputed ~4x)
+    und = (
+        e.select("u", "v")
+        .union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
     deg = und.groupBy("u").agg(F.count("*").alias("d")).select(
         F.col("u").alias("n"), "d"
     )
@@ -268,23 +279,29 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     oriented = keyed.filter(
         (F.col("du") < F.col("dv"))
         | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
-    ).select("u", "v")
+    ).select("u", "v").persist()
     w1 = oriented.select(F.col("u").alias("c"), F.col("v").alias("a"))
     w2 = oriented.select(F.col("u").alias("c"), F.col("v").alias("b"))
     wedges = w1.join(w2, "c").filter(F.col("a") < F.col("b"))
     # the closing edge (a, b) is oriented one way or the other; the
-    # oriented set has each undirected edge exactly once, so check both
-    closing = oriented.select("u", "v").union(
-        oriented.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    # oriented set has each undirected edge exactly once, so check both —
+    # and the (u, v) pairs stay UNIQUE, so the left join below cannot
+    # multiply wedge rows and count(hit) is exactly the triangle count.
+    # One pass over the wedge stream computes both counts (the former
+    # left_semi + two counts + crossJoin shape ran the wedge join twice).
+    closing = (
+        oriented.select("u", "v")
+        .union(oriented.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .withColumn("__hit", F.lit(1))
     )
-    tris = wedges.join(
+    return wedges.join(
         closing,
         (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")),
-        "left_semi",
+        "left",
+    ).agg(
+        F.count("*").alias("n_wedges"),
+        F.count("__hit").alias("n_triangles"),
     )
-    n_wedges = wedges.agg(F.count("*").alias("n_wedges"))
-    n_tris = tris.agg(F.count("*").alias("n_triangles"))
-    return n_wedges.crossJoin(n_tris)
 
 
 def pagerank(

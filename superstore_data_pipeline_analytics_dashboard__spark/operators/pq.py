@@ -174,10 +174,18 @@ def pq_train_encode(
             )
             .collect()
         )
+        # cids are renumbered DENSELY (cid = list position, ordered by the
+        # previous cid) on every rebuild: a Lloyd update can drop an empty
+        # cluster (guaranteed when two seed subvectors are identical —
+        # arg-min ties all go to the lower cid), and the ADC lookup tables
+        # index `element_at(row, cid + 1)` by LIST POSITION — a sparse cid
+        # would read the wrong entry or throw out-of-range under ANSI.
+        # Lloyd needs no cid identity across iterations, so for the
+        # no-drop case the renumbering is the identity map.
         codebooks = [[] for _ in range(m)]
         for r in sorted(rows, key=lambda r: (r["j"], r["cid"])):
             c = list(r["c"])
-            codebooks[r["j"]].append((int(r["cid"]), c, _sq(c)))
+            codebooks[r["j"]].append((len(codebooks[r["j"]]), c, _sq(c)))
 
     final = _assign_codes(sub, codebooks)
     packed = (

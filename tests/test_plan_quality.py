@@ -414,6 +414,19 @@ def test_interleave_order_windows_are_all_sharded(spark):
     assert wins and all("__shard" in w for w in wins), wins
 
 
+def test_triangle_dag_is_persisted_single_pass(spark):
+    """q88 (VERDICT r5 item 2): `und` and `oriented` are persisted, so
+    the wedge sides and the closing-edge set scan the cache instead of
+    re-expanding the whole q41 co-purchase pipeline per consumer (the
+    228-raw-Exchange plan), and both counts come from ONE aggregate over
+    the wedge⋈closing left join (no join of two one-row count subplans)."""
+    plan = _executed_plan(Q.q88_copurchase_triangles(spark, SF_SMOKE))
+    # oriented is scanned 4x (two wedge sides, closing both directions),
+    # each printing und's cached scans — the count is plan-shaped
+    assert plan.count("InMemoryTableScan") >= 6
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_catalog_wide_plan_hygiene(spark):
     """Global anti-pattern audit over EVERY registry query at smoke
     scale: no row-at-a-time Python (BatchEvalPython) anywhere, no

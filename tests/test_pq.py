@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from superstore_data_pipeline_analytics_dashboard__spark.operators.pq import (
+    pq_adc_recall,
     pq_train_encode,
 )
 from superstore_data_pipeline_analytics_dashboard__spark.plans import (
@@ -56,6 +57,36 @@ def test_pq_codes_replay_and_determinism(spark):
     quant2.unpersist()
     assert got1 == got2
     assert [[c for c in b] for b in books1] == [[c for c in b] for b in books2]
+
+
+def test_pq_dropped_cluster_cids_stay_dense(spark):
+    """Two identical seed vectors force a cluster to die on the first
+    Lloyd rebuild (arg-min ties go to the lower cid, so the higher seed
+    gets zero assignments). Regression: cids must be renumbered densely
+    (cid == list position) after every rebuild — the ADC lookup tables
+    index by position, so a sparse cid read the wrong entry or threw
+    out-of-range under ANSI mode."""
+    dim, m, k = 16, 4, 4
+    rows = []
+    for i in range(20):
+        # vec 1 duplicates vec 0 → in EVERY subspace, seed 1 == seed 0
+        src = 0 if i == 1 else i
+        vec = [float((src * 7 + d * 3) % 11 - 5) + 0.5 for d in range(dim)]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    codes, books, quant = pq_train_encode(emb, m=m, k=k, iters=2)
+    n_codes = codes.count()
+    quant.unpersist()
+    assert n_codes == 20
+    for book in books:
+        assert [cid for cid, _, _ in book] == list(range(len(book)))
+    assert any(len(book) < k for book in books)  # a cluster really died
+
+    # end-to-end ADC scoring over the shrunken codebooks must not throw
+    out = pq_adc_recall(emb, F.col("vec_id") < 2, m=m, k=k, iters=2, k_top=3)
+    got = {r["query_id"] for r in out.collect()}
+    assert got == {0, 1}
 
 
 def test_pq_planted_twin_recovery(spark):
