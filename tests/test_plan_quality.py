@@ -427,6 +427,27 @@ def test_triangle_dag_is_persisted_single_pass(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q243_shingle_frame_built_once(spark):
+    """q243 (VERDICT r5 item 3): the (doc_id, shingle) frame — the
+    dominant tokenize→shingle cost — is built ONCE and shared by both
+    exact tiers via their `shingles` parameter. Pin: of the DISTINCT
+    cached subtrees in the executed plan, exactly one contains the
+    shingle tokenize (`explode`), and none runs in the outer
+    (uncached) plan. If sharing regresses, each tier persists its OWN
+    shingle build and TWO distinct cached blocks carry the explode."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from scale_audit import _decompose
+
+    plan = _executed_plan(Q.q243_tier_disagreement(spark, SF_SMOKE))
+    outer, cached = _decompose(plan)
+    assert outer.count("explode(") == 0
+    tokenizing = [k for k in cached if "explode(" in k]
+    assert len(tokenizing) == 1, f"{len(tokenizing)} cached tokenize blocks"
+
+
 def test_catalog_wide_plan_hygiene(spark):
     """Global anti-pattern audit over EVERY registry query at smoke
     scale: no row-at-a-time Python (BatchEvalPython) anywhere, no
