@@ -441,6 +441,12 @@ def test_q243_shingle_frame_built_once(spark):
     sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
     from scale_audit import _decompose
 
+    # Standalone-plan pin: earlier tests leave cache entries for
+    # EQUIVALENT frames (q20/q214 persist the same canonicalized shingle
+    # plans), and CacheManager substitution against those makes the plan
+    # shape order-dependent. Same discipline as bench.py's per-query
+    # clearCache; cleared entries just recompute on next use.
+    spark.catalog.clearCache()
     plan = _executed_plan(Q.q243_tier_disagreement(spark, SF_SMOKE))
     outer, cached = _decompose(plan)
     assert outer.count("explode(") == 0
