@@ -107,6 +107,9 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                # failures record -1.0 sentinels in the (truncatable)
+                # per-query dict — surface the count in the headline too
+                "n_failed": sum(1 for v in timings.values() if v < 0),
             }
         )
     )

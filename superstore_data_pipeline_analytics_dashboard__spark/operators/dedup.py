@@ -125,12 +125,20 @@ def ngram_jaccard_pairs(
     :func:`shingle_sets` contract) — the tier-sharing hook (same pattern
     as :func:`split_leakage`'s ``pairs`` parameter): callers running
     several similarity tiers over one corpus (catalog q243) build and
-    persist the shingle frame ONCE instead of re-tokenizing per tier."""
-    sh = (
-        shingles.select("doc_id", F.xxhash64("shingle").alias("sh"))
-        if shingles is not None
-        else hashed_shingles(df, id_col, text_col, n)
-    )
+    persist the shingle frame ONCE instead of re-tokenizing per tier.
+    When passed, it REPLACES the tokenize stage entirely — ``text_col``
+    and ``n`` are not consulted (the caller already chose them when
+    building the frame)."""
+    if shingles is not None:
+        missing = {"doc_id", "shingle"} - set(shingles.columns)
+        if missing:
+            raise ValueError(
+                f"shingles frame missing column(s) {sorted(missing)}; "
+                "expected the shingle_sets contract (doc_id, shingle)"
+            )
+        sh = shingles.select("doc_id", F.xxhash64("shingle").alias("sh"))
+    else:
+        sh = hashed_shingles(df, id_col, text_col, n)
     if max_df is not None:
         sh = max_df_filter(sh, max_df)
     sh = sh.persist()

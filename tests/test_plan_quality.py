@@ -435,11 +435,7 @@ def test_q243_shingle_frame_built_once(spark):
     shingle tokenize (`explode`), and none runs in the outer
     (uncached) plan. If sharing regresses, each tier persists its OWN
     shingle build and TWO distinct cached blocks carry the explode."""
-    import sys
-    from pathlib import Path
-
-    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
-    from scale_audit import _decompose
+    from tools.scale_audit import _decompose
 
     # Standalone-plan pin: earlier tests leave cache entries for
     # EQUIVALENT frames (q20/q214 persist the same canonicalized shingle
