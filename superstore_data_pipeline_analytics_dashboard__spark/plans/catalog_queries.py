@@ -14507,78 +14507,20 @@ _CANON_SQL_CASTS: dict[str, dict[str, str]] = {
 # CORRECTNESS_r02.json; COVERAGE.md documents the rotation.
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # Round-6 audit window (first 50). Rotation rationale (VERDICT r5
-    # items 1 + 6): round 5 grew the catalog by 111 queries against a
-    # 50-slot window, leaving 99 oracled queries never driver-audited.
-    # Positions 1-45 are the HEAD of that backlog in registry order
-    # (q150-q194). Positions 46-47 re-audit the two queries round 6
-    # CHANGED: q243 (shared shingle index across both tiers + exact
-    # decimal zone averages — output values changed) and q88 (persisted
-    # triangle DAG + one-pass counts — values unchanged, plan rebuilt).
-    # Positions 48-50 are regression canaries held from the r5 window
-    # (q123/q134/q08 — rotation never gives up all re-verification).
-    # Round 6 adds ZERO new queries so the rotation can clear the
-    # backlog: the remaining 53 never-audited entries are queued
-    # IMMEDIATELY past the window for r7 (positions 51-103; r8 takes
-    # the last 3). Displaced entries keep their verdicts on record
-    # (CORRECTNESS_r03/r04/r05.json).
-    # --- never-audited backlog head (1-45) ---
-    "q150_survivorship_merge": q150_survivorship_merge,
-    "q151_revenue_correlation": q151_revenue_correlation,
-    "q152_prefix_duplicates": q152_prefix_duplicates,
-    "q153_lang_mismatch_audit": q153_lang_mismatch_audit,
-    "q154_minhash_recall": q154_minhash_recall,
-    "q155_interleave_order": q155_interleave_order,
-    "q156_snapshot_diff": q156_snapshot_diff,
-    "q157_trimmed_mean": q157_trimmed_mean,
-    "q158_cluster_quality": q158_cluster_quality,
-    "q159_revenue_trend": q159_revenue_trend,
-    "q160_column_profile": q160_column_profile,
-    "q161_fk_integrity": q161_fk_integrity,
-    "q162_association_rules": q162_association_rules,
-    "q163_rfm_segments": q163_rfm_segments,
-    "q164_numeric_drift": q164_numeric_drift,
-    "q165_trend_residuals": q165_trend_residuals,
-    "q166_order_backlog": q166_order_backlog,
-    "q167_gains_table": q167_gains_table,
-    "q168_label_outliers": q168_label_outliers,
-    "q169_abc_classification": q169_abc_classification,
-    "q170_seasonal_backtest": q170_seasonal_backtest,
-    "q171_duplicate_orders": q171_duplicate_orders,
-    "q172_decontaminate": q172_decontaminate,
-    "q173_quality_length_corr": q173_quality_length_corr,
-    "q174_crosslang_fingerprints": q174_crosslang_fingerprints,
-    "q175_profile_drift": q175_profile_drift,
-    "q176_ab_experiment": q176_ab_experiment,
-    "q177_time_weighted_value": q177_time_weighted_value,
-    "q178_entity_resolution": q178_entity_resolution,
-    "q179_segment_confidence": q179_segment_confidence,
-    "q180_new_vs_returning": q180_new_vs_returning,
-    "q181_sole_blame_supplier": q181_sole_blame_supplier,
-    "q182_quintile_migration": q182_quintile_migration,
-    "q183_duplicate_linenumbers": q183_duplicate_linenumbers,
-    "q184_weekday_seasonality": q184_weekday_seasonality,
-    "q185_session_stats": q185_session_stats,
-    "q186_supplier_hhi": q186_supplier_hhi,
-    "q187_revenue_gini": q187_revenue_gini,
-    "q188_dedup_threshold_sweep": q188_dedup_threshold_sweep,
-    "q189_pps_systematic_sample": q189_pps_systematic_sample,
-    "q190_event_retention": q190_event_retention,
-    "q191_funnel_summary": q191_funnel_summary,
-    "q192_dead_stock": q192_dead_stock,
-    "q193_token_weighted_median": q193_token_weighted_median,
-    "q194_embedding_drift": q194_embedding_drift,
-    # --- changed this round, re-audit (46-47) ---
-    "q243_tier_disagreement": q243_tier_disagreement,
-    "q88_copurchase_triangles": q88_copurchase_triangles,
-    # --- regression canaries, r5 greens (48-50) ---
-    "q123_quota_sample": q123_quota_sample,
-    "q134_training_recipe": q134_training_recipe,
-    "q08_rolling_30row": q08_rolling_30row,
-    # ================= end of the 50-query audit window =================
-    # --- never-audited backlog tail: the r7 window takes these 53 in
-    #     order (q214 gained a `shingles` parameter this round; its
-    #     default standalone plan is unchanged) ---
+    # Round-7 audit window (first 50). Rotation rationale (VERDICT r6
+    # items 1-2): finish clearing the never-audited backlog. Positions
+    # 1-50 are the 50 OLDEST never-driver-audited oracled queries
+    # (q195-q247, exactly the backlog head that sat at positions 51-100
+    # last round, in unchanged order). Round 7 adds ZERO new queries
+    # and changes no query outputs, so the window is purely the
+    # backlog. Deliberate trade, documented in COVERAGE.md: 53 backlog
+    # entries vs 50 slots means this round holds back NO regression
+    # canaries; round 8's window (the last 3 never-audited q248-q250,
+    # the q103/q124/q139 refactor trio, plus ~44 canary re-audits)
+    # compensates. Displaced r6-window entries keep their pass(r6)
+    # verdicts (CORRECTNESS_r06.json) and queue at the back of the
+    # re-audit order below.
+    # --- never-audited backlog: the whole r7 window (1-50) ---
     "q195_benford_audit": q195_benford_audit,
     "q196_revenue_anomaly_mad": q196_revenue_anomaly_mad,
     "q197_keyword_search": q197_keyword_search,
@@ -14629,6 +14571,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q245_order_fill_rate": q245_order_fill_rate,
     "q246_acquisition_curve": q246_acquisition_curve,
     "q247_top_customer_share": q247_top_customer_share,
+    # ================= end of the 50-query audit window =================
+    # --- last 3 never-audited entries: r8 window head ---
     "q248_charset_audit": q248_charset_audit,
     "q249_lead_time_stats": q249_lead_time_stats,
     "q250_unbilled_orders": q250_unbilled_orders,
@@ -14768,6 +14712,60 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q95_order_history_nested": q95_order_history_nested,
     "q96_gap_filled_daily_revenue": q96_gap_filled_daily_revenue,
     "q97_drift_chi2": q97_drift_chi2,
+    # --- r6 window greens (CORRECTNESS_r06, the freshest verdicts —
+    #     back of the re-audit queue) ---
+    "q150_survivorship_merge": q150_survivorship_merge,
+    "q151_revenue_correlation": q151_revenue_correlation,
+    "q152_prefix_duplicates": q152_prefix_duplicates,
+    "q153_lang_mismatch_audit": q153_lang_mismatch_audit,
+    "q154_minhash_recall": q154_minhash_recall,
+    "q155_interleave_order": q155_interleave_order,
+    "q156_snapshot_diff": q156_snapshot_diff,
+    "q157_trimmed_mean": q157_trimmed_mean,
+    "q158_cluster_quality": q158_cluster_quality,
+    "q159_revenue_trend": q159_revenue_trend,
+    "q160_column_profile": q160_column_profile,
+    "q161_fk_integrity": q161_fk_integrity,
+    "q162_association_rules": q162_association_rules,
+    "q163_rfm_segments": q163_rfm_segments,
+    "q164_numeric_drift": q164_numeric_drift,
+    "q165_trend_residuals": q165_trend_residuals,
+    "q166_order_backlog": q166_order_backlog,
+    "q167_gains_table": q167_gains_table,
+    "q168_label_outliers": q168_label_outliers,
+    "q169_abc_classification": q169_abc_classification,
+    "q170_seasonal_backtest": q170_seasonal_backtest,
+    "q171_duplicate_orders": q171_duplicate_orders,
+    "q172_decontaminate": q172_decontaminate,
+    "q173_quality_length_corr": q173_quality_length_corr,
+    "q174_crosslang_fingerprints": q174_crosslang_fingerprints,
+    "q175_profile_drift": q175_profile_drift,
+    "q176_ab_experiment": q176_ab_experiment,
+    "q177_time_weighted_value": q177_time_weighted_value,
+    "q178_entity_resolution": q178_entity_resolution,
+    "q179_segment_confidence": q179_segment_confidence,
+    "q180_new_vs_returning": q180_new_vs_returning,
+    "q181_sole_blame_supplier": q181_sole_blame_supplier,
+    "q182_quintile_migration": q182_quintile_migration,
+    "q183_duplicate_linenumbers": q183_duplicate_linenumbers,
+    "q184_weekday_seasonality": q184_weekday_seasonality,
+    "q185_session_stats": q185_session_stats,
+    "q186_supplier_hhi": q186_supplier_hhi,
+    "q187_revenue_gini": q187_revenue_gini,
+    "q188_dedup_threshold_sweep": q188_dedup_threshold_sweep,
+    "q189_pps_systematic_sample": q189_pps_systematic_sample,
+    "q190_event_retention": q190_event_retention,
+    "q191_funnel_summary": q191_funnel_summary,
+    "q192_dead_stock": q192_dead_stock,
+    "q193_token_weighted_median": q193_token_weighted_median,
+    "q194_embedding_drift": q194_embedding_drift,
+    # (q243/q88: changed in r6, re-audited and green that round)
+    "q243_tier_disagreement": q243_tier_disagreement,
+    "q88_copurchase_triangles": q88_copurchase_triangles,
+    # (q123/q134/q08: r6 canaries, green)
+    "q123_quota_sample": q123_quota_sample,
+    "q134_training_recipe": q134_training_recipe,
+    "q08_rolling_30row": q08_rolling_30row,
     # --- rows-only (r3/r4 rows-ran verdicts; q26-q28 r2 rows-ran;
     #     q220/q235 rows-only by design — recall < 1) ---
     "q102_video_frame_sample": q102_video_frame_sample,

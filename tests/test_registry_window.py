@@ -13,16 +13,25 @@ from superstore_data_pipeline_analytics_dashboard__spark.plans.catalog_queries i
     QUERIES,
 )
 
-# Round-6 window (VERDICT r5 items 1 + 6): the never-audited backlog
-# head q150-q194 in registry order, the two queries round 6 changed,
-# and three regression canaries held from the r5 window.
-R6_WINDOW_HEAD = [f"q{n}_" for n in range(150, 195)]
-R6_WINDOW_TAIL = [
-    "q243_tier_disagreement",
-    "q88_copurchase_triangles",
-    "q123_quota_sample",
-    "q134_training_recipe",
-    "q08_rolling_30row",
+# Round-7 window (VERDICT r6 items 1-2): the 50 oldest never-audited
+# oracled queries — the backlog head q195-q247 in registry order
+# (skipping the rows-only-by-design q220/q235). Deliberately NO
+# regression canaries this round (53 backlog vs 50 slots); r8's
+# mostly-canary window compensates. q248-q250 + the q103/q124/q139
+# refactor trio queue immediately past the window as the r8 head.
+R7_WINDOW = (
+    [f"q{n}_" for n in range(195, 220)]
+    + [f"q{n}_" for n in range(221, 235)]
+    + [f"q{n}_" for n in range(236, 243)]
+    + [f"q{n}_" for n in range(244, 248)]
+)
+R8_HEAD = [
+    "q248_charset_audit",
+    "q249_lead_time_stats",
+    "q250_unbilled_orders",
+    "q103_temperature_mix",
+    "q124_epoch_plan",
+    "q139_epoch_execute",
 ]
 
 
@@ -42,6 +51,29 @@ def test_window_is_50_and_fully_oracled():
 
 def test_window_composition_matches_coverage_doc():
     window = list(QUERIES)[:50]
-    for pos, (got, want_prefix) in enumerate(zip(window, R6_WINDOW_HEAD)):
+    assert len(R7_WINDOW) == 50
+    for pos, (got, want_prefix) in enumerate(zip(window, R7_WINDOW)):
         assert got.startswith(want_prefix), (pos + 1, got, want_prefix)
-    assert window[45:] == R6_WINDOW_TAIL
+    # the r8 head (last 3 never-audited + the refactor trio) queues
+    # immediately past the window
+    assert list(QUERIES)[50:56] == R8_HEAD
+
+
+def test_displaced_r6_window_kept_at_back_of_queue():
+    # displaced r6-window entries keep their pass(r6) verdicts and sit
+    # at the back of the oracled re-audit queue (just before the
+    # rows-only block that closes the registry)
+    names = list(QUERIES)
+    i = names.index("q150_survivorship_merge")
+    assert names[i : i + 45] == [
+        n for n in names if n.startswith(tuple(f"q{k}_" for k in range(150, 195)))
+    ]
+    assert names[i + 45 : i + 50] == [
+        "q243_tier_disagreement",
+        "q88_copurchase_triangles",
+        "q123_quota_sample",
+        "q134_training_recipe",
+        "q08_rolling_30row",
+    ]
+    # everything after the displaced block is the rows-only tail
+    assert all(n not in ORACLES for n in names[i + 50 :])
