@@ -71,11 +71,21 @@ def shingle_sets(
     pin it to one core while 31 idle. At 100 TB the scan already has
     thousands of splits and the repartition is skipped."""
     toks = F.col(tokens_col) if tokens_col else T.tokens(text_col)
-    return _parallelize(df).select(
+    exploded = _parallelize(df).select(
         F.col(id_col).alias("doc_id"), toks.alias("__toks")
     ).select(
         "doc_id",
         F.explode(F.array_distinct(T.shingles_from_tokens(F.col("__toks"), n))).alias("shingle"),
+    )
+    # stamp the shingle width into the column metadata so tier-sharing
+    # consumers (ngram_jaccard_pairs' `shingles` parameter) can detect a
+    # frame built with a DIFFERENT n than the caller intended. Stamped in
+    # a second projection: alias(metadata=...) directly on the generator
+    # is dropped (explode resolves via MultiAlias); over the resolved
+    # attribute it sticks, survives persist(), and the extra projection
+    # collapses in Catalyst.
+    return exploded.select(
+        "doc_id", F.col("shingle").alias("shingle", metadata={"shingle_n": n})
     )
 
 
@@ -127,14 +137,26 @@ def ngram_jaccard_pairs(
     several similarity tiers over one corpus (catalog q243) build and
     persist the shingle frame ONCE instead of re-tokenizing per tier.
     When passed, it REPLACES the tokenize stage entirely — ``text_col``
-    and ``n`` are not consulted (the caller already chose them when
-    building the frame)."""
+    is not consulted (the caller already chose it when building the
+    frame), and ``n`` is only CHECKED: :func:`shingle_sets` stamps the
+    shingle width into the column metadata, and a frame whose stamped
+    width differs from ``n`` raises (silently different similarity
+    semantics otherwise). Frames built elsewhere carry no stamp and skip
+    the check."""
     if shingles is not None:
         missing = {"doc_id", "shingle"} - set(shingles.columns)
         if missing:
             raise ValueError(
                 f"shingles frame missing column(s) {sorted(missing)}; "
                 "expected the shingle_sets contract (doc_id, shingle)"
+            )
+        stamped = shingles.schema["shingle"].metadata.get("shingle_n")
+        if stamped is not None and stamped != n:
+            raise ValueError(
+                f"shingles frame was built with n={stamped} but the call "
+                f"requested n={n}; pass a frame built with the intended "
+                "shingle width (or drop the `shingles` argument to tokenize "
+                "inline)"
             )
         sh = shingles.select("doc_id", F.xxhash64("shingle").alias("sh"))
     else:

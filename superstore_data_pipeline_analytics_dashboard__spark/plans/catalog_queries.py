@@ -11960,13 +11960,17 @@ def q214_weighted_jaccard(
 ) -> DataFrame:
     # `shingles`: optional prebuilt (doc_id, shingle) frame — the q243
     # tier-sharing hook (ngram_jaccard_pairs has the same parameter), so
-    # the tokenize→shingle stage runs once across tiers.
+    # the tokenize→shingle stage runs once across tiers. The frame feeds
+    # TWO consumers below (wdf and shw), so it must be persisted; the
+    # caller is expected to have done so (q243 has), but persist() on an
+    # already-persisted frame is a no-op, so persist defensively rather
+    # than leave the perf contract implicit.
     docs = load_table(spark, sf, "documents")
     sh = (
         shingles
         if shingles is not None
-        else DD.shingle_sets(docs, "doc_id", "text", 3).persist()
-    )
+        else DD.shingle_sets(docs, "doc_id", "text", 3)
+    ).persist()
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     wdf = (
         sh.groupBy("shingle")

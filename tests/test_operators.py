@@ -558,6 +558,36 @@ def test_shingle_sets_tokens_col_equivalent(spark):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_ngram_jaccard_rejects_mismatched_shingle_width(spark):
+    """ADVICE r6: a prebuilt `shingles` frame built with a different n
+    than the call requests must raise, not silently change similarity
+    semantics. shingle_sets stamps n into the column metadata; frames
+    from elsewhere (no stamp) skip the check; matching n passes."""
+    import pytest
+    from superstore_data_pipeline_analytics_dashboard__spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat sat on the rug")],
+        ["doc_id", "text"],
+    )
+    sh2 = DD.shingle_sets(docs, "doc_id", "text", n=2)
+    with pytest.raises(ValueError, match="built with n=2.*requested n=3"):
+        DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, shingles=sh2)
+    # matching width: identical output to the inline-tokenize path
+    sh3 = DD.shingle_sets(docs, "doc_id", "text", n=3)
+    via_frame = DD.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2, shingles=sh3
+    )
+    inline = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    assert via_frame.exceptAll(inline).count() == 0
+    assert inline.exceptAll(via_frame).count() == 0
+    # an unstamped frame (external provenance) is accepted as-is
+    bare = sh3.select("doc_id", F.col("shingle").cast("string").alias("shingle"))
+    assert DD.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2, shingles=bare
+    ).count() == via_frame.count()
+
+
 def test_benchmark_overlap_contamination_ratio(spark):
     """Corpus doc 10 shares its full shingle set with bench doc 1
     (contamination 1.0); doc 11 shares nothing (0.0); doc 12 overlaps on

@@ -420,6 +420,10 @@ def test_triangle_dag_is_persisted_single_pass(spark):
     re-expanding the whole q41 co-purchase pipeline per consumer (the
     228-raw-Exchange plan), and both counts come from ONE aggregate over
     the wedge⋈closing left join (no join of two one-row count subplans)."""
+    # standalone-plan pin: other tests persist equivalent frames and
+    # CacheManager substitutes those entries order-dependently (the
+    # >=6 assertion is monotone-safe, but keep the pin hermetic)
+    spark.catalog.clearCache()
     plan = _executed_plan(Q.q88_copurchase_triangles(spark, SF_SMOKE))
     # oriented is scanned 4x (two wedge sides, closing both directions),
     # each printing und's cached scans — the count is plan-shaped

@@ -47,7 +47,16 @@ def _decompose(plan: str) -> tuple[str, dict[str, str]]:
     exactly once — q88's triangle DAG censused at 228 raw exchanges vs
     ~12 executed. Counting each distinct cached subtree once (dedup on
     the expr-id-normalized text; nested cached subtrees recurse) makes
-    the census reflect what actually runs."""
+    the census reflect what actually runs.
+
+    Known limitation: the dedup key is expr-id-normalized TEXT, so two
+    genuinely distinct persisted relations with isomorphic plans census
+    as one (undercount). Mostly benign — CacheManager itself dedups
+    sameResult plans, so isomorphic cached builds over the same source
+    normally ARE one cache entry — but it means this census cannot
+    distinguish one shared build from two identical per-tier builds;
+    pins that need that distinction (q243's one-tokenize pin) must
+    clear the cache first so only the query's own entries exist."""
     lines = plan.split("\n")
 
     def depth(line: str) -> int:
@@ -123,7 +132,10 @@ def main() -> None:
     print("and runtime re-plans may convert shuffles to broadcasts).")
     print("Cached (persisted) subtrees are counted ONCE per distinct")
     print("relation — `InMemoryRelation` re-prints its plan per scan, but")
-    print("the subtree executes exactly once.")
+    print("the subtree executes exactly once. (Distinctness is judged on")
+    print("expr-id-normalized plan TEXT, so two separate persisted builds")
+    print("with isomorphic plans census as one; CacheManager dedups")
+    print("sameResult plans the same way, so the undercount is benign.)")
     print()
     print("| query | exch | 1part | bcast | win | arrow | wscg |")
     print("|---|---|---|---|---|---|---|")
