@@ -96,6 +96,20 @@ def _decompose(plan: str) -> tuple[str, dict[str, str]]:
 
 
 def census(raw: str) -> dict[str, int]:
+    # Refuse AQE-materialized plan text: once a cached AdaptiveSparkPlan
+    # is isFinalPlan=true, toString prints BOTH "== Final Plan ==" and
+    # "== Initial Plan ==" sections PER SCAN occurrence, and the section
+    # bodies drop the tree markers _decompose scopes by — q108 censused
+    # at 80 Exchanges this way when its AQE-off plan has 9. The census
+    # session must run with spark.sql.adaptive.enabled=false (main()
+    # does); plan-shape tests that reuse _decompose stay on lazy
+    # (never-materialized) caches, which print marker-safe trees.
+    if "== Initial Plan ==" in raw or "== Final Plan ==" in raw:
+        raise ValueError(
+            "census() received AQE-materialized plan text (Final/Initial "
+            "sections re-print per cache scan and defeat the subtree "
+            "dedup); disable AQE in the census session"
+        )
     outer, cached = _decompose(raw)
     plan = "\n".join([outer, *cached.values()])
     return {
@@ -121,15 +135,29 @@ def census(raw: str) -> dict[str, int]:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark(app_name="scale-audit", shuffle_partitions=8)
+    # AQE OFF for the census (execution semantics unchanged — AQE is a
+    # runtime optimizer): (a) queries that materialize their caches while
+    # being BUILT (q108's union-find collect, BPE/k-means iteration) make
+    # every later cache scan re-print "== Final Plan ==" AND "== Initial
+    # Plan ==" sections whose bodies _decompose cannot scope — q108
+    # censused at 80 Exchanges vs its real 9; (b) runtime re-plans make
+    # counts depend on observed sizes, so round-over-round diffs would
+    # mix plan changes with AQE decisions. The static plan is the
+    # deterministic design object this census exists to diff.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.sparkContext.setLogLevel("ERROR")
     print("# Scale audit — per-query physical-plan census")
     print()
     print(f"Generated by `python tools/scale_audit.py {sf_dir}`.")
     print("Column semantics in the tool's docstring; anti-patterns are")
     print("ENFORCED by tests/test_plan_quality.py, this is the census.")
-    print("Counts are read from the pre-execution plan string; under AQE")
-    print("that is the INITIAL plan (codegen spans can be undercounted,")
-    print("and runtime re-plans may convert shuffles to broadcasts).")
+    print("Counts are read from the pre-execution plan string with AQE")
+    print("DISABLED in the census session: the static plan is the")
+    print("deterministic design object (at runtime AQE may coalesce")
+    print("partitions, split skew, or convert shuffles to broadcasts —")
+    print("fewer exchanges than censused, never more), and AQE-")
+    print("materialized caches re-print Final+Initial plan sections per")
+    print("scan, which inflated eager composites ~10x (q108: 80 vs 9).")
     print("Cached (persisted) subtrees are counted ONCE per distinct")
     print("relation — `InMemoryRelation` re-prints its plan per scan, but")
     print("the subtree executes exactly once. (Distinctness is judged on")
