@@ -8,6 +8,18 @@ from superstore_data_pipeline_analytics_dashboard__spark.plans import catalog_qu
 from tests.conftest import SF_SMOKE
 
 
+@pytest.fixture(autouse=True)
+def _hermetic_cache(spark):
+    """Plan-SHAPE pins must not see ambient cache entries: CacheManager
+    substitutes equivalent persisted frames into new plans
+    order-dependently, so a pin that passes standalone can fail
+    mid-suite (or silently assert against another test's cache). Clear
+    BEFORE each test — never after the query under test is built, since
+    several pins assert on the query's OWN persisted frames."""
+    spark.catalog.clearCache()
+    yield
+
+
 def _executed_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -419,11 +431,8 @@ def test_triangle_dag_is_persisted_single_pass(spark):
     the wedge sides and the closing-edge set scan the cache instead of
     re-expanding the whole q41 co-purchase pipeline per consumer (the
     228-raw-Exchange plan), and both counts come from ONE aggregate over
-    the wedge⋈closing left join (no join of two one-row count subplans)."""
-    # standalone-plan pin: other tests persist equivalent frames and
-    # CacheManager substitutes those entries order-dependently (the
-    # >=6 assertion is monotone-safe, but keep the pin hermetic)
-    spark.catalog.clearCache()
+    the wedge⋈closing left join (no join of two one-row count subplans).
+    Hermetic via the module's autouse clearCache fixture."""
     plan = _executed_plan(Q.q88_copurchase_triangles(spark, SF_SMOKE))
     # oriented is scanned 4x (two wedge sides, closing both directions),
     # each printing und's cached scans — the count is plan-shaped
@@ -441,12 +450,10 @@ def test_q243_shingle_frame_built_once(spark):
     shingle build and TWO distinct cached blocks carry the explode."""
     from tools.scale_audit import _decompose
 
-    # Standalone-plan pin: earlier tests leave cache entries for
-    # EQUIVALENT frames (q20/q214 persist the same canonicalized shingle
-    # plans), and CacheManager substitution against those makes the plan
-    # shape order-dependent. Same discipline as bench.py's per-query
-    # clearCache; cleared entries just recompute on next use.
-    spark.catalog.clearCache()
+    # Hermetic via the module's autouse clearCache fixture: earlier
+    # tests leave cache entries for EQUIVALENT frames (q20/q214 persist
+    # the same canonicalized shingle plans), and CacheManager
+    # substitution against those makes the plan shape order-dependent.
     plan = _executed_plan(Q.q243_tier_disagreement(spark, SF_SMOKE))
     outer, cached = _decompose(plan)
     assert outer.count("explode(") == 0
