@@ -94,14 +94,27 @@ def main() -> None:
             print(f"# {name} failed: {e}", file=sys.stderr)
 
     # Key order matters: the driver records only the LAST ~2000 chars of
-    # this line, and the per-query timings dict alone exceeds that. The
-    # headline fields (metric/value/unit/sf/n_queries) therefore go
-    # AFTER "queries" so a tail-truncated capture still contains the
-    # totals (VERDICT r5 item 5).
+    # this line (BENCH_r0N.json stores a "tail" field), and the per-query
+    # timings dict alone exceeds that. The headline fields
+    # (metric/value/unit/sf/n_queries) therefore go AFTER "queries" so a
+    # tail-truncated capture still contains the totals (VERDICT r5 item
+    # 5). Within "queries", the SLOWEST 20 are emitted last — ascending,
+    # so the heaviest sit closest to the always-surviving headline —
+    # making the queries that dominate the total comparable round over
+    # round regardless of where the truncation point lands or how the
+    # audit-window rotation scrambles execution order (VERDICT r7 item
+    # 2: only 17/250 timings were comparable across r6/r7). Failures
+    # (-1.0 sentinels) sort below every real timing, so they stay in the
+    # front block unless ≥231 queries fail.
+    slowest = set(sorted(timings, key=lambda q: timings[q])[-20:])
+    ordered = {q: t for q, t in timings.items() if q not in slowest}
+    ordered.update(
+        sorted(((q, timings[q]) for q in slowest), key=lambda kv: kv[1])
+    )
     print(
         json.dumps(
             {
-                "queries": timings,
+                "queries": ordered,
                 "metric": "bench_total_sec",
                 "value": round(total, 3),
                 "unit": "sec",

@@ -142,7 +142,16 @@ def ngram_jaccard_pairs(
     shingle width into the column metadata, and a frame whose stamped
     width differs from ``n`` raises (silently different similarity
     semantics otherwise). Frames built elsewhere carry no stamp and skip
-    the check."""
+    the check. The stamp lives in the ``shingle`` column's METADATA, so
+    an intermediate transform that rebuilds the column EXPRESSION — a
+    ``cast``, a ``withColumn`` overwrite, any derived expression — drops
+    the stamp and with it the width check; transforms that pass the bare
+    attribute through (``filter``/``join``/``persist``, a passthrough or
+    plain-alias ``select``) preserve it (pinned in
+    test_operators.test_ngram_jaccard_rejects_mismatched_shingle_width).
+    A stamp-less frame is accepted unchecked, exactly like an externally
+    built one: the guard detects mismatched :func:`shingle_sets` output,
+    it cannot prove provenance."""
     if shingles is not None:
         missing = {"doc_id", "shingle"} - set(shingles.columns)
         if missing:

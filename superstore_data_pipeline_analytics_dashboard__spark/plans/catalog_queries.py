@@ -14501,30 +14501,224 @@ _CANON_SQL_CASTS: dict[str, dict[str, str]] = {
 #
 # The driver audits the FIRST 50 registry entries per round (rounds 1-2
 # checked exactly positions 1-50). Order is therefore part of the
-# contract. Round-3 window: the 24 oracled round-2 additions that have
-# never received a driver verdict (q70-q97), the newly-oracled q35
-# split, the fixed q67 plus the 5 never-audited rows-only entries (so
-# they get their rows-only verdict on record), the 18 r1-only greens
-# whose verdicts predate the r2 testdata regeneration (re-audit), and
-# one r2-green canary (q01). The 43 r2 greens and the 4 permanently
-# rows-only r2 rows sit past the window — verdicts on record in
-# CORRECTNESS_r02.json; COVERAGE.md documents the rotation.
+# contract: never-audited queries belong in positions 1-50, displaced
+# greens keep their old verdicts and queue past the window, and every
+# rotation updates tests/test_registry_window.py plus COVERAGE.md's
+# window paragraph in the same commit. Per-round rotation rationale
+# lives in the comment at the top of the dict below; round history is
+# in COVERAGE.md.
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # Round-7 audit window (first 50). Rotation rationale (VERDICT r6
-    # items 1-2): finish clearing the never-audited backlog. Positions
-    # 1-50 are the 50 OLDEST never-driver-audited oracled queries
-    # (q195-q247, exactly the backlog head that sat at positions 51-100
-    # last round, in unchanged order). Round 7 adds ZERO new queries
-    # and changes no query outputs, so the window is purely the
-    # backlog. Deliberate trade, documented in COVERAGE.md: 53 backlog
-    # entries vs 50 slots means this round holds back NO regression
-    # canaries; round 8's window (the last 3 never-audited q248-q250,
-    # the q103/q124/q139 refactor trio, plus ~44 canary re-audits)
-    # compensates. Displaced r6-window entries keep their pass(r6)
-    # verdicts (CORRECTNESS_r06.json) and queue at the back of the
-    # re-audit order below.
-    # --- never-audited backlog: the whole r7 window (1-50) ---
+    # Round-8 audit window (first 50). Rotation rationale (VERDICT r7
+    # item 1): finish driver certification of the whole catalog.
+    # Positions 1-3 are the last 3 never-driver-audited queries
+    # (q248-q250); positions 4-6 are the q103/q124/q139 refactor trio
+    # (r4 greens whose r5 composition refactor is output-identical —
+    # re-audit closes the loop on the refactor); positions 7-50 are 44
+    # regression canaries chosen OLDEST-verdict-first: all 43 queries
+    # whose most recent driver verdict is round 3 (in unchanged
+    # relative order), plus q98_order_count_histogram — the first
+    # r4-verdict query in prior registry order — as the 44th (ties
+    # within a verdict round break by registry order, mechanically).
+    # After this round every oracled query has a driver verdict no
+    # older than r4 and the never-audited backlog is 0; catalog growth
+    # resumes (VERDICT r7 item 6). Displaced r7-window entries keep
+    # their pass(r7) verdicts (CORRECTNESS_r07.json) and queue at the
+    # back of the re-audit order below, which is now monotone
+    # oldest-verdict-first past the window: r4 block, r5 block, r6
+    # block, r7 block, rows-only tail.
+    # --- never-audited head: q248-q250 (positions 1-3) ---
+    "q248_charset_audit": q248_charset_audit,
+    "q249_lead_time_stats": q249_lead_time_stats,
+    "q250_unbilled_orders": q250_unbilled_orders,
+    # --- refactor trio re-audit (positions 4-6) ---
+    "q103_temperature_mix": q103_temperature_mix,
+    "q124_epoch_plan": q124_epoch_plan,
+    "q139_epoch_execute": q139_epoch_execute,
+    # --- 43 oldest canaries: last driver verdict r3 (positions 7-49) ---
+    "q01_typed_staging": q01_typed_staging,
+    "q02_date_dim": q02_date_dim,
+    "q10_customer_cohort": q10_customer_cohort,
+    "q11_suspicious_discounts": q11_suspicious_discounts,
+    "q12_qa_load_issues": q12_qa_load_issues,
+    "q13_geo_dim": q13_geo_dim,
+    "q14_scd2_first_load": q14_scd2_first_load,
+    "q16_semi_join_active": q16_semi_join_active,
+    "q18_nullsafe_geo_lookup": q18_nullsafe_geo_lookup,
+    "q19_exact_dedup": q19_exact_dedup,
+    "q21_lang_id": q21_lang_id,
+    "q23_token_stats": q23_token_stats,
+    "q24_doc_fingerprint": q24_doc_fingerprint,
+    "q35_approx_distinct": q35_approx_distinct,
+    "q36_order_cadence": q36_order_cadence,
+    "q39_messy_line_repair": q39_messy_line_repair,
+    "q40_rolling_hash": q40_rolling_hash,
+    "q41_copurchase_pairs": q41_copurchase_pairs,
+    "q43_fuzzy_part_names": q43_fuzzy_part_names,
+    "q44_set_ops_active_customers": q44_set_ops_active_customers,
+    "q70_contamination_check": q70_contamination_check,
+    "q71_doc_repetition": q71_doc_repetition,
+    "q73_pii_redaction": q73_pii_redaction,
+    "q74_embedding_quant": q74_embedding_quant,
+    "q75_sequence_pack": q75_sequence_pack,
+    "q76_tfidf_topterms": q76_tfidf_topterms,
+    "q77_source_mix": q77_source_mix,
+    "q78_event_funnel": q78_event_funnel,
+    "q79_heavy_join_keys": q79_heavy_join_keys,
+    "q80_cms_heavy_hitters": q80_cms_heavy_hitters,
+    "q83_cdc_apply": q83_cdc_apply,
+    "q84_length_outliers": q84_length_outliers,
+    "q85_zorder_key": q85_zorder_key,
+    "q86_token_chunks": q86_token_chunks,
+    "q89_apply_source_mix": q89_apply_source_mix,
+    "q90_profit_by_nation_year": q90_profit_by_nation_year,
+    "q91_bilateral_volume": q91_bilateral_volume,
+    "q92_hierarchy_shares": q92_hierarchy_shares,
+    "q93_incremental_rollup": q93_incremental_rollup,
+    "q94_distinct_under_rollup": q94_distinct_under_rollup,
+    "q95_order_history_nested": q95_order_history_nested,
+    "q96_gap_filled_daily_revenue": q96_gap_filled_daily_revenue,
+    "q97_drift_chi2": q97_drift_chi2,
+    # --- 44th canary: first r4-verdict query in prior order (position 50) ---
+    "q98_order_count_histogram": q98_order_count_histogram,
+    # ================= end of the 50-query audit window =================
+    # --- r4 greens on current testdata (oldest remaining verdicts) ---
+    "q99_split_leakage": q99_split_leakage,
+    "q100_event_throttle": q100_event_throttle,
+    "q101_rolling_distinct_users": q101_rolling_distinct_users,
+    "q104_vocab_oov": q104_vocab_oov,
+    "q105_label_cohesion": q105_label_cohesion,
+    "q106_leakage_safe_split": q106_leakage_safe_split,
+    "q107_incremental_exact_dedup": q107_incremental_exact_dedup,
+    "q109_corpus_datacard": q109_corpus_datacard,
+    "q110_content_chunks": q110_content_chunks,
+    "q111_chunk_dup_fraction": q111_chunk_dup_fraction,
+    "q112_chunk_dedup_rewrite": q112_chunk_dedup_rewrite,
+    "q113_pagerank_copurchase": q113_pagerank_copurchase,
+    "q115_boilerplate_ngrams": q115_boilerplate_ngrams,
+    "q116_rolling_distinct_by_type": q116_rolling_distinct_by_type,
+    "q117_kmeans_quantized": q117_kmeans_quantized,
+    "q118_embedding_dim_stats": q118_embedding_dim_stats,
+    "q119_token_rarity": q119_token_rarity,
+    "q120_source_overlap": q120_source_overlap,
+    "q121_boilerplate_strip": q121_boilerplate_strip,
+    "q122_canonical_selection": q122_canonical_selection,
+    "q125_ngram_novelty": q125_ngram_novelty,
+    "q126_random_projection": q126_random_projection,
+    "q128_rolling_distinct_sketch": q128_rolling_distinct_sketch,
+    "q129_event_anomaly": q129_event_anomaly,
+    "q130_pair_containment": q130_pair_containment,
+    "q131_packing_efficiency": q131_packing_efficiency,
+    "q132_dup_cluster_sizes": q132_dup_cluster_sizes,
+    "q133_quality_percentiles_by_source": q133_quality_percentiles_by_source,
+    "q137_adaptive_quality_gate": q137_adaptive_quality_gate,
+    "q03_dedup_latest": q03_dedup_latest,
+    "q04_fact_build": q04_fact_build,
+    "q05_sales_by_brand_rollup": q05_sales_by_brand_rollup,
+    "q06_year_month_rollup": q06_year_month_rollup,
+    "q07_slicer_dashboard": q07_slicer_dashboard,
+    "q09_top5_parts_per_brand": q09_top5_parts_per_brand,
+    # --- r5 window greens (CORRECTNESS_r05) ---
+    "q15_idempotent_append": q15_idempotent_append,
+    "q17_latest_order_per_customer": q17_latest_order_per_customer,
+    "q20_ngram_jaccard_pairs": q20_ngram_jaccard_pairs,
+    "q22_text_quality": q22_text_quality,
+    "q25_knn_bruteforce": q25_knn_bruteforce,
+    "q29_event_type_stats": q29_event_type_stats,
+    "q30_event_daily_counts": q30_event_daily_counts,
+    "q31_sessionize_batch": q31_sessionize_batch,
+    "q32_top_suppliers_per_nation": q32_top_suppliers_per_nation,
+    "q33_embedding_neardup": q33_embedding_neardup,
+    "q34_cube_region_segment": q34_cube_region_segment,
+    "q37_order_value_percentiles": q37_order_value_percentiles,
+    "q42_revenue_mom": q42_revenue_mom,
+    "q45_grouping_sets_sql": q45_grouping_sets_sql,
+    "q46_asof_click_attribution": q46_asof_click_attribution,
+    "q47_price_band_join": q47_price_band_join,
+    "q48_deterministic_split": q48_deterministic_split,
+    "q49_dedup_clusters": q49_dedup_clusters,
+    "q50_pivot_returnflag": q50_pivot_returnflag,
+    "q51_unpivot_measures": q51_unpivot_measures,
+    "q52_rolling_range_revenue": q52_rolling_range_revenue,
+    "q53_supplier_revenue_distribution": q53_supplier_revenue_distribution,
+    "q54_small_quantity_parts": q54_small_quantity_parts,
+    "q55_promo_revenue_share": q55_promo_revenue_share,
+    "q56_spend_deciles": q56_spend_deciles,
+    "q57_stratified_sample": q57_stratified_sample,
+    "q58_hopping_window_counts": q58_hopping_window_counts,
+    "q59_global_topk": q59_global_topk,
+    "q60_late_unreturned_orders": q60_late_unreturned_orders,
+    "q61_bloom_semi_reduction": q61_bloom_semi_reduction,
+    "q62_price_histogram": q62_price_histogram,
+    "q63_embedding_norms": q63_embedding_norms,
+    "q64_pricing_summary": q64_pricing_summary,
+    "q65_shipping_priority": q65_shipping_priority,
+    "q66_salted_skew_agg": q66_salted_skew_agg,
+    "q68_json_map_explode": q68_json_map_explode,
+    "q136_ann_recall": q136_ann_recall,
+    "q138_rolling_quantile_sketch": q138_rolling_quantile_sketch,
+    "q140_retention_cohorts": q140_retention_cohorts,
+    "q141_order_islands": q141_order_islands,
+    "q142_event_transitions": q142_event_transitions,
+    "q143_day_hour_heatmap": q143_day_hour_heatmap,
+    "q144_global_nucleus_fill": q144_global_nucleus_fill,
+    "q145_scd2_from_cdc": q145_scd2_from_cdc,
+    "q146_bigram_lift": q146_bigram_lift,
+    "q147_time_to_convert": q147_time_to_convert,
+    "q148_mad_outliers": q148_mad_outliers,
+    "q149_brand_skyline": q149_brand_skyline,
+    # --- r6 window greens incl. its canaries (CORRECTNESS_r06) ---
+    "q150_survivorship_merge": q150_survivorship_merge,
+    "q151_revenue_correlation": q151_revenue_correlation,
+    "q152_prefix_duplicates": q152_prefix_duplicates,
+    "q153_lang_mismatch_audit": q153_lang_mismatch_audit,
+    "q154_minhash_recall": q154_minhash_recall,
+    "q155_interleave_order": q155_interleave_order,
+    "q156_snapshot_diff": q156_snapshot_diff,
+    "q157_trimmed_mean": q157_trimmed_mean,
+    "q158_cluster_quality": q158_cluster_quality,
+    "q159_revenue_trend": q159_revenue_trend,
+    "q160_column_profile": q160_column_profile,
+    "q161_fk_integrity": q161_fk_integrity,
+    "q162_association_rules": q162_association_rules,
+    "q163_rfm_segments": q163_rfm_segments,
+    "q164_numeric_drift": q164_numeric_drift,
+    "q165_trend_residuals": q165_trend_residuals,
+    "q166_order_backlog": q166_order_backlog,
+    "q167_gains_table": q167_gains_table,
+    "q168_label_outliers": q168_label_outliers,
+    "q169_abc_classification": q169_abc_classification,
+    "q170_seasonal_backtest": q170_seasonal_backtest,
+    "q171_duplicate_orders": q171_duplicate_orders,
+    "q172_decontaminate": q172_decontaminate,
+    "q173_quality_length_corr": q173_quality_length_corr,
+    "q174_crosslang_fingerprints": q174_crosslang_fingerprints,
+    "q175_profile_drift": q175_profile_drift,
+    "q176_ab_experiment": q176_ab_experiment,
+    "q177_time_weighted_value": q177_time_weighted_value,
+    "q178_entity_resolution": q178_entity_resolution,
+    "q179_segment_confidence": q179_segment_confidence,
+    "q180_new_vs_returning": q180_new_vs_returning,
+    "q181_sole_blame_supplier": q181_sole_blame_supplier,
+    "q182_quintile_migration": q182_quintile_migration,
+    "q183_duplicate_linenumbers": q183_duplicate_linenumbers,
+    "q184_weekday_seasonality": q184_weekday_seasonality,
+    "q185_session_stats": q185_session_stats,
+    "q186_supplier_hhi": q186_supplier_hhi,
+    "q187_revenue_gini": q187_revenue_gini,
+    "q188_dedup_threshold_sweep": q188_dedup_threshold_sweep,
+    "q189_pps_systematic_sample": q189_pps_systematic_sample,
+    "q190_event_retention": q190_event_retention,
+    "q191_funnel_summary": q191_funnel_summary,
+    "q192_dead_stock": q192_dead_stock,
+    "q193_token_weighted_median": q193_token_weighted_median,
+    "q194_embedding_drift": q194_embedding_drift,
+    "q243_tier_disagreement": q243_tier_disagreement,
+    "q88_copurchase_triangles": q88_copurchase_triangles,
+    "q123_quota_sample": q123_quota_sample,
+    "q134_training_recipe": q134_training_recipe,
+    "q08_rolling_30row": q08_rolling_30row,
+    # --- r7 window greens (CORRECTNESS_r07, freshest — back of queue) ---
     "q195_benford_audit": q195_benford_audit,
     "q196_revenue_anomaly_mad": q196_revenue_anomaly_mad,
     "q197_keyword_search": q197_keyword_search,
@@ -14575,201 +14769,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q245_order_fill_rate": q245_order_fill_rate,
     "q246_acquisition_curve": q246_acquisition_curve,
     "q247_top_customer_share": q247_top_customer_share,
-    # ================= end of the 50-query audit window =================
-    # --- last 3 never-audited entries: r8 window head ---
-    "q248_charset_audit": q248_charset_audit,
-    "q249_lead_time_stats": q249_lead_time_stats,
-    "q250_unbilled_orders": q250_unbilled_orders,
-    # --- r4 greens whose r5 composition refactor is output-identical
-    #     (parity-verified at sf0.01; r8 re-audit if slots remain) ---
-    "q103_temperature_mix": q103_temperature_mix,
-    "q124_epoch_plan": q124_epoch_plan,
-    "q139_epoch_execute": q139_epoch_execute,
-    # --- r5 window greens (CORRECTNESS_r05) ---
-    "q15_idempotent_append": q15_idempotent_append,
-    "q17_latest_order_per_customer": q17_latest_order_per_customer,
-    "q20_ngram_jaccard_pairs": q20_ngram_jaccard_pairs,
-    "q22_text_quality": q22_text_quality,
-    "q25_knn_bruteforce": q25_knn_bruteforce,
-    "q29_event_type_stats": q29_event_type_stats,
-    "q30_event_daily_counts": q30_event_daily_counts,
-    "q31_sessionize_batch": q31_sessionize_batch,
-    "q32_top_suppliers_per_nation": q32_top_suppliers_per_nation,
-    "q33_embedding_neardup": q33_embedding_neardup,
-    "q34_cube_region_segment": q34_cube_region_segment,
-    "q37_order_value_percentiles": q37_order_value_percentiles,
-    "q42_revenue_mom": q42_revenue_mom,
-    "q45_grouping_sets_sql": q45_grouping_sets_sql,
-    "q46_asof_click_attribution": q46_asof_click_attribution,
-    "q47_price_band_join": q47_price_band_join,
-    "q48_deterministic_split": q48_deterministic_split,
-    "q49_dedup_clusters": q49_dedup_clusters,
-    "q50_pivot_returnflag": q50_pivot_returnflag,
-    "q51_unpivot_measures": q51_unpivot_measures,
-    "q52_rolling_range_revenue": q52_rolling_range_revenue,
-    "q53_supplier_revenue_distribution": q53_supplier_revenue_distribution,
-    "q54_small_quantity_parts": q54_small_quantity_parts,
-    "q55_promo_revenue_share": q55_promo_revenue_share,
-    "q56_spend_deciles": q56_spend_deciles,
-    "q57_stratified_sample": q57_stratified_sample,
-    "q58_hopping_window_counts": q58_hopping_window_counts,
-    "q59_global_topk": q59_global_topk,
-    "q60_late_unreturned_orders": q60_late_unreturned_orders,
-    "q61_bloom_semi_reduction": q61_bloom_semi_reduction,
-    "q62_price_histogram": q62_price_histogram,
-    "q63_embedding_norms": q63_embedding_norms,
-    "q64_pricing_summary": q64_pricing_summary,
-    "q65_shipping_priority": q65_shipping_priority,
-    "q66_salted_skew_agg": q66_salted_skew_agg,
-    "q68_json_map_explode": q68_json_map_explode,
-    "q136_ann_recall": q136_ann_recall,
-    "q138_rolling_quantile_sketch": q138_rolling_quantile_sketch,
-    "q140_retention_cohorts": q140_retention_cohorts,
-    "q141_order_islands": q141_order_islands,
-    "q142_event_transitions": q142_event_transitions,
-    "q143_day_hour_heatmap": q143_day_hour_heatmap,
-    "q144_global_nucleus_fill": q144_global_nucleus_fill,
-    "q145_scd2_from_cdc": q145_scd2_from_cdc,
-    "q146_bigram_lift": q146_bigram_lift,
-    "q147_time_to_convert": q147_time_to_convert,
-    "q148_mad_outliers": q148_mad_outliers,
-    "q149_brand_skyline": q149_brand_skyline,
-    # --- r4 greens on current testdata ---
-    "q98_order_count_histogram": q98_order_count_histogram,
-    "q99_split_leakage": q99_split_leakage,
-    "q100_event_throttle": q100_event_throttle,
-    "q101_rolling_distinct_users": q101_rolling_distinct_users,
-    "q104_vocab_oov": q104_vocab_oov,
-    "q105_label_cohesion": q105_label_cohesion,
-    "q106_leakage_safe_split": q106_leakage_safe_split,
-    "q107_incremental_exact_dedup": q107_incremental_exact_dedup,
-    "q109_corpus_datacard": q109_corpus_datacard,
-    "q110_content_chunks": q110_content_chunks,
-    "q111_chunk_dup_fraction": q111_chunk_dup_fraction,
-    "q112_chunk_dedup_rewrite": q112_chunk_dedup_rewrite,
-    "q113_pagerank_copurchase": q113_pagerank_copurchase,
-    "q115_boilerplate_ngrams": q115_boilerplate_ngrams,
-    "q116_rolling_distinct_by_type": q116_rolling_distinct_by_type,
-    "q117_kmeans_quantized": q117_kmeans_quantized,
-    "q118_embedding_dim_stats": q118_embedding_dim_stats,
-    "q119_token_rarity": q119_token_rarity,
-    "q120_source_overlap": q120_source_overlap,
-    "q121_boilerplate_strip": q121_boilerplate_strip,
-    "q122_canonical_selection": q122_canonical_selection,
-    "q125_ngram_novelty": q125_ngram_novelty,
-    "q126_random_projection": q126_random_projection,
-    "q128_rolling_distinct_sketch": q128_rolling_distinct_sketch,
-    "q129_event_anomaly": q129_event_anomaly,
-    "q130_pair_containment": q130_pair_containment,
-    "q131_packing_efficiency": q131_packing_efficiency,
-    "q132_dup_cluster_sizes": q132_dup_cluster_sizes,
-    "q133_quality_percentiles_by_source": q133_quality_percentiles_by_source,
-    "q137_adaptive_quality_gate": q137_adaptive_quality_gate,
-    # --- r4 re-audit slice (green r4; q08 is in the window above) ---
-    "q03_dedup_latest": q03_dedup_latest,
-    "q04_fact_build": q04_fact_build,
-    "q05_sales_by_brand_rollup": q05_sales_by_brand_rollup,
-    "q06_year_month_rollup": q06_year_month_rollup,
-    "q07_slicer_dashboard": q07_slicer_dashboard,
-    "q09_top5_parts_per_brand": q09_top5_parts_per_brand,
-    # --- r3 greens on current testdata (q88 is in the window above) ---
-    "q01_typed_staging": q01_typed_staging,
-    "q02_date_dim": q02_date_dim,
-    "q10_customer_cohort": q10_customer_cohort,
-    "q11_suspicious_discounts": q11_suspicious_discounts,
-    "q12_qa_load_issues": q12_qa_load_issues,
-    "q13_geo_dim": q13_geo_dim,
-    "q14_scd2_first_load": q14_scd2_first_load,
-    "q16_semi_join_active": q16_semi_join_active,
-    "q18_nullsafe_geo_lookup": q18_nullsafe_geo_lookup,
-    "q19_exact_dedup": q19_exact_dedup,
-    "q21_lang_id": q21_lang_id,
-    "q23_token_stats": q23_token_stats,
-    "q24_doc_fingerprint": q24_doc_fingerprint,
-    "q35_approx_distinct": q35_approx_distinct,
-    "q36_order_cadence": q36_order_cadence,
-    "q39_messy_line_repair": q39_messy_line_repair,
-    "q40_rolling_hash": q40_rolling_hash,
-    "q41_copurchase_pairs": q41_copurchase_pairs,
-    "q43_fuzzy_part_names": q43_fuzzy_part_names,
-    "q44_set_ops_active_customers": q44_set_ops_active_customers,
-    "q70_contamination_check": q70_contamination_check,
-    "q71_doc_repetition": q71_doc_repetition,
-    "q73_pii_redaction": q73_pii_redaction,
-    "q74_embedding_quant": q74_embedding_quant,
-    "q75_sequence_pack": q75_sequence_pack,
-    "q76_tfidf_topterms": q76_tfidf_topterms,
-    "q77_source_mix": q77_source_mix,
-    "q78_event_funnel": q78_event_funnel,
-    "q79_heavy_join_keys": q79_heavy_join_keys,
-    "q80_cms_heavy_hitters": q80_cms_heavy_hitters,
-    "q83_cdc_apply": q83_cdc_apply,
-    "q84_length_outliers": q84_length_outliers,
-    "q85_zorder_key": q85_zorder_key,
-    "q86_token_chunks": q86_token_chunks,
-    "q89_apply_source_mix": q89_apply_source_mix,
-    "q90_profit_by_nation_year": q90_profit_by_nation_year,
-    "q91_bilateral_volume": q91_bilateral_volume,
-    "q92_hierarchy_shares": q92_hierarchy_shares,
-    "q93_incremental_rollup": q93_incremental_rollup,
-    "q94_distinct_under_rollup": q94_distinct_under_rollup,
-    "q95_order_history_nested": q95_order_history_nested,
-    "q96_gap_filled_daily_revenue": q96_gap_filled_daily_revenue,
-    "q97_drift_chi2": q97_drift_chi2,
-    # --- r6 window greens (CORRECTNESS_r06, the freshest verdicts —
-    #     back of the re-audit queue) ---
-    "q150_survivorship_merge": q150_survivorship_merge,
-    "q151_revenue_correlation": q151_revenue_correlation,
-    "q152_prefix_duplicates": q152_prefix_duplicates,
-    "q153_lang_mismatch_audit": q153_lang_mismatch_audit,
-    "q154_minhash_recall": q154_minhash_recall,
-    "q155_interleave_order": q155_interleave_order,
-    "q156_snapshot_diff": q156_snapshot_diff,
-    "q157_trimmed_mean": q157_trimmed_mean,
-    "q158_cluster_quality": q158_cluster_quality,
-    "q159_revenue_trend": q159_revenue_trend,
-    "q160_column_profile": q160_column_profile,
-    "q161_fk_integrity": q161_fk_integrity,
-    "q162_association_rules": q162_association_rules,
-    "q163_rfm_segments": q163_rfm_segments,
-    "q164_numeric_drift": q164_numeric_drift,
-    "q165_trend_residuals": q165_trend_residuals,
-    "q166_order_backlog": q166_order_backlog,
-    "q167_gains_table": q167_gains_table,
-    "q168_label_outliers": q168_label_outliers,
-    "q169_abc_classification": q169_abc_classification,
-    "q170_seasonal_backtest": q170_seasonal_backtest,
-    "q171_duplicate_orders": q171_duplicate_orders,
-    "q172_decontaminate": q172_decontaminate,
-    "q173_quality_length_corr": q173_quality_length_corr,
-    "q174_crosslang_fingerprints": q174_crosslang_fingerprints,
-    "q175_profile_drift": q175_profile_drift,
-    "q176_ab_experiment": q176_ab_experiment,
-    "q177_time_weighted_value": q177_time_weighted_value,
-    "q178_entity_resolution": q178_entity_resolution,
-    "q179_segment_confidence": q179_segment_confidence,
-    "q180_new_vs_returning": q180_new_vs_returning,
-    "q181_sole_blame_supplier": q181_sole_blame_supplier,
-    "q182_quintile_migration": q182_quintile_migration,
-    "q183_duplicate_linenumbers": q183_duplicate_linenumbers,
-    "q184_weekday_seasonality": q184_weekday_seasonality,
-    "q185_session_stats": q185_session_stats,
-    "q186_supplier_hhi": q186_supplier_hhi,
-    "q187_revenue_gini": q187_revenue_gini,
-    "q188_dedup_threshold_sweep": q188_dedup_threshold_sweep,
-    "q189_pps_systematic_sample": q189_pps_systematic_sample,
-    "q190_event_retention": q190_event_retention,
-    "q191_funnel_summary": q191_funnel_summary,
-    "q192_dead_stock": q192_dead_stock,
-    "q193_token_weighted_median": q193_token_weighted_median,
-    "q194_embedding_drift": q194_embedding_drift,
-    # (q243/q88: changed in r6, re-audited and green that round)
-    "q243_tier_disagreement": q243_tier_disagreement,
-    "q88_copurchase_triangles": q88_copurchase_triangles,
-    # (q123/q134/q08: r6 canaries, green)
-    "q123_quota_sample": q123_quota_sample,
-    "q134_training_recipe": q134_training_recipe,
-    "q08_rolling_30row": q08_rolling_30row,
     # --- rows-only (r3/r4 rows-ran verdicts; q26-q28 r2 rows-ran;
     #     q220/q235 rows-only by design — recall < 1) ---
     "q102_video_frame_sample": q102_video_frame_sample,

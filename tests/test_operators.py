@@ -586,6 +586,16 @@ def test_ngram_jaccard_rejects_mismatched_shingle_width(spark):
     assert DD.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.2, shingles=bare
     ).count() == via_frame.count()
+    # ADVICE r7: the stamp rides column METADATA — pin what preserves vs
+    # drops it (the ngram_jaccard_pairs docstring documents this contract)
+    def stamp(df):
+        return (df.schema["shingle"].metadata or {}).get("shingle_n")
+
+    assert stamp(sh2.filter(F.col("doc_id") > 0)) == 2  # bare attribute
+    assert stamp(sh2.select("doc_id", "shingle")) == 2  # passthrough
+    assert stamp(sh2.select("doc_id", F.col("shingle").alias("shingle"))) == 2
+    assert stamp(bare) is None  # cast rebuilds the expression → stamp gone
+    assert stamp(sh2.withColumn("shingle", F.lower("shingle"))) is None
 
 
 def test_benchmark_overlap_contamination_ratio(spark):
