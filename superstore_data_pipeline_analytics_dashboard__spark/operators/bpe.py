@@ -49,6 +49,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Row
 from pyspark.sql import functions as F
 
+from . import checkpoint as _ckpt
 from ..functions import text as T
 
 _MERGE_SCHEMA = (
@@ -118,18 +119,57 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def bpe_train(
-    docs: DataFrame, text_col: str = "text", n_merges: int = 12
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 12,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Learn a BPE merge table from a document corpus.
 
     Returns (rank, left, right, merged, pair_count): the pairs in the
     order they were learned, 1-based rank. Stops early when no adjacent
     pair occurs at least twice (merging unique pairs is pure noise).
+
+    Restartability (``checkpoint_dir``, round 8): when set, the merge
+    table learned so far (rank rows — the tokenizer artifact itself) is
+    persisted every ``checkpoint_every`` merges via
+    :mod:`operators.checkpoint`, and a rerun resumes from the newest
+    complete checkpoint at or below its own ``n_merges``: the symbol
+    table is rebuilt by ONE corpus-scale word-frequency pass with the
+    already-learned merges folded in rank order (m nested folds — cheap
+    for report-sized m; for 32k-merge production runs see the module
+    docstring's guidance), then training continues at the next rank.
+    Training is deterministic (exact counts, total-order tie-break), so
+    the resumed merge table is BIT-IDENTICAL to an uninterrupted run
+    (tests/test_checkpoint.py). A run that stopped EARLY (no pair ≥ 2)
+    checkpoints the short table; a resume re-derives the same stop —
+    wasted recount, never a wrong result.
     """
     spark = docs.sparkSession
+    ckpt_meta = {"op": "bpe_train", "text_col": text_col}
+    merges: list[Row] = []
+    if checkpoint_dir is not None:
+        done = _ckpt.latest_iteration(spark, checkpoint_dir, at_most=n_merges)
+        if done is not None:
+            merges = [
+                Row(
+                    rank=int(r["rank"]),
+                    left=r["left"],
+                    right=r["right"],
+                    merged=r["merged"],
+                    pair_count=int(r["pair_count"]),
+                )
+                for r in _ckpt.load_state(spark, checkpoint_dir, done, ckpt_meta)
+                .orderBy("rank")
+                .collect()
+            ]
+    sym = _symbols(F.col("word"))
+    for m in merges:  # fold the already-learned merges back in
+        sym = _apply_merge(sym, F.lit(m.left), F.lit(m.right))
     words = (
         word_frequencies(docs, text_col)
-        .select(_symbols(F.col("word")).alias("sym"), "freq")
+        .select(sym.alias("sym"), "freq")
         .persist()
     )
     # ONE job per iteration: the arg-max take(1) below doubles as the
@@ -138,8 +178,7 @@ def bpe_train(
     # superseded cache is released one round late, once its successor
     # is known to be materialized (measured 6.4 s → ~3.5 s at sf0.1).
     pending: DataFrame | None = None
-    merges: list[Row] = []
-    for rank in range(1, n_merges + 1):
+    for rank in range(len(merges) + 1, n_merges + 1):
         k = F.greatest(F.size("sym") - F.lit(1), F.lit(0))
         pairs = words.select(
             F.explode(
@@ -172,6 +211,15 @@ def bpe_train(
             "freq",
         ).persist()
         pending, words = words, new_words
+        if checkpoint_dir is not None and (
+            rank % checkpoint_every == 0 or rank == n_merges
+        ):
+            _ckpt.save_state(
+                spark.createDataFrame(merges, _MERGE_SCHEMA),
+                checkpoint_dir,
+                rank,
+                ckpt_meta,
+            )
     if pending is not None:
         pending.unpersist()
     words.unpersist()

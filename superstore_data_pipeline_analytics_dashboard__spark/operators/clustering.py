@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from . import checkpoint as _ckpt
+
 __all__ = ["quantize_embeddings", "kmeans_quantized"]
 
 
@@ -126,6 +128,8 @@ def kmeans_quantized(
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 3,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Run ``iters`` Lloyd iterations; return per-cluster summary.
 
@@ -135,14 +139,40 @@ def kmeans_quantized(
 
     Output: cluster_id, n_members, rep_id (min member id), inertia
     (exact integer sum of squared quantized distances).
+
+    Restartability (``checkpoint_dir``, round 8): when set, the k×d-long
+    centroid table is persisted every ``checkpoint_every`` rounds via
+    :mod:`operators.checkpoint` and a rerun resumes from the newest
+    complete checkpoint at or below its own ``iters``. Every Lloyd step
+    is a pure deterministic function of (centroids, corpus) — exact
+    integer geometry, lowest-cid tie-break — so a resumed run is
+    BIT-IDENTICAL to an uninterrupted one (tests/test_checkpoint.py).
+    The checkpointed state is kilobytes; the quantized corpus is input
+    and is never checkpointed.
     """
     quant = quantize_embeddings(emb, vec_col).persist()
-    seed_rows = (
-        quant.select(id_col, "q").orderBy(id_col).limit(k).collect()
-    )
-    cents = [(i, list(r["q"])) for i, r in enumerate(seed_rows)]
+    spark = emb.sparkSession
+    ckpt_meta = {"op": "kmeans_quantized", "k": k, "vec_col": vec_col}
+    start = 0
+    if checkpoint_dir is not None:
+        done = _ckpt.latest_iteration(spark, checkpoint_dir, at_most=iters)
+        if done is not None:
+            start = done
+            cents = [
+                (int(r["cid"]), list(r["c"]))
+                for r in _ckpt.load_state(
+                    spark, checkpoint_dir, done, ckpt_meta
+                )
+                .orderBy("cid")
+                .collect()
+            ]
+    if start == 0:
+        seed_rows = (
+            quant.select(id_col, "q").orderBy(id_col).limit(k).collect()
+        )
+        cents = [(i, list(r["q"])) for i, r in enumerate(seed_rows)]
 
-    for _ in range(iters):
+    for it in range(start + 1, iters + 1):
         assigned = _assign(quant, cents)
         # count(*) per (cid, dim) IS the member count — one aggregation
         # feeds both the numerator and the divisor, no second job/join
@@ -173,6 +203,11 @@ def kmeans_quantized(
             .collect()
         )
         cents = [(int(r["cid"]), list(r["c"])) for r in new_cent]
+        if checkpoint_dir is not None and (
+            it % checkpoint_every == 0 or it == iters
+        ):
+            state = spark.createDataFrame(cents, "cid INT, c ARRAY<BIGINT>")
+            _ckpt.save_state(state, checkpoint_dir, it, ckpt_meta)
 
     final = _assign(quant, cents)
     out = final.groupBy("cid").agg(

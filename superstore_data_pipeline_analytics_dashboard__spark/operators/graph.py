@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import checkpoint as _ckpt
+
 
 def connected_components(
     edges: DataFrame,
@@ -310,6 +312,8 @@ def pagerank(
     dst: str = "dst",
     iters: int = 3,
     damping: float = 0.85,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """PageRank over a DIRECTED edge list — (node, rank) for every node
     with at least one in- or out-edge. Callers with an undirected graph
@@ -357,6 +361,19 @@ def pagerank(
     (one-time shuffle amortized over all rounds); high in-degree hubs
     are plain aggregation skew, which AQE splits. Rounds are O(diameter)
     for convergence but fixed ``iters`` is the corpus-signal norm.
+
+    Restartability (``checkpoint_dir``, round 8): when set, the
+    node-sized ``rank_u`` table is persisted every ``checkpoint_every``
+    rounds via :mod:`operators.checkpoint` (versioned dirs + ``_SUCCESS``
+    commit markers + a stamped damping guard), and a rerun of the same
+    call resumes from the newest complete checkpoint at or below its
+    own ``iters``. State is exact BIGINT fixed point and each round is
+    a pure function of (ranks, edges), so resumed output is
+    BIT-IDENTICAL to an uninterrupted run (pinned in
+    tests/test_checkpoint.py). After each save the loop RELOADS ranks
+    from the written files — the continued run provably consumes the
+    persisted state, and lineage truncates to the files across the
+    process boundary (edges themselves are input, never checkpointed).
     """
     SCALE = 10**12
     num = round(damping * 100)  # damping as the exact rational num/100
@@ -369,8 +386,17 @@ def pagerank(
         .distinct()
         .localCheckpoint()
     )
-    ranks = nodes.select("node", F.lit(SCALE).alias("rank_u"))
-    for _ in range(iters):
+    spark = edges.sparkSession
+    ckpt_meta = {"op": "pagerank", "damping_num": num, "scale": SCALE}
+    start = 0
+    if checkpoint_dir is not None:
+        done = _ckpt.latest_iteration(spark, checkpoint_dir, at_most=iters)
+        if done is not None:
+            start = done
+            ranks = _ckpt.load_state(spark, checkpoint_dir, done, ckpt_meta)
+    if start == 0:
+        ranks = nodes.select("node", F.lit(SCALE).alias("rank_u"))
+    for it in range(start + 1, iters + 1):
         contrib = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(outdeg, "src")
@@ -394,6 +420,11 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
+        if checkpoint_dir is not None and (
+            it % checkpoint_every == 0 or it == iters
+        ):
+            _ckpt.save_state(ranks, checkpoint_dir, it, ckpt_meta)
+            ranks = _ckpt.load_state(spark, checkpoint_dir, it, ckpt_meta)
     out = ranks.select(
         "node",
         (F.col("rank_u").cast("double") / F.lit(float(SCALE))).alias("rank"),
