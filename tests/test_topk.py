@@ -1,0 +1,117 @@
+"""Grouped top-k tiers (round 8): exact, one-pass sketch, verified
+(sketch candidates + exact recount), and mergeable state rollup.
+
+Contract mirrors the sketch modules: while a group's distinct keys fit
+``max_items_tracked`` the sketch never truncates, so the approx tier is
+value-EXACT (checkable against the exact tier); under truncation the
+tracking guarantee (every key with freq > N/maxTracked survives) and
+the verified tier's exact recount are what get pinned.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from superstore_data_pipeline_analytics_dashboard__spark.operators import (
+    topk as TK,
+)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # key kNN appears NN times per group: unambiguous frequency order
+    rows = [
+        (g, f"k{i:02d}")
+        for g in ("east", "west")
+        for i in range(1, 13)
+        for _ in range(i)
+    ]
+    return spark.createDataFrame(rows, "grp STRING, key STRING").persist()
+
+
+def test_tiers_agree_in_exact_regime(skewed):
+    """Distinct keys (12/group) fit the sketch: all three tiers must
+    return identical (group, key, cnt, rank) rows — estimated counts
+    included, since no truncation ever happened."""
+    exact = _rows(TK.grouped_topk_exact(skewed, ["grp"], "key", 4))
+    assert len(exact) == 8  # 4 per group
+    approx = _rows(TK.grouped_topk_approx(skewed, ["grp"], "key", 4, 100))
+    verified = _rows(TK.grouped_topk_verified(skewed, ["grp"], "key", 4, 100))
+    assert approx == exact
+    assert verified == exact
+    # rank is a total order: top key per group is the heaviest
+    top = [r for r in exact if r[3] == 1]
+    assert {(r[0], r[1]) for r in top} == {("east", "k12"), ("west", "k12")}
+
+
+def test_rank_tie_break_is_key_ascending(spark):
+    df = spark.createDataFrame(
+        [("g", "b"), ("g", "a"), ("g", "c")], "grp STRING, key STRING"
+    )
+    out = TK.grouped_topk_exact(df, ["grp"], "key", 2).collect()
+    got = {(r["key"], r["rank"]) for r in out}
+    assert got == {("a", 1), ("b", 2)}  # all cnt=1 → key ASC decides
+
+
+def test_verified_deterministic_under_repartitioning(skewed):
+    """Sketch-internal state depends on how data meets the sketch; the
+    verified tier's exact recount must erase that — identical output at
+    1 and 16 partitions."""
+    one = _rows(
+        TK.grouped_topk_verified(skewed.repartition(1), ["grp"], "key", 3, 64)
+    )
+    many = _rows(
+        TK.grouped_topk_verified(skewed.repartition(16), ["grp"], "key", 3, 64)
+    )
+    assert one == many == _rows(TK.grouped_topk_exact(skewed, ["grp"], "key", 3))
+
+
+def test_under_tracked_guarantee_and_verified_recovery(spark):
+    """Force truncation: 40 distinct keys, sketch tracks 10. The three
+    heavy keys (freq 60 ≫ N/10 = 15.7) must survive nomination, and the
+    verified tier must still return the exact top-3 with exact counts."""
+    rows = (
+        [("g", f"hot{i}") for i in range(3) for _ in range(60)]
+        + [("g", f"cold{i:02d}") for i in range(37)]
+    )
+    df = spark.createDataFrame(rows, "grp STRING, key STRING")
+    exact = _rows(TK.grouped_topk_exact(df, ["grp"], "key", 3))
+    verified = _rows(
+        TK.grouped_topk_verified(df, ["grp"], "key", 3, max_items_tracked=10)
+    )
+    assert verified == exact
+    nominated = {
+        r["key"]
+        for r in TK.grouped_topk_approx(
+            df, ["grp"], "key", 10, max_items_tracked=10
+        ).collect()
+    }
+    assert {"hot0", "hot1", "hot2"} <= nominated
+
+
+def test_state_rollup_matches_whole_corpus(spark, tmp_path, skewed):
+    """The maintenance path: one state row per (group, day) landed as
+    parquet, rolled up with combine — must equal the exact answer over
+    the union in the exact regime, raw data untouched at rollup time."""
+    d1 = skewed.withColumn("day", F.lit("2024-01-01"))
+    d2 = skewed.withColumn("day", F.lit("2024-01-02"))
+    both = d1.unionByName(d2)
+    states = TK.topk_state(both, ["grp", "day"], "key", 100)
+    path = str(tmp_path / "topk_states")
+    states.write.mode("overwrite").parquet(path)  # binary blob round-trip
+    back = spark.read.parquet(path)
+    assert back.count() == 4  # 2 groups × 2 days
+    rolled = _rows(TK.topk_from_states(back, ["grp"], 4, 100))
+    assert rolled == _rows(TK.grouped_topk_exact(both, ["grp"], "key", 4))
+
+
+def test_events_real_table_verified_equals_exact(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    exact = _rows(TK.grouped_topk_exact(ev, ["event_type"], "user_id", 5))
+    verified = _rows(
+        TK.grouped_topk_verified(ev, ["event_type"], "user_id", 5, 20000)
+    )
+    assert verified == exact
