@@ -1,0 +1,150 @@
+"""Exactly-once sink audits (round 8): the audit must certify a sink
+whose idempotency machinery worked AND indict one whose machinery was
+missing — both exercised with REAL replays (same input, fresh
+checkpoint), plus unit-grain pins on the ledger arithmetic."""
+
+import shutil
+import tempfile
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from superstore_data_pipeline_analytics_dashboard__spark.streaming import (
+    audit as A,
+)
+from superstore_data_pipeline_analytics_dashboard__spark.streaming import (
+    incremental as S,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp()
+    yield Path(d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture()
+def event_drop_zone(spark, tmpdir):
+    from superstore_data_pipeline_analytics_dashboard__spark.sources.catalog import (
+        load_table,
+    )
+
+    src = load_table(spark, SF_SMOKE, "events")
+    drop = tmpdir / "in"
+    src.coalesce(1).write.parquet(str(drop))
+    return drop
+
+
+# ------------------------------------------------------------ ledger math
+
+
+def test_ledger_all_rows_clean_and_violations(spark):
+    src = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("c",)], "k STRING"
+    )
+    # clean: identical multiset
+    clean = A.exactly_once_audit(src, src, ["k"]).first()
+    assert clean["exactly_once"]
+    assert clean["n_source_rows"] == 4 and clean["n_sink_rows"] == 4
+    # a duplicated, c dropped, d never in the source
+    snk = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",), ("d",)], "k STRING"
+    )
+    r = A.exactly_once_audit(src, snk, ["k"]).first()
+    assert not r["exactly_once"]
+    assert r["n_over_keys"] == 1 and r["n_over_rows"] == 1  # a: 3 vs 2
+    assert r["n_under_keys"] == 1 and r["n_under_rows"] == 1  # c: 0 vs 1
+    assert r["n_unexpected_keys"] == 1  # d
+
+
+def test_ledger_once_per_key_contract(spark):
+    src = spark.createDataFrame([("a",), ("a",), ("b",)], "k STRING")
+    dedup_sink = spark.createDataFrame([("a",), ("b",)], "k STRING")
+    r = A.exactly_once_audit(src, dedup_sink, ["k"], expect="once_per_key").first()
+    assert r["exactly_once"]  # repeats collapsed: that IS the contract
+    # the same sink FAILS the all_rows contract (a under-delivered)
+    r2 = A.exactly_once_audit(src, dedup_sink, ["k"], expect="all_rows").first()
+    assert not r2["exactly_once"] and r2["n_under_rows"] == 1
+    with pytest.raises(ValueError, match="all_rows|once_per_key"):
+        A.exactly_once_audit(src, dedup_sink, ["k"], expect="nonsense")
+
+
+# --------------------------------------------------- streaming end-to-end
+
+
+def test_audit_certifies_idempotent_sink_replay(spark, event_drop_zone, tmpdir):
+    """Replay the same input with a fresh checkpoint into the left-anti
+    sink: the audit must certify exactly-once."""
+    sink = str(tmpdir / "sink")
+    stream = S.dedup_stream(S.read_event_stream(spark, str(event_drop_zone)))
+    S.start_idempotent_append(stream, sink, str(tmpdir / "c1")).awaitTermination(120)
+    stream2 = S.dedup_stream(S.read_event_stream(spark, str(event_drop_zone)))
+    S.start_idempotent_append(stream2, sink, str(tmpdir / "c2")).awaitTermination(120)
+
+    src = spark.read.parquet(str(event_drop_zone))
+    r = A.exactly_once_audit(
+        src, spark.read.parquet(sink), ["event_id"]
+    ).first()
+    assert r["exactly_once"], r.asDict()
+    assert r["n_sink_rows"] == r["n_source_rows"]
+
+
+def test_audit_indicts_naive_append_sink_replay(spark, event_drop_zone, tmpdir):
+    """The control: a sink with NO idempotency doubles every row under
+    the same replay — the audit must say so, with the over-delivery
+    volume equal to one full copy. (A foreachBatch plain append: the
+    built-in parquet streaming sink would NOT reproduce this — its
+    _spark_metadata batch log deduplicates replayed batch ids — which
+    is exactly why foreachBatch writers must bring their own
+    idempotency, and why this audit exists.)"""
+    sink = str(tmpdir / "sink")
+    for ckpt in ("c1", "c2"):
+        q = (
+            S.read_event_stream(spark, str(event_drop_zone))
+            .writeStream.foreachBatch(
+                lambda b, _id: b.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", str(tmpdir / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    src = spark.read.parquet(str(event_drop_zone))
+    r = A.exactly_once_audit(src, spark.read.parquet(sink), ["event_id"]).first()
+    assert not r["exactly_once"]
+    assert r["n_over_rows"] == r["n_source_rows"]  # exactly one extra copy
+    assert r["n_under_rows"] == 0 and r["n_unexpected_keys"] == 0
+
+
+# ------------------------------------------------------- manifest audit
+
+
+def test_manifest_audit_consistent_then_corrupted(spark, event_drop_zone, tmpdir):
+    sink = str(tmpdir / "sink")
+    manifest = str(tmpdir / "manifest")
+    q = S.start_append_with_manifest(
+        S.read_event_stream(spark, str(event_drop_zone)),
+        sink,
+        manifest,
+        str(tmpdir / "ckpt"),
+        stat_cols=["ts"],
+    )
+    q.awaitTermination(120)
+    ok = A.manifest_consistency_audit(spark, sink, manifest).first()
+    assert ok["consistent"], ok.asDict()
+    assert ok["n_data_files"] == ok["n_manifest_files"] > 0
+
+    # corruption 1: a data file vanishes but its manifest row survives
+    # (the append-instead-of-overwrite replay bug's signature)
+    victim = next(Path(sink).rglob("part-*.parquet"))
+    extra = victim.parent / f"zz-copy-{victim.name}"
+    shutil.copy(victim, extra)  # corruption 2: landed but unenveloped
+    victim.unlink()
+    bad = A.manifest_consistency_audit(spark, sink, manifest).first()
+    assert not bad["consistent"]
+    assert bad["n_stale_manifest_rows"] == 1
+    assert bad["n_unenveloped_files"] == 1
