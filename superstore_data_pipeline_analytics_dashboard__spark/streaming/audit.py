@@ -83,21 +83,27 @@ def exactly_once_audit(
     j = j.withColumn("want", want)
     over = F.greatest(F.col("n_snk") - F.col("want"), F.lit(0))
     under = F.greatest(F.col("want") - F.col("n_snk"), F.lit(0))
+    # coalesce every aggregate: an empty-vs-empty audit (a window with
+    # no traffic) must report zeros and exactly_once=true, not NULLs
+    z = lambda c, n: F.coalesce(c, F.lit(0)).alias(n)  # noqa: E731
     rep = j.agg(
-        F.sum("n_src").alias("n_source_rows"),
-        F.sum((F.col("n_src") > 0).cast("long")).alias("n_source_keys"),
-        F.sum("n_snk").alias("n_sink_rows"),
-        F.sum((F.col("n_snk") > 0).cast("long")).alias("n_sink_keys"),
-        F.sum(((F.col("n_src") > 0) & (over > 0)).cast("long")).alias(
-            "n_over_keys"
+        z(F.sum("n_src"), "n_source_rows"),
+        z(F.sum((F.col("n_src") > 0).cast("long")), "n_source_keys"),
+        z(F.sum("n_snk"), "n_sink_rows"),
+        z(F.sum((F.col("n_snk") > 0).cast("long")), "n_sink_keys"),
+        z(
+            F.sum(((F.col("n_src") > 0) & (over > 0)).cast("long")),
+            "n_over_keys",
         ),
-        F.sum(F.when(F.col("n_src") > 0, over).otherwise(F.lit(0))).alias(
-            "n_over_rows"
+        z(
+            F.sum(F.when(F.col("n_src") > 0, over).otherwise(F.lit(0))),
+            "n_over_rows",
         ),
-        F.sum((under > 0).cast("long")).alias("n_under_keys"),
-        F.sum(under).alias("n_under_rows"),
-        F.sum(((F.col("n_src") == 0) & (F.col("n_snk") > 0)).cast("long")).alias(
-            "n_unexpected_keys"
+        z(F.sum((under > 0).cast("long")), "n_under_keys"),
+        z(F.sum(under), "n_under_rows"),
+        z(
+            F.sum(((F.col("n_src") == 0) & (F.col("n_snk") > 0)).cast("long")),
+            "n_unexpected_keys",
         ),
     )
     return rep.withColumn(

@@ -73,6 +73,54 @@ def test_ledger_once_per_key_contract(spark):
         A.exactly_once_audit(src, dedup_sink, ["k"], expect="nonsense")
 
 
+def test_ledger_property_vs_bruteforce(spark):
+    """Property: on arbitrary source/sink multisets the ledger equals a
+    brute-force Python computation, under both contracts."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    keys = st.sampled_from(list("abcdefgh"))
+    multiset = st.lists(keys, min_size=0, max_size=12)
+
+    @settings(max_examples=12, deadline=None)
+    @given(src_rows=multiset, snk_rows=multiset, expect=st.sampled_from(
+        ["all_rows", "once_per_key"]))
+    def run(src_rows, snk_rows, expect):
+        schema = "k STRING"
+        src = spark.createDataFrame([(x,) for x in src_rows] or [("_",)], schema)
+        if not src_rows:
+            src = src.filter(F.lit(False))
+        snk = spark.createDataFrame([(x,) for x in snk_rows] or [("_",)], schema)
+        if not snk_rows:
+            snk = snk.filter(F.lit(False))
+        r = A.exactly_once_audit(src, snk, ["k"], expect=expect).first()
+        cs, ck = Counter(src_rows), Counter(snk_rows)
+        want = {
+            k: (cs[k] if expect == "all_rows" else (1 if cs[k] else 0))
+            for k in set(cs) | set(ck)
+        }
+        over = {k: max(ck[k] - want[k], 0) for k in want if cs[k]}
+        under = {k: max(want[k] - ck[k], 0) for k in want}
+        assert r["n_source_rows"] == sum(cs.values())
+        assert r["n_sink_rows"] == sum(ck.values())
+        assert r["n_over_rows"] == sum(over.values())
+        assert r["n_over_keys"] == sum(1 for v in over.values() if v)
+        assert r["n_under_rows"] == sum(under.values())
+        assert r["n_under_keys"] == sum(1 for v in under.values() if v)
+        assert r["n_unexpected_keys"] == sum(
+            1 for k in ck if ck[k] and not cs[k]
+        )
+        assert r["exactly_once"] == (
+            not sum(over.values())
+            and not sum(under.values())
+            and not any(ck[k] and not cs[k] for k in ck)
+        )
+
+    run()
+
+
 # --------------------------------------------------- streaming end-to-end
 
 

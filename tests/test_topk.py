@@ -108,6 +108,38 @@ def test_state_rollup_matches_whole_corpus(spark, tmp_path, skewed):
     assert rolled == _rows(TK.grouped_topk_exact(both, ["grp"], "key", 4))
 
 
+def test_plan_shapes(spark):
+    """The scale claims as plan pins (fresh frames + clearCache first —
+    the hermetic-pin rule from test_plan_quality):
+
+    * approx tier: exactly ONE shuffle Exchange — the sketch aggregation
+      on the group key; the rank window REUSES that partitioning;
+    * verified tier: candidate join is a BroadcastHashJoin (never
+      SortMergeJoin — the candidate list is bounded by construction)
+      and nothing drops to Python;
+    * accumulate→combine chained in one lineage also plans ONE Exchange.
+    """
+    spark.catalog.clearCache()
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ap = TK.grouped_topk_approx(ev, ["event_type"], "user_id", 5, 1000)
+    plan = ap._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_approx_top_k" in plan  # map-side sketch combine
+    ve = TK.grouped_topk_verified(ev, ["event_type"], "user_id", 5, 1000)
+    vplan = ve._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in vplan
+    assert "SortMergeJoin" not in vplan
+    assert "BatchEvalPython" not in vplan
+    roll = TK.topk_from_states(
+        TK.topk_state(ev, ["event_type"], "user_id", 1000),
+        ["event_type"],
+        5,
+        1000,
+    )
+    splan = roll._jdf.queryExecution().executedPlan().toString()
+    assert splan.count("Exchange") == 1, splan
+
+
 def test_events_real_table_verified_equals_exact(spark):
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     exact = _rows(TK.grouped_topk_exact(ev, ["event_type"], "user_id", 5))
