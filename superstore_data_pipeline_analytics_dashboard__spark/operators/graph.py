@@ -139,6 +139,8 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Large-star/small-star connected components (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14) — the
@@ -158,18 +160,44 @@ def connected_components_star(
     list. Convergence = the (count, xxhash64-sum) signature of the edge
     list repeating, at which point the list IS the star forest
     (node → component-min). Same output contract as
-    :func:`connected_components`."""
-    e = (
-        edges.select(
-            F.col(src).cast("bigint").alias("u"), F.col(dst).cast("bigint").alias("v")
+    :func:`connected_components`.
+
+    Restartability (``checkpoint_dir``, round 8): the per-round state IS
+    the rewired edge list (canonical u > v, a SET — every round is a
+    pure function of it, so content is partition-order-independent even
+    though row order is not). When set, the list is persisted every
+    ``checkpoint_every`` rounds via :mod:`operators.checkpoint` and a
+    rerun resumes from the newest complete checkpoint with a FRESH
+    ``max_iter`` budget (rounds here are convergence-driven, not a
+    target count — so a run that RAISES on budget exhaustion is now
+    recoverable: resume and keep converging, tested). The convergence
+    signature is recomputed from the loaded list, which is exactly the
+    value the interrupted run held. Checkpoint cost: one linear write of
+    the current (shrinking) edge list — the thing you cannot afford to
+    recompute O(log² n) rounds of on a 100 TB graph."""
+    spark = edges.sparkSession
+    ckpt_meta = {"op": "connected_components_star"}
+    start = 0
+    if checkpoint_dir is not None:
+        done = _ckpt.latest_iteration(spark, checkpoint_dir)
+        if done is not None:
+            start = done
+            e = _ckpt.load_state(
+                spark, checkpoint_dir, done, ckpt_meta
+            ).localCheckpoint()
+    if start == 0:
+        e = (
+            edges.select(
+                F.col(src).cast("bigint").alias("u"),
+                F.col(dst).cast("bigint").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )  # canonical direction u > v, the small-star input shape
+            .distinct()
+            .localCheckpoint()
         )
-        .filter(F.col("u") != F.col("v"))
-        .select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )  # canonical direction u > v, the small-star input shape
-        .distinct()
-        .localCheckpoint()
-    )
 
     def signature(df: DataFrame) -> tuple:
         row = df.agg(
@@ -183,7 +211,7 @@ def connected_components_star(
     from pyspark.sql import Window
 
     sig = signature(e)
-    for _ in range(max_iter):
+    for it in range(start + 1, start + max_iter + 1):
         # large-star: symmetric neighborhoods, larger neighbors re-point to
         # the neighborhood minimum. Output keeps u > v invariant (v=m ≤ u).
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -205,6 +233,8 @@ def connected_components_star(
             .localCheckpoint(eager=False)  # signature() below materializes
         )
         new_sig = signature(e)
+        if checkpoint_dir is not None and it % checkpoint_every == 0:
+            _ckpt.save_state(e, checkpoint_dir, it, ckpt_meta)
         if new_sig == sig:
             roots = e.select(F.col("v").alias("node")).distinct().withColumn(
                 "component", F.col("node")

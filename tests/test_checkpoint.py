@@ -137,6 +137,26 @@ def test_pagerank_rejects_foreign_damping_state(spark, tmp_path):
         G.pagerank(e, iters=4, checkpoint_dir=root, damping=0.5)
 
 
+def test_star_components_budget_exhaustion_is_recoverable(spark, tmp_path):
+    """The star algorithm RAISES when max_iter rounds pass without
+    convergence; with a checkpoint_dir that failure is recoverable — a
+    rerun resumes from the last rewired edge list and converges to the
+    same components an uninterrupted run finds."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "src BIGINT, dst BIGINT"
+    )  # 64-node chain: adversarial diameter, several star rounds
+    truth = _rows(G.connected_components(edges))
+    root = str(tmp_path / "star")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        G.connected_components_star(edges, max_iter=2, checkpoint_dir=root)
+    assert CK.latest_iteration(spark, root) == 2
+    resumed = _rows(
+        G.connected_components_star(edges, max_iter=50, checkpoint_dir=root)
+    )
+    assert resumed == truth
+    assert resumed == _rows(G.connected_components_star(edges, max_iter=50))
+
+
 # -------------------------------------------------------------- k-means
 
 
