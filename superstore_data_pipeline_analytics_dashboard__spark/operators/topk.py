@@ -111,12 +111,26 @@ def _estimate_rows(
     return _ranked(exploded, group_cols, k)
 
 
+def _fetch_n(k: int, max_items_tracked: int, fetch_factor: int) -> int:
+    """How many items to pull out of a sketch before re-ranking: the
+    sketch truncates to its OWN (arbitrary) order among count ties, so
+    cutting at exactly k would let sketch internals pick which of the
+    boundary-tied keys survive. Over-fetching ``fetch_factor·k`` (capped
+    at capacity — a sketch cannot return more than it tracks) and then
+    cutting under the (cnt DESC, key ASC) total order makes the result
+    reproducible unless a boundary tie RUN exceeds the slack — and at
+    that point the contenders are exactly tied, with the exact/verified
+    tiers as the fully deterministic faces."""
+    return min(int(max_items_tracked), max(int(k), int(fetch_factor) * int(k)))
+
+
 def grouped_topk_approx(
     df: DataFrame,
     group_cols: Sequence[str],
     key_col: str,
     k: int,
     max_items_tracked: int = 10000,
+    fetch_factor: int = 4,
 ) -> DataFrame:
     """One-pass sketch top-k per group: (group..., key, cnt, rank) with
     ESTIMATED counts.
@@ -127,10 +141,14 @@ def grouped_topk_approx(
     are exact while each group's distinct keys fit
     ``max_items_tracked``; beyond that they carry the N/maxTracked
     frequency error and the result is an estimate, not an oracle-able
-    value (module docstring)."""
+    value (module docstring). Extraction over-fetches ``fetch_factor·k``
+    before the total-order cut (:func:`_fetch_n` — boundary-tie
+    determinism)."""
     sk = df.groupBy(*group_cols).agg(
         F.expr(
-            f"approx_top_k(`{key_col}`, {int(k)}, {int(max_items_tracked)})"
+            f"approx_top_k(`{key_col}`, "
+            f"{_fetch_n(k, max_items_tracked, fetch_factor)}, "
+            f"{int(max_items_tracked)})"
         ).alias("est")
     )
     return _estimate_rows(sk, group_cols, k, "est")
@@ -203,16 +221,19 @@ def topk_from_states(
     group_cols: Sequence[str],
     k: int,
     max_items_tracked: int = 10000,
+    fetch_factor: int = 4,
 ) -> DataFrame:
     """Combine :func:`topk_state` rows down to ``group_cols`` and
     extract top-k: (group..., key, cnt, rank). Cost ∝ state rows, not
     raw data. All combined states must share ``max_items_tracked``
     (Spark enforces sketch compatibility; pass the same value used at
-    accumulate time)."""
+    accumulate time). Extraction over-fetches before the total-order
+    cut (:func:`_fetch_n`)."""
     combined = states.groupBy(*group_cols).agg(
         F.expr(
             f"approx_top_k_estimate("
-            f"approx_top_k_combine(state, {int(max_items_tracked)}), {int(k)})"
+            f"approx_top_k_combine(state, {int(max_items_tracked)}), "
+            f"{_fetch_n(k, max_items_tracked, fetch_factor)})"
         ).alias("est")
     )
     return _estimate_rows(combined, group_cols, k, "est")

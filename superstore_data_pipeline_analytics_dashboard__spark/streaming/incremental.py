@@ -674,6 +674,66 @@ def start_heavy_hitters_sink(
     )
 
 
+def start_grouped_topk_sink(
+    stream: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    state_path: str,
+    checkpoint: str,
+    max_items_tracked: int = 10000,
+) -> StreamingQuery:
+    """Streaming maintenance of grouped top-k — the micro-batch face of
+    ``operators/topk.py``'s mergeable-state rollup, shaped exactly like
+    ``start_heavy_hitters_sink`` but with ONE self-contained sketch row
+    per group per batch (DataSketches frequent-items state) instead of
+    CMS cells + a candidate side table.
+
+    Per batch: ``topk_state`` aggregates one ``approx_top_k_accumulate``
+    row per group (bounded by ``max_items_tracked``, partial-combined
+    map-side) and lands it in the batch's own ``batch=<id>`` partition.
+    State grows ∝ batches·groups sketch rows — independent of stream
+    volume — and is replay-safe the start_append_with_manifest way: a
+    replayed batch id REPLACES its partition via dynamic partition
+    overwrite, never appends. ``read_grouped_topk`` rolls the state rows
+    up (``approx_top_k_combine``) without ever rescanning the stream."""
+    from ..operators.topk import topk_state
+
+    def _append(batch: DataFrame, batch_id: int) -> None:
+        st = topk_state(batch, group_cols, key_col, max_items_tracked)
+        (
+            st.withColumn("batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(state_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_grouped_topk(
+    spark: SparkSession,
+    state_path: str,
+    group_cols: list[str],
+    k: int,
+    max_items_tracked: int = 10000,
+) -> DataFrame:
+    """Top-k per group from the maintained state table alone — cost ∝
+    state rows (batches·groups), never the stream. Estimates are exact
+    while each group's distinct keys fit ``max_items_tracked`` (the
+    topk module's exact-mode contract, pinned stream==batch in tests)."""
+    from ..operators.topk import topk_from_states
+
+    return topk_from_states(
+        spark.read.parquet(state_path), group_cols, k, max_items_tracked
+    )
+
+
 def read_heavy_hitters(
     spark: SparkSession,
     cms_path: str,

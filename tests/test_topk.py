@@ -141,9 +141,57 @@ def test_plan_shapes(spark):
 
 
 def test_events_real_table_verified_equals_exact(spark):
+    """The real table has COUNT TIES straddling the k boundary (several
+    users tied at the rank-4..6 count per type) — the case where the
+    sketch's internal truncation order would leak into the result
+    without the over-fetch-then-total-order-cut (_fetch_n). Both
+    estimate and verified tiers must match exact, ties included."""
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     exact = _rows(TK.grouped_topk_exact(ev, ["event_type"], "user_id", 5))
+    assert (
+        _rows(TK.grouped_topk_approx(ev, ["event_type"], "user_id", 5, 20000))
+        == exact
+    )
     verified = _rows(
         TK.grouped_topk_verified(ev, ["event_type"], "user_id", 5, 20000)
     )
     assert verified == exact
+
+
+def test_streaming_state_sink_matches_batch_and_survives_replay(
+    spark, tmp_path
+):
+    """The streaming maintenance face: per-batch sketch states landed in
+    batch partitions must roll up to the batch-exact answer (exact
+    regime), and a REPLAY (same input, fresh checkpoint) must leave the
+    state — and therefore the answer — unchanged (dynamic partition
+    overwrite, not append)."""
+    from superstore_data_pipeline_analytics_dashboard__spark.sources.catalog import (
+        load_table,
+    )
+    from superstore_data_pipeline_analytics_dashboard__spark.streaming import (
+        incremental as S,
+    )
+
+    drop = tmp_path / "in"
+    load_table(spark, "/root/testdata/sf0.001", "events").coalesce(1).write.parquet(
+        str(drop)
+    )
+    state = str(tmp_path / "topk_state")
+    stream = S.read_event_stream(spark, str(drop))
+    S.start_grouped_topk_sink(
+        stream, ["event_type"], "user_id", state, str(tmp_path / "c1"), 20000
+    ).awaitTermination(120)
+    batch = spark.read.parquet(str(drop))
+    exact = _rows(TK.grouped_topk_exact(batch, ["event_type"], "user_id", 5))
+    got = _rows(S.read_grouped_topk(spark, state, ["event_type"], 5, 20000))
+    assert got == exact
+    n_state_rows = spark.read.parquet(state).count()
+    # replay with a fresh checkpoint: batch ids repeat, partitions are
+    # REPLACED — state row count and rollup answer must not move
+    stream2 = S.read_event_stream(spark, str(drop))
+    S.start_grouped_topk_sink(
+        stream2, ["event_type"], "user_id", state, str(tmp_path / "c2"), 20000
+    ).awaitTermination(120)
+    assert spark.read.parquet(state).count() == n_state_rows
+    assert _rows(S.read_grouped_topk(spark, state, ["event_type"], 5, 20000)) == exact
