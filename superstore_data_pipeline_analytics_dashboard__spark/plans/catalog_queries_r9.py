@@ -1,0 +1,274 @@
+"""Round-9 staging catalog: the three round-8 operator families
+(checkpoint/restart, grouped top-k tiers, exactly-once sink audit) as
+gate-ready queries + DuckDB oracles, NOT yet registered.
+
+Why a separate module: the r8 audit window is a pinned contract
+(tests/test_registry_window.py — certification-first, zero new
+queries until CORRECTNESS_r08 lands). These queries are therefore
+staged DORMANT: fully written, canon-wrapped, parity-tested at
+sf0.001 AND sf0.01 (tests/test_catalog_r9.py), but absent from the
+main ``QUERIES``/``ORACLES`` dicts. Registration is round 9's first
+commit: splice ``R9_QUERIES``/``R9_ORACLES`` at the window HEAD
+(VERDICT r7 item 6: growth resumes with new queries at positions
+1..n), update tests/test_registry_window.py and COVERAGE.md's window
+paragraph in the same commit, and delete this docstring's dormancy
+paragraph.
+
+Same conventions as :mod:`catalog_queries` (aliases identical on both
+sides, no DECIMAL/TIMESTAMP at the boundary, total-order windows,
+BIGINT casts over every DuckDB sum that would widen to HUGEINT).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import pagerank
+from ..operators.topk import (
+    grouped_topk_verified,
+    topk_from_states,
+    topk_state,
+)
+from ..sources.catalog import load_table
+from ..streaming.audit import exactly_once_audit
+from .catalog_queries import Q113_SQL, _canon_query, _li
+
+
+# ------------------------------------------------- checkpoint/restart
+#
+# The operational face of 100 TB iteration (operators/checkpoint.py):
+# a resumed run must be BIT-IDENTICAL to an uninterrupted one. q251
+# makes that claim driver-auditable: it runs the q113 copurchase
+# PageRank to iteration 2 WITH a checkpoint dir (two node-sized state
+# parquets land eagerly inside the call), then issues the iters=3 call
+# against the same dir — which must LOAD v000002 and execute only the
+# third round. The oracle is q113's own 3-iteration unrolled CTE, so a
+# resume that silently restarted from iteration 0 with damaged state,
+# or double-applied a round, hash-mismatches. Exact BIGINT fixed-point
+# state is what makes this a value equality, not a tolerance check.
+
+def q251_pagerank_checkpoint_resume(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    # fresh dir per invocation: checkpoint state is stamped with the
+    # operator config (damping, scale) but NOT the input scale factor,
+    # so reusing a dir across sf0.001/sf0.01 runs would resume one
+    # scale's ranks against the other's edges
+    ckpt = tempfile.mkdtemp(prefix="q251_pr_ckpt_")
+
+    li = _li(spark, sf).select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst")),
+                F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+
+    # interrupted run: checkpoints v1, v2 are written EAGERLY (each
+    # save is a parquet write action); the returned frame is unused
+    pagerank(edges, iters=2, damping=0.85, checkpoint_dir=ckpt)
+    # resumed run: loads v000002, executes round 3 only (the edge
+    # cache from the first call is reused — same logical plan)
+    pr = pagerank(edges, iters=3, damping=0.85, checkpoint_dir=ckpt)
+    return pr.select(F.col("node").alias("part"), "rank")
+
+
+# q113's oracle IS q251's oracle: resume must equal straight-through.
+Q251_SQL = Q113_SQL
+
+
+# ---------------------------------------------------- grouped top-k
+#
+# operators/topk.py verified tier: sketch-nominated candidates
+# (one bounded approx_top_k pass — the shuffle carries one state row
+# per group per map partition, never the distinct key space), exact
+# broadcast-join recount, total-order (cnt DESC, key ASC) cut. In the
+# exact regime (distinct parts per flag ≈ 2k at sf0.01, 20k at sf0.1,
+# both < max_items_tracked) the nomination is lossless, so the result
+# equals the full groupBy answer — which is exactly what the plain-SQL
+# oracle computes. Beyond the regime the sketch guarantee (tracked if
+# freq > N_group/max_items_tracked) takes over and the EXACT tier is
+# the audit path — the tier positioning the module docstring states.
+
+def q252_grouped_topk_verified(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    out = grouped_topk_verified(
+        li,
+        group_cols=["l_returnflag"],
+        key_col="l_partkey",
+        k=10,
+        max_items_tracked=65536,
+    )
+    # row_number is INT on Spark, BIGINT on DuckDB — widen here
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+Q252_SQL = """
+WITH c AS (
+  SELECT l_returnflag, l_partkey AS key, count(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+), r AS (
+  SELECT l_returnflag, key, cnt,
+         row_number() OVER (
+           PARTITION BY l_returnflag ORDER BY cnt DESC, key ASC
+         ) AS rank
+  FROM c
+)
+SELECT l_returnflag, key, cnt, rank FROM r WHERE rank <= 10
+"""
+
+
+# ------------------------------------------- mergeable sketch states
+#
+# The q128/q138 day-sketch pattern on the oracle gate: accumulate one
+# approx_top_k state row per (l_returnflag, l_linestatus) ingest grain,
+# then roll up to l_linestatus with approx_top_k_combine — cost ∝ state
+# rows, raw data never re-scanned. In the exact regime (per-sketch AND
+# combined distinct keys < max_items_tracked — the DataSketches
+# frequent-items exact mode) every counter is exact, so the rollup
+# hash-matches the plain recount oracle. The parquet round-trip of the
+# state blob is pinned separately (tests/test_topk.py) — the query
+# keeps the states in-plan so the gate run stays write-free.
+
+def q253_topk_state_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    states = topk_state(
+        li,
+        group_cols=["l_linestatus", "l_returnflag"],
+        key_col="l_partkey",
+        max_items_tracked=65536,
+    )
+    out = topk_from_states(
+        states,
+        group_cols=["l_linestatus"],
+        k=15,
+        max_items_tracked=65536,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+Q253_SQL = """
+WITH c AS (
+  SELECT l_linestatus, l_partkey AS key, count(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+), r AS (
+  SELECT l_linestatus, key, cnt,
+         row_number() OVER (
+           PARTITION BY l_linestatus ORDER BY cnt DESC, key ASC
+         ) AS rank
+  FROM c
+)
+SELECT l_linestatus, key, cnt, rank FROM r WHERE rank <= 15
+"""
+
+
+# --------------------------------------------- exactly-once ledger
+#
+# streaming/audit.exactly_once_audit over a deterministically FAULTED
+# sink: drop every 89th order key (a lost batch), replay every 97th (a
+# retry between sink write and checkpoint commit), and inject phantom
+# keys the source never had (a sink path collision) — the three
+# failure modes the module docstring names, each planted so the ledger
+# must report a non-zero count for it. Keys divisible by both 89 and
+# 97 land exactly once (dropped, then replayed) — the ledger correctly
+# reads them as neither over- nor under-delivered. Every output is an
+# exact integer from one full-outer key join; the oracle is the same
+# arithmetic in ANSI SQL.
+
+def q254_delivery_ledger(spark: SparkSession, sf: str) -> DataFrame:
+    src = load_table(spark, sf, "orders").select("o_orderkey")
+    delivered = src.filter(F.col("o_orderkey") % 89 != 0)
+    replayed = src.filter(F.col("o_orderkey") % 97 == 0)
+    phantom = src.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey")
+    )
+    sink = delivered.unionByName(replayed).unionByName(phantom)
+    return exactly_once_audit(src, sink, ["o_orderkey"], expect="all_rows")
+
+
+Q254_SQL = """
+WITH src AS (SELECT o_orderkey FROM orders),
+snk AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 89 <> 0
+  UNION ALL
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000 AS o_orderkey FROM orders
+  WHERE o_orderkey % 101 = 0
+),
+s AS (SELECT o_orderkey, count(*) AS n_src FROM src GROUP BY 1),
+k AS (SELECT o_orderkey, count(*) AS n_snk FROM snk GROUP BY 1),
+j AS (
+  SELECT coalesce(s.n_src, 0) AS n_src, coalesce(k.n_snk, 0) AS n_snk
+  FROM s FULL OUTER JOIN k USING (o_orderkey)
+),
+g AS (
+  SELECT n_src, n_snk,
+         greatest(n_snk - n_src, 0) AS over_rows,
+         greatest(n_src - n_snk, 0) AS under_rows
+  FROM j
+),
+rep AS (
+  SELECT
+    CAST(coalesce(sum(n_src), 0) AS BIGINT) AS n_source_rows,
+    CAST(coalesce(sum(CASE WHEN n_src > 0 THEN 1 END), 0) AS BIGINT)
+      AS n_source_keys,
+    CAST(coalesce(sum(n_snk), 0) AS BIGINT) AS n_sink_rows,
+    CAST(coalesce(sum(CASE WHEN n_snk > 0 THEN 1 END), 0) AS BIGINT)
+      AS n_sink_keys,
+    CAST(coalesce(sum(CASE WHEN n_src > 0 AND over_rows > 0 THEN 1 END),
+                  0) AS BIGINT) AS n_over_keys,
+    CAST(coalesce(sum(CASE WHEN n_src > 0 THEN over_rows ELSE 0 END),
+                  0) AS BIGINT) AS n_over_rows,
+    CAST(coalesce(sum(CASE WHEN under_rows > 0 THEN 1 END), 0) AS BIGINT)
+      AS n_under_keys,
+    CAST(coalesce(sum(under_rows), 0) AS BIGINT) AS n_under_rows,
+    CAST(coalesce(sum(CASE WHEN n_src = 0 AND n_snk > 0 THEN 1 END), 0)
+      AS BIGINT) AS n_unexpected_keys
+  FROM g
+)
+SELECT *,
+       (n_over_rows = 0 AND n_under_rows = 0 AND n_unexpected_keys = 0)
+         AS exactly_once
+FROM rep
+"""
+
+
+# ---------------------------------------------------------- registry
+#
+# Dormant: consumed only by tests/test_catalog_r9.py until the r9
+# rotation splices these dicts at the main registry's window head.
+
+R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q251_pagerank_checkpoint_resume": q251_pagerank_checkpoint_resume,
+    "q252_grouped_topk_verified": q252_grouped_topk_verified,
+    "q253_topk_state_rollup": q253_topk_state_rollup,
+    "q254_delivery_ledger": q254_delivery_ledger,
+}
+R9_ORACLES: dict[str, str] = {
+    "q251_pagerank_checkpoint_resume": Q251_SQL,
+    "q252_grouped_topk_verified": Q252_SQL,
+    "q253_topk_state_rollup": Q253_SQL,
+    "q254_delivery_ledger": Q254_SQL,
+}
+
+R9_QUERIES = {name: _canon_query(fn) for name, fn in R9_QUERIES.items()}
