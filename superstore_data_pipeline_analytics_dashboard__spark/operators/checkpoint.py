@@ -55,7 +55,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["save_state", "load_state", "latest_iteration"]
+__all__ = ["save_state", "load_state", "latest_iteration", "vacuum"]
 
 _META_KEY = "ckpt"
 _VDIR = re.compile(r"^v(\d{6})$")
@@ -144,3 +144,59 @@ def load_state(
     # state; the stamp is storage provenance, not data
     first, *rest = df.columns
     return df.select(F.col(first).alias(first, metadata={}), *rest)
+
+
+def vacuum(spark: SparkSession, root: str, keep_last: int = 1) -> list[str]:
+    """Retention for the checkpoint store: delete superseded versions,
+    return the paths removed (sorted).
+
+    A long iterative run checkpointing every round accumulates one
+    node-sized state table per round — at 100 TB graph sizes that is
+    the dominant storage cost of restartability, and all but the
+    newest few versions are dead weight (resume only ever reads the
+    newest complete one; older versions exist solely as fallbacks for
+    a torn newest). Policy, conservative by construction:
+
+    * keep the newest ``keep_last`` COMPLETE checkpoints (>= 1 — the
+      store must stay resumable, so a full wipe is not expressible
+      here; delete ``root`` itself for that);
+    * delete complete versions older than those;
+    * delete incomplete (no ``_SUCCESS``) versions only when a NEWER
+      complete one exists — such a directory is a crashed write that
+      a later successful round already superseded. An incomplete dir
+      newer than every complete one is left alone: it may be a writer
+      in flight right now, and :func:`save_state` overwrites it
+      harmlessly when that iteration is next reached.
+    * foreign (non ``vNNNNNN``) entries are never touched.
+
+    Safe against concurrent RESUME by ordering: a resumer reads the
+    newest complete version, which vacuum never deletes."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    fs, jroot, jvm = _fs(spark, root)
+    if not fs.exists(jroot):
+        return []
+    complete: list[int] = []
+    incomplete: list[int] = []
+    for st in fs.listStatus(jroot):
+        if not st.isDirectory():
+            continue
+        m = _VDIR.match(st.getPath().getName())
+        if not m:
+            continue
+        n = int(m.group(1))
+        marker = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        (complete if fs.exists(marker) else incomplete).append(n)
+    if not complete:
+        return []  # nothing supersedes anything — don't touch in-flight
+    keep = set(sorted(complete)[-keep_last:])
+    newest_complete = max(complete)
+    doomed = [n for n in complete if n not in keep] + [
+        n for n in incomplete if n < newest_complete
+    ]
+    removed = []
+    for n in sorted(doomed):
+        path = _vpath(root, n)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
+        removed.append(path)
+    return removed

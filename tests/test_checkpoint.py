@@ -88,6 +88,52 @@ def test_store_rejects_mismatched_config(spark, tmp_path):
         CK.load_state(spark, root, 3, {"op": "pagerank", "damping_num": 85})
 
 
+def test_vacuum_keeps_newest_and_stays_resumable(spark, tmp_path):
+    root = str(tmp_path / "state")
+    meta = {"op": "x"}
+    st = spark.range(3).select(F.col("id").alias("v"))
+    for it in (1, 2, 3, 4):
+        CK.save_state(st, root, it, meta)
+    removed = CK.vacuum(spark, root, keep_last=2)
+    assert [p.rsplit("/", 1)[1] for p in removed] == ["v000001", "v000002"]
+    names = sorted(p for p in os.listdir(root) if p.startswith("v"))
+    assert names == ["v000003", "v000004"]
+    # the store is still resumable from what was kept
+    assert CK.latest_iteration(spark, root) == 4
+    assert _rows(CK.load_state(spark, root, 4, meta)) == _rows(st)
+    # idempotent: nothing left to supersede
+    assert CK.vacuum(spark, root, keep_last=2) == []
+
+
+def test_vacuum_incomplete_policy(spark, tmp_path):
+    """A crashed write OLDER than the newest complete version is garbage;
+    one NEWER may be a writer in flight and must survive."""
+    root = str(tmp_path / "state")
+    meta = {"op": "x"}
+    st = spark.range(3).select(F.col("id").alias("v"))
+    for it in (1, 3, 4):
+        CK.save_state(st, root, it, meta)
+    os.remove(f"{root}/v000001/_SUCCESS")  # superseded crash: doomed
+    os.remove(f"{root}/v000004/_SUCCESS")  # possibly in flight: kept
+    removed = CK.vacuum(spark, root, keep_last=1)
+    assert [p.rsplit("/", 1)[1] for p in removed] == ["v000001"]
+    names = sorted(p for p in os.listdir(root) if p.startswith("v"))
+    assert names == ["v000003", "v000004"]
+    assert CK.latest_iteration(spark, root) == 3
+
+
+def test_vacuum_guards(spark, tmp_path):
+    root = str(tmp_path / "state")
+    with pytest.raises(ValueError, match="keep_last"):
+        CK.vacuum(spark, root, keep_last=0)
+    # missing root and no-complete-version stores are both no-ops
+    assert CK.vacuum(spark, root) == []
+    st = spark.range(2).select(F.col("id").alias("v"))
+    CK.save_state(st, root, 1, {"op": "x"})
+    os.remove(f"{root}/v000001/_SUCCESS")
+    assert CK.vacuum(spark, root) == []  # nothing supersedes the crash
+
+
 # ------------------------------------------------------------- pagerank
 
 
