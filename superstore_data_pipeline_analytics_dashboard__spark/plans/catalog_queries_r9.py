@@ -1,6 +1,7 @@
-"""Round-9 staging catalog: the three round-8 operator families
-(checkpoint/restart, grouped top-k tiers, exactly-once sink audit) as
-gate-ready queries + DuckDB oracles, NOT yet registered.
+"""Round-9 staging catalog: the round-8 operator families
+(checkpoint/restart, grouped top-k tiers, exactly-once sink audit,
+snapshot pinning) as gate-ready queries + DuckDB oracles, NOT yet
+registered.
 
 Why a separate module: the r8 audit window is a pinned contract
 (tests/test_registry_window.py — certification-first, zero new
@@ -34,6 +35,8 @@ from ..operators.topk import (
     topk_state,
 )
 from ..sources.catalog import load_table
+from ..sources.manifest import collect_file_stats
+from ..sources.snapshots import commit_snapshot, read_as_of, snapshot_ledger
 from ..streaming.audit import exactly_once_audit
 from .catalog_queries import Q113_SQL, _canon_query, _li
 
@@ -253,6 +256,81 @@ FROM rep
 """
 
 
+# ------------------------------------------------ snapshot pinning
+#
+# sources/snapshots.py: reproducible "as of" reads over the
+# batch-partitioned manifest sink. Both queries build a real two-batch
+# sink + manifest + snapshot log on disk (fresh tmp dir per call, same
+# reasoning as q251), landing orders split by key parity as two ingest
+# batches with a snapshot commit after each — then certify that the
+# VERSION-1 pin still reads exactly batch 0 after the table grew
+# (q255), and that the commit ledger's per-version rollups and
+# rows_added deltas are the exact batch arithmetic (q256). Both
+# oracles derive from the orders table alone: the entire
+# write→commit→pin→read round-trip through real parquet must land on
+# numbers DuckDB computes without ever seeing the sink.
+
+def _land_orders_two_batches(
+    spark: SparkSession, sf: str
+) -> tuple[str, str, str]:
+    """orders keys land as batch 0 (even keys) then batch 1 (odd), with
+    manifest rows and a snapshot commit after each — the sink layout of
+    streaming/incremental.start_append_with_manifest, built directly."""
+    base = tempfile.mkdtemp(prefix="q255_snap_")
+    sink, man, log = f"{base}/sink", f"{base}/man", f"{base}/log"
+    orders = load_table(spark, sf, "orders").select("o_orderkey")
+    for batch_id, keep in ((0, 0), (1, 1)):
+        part = orders.filter(F.col("o_orderkey") % 2 == keep)
+        part.coalesce(1).write.mode("overwrite").parquet(
+            f"{sink}/batch={batch_id}"
+        )
+        stats = collect_file_stats(
+            spark, f"{sink}/batch={batch_id}", ["o_orderkey"]
+        ).withColumn("batch", F.lit(batch_id))
+        (
+            stats.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(man)
+        )
+        commit_snapshot(spark, man, log)
+    return sink, man, log
+
+
+def q255_snapshot_as_of(spark: SparkSession, sf: str) -> DataFrame:
+    sink, _, log = _land_orders_two_batches(spark, sf)
+    return read_as_of(spark, sink, log, 1).select("o_orderkey")
+
+
+Q255_SQL = """
+SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
+"""
+
+
+def q256_snapshot_ledger(spark: SparkSession, sf: str) -> DataFrame:
+    _, _, log = _land_orders_two_batches(spark, sf)
+    return snapshot_ledger(spark, log)
+
+
+# coalesce(1) pins n_files to one per landed batch, so the ledger is
+# pure batch arithmetic over the even/odd key split
+Q256_SQL = """
+WITH c AS (
+  SELECT count(*) FILTER (WHERE o_orderkey % 2 = 0) AS even_rows,
+         count(*) AS total_rows
+  FROM orders
+)
+SELECT CAST(1 AS BIGINT) AS version, CAST(1 AS BIGINT) AS n_batches,
+       CAST(1 AS BIGINT) AS n_files, even_rows AS n_rows,
+       even_rows AS rows_added
+FROM c
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+       total_rows, total_rows - even_rows
+FROM c
+"""
+
+
 # ---------------------------------------------------------- registry
 #
 # Dormant: consumed only by tests/test_catalog_r9.py until the r9
@@ -263,12 +341,16 @@ R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q252_grouped_topk_verified": q252_grouped_topk_verified,
     "q253_topk_state_rollup": q253_topk_state_rollup,
     "q254_delivery_ledger": q254_delivery_ledger,
+    "q255_snapshot_as_of": q255_snapshot_as_of,
+    "q256_snapshot_ledger": q256_snapshot_ledger,
 }
 R9_ORACLES: dict[str, str] = {
     "q251_pagerank_checkpoint_resume": Q251_SQL,
     "q252_grouped_topk_verified": Q252_SQL,
     "q253_topk_state_rollup": Q253_SQL,
     "q254_delivery_ledger": Q254_SQL,
+    "q255_snapshot_as_of": Q255_SQL,
+    "q256_snapshot_ledger": Q256_SQL,
 }
 
 R9_QUERIES = {name: _canon_query(fn) for name, fn in R9_QUERIES.items()}

@@ -1,0 +1,150 @@
+"""Snapshot pinning over the batch-partitioned manifest sink
+(sources/snapshots.py): commit versions, read as-of, ledger, and the
+drift audit that makes a months-old pin trustable (or provably not).
+"""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from superstore_data_pipeline_analytics_dashboard__spark.sources import (
+    snapshots as SN,
+)
+from superstore_data_pipeline_analytics_dashboard__spark.sources.manifest import (
+    collect_file_stats,
+)
+from superstore_data_pipeline_analytics_dashboard__spark.streaming import (
+    incremental as S,
+)
+
+
+def _land_batch(spark, sink, man, batch_id, ids):
+    """The sink's on-disk contract, written directly (one batch
+    partition + its manifest rows) — what start_append_with_manifest
+    does per micro-batch, without the streaming machinery."""
+    df = spark.createDataFrame([(i,) for i in ids], "id BIGINT")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sink}/batch={batch_id}")
+    stats = collect_file_stats(
+        spark, f"{sink}/batch={batch_id}", ["id"]
+    ).withColumn("batch", F.lit(batch_id))
+    (
+        stats.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(man)
+    )
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.select("id").collect())
+
+
+def test_commit_and_read_as_of(spark, tmp_path):
+    sink, man, log = (str(tmp_path / d) for d in ("sink", "man", "log"))
+    _land_batch(spark, sink, man, 0, range(0, 100))
+    assert SN.commit_snapshot(spark, man, log) == 1
+    _land_batch(spark, sink, man, 1, range(100, 250))
+    assert SN.commit_snapshot(spark, man, log) == 2
+    # the pin holds while the table keeps growing
+    assert _ids(SN.read_as_of(spark, sink, log, 1)) == list(range(0, 100))
+    assert _ids(SN.read_as_of(spark, sink, log, 2)) == list(range(0, 250))
+    with pytest.raises(ValueError, match="does not exist"):
+        SN.read_as_of(spark, sink, log, 3)
+    # as-of reads prune statically: v1's scan carries the batch IN (…)
+    # list as a PartitionFilter, so batch=1's directory is never read
+    plan = (
+        SN.read_as_of(spark, sink, log, 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "batch" in plan
+
+
+def test_ledger(spark, tmp_path):
+    sink, man, log = (str(tmp_path / d) for d in ("sink", "man", "log"))
+    _land_batch(spark, sink, man, 0, range(0, 100))
+    SN.commit_snapshot(spark, man, log)
+    _land_batch(spark, sink, man, 1, range(100, 250))
+    SN.commit_snapshot(spark, man, log)
+    rows = {
+        r["version"]: r for r in SN.snapshot_ledger(spark, log).collect()
+    }
+    assert rows[1]["n_batches"] == 1 and rows[1]["n_rows"] == 100
+    assert rows[2]["n_batches"] == 2 and rows[2]["n_rows"] == 250
+    assert rows[1]["rows_added"] == 100 and rows[2]["rows_added"] == 150
+    with pytest.raises(ValueError, match="no complete snapshot"):
+        SN.snapshot_ledger(spark, str(tmp_path / "empty"))
+
+
+def test_drift_audit_detects_retention_and_content_damage(spark, tmp_path):
+    sink, man, log = (str(tmp_path / d) for d in ("sink", "man", "log"))
+    _land_batch(spark, sink, man, 0, range(0, 100))
+    SN.commit_snapshot(spark, man, log)
+    _land_batch(spark, sink, man, 1, range(100, 250))
+    SN.commit_snapshot(spark, man, log)
+    ok = SN.snapshot_drift_audit(spark, sink, log, 2).collect()[0]
+    assert ok["reproducible"] and ok["n_rows_recorded"] == 250
+
+    # content damage: batch 1 partially rewritten
+    _land_batch(spark, sink, man, 1, range(100, 200))
+    drift = SN.snapshot_drift_audit(spark, sink, log, 2).collect()[0]
+    assert not drift["reproducible"]
+    assert drift["n_row_drift_batches"] == 1
+    assert drift["n_rows_current"] == 200
+
+    # retention ate a member batch: the as-of read silently shrinks —
+    # exactly why the audit exists
+    shutil.rmtree(f"{sink}/batch=0")
+    gone = SN.snapshot_drift_audit(spark, sink, log, 1).collect()[0]
+    assert not gone["reproducible"] and gone["n_missing_batches"] == 1
+    assert _ids(SN.read_as_of(spark, sink, log, 1)) == []
+
+
+def test_streaming_sink_end_to_end(spark, tmp_path):
+    """Against the REAL sink: versions pin what each availableNow pass
+    landed, and a full pre-checkpoint replay (fresh checkpoint, same
+    drops) rewrites every batch with identical content — both pinned
+    versions must still audit reproducible (content-stable, file-name
+    unstable: the module docstring's central claim)."""
+    drop = tmp_path / "in"
+    spark.createDataFrame(
+        [(i, i % 7) for i in range(0, 100)], "id BIGINT, v BIGINT"
+    ).coalesce(1).write.parquet(str(drop / "b0"))
+    sink, man, log = (str(tmp_path / d) for d in ("sink", "man", "log"))
+
+    def _stream():
+        return (
+            spark.readStream.schema("id BIGINT, v BIGINT")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", True)
+            .parquet(str(drop))
+        )
+
+    S.start_append_with_manifest(
+        _stream(), sink, man, str(tmp_path / "ck"), stat_cols=["id"]
+    ).awaitTermination(120)
+    assert SN.commit_snapshot(spark, man, log) == 1
+
+    # table grows: second drop, SAME checkpoint — only the new file runs
+    spark.createDataFrame(
+        [(i, i % 7) for i in range(100, 200)], "id BIGINT, v BIGINT"
+    ).coalesce(1).write.parquet(str(drop / "b1"))
+    S.start_append_with_manifest(
+        _stream(), sink, man, str(tmp_path / "ck"), stat_cols=["id"]
+    ).awaitTermination(120)
+    assert SN.commit_snapshot(spark, man, log) == 2
+
+    assert _ids(SN.read_as_of(spark, sink, log, 1)) == list(range(0, 100))
+    assert _ids(SN.read_as_of(spark, sink, log, 2)) == list(range(0, 200))
+
+    # full replay: fresh checkpoint reprocesses both drops, overwriting
+    # both batch partitions (new file names, same per-batch content)
+    S.start_append_with_manifest(
+        _stream(), sink, man, str(tmp_path / "ck2"), stat_cols=["id"]
+    ).awaitTermination(120)
+    for v in (1, 2):
+        audit = SN.snapshot_drift_audit(spark, sink, log, v).collect()[0]
+        assert audit["reproducible"], (v, audit)
+    assert _ids(SN.read_as_of(spark, sink, log, 1)) == list(range(0, 100))
