@@ -43,6 +43,26 @@ def test_staged_query_matches_oracle(spark, duck_sf, name):
     assert not problems, problems
 
 
+def test_staged_plan_hygiene(spark):
+    """The catalog-wide anti-pattern audit (test_plan_quality.py), run
+    over the staged queries too so registration day inherits clean
+    plans: no row-at-a-time Python, no CartesianProduct, no
+    undocumented Arrow stage (none of the six needs Python at all)."""
+    failures = []
+    for name, fn in R9_QUERIES.items():
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        for bad in (
+            "BatchEvalPython",
+            "CartesianProduct",
+            "ArrowEvalPython",
+            "MapInPandas",
+            "FlatMapGroupsInPandas",
+        ):
+            if bad in plan:
+                failures.append((name, bad))
+    assert not failures, failures
+
+
 def test_staged_names_not_yet_registered():
     # dormancy contract: registration is the r9 rotation commit, which
     # must ALSO rewrite tests/test_registry_window.py — at that point
