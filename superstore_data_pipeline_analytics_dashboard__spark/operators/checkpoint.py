@@ -55,7 +55,13 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["save_state", "load_state", "latest_iteration", "vacuum"]
+__all__ = [
+    "save_state",
+    "load_state",
+    "latest_iteration",
+    "complete_iterations",
+    "vacuum",
+]
 
 _META_KEY = "ckpt"
 _VDIR = re.compile(r"^v(\d{6})$")
@@ -95,32 +101,41 @@ def save_state(
     return path
 
 
-def latest_iteration(
-    spark: SparkSession, root: str, at_most: int | None = None
-) -> int | None:
-    """Newest COMPLETE checkpoint iteration under ``root`` (``_SUCCESS``
-    present), or None if there is none (including root not existing).
-    ``at_most`` bounds the answer — a rerun targeting FEWER total
-    iterations than a previous run checkpointed must resume from a
-    version at or below its own target, not from the future."""
+def complete_iterations(spark: SparkSession, root: str) -> list[int]:
+    """All COMPLETE checkpoint iterations under ``root`` (``_SUCCESS``
+    present), ascending; empty if none (including root not existing).
+    The set need not be contiguous: checkpoint cadence skips rounds and
+    :func:`vacuum` deletes superseded ones."""
     fs, jroot, jvm = _fs(spark, root)
     if not fs.exists(jroot):
-        return None
-    best = None
+        return []
+    out = []
     for st in fs.listStatus(jroot):
         if not st.isDirectory():
             continue
         m = _VDIR.match(st.getPath().getName())
         if not m:
             continue
-        n = int(m.group(1))
-        if at_most is not None and n > at_most:
-            continue
         marker = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
         if not fs.exists(marker):
             continue  # crashed mid-write; incomplete, not resumable
-        best = n if best is None or n > best else best
-    return best
+        out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def latest_iteration(
+    spark: SparkSession, root: str, at_most: int | None = None
+) -> int | None:
+    """Newest COMPLETE checkpoint iteration under ``root``, or None if
+    there is none. ``at_most`` bounds the answer — a rerun targeting
+    FEWER total iterations than a previous run checkpointed must resume
+    from a version at or below its own target, not from the future."""
+    done = [
+        n
+        for n in complete_iterations(spark, root)
+        if at_most is None or n <= at_most
+    ]
+    return done[-1] if done else None
 
 
 def load_state(

@@ -80,11 +80,12 @@ def commit_snapshot(
 
 
 def _load_version(spark: SparkSession, log_path: str, version: int) -> DataFrame:
-    latest = _ckpt.latest_iteration(spark, log_path)
-    if latest is None or version < 1 or version > latest:
+    have = _ckpt.complete_iterations(spark, log_path)
+    if version not in have:
         raise ValueError(
             f"snapshot v{version} does not exist under {log_path} "
-            f"(latest complete version: {latest})"
+            f"(complete versions: {have or 'none'}) — never committed, "
+            "torn commit, or removed by log retention"
         )
     return _ckpt.load_state(spark, log_path, version, _META)
 
@@ -107,13 +108,14 @@ def read_as_of(
 def snapshot_ledger(spark: SparkSession, log_path: str) -> DataFrame:
     """One row per committed version: ``(version, n_batches, n_files,
     n_rows, rows_added)`` — the commit history as a queryable table
-    (``rows_added`` = delta vs the previous version; the first version
-    counts all its rows as added). Cost ∝ log rows."""
-    latest = _ckpt.latest_iteration(spark, log_path)
-    if latest is None:
+    (``rows_added`` = delta vs the previous SURVIVING version; the
+    oldest surviving version counts all its rows as added — log
+    retention may have removed earlier ones). Cost ∝ log rows."""
+    versions = _ckpt.complete_iterations(spark, log_path)
+    if not versions:
         raise ValueError(f"no complete snapshot under {log_path}")
     per_version = None
-    for v in range(1, latest + 1):
+    for v in versions:
         one = (
             _load_version(spark, log_path, v)
             .agg(

@@ -102,6 +102,33 @@ def test_drift_audit_detects_retention_and_content_damage(spark, tmp_path):
     assert _ids(SN.read_as_of(spark, sink, log, 1)) == []
 
 
+def test_log_retention_interplay(spark, tmp_path):
+    """Running the checkpoint store's vacuum on a snapshot LOG is valid
+    retention but destroys time travel to the removed versions — the
+    error must say so, and the ledger must keep working over whatever
+    survives."""
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.checkpoint import (
+        vacuum,
+    )
+
+    sink, man, log = (str(tmp_path / d) for d in ("sink", "man", "log"))
+    _land_batch(spark, sink, man, 0, range(0, 100))
+    SN.commit_snapshot(spark, man, log)
+    _land_batch(spark, sink, man, 1, range(100, 250))
+    SN.commit_snapshot(spark, man, log)
+    vacuum(spark, log, keep_last=1)
+    with pytest.raises(ValueError, match="log retention"):
+        SN.read_as_of(spark, sink, log, 1)
+    assert _ids(SN.read_as_of(spark, sink, log, 2)) == list(range(0, 250))
+    rows = SN.snapshot_ledger(spark, log).collect()
+    assert [r["version"] for r in rows] == [2]
+    # with v1 gone, v2's whole content counts as added
+    assert rows[0]["rows_added"] == 250
+    # the next commit continues the version sequence, not the hole
+    _land_batch(spark, sink, man, 2, range(250, 300))
+    assert SN.commit_snapshot(spark, man, log) == 3
+
+
 def test_streaming_sink_end_to_end(spark, tmp_path):
     """Against the REAL sink: versions pin what each availableNow pass
     landed, and a full pre-checkpoint replay (fresh checkpoint, same
