@@ -1,7 +1,7 @@
 """Round-9 staging catalog: the round-8 operator families
 (checkpoint/restart, grouped top-k tiers, exactly-once sink audit,
-snapshot pinning) as gate-ready queries + DuckDB oracles, NOT yet
-registered.
+snapshot pinning, compliance erasure) as gate-ready queries + DuckDB
+oracles, NOT yet registered.
 
 Why a separate module: the r8 audit window is a pinned contract
 (tests/test_registry_window.py — certification-first, zero new
@@ -36,6 +36,7 @@ from ..operators.topk import (
 )
 from ..sources.catalog import load_table
 from ..sources.manifest import collect_file_stats
+from ..sources.retention import erase_rows
 from ..sources.snapshots import commit_snapshot, read_as_of, snapshot_ledger
 from ..streaming.audit import exactly_once_audit
 from .catalog_queries import Q113_SQL, _canon_query, _li
@@ -331,6 +332,66 @@ FROM c
 """
 
 
+# ------------------------------------------------ compliance erasure
+#
+# sources/retention.py: right-to-be-forgotten deletes as
+# manifest-pruned targeted partition rewrites. The sink lands orders
+# RANGE-clustered (keys ≤ max/2 → batch 0, rest → batch 1 — the layout
+# where zone-map envelopes can prune), the opt-out list is every 100th
+# key in the LOW half, and the query returns the erasure report: batch
+# 0 rewritten with the exact erased count, batch 1 untouched because
+# its envelope provably cannot contain a doomed key. The oracle
+# recomputes the whole report from orders arithmetic — so the
+# prune-decide-rewrite-restat machinery, run against real files, must
+# land on DuckDB's numbers.
+
+def q257_targeted_erasure(spark: SparkSession, sf: str) -> DataFrame:
+    base = tempfile.mkdtemp(prefix="q257_erase_")
+    sink, man = f"{base}/sink", f"{base}/man"
+    orders = load_table(spark, sf, "orders").select("o_orderkey")
+    half = orders.agg(F.expr("max(o_orderkey) div 2").alias("h")).collect()[
+        0
+    ]["h"]
+    for batch_id, part in (
+        (0, orders.filter(F.col("o_orderkey") <= half)),
+        (1, orders.filter(F.col("o_orderkey") > half)),
+    ):
+        part.coalesce(1).write.mode("overwrite").parquet(
+            f"{sink}/batch={batch_id}"
+        )
+        stats = collect_file_stats(
+            spark, f"{sink}/batch={batch_id}", ["o_orderkey"]
+        ).withColumn("batch", F.lit(batch_id))
+        (
+            stats.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(man)
+        )
+    optout = orders.filter(
+        (F.col("o_orderkey") % 100 == 0) & (F.col("o_orderkey") <= half)
+    )
+    return erase_rows(spark, sink, man, "o_orderkey", optout)
+
+
+Q257_SQL = """
+WITH h AS (SELECT max(o_orderkey) // 2 AS half FROM orders),
+lo AS (SELECT count(*) AS n FROM orders, h WHERE o_orderkey <= half),
+hi AS (SELECT count(*) AS n FROM orders, h WHERE o_orderkey > half),
+er AS (SELECT count(*) AS n FROM orders, h
+       WHERE o_orderkey % 100 = 0 AND o_orderkey <= half)
+SELECT CAST(0 AS BIGINT) AS batch, true AS rewritten,
+       lo.n AS rows_before, er.n AS rows_erased,
+       lo.n - er.n AS rows_after
+FROM lo, er
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS batch, false AS rewritten,
+       hi.n AS rows_before, CAST(0 AS BIGINT) AS rows_erased,
+       hi.n AS rows_after
+FROM hi
+"""
+
+
 # ---------------------------------------------------------- registry
 #
 # Dormant: consumed only by tests/test_catalog_r9.py until the r9
@@ -343,6 +404,7 @@ R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q254_delivery_ledger": q254_delivery_ledger,
     "q255_snapshot_as_of": q255_snapshot_as_of,
     "q256_snapshot_ledger": q256_snapshot_ledger,
+    "q257_targeted_erasure": q257_targeted_erasure,
 }
 R9_ORACLES: dict[str, str] = {
     "q251_pagerank_checkpoint_resume": Q251_SQL,
@@ -351,6 +413,7 @@ R9_ORACLES: dict[str, str] = {
     "q254_delivery_ledger": Q254_SQL,
     "q255_snapshot_as_of": Q255_SQL,
     "q256_snapshot_ledger": Q256_SQL,
+    "q257_targeted_erasure": Q257_SQL,
 }
 
 R9_QUERIES = {name: _canon_query(fn) for name, fn in R9_QUERIES.items()}

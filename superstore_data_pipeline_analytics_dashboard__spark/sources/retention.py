@@ -1,0 +1,151 @@
+"""Targeted erasure over the batch-partitioned manifest sink — the
+compliance delete ("right to be forgotten" / opt-out list) a training
+corpus must support, without rewriting the table.
+
+At 100 TB the naive delete — read everything, anti-join, write
+everything — costs a full table rewrite for an opt-out list of a few
+thousand keys. The manifest (``sources/manifest.py``) already knows
+each batch's key envelope, so erasure prunes first: only partitions
+whose [min, max] can contain a doomed key are rewritten; everything
+else is untouched (zero read, zero write). With a range-clustered
+layout (z-order or range ingest) the affected set is tiny; with a
+random layout every envelope spans the key space and erasure honestly
+degrades to the full rewrite — the same clustered-vs-random contrast
+the zone-map tests demonstrate for reads.
+
+Mechanics per affected partition: anti-join against the (broadcast)
+key list, write to a staging directory, then swap via rename and
+refresh that batch's manifest rows. The swap is rename-based:
+crash-windows are (a) after old-dir removal and before staging rename
+— the partition is missing, which ``manifest_consistency_audit``
+reports as stale manifest rows; (b) after swap and before the manifest
+refresh — stats drift, which the same audit reports as row mismatches.
+On object stores without cheap rename, land the staging dir as the new
+partition location and flip a pointer instead (the manifest IS that
+pointer in this layout). The residual ``.trash`` directory left by a
+crash inside the swap is overwrite-safe on the next erasure.
+
+Erasure deliberately BREAKS old snapshots (``sources/snapshots.py``):
+a version that recorded the pre-erasure row counts now fails its drift
+audit — correct, auditable behavior: compliance deletion must win over
+reproducibility, and the audit is how a reader finds out rather than
+silently training on a smaller pin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .manifest import collect_file_stats
+
+__all__ = ["erase_rows"]
+
+
+def erase_rows(
+    spark: SparkSession,
+    sink_path: str,
+    manifest_path: str,
+    key_col: str,
+    keys: DataFrame,
+) -> DataFrame:
+    """Delete every row whose ``key_col`` appears in ``keys`` from the
+    sink, rewriting only the batch partitions whose manifest envelope
+    intersects the key list. Returns the erasure report — one row per
+    batch: ``(batch, rewritten, rows_before, rows_erased, rows_after)``
+    with ``rewritten`` false for envelope-pruned (untouched) batches —
+    exact integers, the compliance evidence.
+
+    Scale shape: candidate selection is one pass of the key list over
+    the broadcast per-batch envelope table (#batches rows); each
+    affected partition costs one anti-join rewrite of ITS OWN data;
+    the key list is broadcast into those rewrites (opt-out lists are
+    key-sized, not data-sized). The per-partition loop runs on the
+    driver but holds only batch ids and counts — never rows."""
+    man = spark.read.parquet(manifest_path)
+    env = man.groupBy(F.col("batch").cast("long").alias("batch")).agg(
+        F.min(f"min_{key_col}").alias("lo"),
+        F.max(f"max_{key_col}").alias("hi"),
+        F.sum("n_rows").alias("rows_before"),
+    )
+    # envelopes are #batches rows — collected NOW, because the report
+    # must describe the PRE-erasure manifest and everything below
+    # mutates it (the one-shot-lazy trap: a frame read lazily after the
+    # rewrite would silently describe the post-erasure state)
+    env_rows = env.collect()
+    before_counts = {int(r["batch"]): int(r["rows_before"]) for r in env_rows}
+    k = keys.select(F.col(key_col).alias("k")).distinct().persist()
+    k.count()  # materialize once; reused per affected partition
+    hit = (
+        env.join(
+            k,
+            (F.col("k") >= F.col("lo")) & (F.col("k") <= F.col("hi")),
+            "left_semi",
+        )
+        .select("batch")
+        .collect()
+    )
+    affected = sorted(int(r["batch"]) for r in hit)
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    report = []
+    for b in affected:
+        part = f"{sink_path}/batch={b}"
+        before = spark.read.parquet(part)
+        kept = before.join(
+            F.broadcast(k), before[key_col] == F.col("k"), "left_anti"
+        )
+        staging = f"{sink_path}/.erase_staging_batch={b}"
+        kept.write.mode("overwrite").parquet(staging)
+        n_after = spark.read.parquet(staging).count()
+        # swap: old → trash, staging → live, drop trash. See module
+        # docstring for the crash windows and which audit catches each.
+        fs = jvm.org.apache.hadoop.fs.Path(part).getFileSystem(hconf)
+        trash = jvm.org.apache.hadoop.fs.Path(f"{part}.trash")
+        fs.delete(trash, True)
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(part), trash):
+            raise IOError(f"erase swap failed: could not retire {part}")
+        if not fs.rename(
+            jvm.org.apache.hadoop.fs.Path(staging),
+            jvm.org.apache.hadoop.fs.Path(part),
+        ):
+            raise IOError(f"erase swap failed: could not land {staging}")
+        fs.delete(trash, True)
+        if n_after > 0:
+            stats = collect_file_stats(spark, part, [key_col]).withColumn(
+                "batch", F.lit(b)
+            )
+            (
+                stats.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch")
+                .parquet(manifest_path)
+            )
+        else:
+            # dynamic overwrite cannot replace a partition with ZERO
+            # rows — drop the emptied batch's manifest rows directly,
+            # or pruned reads would chase files that no longer exist
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{manifest_path}/batch={b}"),
+                True,
+            )
+        report.append((b, n_after))
+
+    kept_counts = dict(report)
+    k.unpersist()
+    rows = [
+        (
+            b,
+            b in kept_counts,
+            before_counts[b],
+            before_counts[b] - kept_counts.get(b, before_counts[b]),
+            kept_counts.get(b, before_counts[b]),
+        )
+        for b in sorted(before_counts)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "batch BIGINT, rewritten BOOLEAN, rows_before BIGINT, "
+        "rows_erased BIGINT, rows_after BIGINT",
+    )

@@ -1,0 +1,94 @@
+"""Compliance erasure over the manifest sink (sources/retention.py):
+manifest-pruned targeted rewrites, exact-integer evidence, honest
+interplay with pruned reads, the consistency audit, and snapshots."""
+
+from superstore_data_pipeline_analytics_dashboard__spark.sources import (
+    retention as R,
+)
+from superstore_data_pipeline_analytics_dashboard__spark.sources import (
+    snapshots as SN,
+)
+from superstore_data_pipeline_analytics_dashboard__spark.sources.manifest import (
+    read_pruned,
+)
+from superstore_data_pipeline_analytics_dashboard__spark.streaming.audit import (
+    manifest_consistency_audit,
+)
+from tests.test_snapshots import _ids, _land_batch
+
+
+def _keys(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id BIGINT")
+
+
+def _build(spark, tmp_path):
+    """Range-clustered two-batch sink: envelopes [0,99] and [100,249] —
+    the layout where zone-map pruning has something to prune."""
+    sink, man = str(tmp_path / "sink"), str(tmp_path / "man")
+    _land_batch(spark, sink, man, 0, range(0, 100))
+    _land_batch(spark, sink, man, 1, range(100, 250))
+    return sink, man
+
+
+def test_erase_rewrites_only_enveloped_batches(spark, tmp_path):
+    sink, man = _build(spark, tmp_path)
+    rep = {
+        r["batch"]: r
+        for r in R.erase_rows(
+            spark, sink, man, "id", _keys(spark, [10, 20, 30])
+        ).collect()
+    }
+    # batch 1's envelope [100,249] cannot contain the keys: untouched
+    assert rep[0]["rewritten"] and not rep[1]["rewritten"]
+    assert rep[0]["rows_erased"] == 3 and rep[1]["rows_erased"] == 0
+    assert rep[0]["rows_after"] == 97 and rep[1]["rows_after"] == 150
+    left = _ids(spark.read.parquet(sink))
+    assert len(left) == 247 and not {10, 20, 30} & set(left)
+    # the manifest was refreshed: stats cover 247 rows and a pruned
+    # read around an erased key returns its surviving neighbors only
+    stats = spark.read.parquet(man)
+    assert sum(r["n_rows"] for r in stats.collect()) == 247
+    got = _ids(read_pruned(spark, stats, "id", 9, 11))
+    assert got == [9, 11]
+    audit = manifest_consistency_audit(spark, sink, man).collect()[0]
+    assert audit["consistent"]
+
+
+def test_erase_misses_prune_everything(spark, tmp_path):
+    sink, man = _build(spark, tmp_path)
+    rep = R.erase_rows(spark, sink, man, "id", _keys(spark, [500, 777]))
+    assert [r["rewritten"] for r in rep.collect()] == [False, False]
+    assert len(_ids(spark.read.parquet(sink))) == 250
+
+
+def test_erase_whole_batch_drops_its_manifest_rows(spark, tmp_path):
+    sink, man = _build(spark, tmp_path)
+    rep = {
+        r["batch"]: r
+        for r in R.erase_rows(
+            spark, sink, man, "id", _keys(spark, range(0, 100))
+        ).collect()
+    }
+    assert rep[0]["rows_after"] == 0 and rep[1]["rows_after"] == 150
+    assert _ids(spark.read.parquet(sink)) == list(range(100, 250))
+    stats = spark.read.parquet(man)
+    assert sorted(set(r["batch"] for r in stats.collect())) == [1]
+    audit = manifest_consistency_audit(spark, sink, man).collect()[0]
+    assert audit["consistent"]
+
+
+def test_erasure_breaks_old_snapshots_audibly(spark, tmp_path):
+    """Compliance wins over reproducibility — and the drift audit is
+    how a pinned reader finds out."""
+    sink, man = _build(spark, tmp_path)
+    log = str(tmp_path / "log")
+    SN.commit_snapshot(spark, man, log)
+    R.erase_rows(spark, sink, man, "id", _keys(spark, [10, 20, 30]))
+    drift = SN.snapshot_drift_audit(spark, sink, log, 1).collect()[0]
+    assert not drift["reproducible"]
+    assert drift["n_row_drift_batches"] == 1
+    assert drift["n_rows_current"] == 247
+    # a post-erasure commit restores a clean pin
+    v2 = SN.commit_snapshot(spark, man, log)
+    ok = SN.snapshot_drift_audit(spark, sink, log, v2).collect()[0]
+    assert ok["reproducible"] and ok["n_rows_recorded"] == 247
