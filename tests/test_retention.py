@@ -77,6 +77,53 @@ def test_erase_whole_batch_drops_its_manifest_rows(spark, tmp_path):
     assert audit["consistent"]
 
 
+def test_erasure_property_vs_bruteforce(spark, tmp_path):
+    """Property: on arbitrary batch layouts (overlapping envelopes
+    included) and arbitrary opt-out sets, erasure equals the Python
+    recompute — final content is the set difference, the report's
+    arithmetic is exact, and `rewritten` is precisely the conservative
+    envelope decision (a batch whose [min,max] covers a key value is
+    rewritten even if no actual row matches — erasing zero rows)."""
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ids = st.integers(min_value=0, max_value=30)
+    batch = st.lists(ids, min_size=1, max_size=12, unique=True)
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        batches=st.lists(batch, min_size=1, max_size=3),
+        keys=st.lists(ids, min_size=1, max_size=8, unique=True),
+    )
+    def run(batches, keys):
+        base = tempfile.mkdtemp(prefix="erase_prop_")
+        sink, man = f"{base}/sink", f"{base}/man"
+        for b, rows in enumerate(batches):
+            _land_batch(spark, sink, man, b, rows)
+        rep = {
+            r["batch"]: r
+            for r in R.erase_rows(
+                spark, sink, man, "id", _keys(spark, keys)
+            ).collect()
+        }
+        kset = set(keys)
+        for b, rows in enumerate(batches):
+            hit = any(min(rows) <= k <= max(rows) for k in kset)
+            erased = len(set(rows) & kset)
+            assert rep[b]["rewritten"] == hit
+            assert rep[b]["rows_before"] == len(rows)
+            assert rep[b]["rows_erased"] == erased
+            assert rep[b]["rows_after"] == len(rows) - erased
+        want = sorted(
+            x for rows in batches for x in rows if x not in kset
+        )
+        assert _ids(spark.read.parquet(sink)) == want
+
+    run()
+
+
 def test_erasure_breaks_old_snapshots_audibly(spark, tmp_path):
     """Compliance wins over reproducibility — and the drift audit is
     how a pinned reader finds out."""
