@@ -37,7 +37,12 @@ from ..operators.topk import (
 from ..sources.catalog import load_table
 from ..sources.manifest import collect_file_stats
 from ..sources.retention import erase_rows
-from ..sources.snapshots import commit_snapshot, read_as_of, snapshot_ledger
+from ..sources.snapshots import (
+    commit_snapshot,
+    read_as_of,
+    snapshot_diff,
+    snapshot_ledger,
+)
 from ..streaming.audit import exactly_once_audit
 from .catalog_queries import Q113_SQL, _canon_query, _li
 
@@ -332,6 +337,19 @@ FROM c
 """
 
 
+def q258_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-training read: everything added between pin v1 and
+    pin v2 — here, exactly the second (odd-key) ingest batch. Batch-set
+    difference + static partition filter; no row-level anti-join."""
+    sink, _, log = _land_orders_two_batches(spark, sf)
+    return snapshot_diff(spark, sink, log, 1, 2).select("o_orderkey")
+
+
+Q258_SQL = """
+SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 1
+"""
+
+
 # ------------------------------------------------ compliance erasure
 #
 # sources/retention.py: right-to-be-forgotten deletes as
@@ -405,6 +423,7 @@ R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q255_snapshot_as_of": q255_snapshot_as_of,
     "q256_snapshot_ledger": q256_snapshot_ledger,
     "q257_targeted_erasure": q257_targeted_erasure,
+    "q258_snapshot_diff": q258_snapshot_diff,
 }
 R9_ORACLES: dict[str, str] = {
     "q251_pagerank_checkpoint_resume": Q251_SQL,
@@ -414,6 +433,7 @@ R9_ORACLES: dict[str, str] = {
     "q255_snapshot_as_of": Q255_SQL,
     "q256_snapshot_ledger": Q256_SQL,
     "q257_targeted_erasure": Q257_SQL,
+    "q258_snapshot_diff": Q258_SQL,
 }
 
 R9_QUERIES = {name: _canon_query(fn) for name, fn in R9_QUERIES.items()}

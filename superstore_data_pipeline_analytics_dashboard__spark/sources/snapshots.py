@@ -46,6 +46,7 @@ from ..operators import checkpoint as _ckpt
 __all__ = [
     "commit_snapshot",
     "read_as_of",
+    "snapshot_diff",
     "snapshot_ledger",
     "snapshot_drift_audit",
 ]
@@ -103,6 +104,46 @@ def read_as_of(
     snap = _load_version(spark, log_path, version)
     batches = [r["batch"] for r in snap.select("batch").collect()]
     return spark.read.parquet(sink_path).filter(F.col("batch").isin(batches))
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    sink_path: str,
+    log_path: str,
+    from_version: int,
+    to_version: int,
+) -> DataFrame:
+    """Rows added between two snapshots — the incremental-training read
+    ("everything since the pin I last trained on") at batch-partition
+    cost, never a row-level anti-join: the sink is append-only at batch
+    grain, so the delta is exactly the batches in ``to_version`` that
+    ``from_version`` lacks, read via the same static partition filter
+    as :func:`read_as_of`. Batch membership is set difference on the
+    two recorded member lists (bounded driver state). Raises if
+    ``from_version`` is not older than ``to_version``; batch REWRITES
+    (erasure, replay damage) are not diffable this way — that is what
+    :func:`snapshot_drift_audit` detects on the older pin."""
+    if from_version >= to_version:
+        raise ValueError(
+            f"from_version must be older: got {from_version} >= {to_version}"
+        )
+    old = {
+        r["batch"]
+        for r in _load_version(spark, log_path, from_version)
+        .select("batch")
+        .collect()
+    }
+    new = [
+        r["batch"]
+        for r in _load_version(spark, log_path, to_version)
+        .select("batch")
+        .collect()
+        if r["batch"] not in old
+    ]
+    base = spark.read.parquet(sink_path)
+    if not new:
+        return base.filter(F.lit(False))
+    return base.filter(F.col("batch").isin(new))
 
 
 def snapshot_ledger(spark: SparkSession, log_path: str) -> DataFrame:

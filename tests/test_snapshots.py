@@ -102,6 +102,22 @@ def test_drift_audit_detects_retention_and_content_damage(spark, tmp_path):
     assert _ids(SN.read_as_of(spark, sink, log, 1)) == []
 
 
+def test_snapshot_diff(spark, tmp_path):
+    sink, man, log = (str(tmp_path / d) for d in ("sink", "man", "log"))
+    _land_batch(spark, sink, man, 0, range(0, 100))
+    SN.commit_snapshot(spark, man, log)
+    _land_batch(spark, sink, man, 1, range(100, 250))
+    _land_batch(spark, sink, man, 2, range(250, 300))
+    SN.commit_snapshot(spark, man, log)
+    assert _ids(SN.snapshot_diff(spark, sink, log, 1, 2)) == list(
+        range(100, 300)
+    )
+    SN.commit_snapshot(spark, man, log)  # v3 == v2: empty delta
+    assert SN.snapshot_diff(spark, sink, log, 2, 3).count() == 0
+    with pytest.raises(ValueError, match="must be older"):
+        SN.snapshot_diff(spark, sink, log, 2, 2)
+
+
 def test_log_retention_interplay(spark, tmp_path):
     """Running the checkpoint store's vacuum on a snapshot LOG is valid
     retention but destroys time travel to the removed versions — the
