@@ -98,7 +98,6 @@ def erase_rows(
         )
         staging = f"{sink_path}/.erase_staging_batch={b}"
         kept.write.mode("overwrite").parquet(staging)
-        n_after = spark.read.parquet(staging).count()
         # swap: old → trash, staging → live, drop trash. See module
         # docstring for the crash windows and which audit catches each.
         fs = jvm.org.apache.hadoop.fs.Path(part).getFileSystem(hconf)
@@ -112,17 +111,24 @@ def erase_rows(
         ):
             raise IOError(f"erase swap failed: could not land {staging}")
         fs.delete(trash, True)
+        # one scan serves both the report count and the manifest refresh
+        # (stats must be collected POST-swap: the manifest's `file`
+        # column holds live URIs that pruned reads open directly)
+        stats = collect_file_stats(spark, part, [key_col]).withColumn(
+            "batch", F.lit(b)
+        )
+        stats.persist()
+        n_after = stats.agg(F.sum("n_rows")).collect()[0][0] or 0
         if n_after > 0:
-            stats = collect_file_stats(spark, part, [key_col]).withColumn(
-                "batch", F.lit(b)
-            )
             (
                 stats.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch")
                 .parquet(manifest_path)
             )
+            stats.unpersist()
         else:
+            stats.unpersist()
             # dynamic overwrite cannot replace a partition with ZERO
             # rows — drop the emptied batch's manifest rows directly,
             # or pruned reads would chase files that no longer exist
