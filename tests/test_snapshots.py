@@ -118,6 +118,55 @@ def test_snapshot_diff(spark, tmp_path):
         SN.snapshot_diff(spark, sink, log, 2, 2)
 
 
+def test_ledger_property_vs_bruteforce(spark):
+    """Property: over arbitrary commit cadences (including consecutive
+    commits with no new batch) the ledger equals the Python recompute,
+    and every as-of read returns exactly the rows landed before that
+    commit."""
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # each step lands `size` new rows as one batch (0 = commit without
+    # a new batch); commits happen after every step
+    steps = st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=4)
+
+    @settings(max_examples=5, deadline=None)
+    @given(sizes=steps)
+    def run(sizes):
+        base = tempfile.mkdtemp(prefix="ledger_prop_")
+        sink, man, log = f"{base}/sink", f"{base}/man", f"{base}/log"
+        landed, next_id, cum = [], 0, 0
+        expected = []
+        for s in sizes:
+            if s > 0:
+                _land_batch(spark, sink, man, len(landed), range(cum, cum + s))
+                landed.append(s)
+                cum += s
+            # a commit with zero batches so far has nothing to record —
+            # the manifest doesn't exist yet; skip like a real caller
+            if not landed:
+                continue
+            SN.commit_snapshot(spark, man, log)
+            expected.append((len(landed), cum))
+        if not expected:
+            return
+        got = sorted(
+            (r["version"], r["n_batches"], r["n_rows"], r["rows_added"])
+            for r in SN.snapshot_ledger(spark, log).collect()
+        )
+        want = [
+            (v + 1, nb, nr, nr - (expected[v - 1][1] if v else 0))
+            for v, (nb, nr) in enumerate(expected)
+        ]
+        assert got == want
+        for v, (_, nr) in enumerate(expected, start=1):
+            assert _ids(SN.read_as_of(spark, sink, log, v)) == list(range(nr))
+
+    run()
+
+
 def test_log_retention_interplay(spark, tmp_path):
     """Running the checkpoint store's vacuum on a snapshot LOG is valid
     retention but destroys time travel to the removed versions — the
