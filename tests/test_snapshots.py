@@ -51,15 +51,19 @@ def test_commit_and_read_as_of(spark, tmp_path):
     assert _ids(SN.read_as_of(spark, sink, log, 2)) == list(range(0, 250))
     with pytest.raises(ValueError, match="does not exist"):
         SN.read_as_of(spark, sink, log, 3)
-    # as-of reads prune statically: v1's scan carries the batch IN (…)
-    # list as a PartitionFilter, so batch=1's directory is never read
+    # as-of reads prune statically: v1's member list compiles into the
+    # scan's PartitionFilters (directory-level, batch=1 never read) and
+    # leaves NO data-level filter — the filter never touches row values
     plan = (
         SN.read_as_of(spark, sink, log, 1)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "PartitionFilters" in plan and "batch" in plan
+    scan = next(ln for ln in plan.split("\n") if "FileScan" in ln)
+    pf = scan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "batch" in pf and "= 0" in pf, pf
+    assert "DataFilters: []" in scan, scan
 
 
 def test_ledger(spark, tmp_path):
