@@ -184,8 +184,12 @@ def vacuum(spark: SparkSession, root: str, keep_last: int = 1) -> list[str]:
       harmlessly when that iteration is next reached.
     * foreign (non ``vNNNNNN``) entries are never touched.
 
-    Safe against concurrent RESUME by ordering: a resumer reads the
-    newest complete version, which vacuum never deletes."""
+    Concurrency caveat: a resumer targeting the SAME or more iterations
+    reads the newest complete version, which vacuum never deletes. A
+    rerun with a SMALLER ``iters`` resumes from an older version
+    (``latest_iteration(at_most=...)``) that vacuum may be deleting —
+    don't run retention concurrently with reduced-target reruns, or
+    keep enough versions (``keep_last``) to cover them."""
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     fs, jroot, jvm = _fs(spark, root)

@@ -22,6 +22,7 @@ BIGINT casts over every DuckDB sum that would widen to HUGEINT).
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 from collections.abc import Callable
 
@@ -69,6 +70,11 @@ def q251_pagerank_checkpoint_resume(
     # scale's ranks against the other's edges
     ckpt = tempfile.mkdtemp(prefix="q251_pr_ckpt_")
 
+    # same copurchase edge derivation as q113 (its oracle is q251's
+    # oracle, so the constructions must stay in lockstep — the r9
+    # rotation commit extracts a shared _copurchase_edges helper in
+    # catalog_queries.py; deferred now to keep q113's registered plan
+    # byte-untouched during the certification round)
     li = _li(spark, sf).select("l_orderkey", "l_partkey").distinct()
     a, b = li.alias("a"), li.alias("b")
     pairs = (
@@ -83,22 +89,36 @@ def q251_pagerank_checkpoint_resume(
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 2)
     )
-    edges = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst")),
-                F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")),
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst")
+    # persisted here because BOTH pagerank calls consume it (pagerank
+    # persists and unpersists its own projection internally, so nothing
+    # survives between the calls without this outer persist)
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst")),
+                    F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .persist()
+    )
 
     # interrupted run: checkpoints v1, v2 are written EAGERLY (each
     # save is a parquet write action); the returned frame is unused
     pagerank(edges, iters=2, damping=0.85, checkpoint_dir=ckpt)
-    # resumed run: loads v000002, executes round 3 only (the edge
-    # cache from the first call is reused — same logical plan)
+    # resumed run: loads v000002, executes round 3 only
     pr = pagerank(edges, iters=3, damping=0.85, checkpoint_dir=ckpt)
-    return pr.select(F.col("node").alias("part"), "rank")
+    out = pr.select(F.col("node").alias("part"), "rank")
+    # the final ranks were reloaded from the round-3 checkpoint files
+    # (pagerank saves the last round and reloads after each save), so
+    # the result must be detached from BOTH the edge cache and the
+    # about-to-be-deleted checkpoint dir before cleanup
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
 
 
 # q113's oracle IS q251's oracle: resume must equal straight-through.
@@ -303,9 +323,21 @@ def _land_orders_two_batches(
     return sink, man, log
 
 
+def _detach_and_clean(out: DataFrame, sink: str) -> DataFrame:
+    """Materialize a result that still reads from the scratch sink
+    (localCheckpoint detaches it from the files), then delete the
+    scratch tree — repeated gate/bench/census invocations must not
+    accumulate /tmp copies of the orders table."""
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(sink.rsplit("/", 1)[0], ignore_errors=True)
+    return out
+
+
 def q255_snapshot_as_of(spark: SparkSession, sf: str) -> DataFrame:
     sink, _, log = _land_orders_two_batches(spark, sf)
-    return read_as_of(spark, sink, log, 1).select("o_orderkey")
+    return _detach_and_clean(
+        read_as_of(spark, sink, log, 1).select("o_orderkey"), sink
+    )
 
 
 Q255_SQL = """
@@ -314,8 +346,8 @@ SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
 
 
 def q256_snapshot_ledger(spark: SparkSession, sf: str) -> DataFrame:
-    _, _, log = _land_orders_two_batches(spark, sf)
-    return snapshot_ledger(spark, log)
+    sink, _, log = _land_orders_two_batches(spark, sf)
+    return _detach_and_clean(snapshot_ledger(spark, log), sink)
 
 
 # coalesce(1) pins n_files to one per landed batch, so the ledger is
@@ -342,7 +374,9 @@ def q258_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     pin v2 — here, exactly the second (odd-key) ingest batch. Batch-set
     difference + static partition filter; no row-level anti-join."""
     sink, _, log = _land_orders_two_batches(spark, sf)
-    return snapshot_diff(spark, sink, log, 1, 2).select("o_orderkey")
+    return _detach_and_clean(
+        snapshot_diff(spark, sink, log, 1, 2).select("o_orderkey"), sink
+    )
 
 
 Q258_SQL = """
@@ -389,7 +423,11 @@ def q257_targeted_erasure(spark: SparkSession, sf: str) -> DataFrame:
     optout = orders.filter(
         (F.col("o_orderkey") % 100 == 0) & (F.col("o_orderkey") <= half)
     )
-    return erase_rows(spark, sink, man, "o_orderkey", optout)
+    rep = erase_rows(spark, sink, man, "o_orderkey", optout)
+    # the report is createDataFrame'd from driver-side scalars — already
+    # detached from the scratch sink, which can go immediately
+    shutil.rmtree(base, ignore_errors=True)
+    return rep
 
 
 Q257_SQL = """

@@ -157,8 +157,11 @@ def snapshot_ledger(spark: SparkSession, log_path: str) -> DataFrame:
         raise ValueError(f"no complete snapshot under {log_path}")
     per_version = None
     for v in versions:
+        # membership just verified against the single listing above —
+        # load directly rather than via _load_version, whose existence
+        # re-check would re-list the log directory once per version
         one = (
-            _load_version(spark, log_path, v)
+            _ckpt.load_state(spark, log_path, v, _META)
             .agg(
                 F.count(F.lit(1)).alias("n_batches"),
                 F.sum("n_files").alias("n_files"),

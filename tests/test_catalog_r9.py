@@ -47,7 +47,11 @@ def test_staged_plan_hygiene(spark):
     """The catalog-wide anti-pattern audit (test_plan_quality.py), run
     over the staged queries too so registration day inherits clean
     plans: no row-at-a-time Python, no CartesianProduct, no
-    undocumented Arrow stage (none of the six needs Python at all)."""
+    undocumented Arrow stage (none of the eight needs Python at all)."""
+    # plan-SHAPE reads need a clean cache (CLAUDE.md): earlier tests in
+    # this module persist equivalent frames and CacheManager would
+    # substitute those entries into the censused plan order-dependently
+    spark.catalog.clearCache()
     failures = []
     for name, fn in R9_QUERIES.items():
         plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()

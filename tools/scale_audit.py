@@ -189,6 +189,15 @@ def main() -> None:
     print()
     print("## Staged round-9 queries (dormant — not in the registry)")
     print()
+    print("Caveat: the checkpoint-resume and sink-building queries")
+    print("(q251, q255-q258) do their real work EAGERLY inside the")
+    print("builder (pagerank iterations, partition writes, erasure")
+    print("rewrites) — the censused plan is only the final bounded")
+    print("read/report, so near-zero counts here mean 'work happened")
+    print("before the returned frame', not 'shuffle-free'. Their")
+    print("operator cores' plan shapes are pinned in their own test")
+    print("files (test_topk/test_checkpoint/test_snapshots).")
+    print()
     print("| query | exch | 1part | bcast | win | arrow | wscg |")
     print("|---|---|---|---|---|---|---|")
     for name, fn in R9_QUERIES.items():
