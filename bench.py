@@ -106,10 +106,12 @@ def main() -> None:
     # 2: only 17/250 timings were comparable across r6/r7). Failures
     # (-1.0 sentinels) sort below every real timing, so they stay in the
     # front block unless ≥231 queries fail.
-    slowest = set(sorted(timings, key=lambda q: timings[q])[-20:])
+    # name tie-break: tied timings must not fall back to set/hash order,
+    # or the pair would swap positions (and truncation survival) per run
+    slowest = set(sorted(timings, key=lambda q: (timings[q], q))[-20:])
     ordered = {q: t for q, t in timings.items() if q not in slowest}
     ordered.update(
-        sorted(((q, timings[q]) for q in slowest), key=lambda kv: kv[1])
+        sorted(((q, timings[q]) for q in slowest), key=lambda kv: (kv[1], kv[0]))
     )
     print(
         json.dumps(

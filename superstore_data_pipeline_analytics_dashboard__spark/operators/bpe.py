@@ -142,9 +142,10 @@ def bpe_train(
     docstring's guidance), then training continues at the next rank.
     Training is deterministic (exact counts, total-order tie-break), so
     the resumed merge table is BIT-IDENTICAL to an uninterrupted run
-    (tests/test_checkpoint.py). A run that stopped EARLY (no pair ≥ 2)
-    checkpoints the short table; a resume re-derives the same stop —
-    wasted recount, never a wrong result.
+    (tests/test_checkpoint.py). A run that stops EARLY (no pair ≥ 2)
+    keeps whatever the cadence last checkpointed (there is no
+    save-on-break); a resume re-derives the missing merges and the same
+    stop — wasted recount, never a wrong result.
     """
     spark = docs.sparkSession
     ckpt_meta = {"op": "bpe_train", "text_col": text_col}

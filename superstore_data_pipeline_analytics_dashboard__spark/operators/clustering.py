@@ -152,7 +152,14 @@ def kmeans_quantized(
     """
     quant = quantize_embeddings(emb, vec_col).persist()
     spark = emb.sparkSession
-    ckpt_meta = {"op": "kmeans_quantized", "k": k, "vec_col": vec_col}
+    # id_col is semantics-bearing: it picks the deterministic seeds, so
+    # resuming under a different one would mix seed trajectories
+    ckpt_meta = {
+        "op": "kmeans_quantized",
+        "k": k,
+        "vec_col": vec_col,
+        "id_col": id_col,
+    }
     start = 0
     if checkpoint_dir is not None:
         done = _ckpt.latest_iteration(spark, checkpoint_dir, at_most=iters)

@@ -408,14 +408,6 @@ def pagerank(
     SCALE = 10**12
     num = round(damping * 100)  # damping as the exact rational num/100
     reset_u = (100 - num) * (SCALE // 100)
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
     spark = edges.sparkSession
     ckpt_meta = {"op": "pagerank", "damping_num": num, "scale": SCALE}
     start = 0
@@ -424,6 +416,24 @@ def pagerank(
         if done is not None:
             start = done
             ranks = _ckpt.load_state(spark, checkpoint_dir, done, ckpt_meta)
+            if done == iters:
+                # complete run already on disk: a no-op resume must not
+                # pay the edge scan — nodes/outdeg exist only for the
+                # loop, and the loop will not run
+                return ranks.select(
+                    "node",
+                    (F.col("rank_u").cast("double") / F.lit(float(SCALE))).alias(
+                        "rank"
+                    ),
+                )
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
     if start == 0:
         ranks = nodes.select("node", F.lit(SCALE).alias("rank_u"))
     for it in range(start + 1, iters + 1):

@@ -45,6 +45,15 @@ gate; the verified tier's exact recount is what faces the hash gate.
 Output rows in every tier carry a total-order rank
 (count DESC, key ASC — row_number, no rank ties) so top-k cuts are
 reproducible.
+
+NULL keys are excluded from EVERY tier. Spark's ``approx_top_k`` does
+track NULL as an item, but before this was made uniform the verified
+tier's recount join dropped NULL-key rows while the approx tier ranked
+them — tiers silently disagreed exactly when a group's modal key was
+NULL (pinned in tests/test_topk.py). A NULL "key" is an absence
+marker, its count is a one-line conditional aggregate if wanted, and
+cross-engine oracles disagree on NULL grouping/ordering — so the
+uniform contract is: ranks cover non-null keys only.
 """
 
 from __future__ import annotations
@@ -89,6 +98,7 @@ def grouped_topk_exact(
     behind :func:`grouped_topk_verified`'s candidate prefilter."""
     counted = (
         df.select(*group_cols, F.col(key_col).alias("key"))
+        .filter(F.col("key").isNotNull())  # module docstring: NULL policy
         .groupBy(*group_cols, "key")
         .agg(F.count("*").alias("cnt"))
     )
@@ -101,12 +111,16 @@ def _estimate_rows(
     k: int,
     est_col: str,
 ) -> DataFrame:
-    exploded = sketched.select(
-        *group_cols, F.explode(est_col).alias("e")
-    ).select(
-        *group_cols,
-        F.col("e.item").alias("key"),
-        F.col("e.count").alias("cnt"),
+    exploded = (
+        sketched.select(*group_cols, F.explode(est_col).alias("e"))
+        .select(
+            *group_cols,
+            F.col("e.item").alias("key"),
+            F.col("e.count").alias("cnt"),
+        )
+        # the sketch DOES track NULL — drop it here for the uniform
+        # non-null contract (module docstring)
+        .filter(F.col("key").isNotNull())
     )
     return _ranked(exploded, group_cols, k)
 
@@ -187,7 +201,9 @@ def grouped_topk_verified(
     cands = grouped_topk_approx(
         df, group_cols, key_col, n_cand, max_items_tracked
     ).select(*group_cols, "key")
-    rows = df.select(*group_cols, F.col(key_col).alias("key"))
+    rows = df.select(*group_cols, F.col(key_col).alias("key")).filter(
+        F.col("key").isNotNull()
+    )
     recount = (
         rows.join(F.broadcast(cands), [*group_cols, "key"])
         .groupBy(*group_cols, "key")

@@ -66,14 +66,19 @@ def exactly_once_audit(
     if expect not in ("all_rows", "once_per_key"):
         raise ValueError(f"expect must be all_rows|once_per_key, got {expect!r}")
     keys = list(key_cols)
-    src = source.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_src"))
-    snk = sink.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_snk"))
-    j = (
-        src.join(snk, keys, "full_outer")
-        .select(
-            F.coalesce("n_src", F.lit(0)).alias("n_src"),
-            F.coalesce("n_snk", F.lit(0)).alias("n_snk"),
-        )
+    src = source.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_src")).alias("s")
+    snk = sink.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_snk")).alias("t")
+    # null-safe equality: groupBy keeps NULL as a real key group on both
+    # sides, so the join must match it too — a name-list join (NULL !=
+    # NULL) would split one correctly-delivered NULL key into an
+    # under-delivery AND an unexpected-key, indicting a correct sink
+    cond = None
+    for kc in keys:
+        c = F.col(f"s.{kc}").eqNullSafe(F.col(f"t.{kc}"))
+        cond = c if cond is None else cond & c
+    j = src.join(snk, cond, "full_outer").select(
+        F.coalesce("n_src", F.lit(0)).alias("n_src"),
+        F.coalesce("n_snk", F.lit(0)).alias("n_snk"),
     )
     want = (
         F.col("n_src")

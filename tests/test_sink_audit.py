@@ -61,6 +61,23 @@ def test_ledger_all_rows_clean_and_violations(spark):
     assert r["n_unexpected_keys"] == 1  # d
 
 
+def test_ledger_null_keys_are_real_keys(spark):
+    """A NULL key delivered exactly once must certify — groupBy keeps
+    NULL as a group on both sides, so the join matches it null-safely
+    (a name-list join would split it into under + unexpected)."""
+    src = spark.createDataFrame([("a",), (None,), (None,)], "k STRING")
+    snk = spark.createDataFrame([("a",), (None,), (None,)], "k STRING")
+    r = A.exactly_once_audit(src, snk, ["k"]).first()
+    assert r["exactly_once"]
+    assert r["n_source_keys"] == 2 and r["n_sink_keys"] == 2
+    # and a NULL-key double-delivery is charged as over, not unexpected
+    snk2 = spark.createDataFrame([("a",), (None,), (None,), (None,)], "k STRING")
+    r2 = A.exactly_once_audit(src, snk2, ["k"]).first()
+    assert not r2["exactly_once"]
+    assert r2["n_over_keys"] == 1 and r2["n_over_rows"] == 1
+    assert r2["n_unexpected_keys"] == 0
+
+
 def test_ledger_once_per_key_contract(spark):
     src = spark.createDataFrame([("a",), ("a",), ("b",)], "k STRING")
     dedup_sink = spark.createDataFrame([("a",), ("b",)], "k STRING")
@@ -81,7 +98,8 @@ def test_ledger_property_vs_bruteforce(spark):
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    keys = st.sampled_from(list("abcdefgh"))
+    # None included: NULL is a real key under the null-safe join
+    keys = st.sampled_from(list("abcdefgh") + [None])
     multiset = st.lists(keys, min_size=0, max_size=12)
 
     @settings(max_examples=12, deadline=None)

@@ -47,6 +47,19 @@ def test_tiers_agree_in_exact_regime(skewed):
     assert {(r[0], r[1]) for r in top} == {("east", "k12"), ("west", "k12")}
 
 
+def test_null_keys_excluded_from_every_tier(spark):
+    """A group whose MODAL key is NULL: the sketch cannot track NULL,
+    so the exact tier must exclude it too (module docstring's NULL
+    policy) — otherwise exact ranks a key the other tiers can never
+    return and the tier-equivalence contract breaks silently."""
+    rows = [("g", None)] * 5 + [("g", "a")] * 3 + [("g", "b")] * 2
+    df = spark.createDataFrame(rows, "grp STRING, key STRING")
+    exact = _rows(TK.grouped_topk_exact(df, ["grp"], "key", 2))
+    assert exact == [("g", "a", 3, 1), ("g", "b", 2, 2)]
+    assert _rows(TK.grouped_topk_approx(df, ["grp"], "key", 2, 100)) == exact
+    assert _rows(TK.grouped_topk_verified(df, ["grp"], "key", 2, 100)) == exact
+
+
 def test_rank_tie_break_is_key_ascending(spark):
     df = spark.createDataFrame(
         [("g", "b"), ("g", "a"), ("g", "c")], "grp STRING, key STRING"
