@@ -13,80 +13,80 @@ from superstore_data_pipeline_analytics_dashboard__spark.plans.catalog_queries i
     QUERIES,
 )
 
-# Round-8 window (VERDICT r7 item 1): finish driver certification.
-# Positions 1-3: the last 3 never-driver-audited queries. Positions
-# 4-6: the q103/q124/q139 refactor trio (r4 greens whose r5
-# composition refactor is output-identical). Positions 7-50: 44
-# regression canaries, OLDEST-verdict-first — all 43 queries whose
-# most recent driver verdict is round 3, plus q98 (the first
-# r4-verdict query in prior registry order) as the 44th. After this
-# round the never-audited backlog is 0 and every oracled query holds
-# a driver verdict no older than r4 — catalog growth resumes
-# (VERDICT r7 item 6), with new queries landing at the window head.
-R8_NEVER_AUDITED = [
-    "q248_charset_audit",
-    "q249_lead_time_stats",
-    "q250_unbilled_orders",
+# Round-9 window (VERDICT r8 item 1): catalog growth resumes now that
+# the whole catalog is driver-certified. Positions 1-8: the eight NEW
+# queries (the round-8 operator families, staged dormant through the
+# r8 certification freeze and parity-tested at sf0.001 + sf0.01 before
+# registration). Positions 9-50: 42 regression canaries chosen
+# OLDEST-verdict-first — the entire 35-query r4-verdict block (the
+# oldest driver verdicts remaining after r8 re-certified the r3 band),
+# then the first 7 queries of the r5-verdict block in registry order.
+# Displaced r8-window entries keep their pass(r8) verdicts and queue
+# at the back of the oldest-verdict-first re-audit order.
+R9_NEW = [
+    "q251_pagerank_checkpoint_resume",
+    "q252_grouped_topk_verified",
+    "q253_topk_state_rollup",
+    "q254_delivery_ledger",
+    "q255_snapshot_as_of",
+    "q256_snapshot_ledger",
+    "q257_targeted_erasure",
+    "q258_snapshot_diff",
 ]
-R8_REFACTOR_TRIO = [
-    "q103_temperature_mix",
-    "q124_epoch_plan",
-    "q139_epoch_execute",
+R9_R4_CANARIES = [
+    # the full 35-query r4-verdict block, unchanged relative order
+    "q99_split_leakage",
+    "q100_event_throttle",
+    "q101_rolling_distinct_users",
+    "q104_vocab_oov",
+    "q105_label_cohesion",
+    "q106_leakage_safe_split",
+    "q107_incremental_exact_dedup",
+    "q109_corpus_datacard",
+    "q110_content_chunks",
+    "q111_chunk_dup_fraction",
+    "q112_chunk_dedup_rewrite",
+    "q113_pagerank_copurchase",
+    "q115_boilerplate_ngrams",
+    "q116_rolling_distinct_by_type",
+    "q117_kmeans_quantized",
+    "q118_embedding_dim_stats",
+    "q119_token_rarity",
+    "q120_source_overlap",
+    "q121_boilerplate_strip",
+    "q122_canonical_selection",
+    "q125_ngram_novelty",
+    "q126_random_projection",
+    "q128_rolling_distinct_sketch",
+    "q129_event_anomaly",
+    "q130_pair_containment",
+    "q131_packing_efficiency",
+    "q132_dup_cluster_sizes",
+    "q133_quality_percentiles_by_source",
+    "q137_adaptive_quality_gate",
+    "q03_dedup_latest",
+    "q04_fact_build",
+    "q05_sales_by_brand_rollup",
+    "q06_year_month_rollup",
+    "q07_slicer_dashboard",
+    "q09_top5_parts_per_brand",
 ]
-R8_CANARIES = [
-    # the 43 r3-verdict queries, unchanged relative order
-    "q01_typed_staging",
-    "q02_date_dim",
-    "q10_customer_cohort",
-    "q11_suspicious_discounts",
-    "q12_qa_load_issues",
-    "q13_geo_dim",
-    "q14_scd2_first_load",
-    "q16_semi_join_active",
-    "q18_nullsafe_geo_lookup",
-    "q19_exact_dedup",
-    "q21_lang_id",
-    "q23_token_stats",
-    "q24_doc_fingerprint",
-    "q35_approx_distinct",
-    "q36_order_cadence",
-    "q39_messy_line_repair",
-    "q40_rolling_hash",
-    "q41_copurchase_pairs",
-    "q43_fuzzy_part_names",
-    "q44_set_ops_active_customers",
-    "q70_contamination_check",
-    "q71_doc_repetition",
-    "q73_pii_redaction",
-    "q74_embedding_quant",
-    "q75_sequence_pack",
-    "q76_tfidf_topterms",
-    "q77_source_mix",
-    "q78_event_funnel",
-    "q79_heavy_join_keys",
-    "q80_cms_heavy_hitters",
-    "q83_cdc_apply",
-    "q84_length_outliers",
-    "q85_zorder_key",
-    "q86_token_chunks",
-    "q89_apply_source_mix",
-    "q90_profit_by_nation_year",
-    "q91_bilateral_volume",
-    "q92_hierarchy_shares",
-    "q93_incremental_rollup",
-    "q94_distinct_under_rollup",
-    "q95_order_history_nested",
-    "q96_gap_filled_daily_revenue",
-    "q97_drift_chi2",
-    # 44th canary: first r4-verdict query in prior registry order
-    "q98_order_count_histogram",
+R9_R5_CANARIES = [
+    # first 7 of the r5-verdict block in registry order
+    "q15_idempotent_append",
+    "q17_latest_order_per_customer",
+    "q20_ngram_jaccard_pairs",
+    "q22_text_quality",
+    "q25_knn_bruteforce",
+    "q29_event_type_stats",
+    "q30_event_daily_counts",
 ]
-R8_WINDOW = R8_NEVER_AUDITED + R8_REFACTOR_TRIO + R8_CANARIES
+R9_WINDOW = R9_NEW + R9_R4_CANARIES + R9_R5_CANARIES
 
 
 def test_registry_counts():
-    assert len(QUERIES) == 250
-    assert len(ORACLES) == 233
+    assert len(QUERIES) == 258
+    assert len(ORACLES) == 241
     assert set(ORACLES) <= set(QUERIES)
 
 
@@ -100,30 +100,34 @@ def test_window_is_50_and_fully_oracled():
 
 def test_window_composition_matches_coverage_doc():
     window = list(QUERIES)[:50]
-    assert len(R8_WINDOW) == 50
-    assert window == R8_WINDOW
+    assert len(R9_WINDOW) == 50
+    assert window == R9_WINDOW
 
 
 def test_queue_past_window_is_oldest_verdict_first():
     # past the window the oracled re-audit queue is monotone
-    # oldest-verdict-first (r4 block, r5 block, r6 block, r7 block),
-    # then the rows-only tail closes the registry
+    # oldest-verdict-first (r5 remainder, r6 block, r7 block, r8
+    # block), then the rows-only tail closes the registry
     names = list(QUERIES)
-    assert names[50] == "q99_split_leakage"  # r4 block head
-    assert names[85] == "q15_idempotent_append"  # r5 block head
-    assert names[133] == "q150_survivorship_merge"  # r6 block head
-    i = names.index("q195_benford_audit")  # r7 displaced block
-    # numeric span 195-247 minus q220/q235 (rows-only by design) and
-    # q243 (re-audited in r6, lives in the r6 block) = 50
-    r7_band = [
-        n
-        for n in names
-        if n.startswith(tuple(f"q{k}_" for k in range(195, 248)))
-        and n in ORACLES
-        and n != "q243_tier_disagreement"
+    assert names[50] == "q31_sessionize_batch"  # r5 remainder head
+    assert names[91] == "q150_survivorship_merge"  # r6 block head
+    assert names[141] == "q195_benford_audit"  # r7 block head
+    i = names.index("q248_charset_audit")  # r8 displaced block head
+    assert i == 191
+    # the displaced r8 window, in its r8-window order: q248-q250, the
+    # q103/q124/q139 refactor trio, the 43 r3-era canaries + q98
+    r8_band = names[i : i + 50]
+    assert r8_band[:6] == [
+        "q248_charset_audit",
+        "q249_lead_time_stats",
+        "q250_unbilled_orders",
+        "q103_temperature_mix",
+        "q124_epoch_plan",
+        "q139_epoch_execute",
     ]
-    assert names[i : i + 50] == r7_band
-    assert len(r7_band) == 50
-    # everything after the displaced r7 block is the rows-only tail
+    assert r8_band[6] == "q01_typed_staging"
+    assert r8_band[-1] == "q98_order_count_histogram"
+    assert all(n in ORACLES for n in r8_band)
+    # everything after the displaced r8 block is the rows-only tail
     assert all(n not in ORACLES for n in names[i + 50 :])
     assert len(names[i + 50 :]) == 17

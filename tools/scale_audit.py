@@ -182,31 +182,15 @@ def main() -> None:
         f" | {totals['1part']} | {totals['bcast']} | {totals['win']}"
         f" | {totals['arrow']} | {totals['wscg']} |"
     )
-    from superstore_data_pipeline_analytics_dashboard__spark.plans.catalog_queries_r9 import (  # noqa: E501
-        R9_QUERIES,
-    )
-
-    print()
-    print("## Staged round-9 queries (dormant — not in the registry)")
     print()
     print("Caveat: the checkpoint-resume and sink-building queries")
     print("(q251, q255-q258) do their real work EAGERLY inside the")
     print("builder (pagerank iterations, partition writes, erasure")
     print("rewrites) — the censused plan is only the final bounded")
-    print("read/report, so near-zero counts here mean 'work happened")
+    print("read/report, so near-zero counts there mean 'work happened")
     print("before the returned frame', not 'shuffle-free'. Their")
     print("operator cores' plan shapes are pinned in their own test")
     print("files (test_topk/test_checkpoint/test_snapshots).")
-    print()
-    print("| query | exch | 1part | bcast | win | arrow | wscg |")
-    print("|---|---|---|---|---|---|---|")
-    for name, fn in R9_QUERIES.items():
-        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        c = census(plan)
-        print(
-            f"| {name} | {c['exch']} | {c['1part']} | {c['bcast']}"
-            f" | {c['win']} | {c['arrow']} | {c['wscg']} |"
-        )
 
 
 if __name__ == "__main__":
