@@ -12,8 +12,10 @@ partially aggregated map-side, so the shuffle carries one
 ``maxItemsTracked``-bounded state row per group per map partition —
 independent of the distinct-key volume. The classic sketch guarantee
 applies: any key with true frequency > N_group/maxItemsTracked is
-guaranteed tracked, and estimates are within that same bound
-(one-sided under-count after truncation).
+guaranteed tracked, and estimates are within that same bound —
+TWO-sided: measured under truncation, Spark's estimate OVER-counts
+(the DataSketches frequent-items estimate carries the error offset),
+so don't treat it as a lower bound (pinned in tests/test_topk.py).
 
 Tier positioning mirrors the dedup stack (exact tier = verification,
 sketch tier = scale): :func:`grouped_topk_exact` is the oracle twin;
@@ -110,11 +112,37 @@ def _estimate_rows(
     group_cols: Sequence[str],
     k: int,
     est_col: str,
+    fetch_n: int,
+    max_items_tracked: int,
 ) -> DataFrame:
+    """Explode a fetched estimate array, rank under the total order, cut
+    at k — and DETECT the one regime where that cut is not reproducible:
+    a count-tie run straddling the FETCH boundary. If the sketch
+    returned exactly ``fetch_n`` items (the fetch was truncated, so
+    unfetched tracked items with count ≤ the boundary count may exist)
+    while more items were tracked (``fetch_n < max_items_tracked``), and
+    a SURVIVING row ties the raw fetch-boundary count, then which tied
+    keys were fetched — and therefore which survive the (cnt DESC, key
+    ASC) cut — depends on sketch-internal tie order. Rather than let
+    that reach the hash gate as a silent value drift, the guard raises
+    at execution time with the fix (a larger fetch_factor). The guard is
+    fused into the output ``key`` column so column pruning can never
+    drop it, and it costs one array_min per group — no extra shuffle."""
+    boundary = (
+        [
+            F.size(F.col(est_col)).alias("_nf"),
+            F.array_min(
+                F.expr(f"transform({est_col}, x -> x.count)")
+            ).alias("_min_cnt"),
+        ]
+        if fetch_n < int(max_items_tracked)
+        else []
+    )
     exploded = (
-        sketched.select(*group_cols, F.explode(est_col).alias("e"))
+        sketched.select(*group_cols, *boundary, F.explode(est_col).alias("e"))
         .select(
             *group_cols,
+            *(["_nf", "_min_cnt"] if boundary else []),
             F.col("e.item").alias("key"),
             F.col("e.count").alias("cnt"),
         )
@@ -122,7 +150,37 @@ def _estimate_rows(
         # non-null contract (module docstring)
         .filter(F.col("key").isNotNull())
     )
-    return _ranked(exploded, group_cols, k)
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("cnt").desc(), F.col("key").asc()
+    )
+    kept = exploded.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    if not boundary:
+        # fetch_n == capacity: a full fetch can never truncate a tie
+        # run (nothing tracked was left behind), so no guard is needed
+        # — and "re-fetch more" would be impossible advice anyway
+        return kept.select(*group_cols, "key", "cnt", "rank")
+    overflow = (F.col("_nf") >= F.lit(fetch_n)) & (
+        F.col("cnt") == F.col("_min_cnt")
+    )
+    guarded_key = (
+        F.when(~overflow, F.col("key"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "approx_top_k fetch-boundary tie run: a surviving "
+                    f"top-{k} row ties the count at the truncated fetch "
+                    f"cut (fetched {fetch_n} of up to {max_items_tracked} "
+                    "tracked items), so the result would depend on "
+                    "sketch-internal tie order; re-run with a larger "
+                    "fetch_factor (or use the exact tier)"
+                )
+            )
+        )
+        .alias("key")
+    )
+    return kept.select(*group_cols, guarded_key, "cnt", "rank")
 
 
 def _fetch_n(k: int, max_items_tracked: int, fetch_factor: int) -> int:
@@ -158,14 +216,14 @@ def grouped_topk_approx(
     value (module docstring). Extraction over-fetches ``fetch_factor·k``
     before the total-order cut (:func:`_fetch_n` — boundary-tie
     determinism)."""
+    fetch_n = _fetch_n(k, max_items_tracked, fetch_factor)
     sk = df.groupBy(*group_cols).agg(
         F.expr(
-            f"approx_top_k(`{key_col}`, "
-            f"{_fetch_n(k, max_items_tracked, fetch_factor)}, "
+            f"approx_top_k(`{key_col}`, {fetch_n}, "
             f"{int(max_items_tracked)})"
         ).alias("est")
     )
-    return _estimate_rows(sk, group_cols, k, "est")
+    return _estimate_rows(sk, group_cols, k, "est", fetch_n, max_items_tracked)
 
 
 def grouped_topk_verified(
@@ -245,11 +303,12 @@ def topk_from_states(
     (Spark enforces sketch compatibility; pass the same value used at
     accumulate time). Extraction over-fetches before the total-order
     cut (:func:`_fetch_n`)."""
+    fetch_n = _fetch_n(k, max_items_tracked, fetch_factor)
     combined = states.groupBy(*group_cols).agg(
         F.expr(
             f"approx_top_k_estimate("
             f"approx_top_k_combine(state, {int(max_items_tracked)}), "
-            f"{_fetch_n(k, max_items_tracked, fetch_factor)})"
+            f"{fetch_n})"
         ).alias("est")
     )
-    return _estimate_rows(combined, group_cols, k, "est")
+    return _estimate_rows(combined, group_cols, k, "est", fetch_n, max_items_tracked)

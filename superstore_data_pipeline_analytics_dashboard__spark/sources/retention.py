@@ -61,7 +61,16 @@ def erase_rows(
     affected partition costs one anti-join rewrite of ITS OWN data;
     the key list is broadcast into those rewrites (opt-out lists are
     key-sized, not data-sized). The per-partition loop runs on the
-    driver but holds only batch ids and counts — never rows."""
+    driver but holds only batch ids and counts — never rows.
+
+    NULL keys in the opt-out list RAISE (same NULL-policy documentation
+    pattern as operators/topk.py): both the envelope range semi-join
+    and the per-partition ``==`` anti-join are null-rejecting, so a
+    NULL entry would be a silent no-op — for a compliance delete,
+    "silently did not erase" is the one unacceptable behavior. A NULL
+    cannot identify a data subject; callers holding NULL-keyed sink
+    rows they want gone should delete them by predicate, not by key
+    list."""
     man = spark.read.parquet(manifest_path)
     env = man.groupBy(F.col("batch").cast("long").alias("batch")).agg(
         F.min(f"min_{key_col}").alias("lo"),
@@ -76,6 +85,16 @@ def erase_rows(
     before_counts = {int(r["batch"]): int(r["rows_before"]) for r in env_rows}
     k = keys.select(F.col(key_col).alias("k")).distinct().persist()
     k.count()  # materialize once; reused per affected partition
+    # docstring NULL policy: a NULL opt-out key would no-op silently
+    # through every null-rejecting join below — refuse it loudly
+    if k.filter(F.col("k").isNull()).count():
+        k.unpersist()
+        raise ValueError(
+            "erase_rows: opt-out key list contains NULL — a NULL cannot "
+            "identify a data subject and would silently erase nothing "
+            "(null-rejecting envelope/anti joins); drop it or delete "
+            "NULL-keyed rows by predicate instead"
+        )
     hit = (
         env.join(
             k,

@@ -77,6 +77,24 @@ def test_erase_whole_batch_drops_its_manifest_rows(spark, tmp_path):
     assert audit["consistent"]
 
 
+def test_erase_null_optout_key_raises(spark, tmp_path):
+    """A NULL opt-out key would no-op silently through the
+    null-rejecting envelope/anti joins — for a compliance delete that
+    is the one unacceptable failure mode, so erase_rows refuses the
+    whole list up front, before any rewrite touches the sink."""
+    import pytest
+
+    sink, man = _build(spark, tmp_path)
+    keys = spark.createDataFrame([(5,), (None,)], "id BIGINT")
+    with pytest.raises(ValueError, match="NULL"):
+        R.erase_rows(spark, sink, man, "id", keys)
+    # refusal happened before any rewrite: sink and manifest untouched
+    assert len(_ids(spark.read.parquet(sink))) == 250
+    assert manifest_consistency_audit(spark, sink, man).collect()[0][
+        "consistent"
+    ]
+
+
 def test_erasure_property_vs_bruteforce(spark, tmp_path):
     """Property: on arbitrary batch layouts (overlapping envelopes
     included) and arbitrary opt-out sets, erasure equals the Python

@@ -105,6 +105,78 @@ def test_under_tracked_guarantee_and_verified_recovery(spark):
     assert {"hot0", "hot1", "hot2"} <= nominated
 
 
+def test_fetch_boundary_tie_run_raises(spark):
+    """A count-tie run straddling a TRUNCATED fetch cut means the
+    surviving keys depend on sketch-internal tie order — the estimate
+    extraction must refuse loudly (raise) rather than hand the hash
+    gate a silently non-deterministic result. No raise when the fetch
+    was not truncated: at capacity (nothing tracked was left behind)
+    or when the sketch returned fewer items than asked."""
+    rows = [("g", f"k{i:02d}") for i in range(30)]  # every key cnt=1
+    df = spark.createDataFrame(rows, "grp STRING, key STRING")
+    # fetch_n = 4 < 30 tracked: the cut is inside an all-tied run
+    with pytest.raises(Exception, match="fetch-boundary tie run"):
+        TK.grouped_topk_approx(
+            df, ["grp"], "key", 2, max_items_tracked=100, fetch_factor=2
+        ).collect()
+    # fetch_n == capacity: same ties, but the fetch is complete — the
+    # (cnt DESC, key ASC) cut is deterministic, no guard
+    full = _rows(
+        TK.grouped_topk_approx(
+            df, ["grp"], "key", 2, max_items_tracked=30, fetch_factor=20
+        )
+    )
+    assert full == [("g", "k00", 1, 1), ("g", "k01", 1, 2)]
+    # fetch_n > items returned (_nf < fetch_n): nothing unfetched either
+    wide = _rows(
+        TK.grouped_topk_approx(
+            df, ["grp"], "key", 2, max_items_tracked=100, fetch_factor=20
+        )
+    )
+    assert wide == full
+
+
+def test_truncation_regime_tracking_and_error_bound(spark):
+    """The approx tier's honesty claim, pinned by MEASUREMENT in the
+    truncation regime (module docstring lines stating the contract):
+    3,000 distinct keys against a 64-item sketch. Every key with true
+    freq > N_group/max_tracked must be tracked, estimates must sit
+    within the two-sided N/max_tracked error band (MEASURED direction:
+    Spark's approx_top_k estimate OVER-counts under truncation — the
+    DataSketches frequent-items estimate carries the error offset — so
+    a one-sided est<=true pin would be wrong), and the verified tier
+    must still land the exact top-10."""
+    heavies = {f"hot{i}": 150 + 10 * i for i in range(10)}
+    rows = [("g", k) for k, n in heavies.items() for _ in range(n)] + [
+        ("g", f"cold{i:04d}") for i in range(2990)
+    ]
+    df = spark.createDataFrame(rows, "grp STRING, key STRING").persist()
+    n_group = len(rows)
+    max_tracked = 64
+    bound = n_group / max_tracked  # ≈ 76 < 150: heavies are guaranteed
+    assert min(heavies.values()) > bound
+    # capacity fetch (fetch_n == max_tracked): the sketch's whole view
+    est = {
+        r["key"]: r["cnt"]
+        for r in TK.grouped_topk_approx(
+            df, ["grp"], "key", max_tracked, max_tracked, fetch_factor=1
+        ).collect()
+    }
+    missing = set(heavies) - set(est)
+    assert not missing, f"guaranteed-tracked keys lost: {missing}"
+    for k, true_cnt in heavies.items():
+        assert abs(est[k] - true_cnt) <= bound, (
+            f"{k}: error {est[k] - true_cnt:+} exceeds N/maxTracked {bound}"
+        )
+    # and the gate-facing tier is exact despite the truncation
+    exact = _rows(TK.grouped_topk_exact(df, ["grp"], "key", 10))
+    verified = _rows(
+        TK.grouped_topk_verified(df, ["grp"], "key", 10, max_tracked)
+    )
+    assert verified == exact
+    df.unpersist()
+
+
 def test_state_rollup_matches_whole_corpus(spark, tmp_path, skewed):
     """The maintenance path: one state row per (group, day) landed as
     parquet, rolled up with combine — must equal the exact answer over
