@@ -14913,6 +14913,130 @@ FROM hi
 """
 
 
+# --------------------------------------------- damage-class audits
+#
+# The two r8 audit operators that had tests but no driver-auditable
+# gate query (VERDICT r8 item 3), certified with the q254/q257
+# deterministic-fault pattern: build a real sink, plant EXACT damage,
+# and oracle the report DuckDB-side from orders arithmetic — so the
+# filesystem round-trip (partition listing, input_file_name rollup,
+# full-outer reconciliation) must land on independently computed
+# numbers. q259: a pinned reader's snapshot goes stale two ways at
+# once — retention ate member batch 0 (vacuum-delete) and a replay
+# landed DIFFERENT content in batch 1 (rewritten dropping keys
+# divisible by 3) — and the drift audit must report exactly one
+# missing batch, exactly one drifted batch, and the exact recorded vs
+# current row totals. q260: the manifest's three damage classes
+# planted one each — a stale row (batch 0's data file deleted, its
+# manifest row kept), an unenveloped file (a part file moved into
+# batch 1 behind the manifest's back), and a stats drift (batch 1's
+# recorded n_rows bumped by 3) — the classification constants are the
+# oracle; any misclassification (e.g. counting the unenveloped file's
+# rows into a mismatch) breaks the hash.
+
+def q259_snapshot_drift_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.snapshots import snapshot_drift_audit
+
+    sink, _, log = _land_orders_two_batches(spark, sf)
+    # retention ate member batch 0 after the version-2 commit
+    shutil.rmtree(f"{sink}/batch=0", ignore_errors=True)
+    # a replay rewrote batch 1 with different content (odd keys not
+    # divisible by 3) — reads from the SOURCE table, so no
+    # read-overwrite conflict with the sink path being replaced
+    orders = load_table(spark, sf, "orders").select("o_orderkey")
+    (
+        orders.filter(
+            (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 3 != 0)
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{sink}/batch=1")
+    )
+    return _detach_and_clean(
+        snapshot_drift_audit(spark, sink, log, 2), sink
+    )
+
+
+Q259_SQL = """
+WITH c AS (
+  SELECT count(*) AS total,
+         count(*) FILTER (
+           WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 <> 0
+         ) AS surv
+  FROM orders
+)
+SELECT CAST(2 AS BIGINT) AS n_batches,
+       CAST(1 AS BIGINT) AS n_missing_batches,
+       CAST(1 AS BIGINT) AS n_row_drift_batches,
+       total AS n_rows_recorded,
+       surv AS n_rows_current,
+       false AS reproducible
+FROM c
+"""
+
+
+def q260_manifest_consistency_audit(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    import glob
+    import os
+
+    from ..streaming.audit import manifest_consistency_audit
+
+    sink, man, _ = _land_orders_two_batches(spark, sf)
+    # damage 1 — stale manifest row: batch 0's (only) data file
+    # vanishes from disk while its manifest row survives
+    for f in glob.glob(f"{sink}/batch=0/*.parquet"):
+        os.remove(f)
+    # damage 2 — unenveloped file: a part file lands in batch 1 behind
+    # the manifest's back (crash between data write and manifest
+    # write). Written via a scratch dir so the writer-UUID name cannot
+    # collide with batch 1's existing file; even keys guarantee the
+    # file is non-empty (an empty parquet file would be invisible to
+    # the input_file_name rollup and the plant would silently no-op).
+    orders = load_table(spark, sf, "orders").select("o_orderkey")
+    scratch = tempfile.mkdtemp(prefix="q260_extra_")
+    orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(scratch)
+    extra = glob.glob(f"{scratch}/*.parquet")[0]
+    shutil.move(extra, f"{sink}/batch=1/{os.path.basename(extra)}")
+    shutil.rmtree(scratch, ignore_errors=True)
+    # damage 3 — stats drift: batch 1's recorded n_rows bumped by 3
+    # (stats from a different write than what survived). Materialized
+    # BEFORE the dynamic overwrite: the drifted rows are computed from
+    # the same path being replaced.
+    drifted = (
+        spark.read.parquet(man)
+        .filter(F.col("batch") == 1)
+        .withColumn("n_rows", F.col("n_rows") + F.lit(3))
+        .localCheckpoint(eager=True)
+    )
+    (
+        drifted.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(man)
+    )
+    return _detach_and_clean(
+        manifest_consistency_audit(spark, sink, man), sink
+    )
+
+
+# one planted fault per damage class — the classification itself is
+# the oracle: 2 files on disk (batch 1's original + the unenveloped
+# plant), 2 manifest rows (batch 0 stale + batch 1 drifted), one
+# violation of each class, consistent = false
+Q260_SQL = """
+SELECT CAST(2 AS BIGINT) AS n_data_files,
+       CAST(2 AS BIGINT) AS n_manifest_files,
+       CAST(1 AS BIGINT) AS n_stale_manifest_rows,
+       CAST(1 AS BIGINT) AS n_unenveloped_files,
+       CAST(1 AS BIGINT) AS n_row_mismatches,
+       false AS consistent
+"""
+
+
 # ---------------------------------------------------------------- registry
 #
 # The driver audits the FIRST 50 registry entries per round (rounds 1-2
@@ -14927,15 +15051,16 @@ FROM hi
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Round-9 audit window (first 50). Rotation rationale (VERDICT r8
     # item 1): catalog growth resumes now that the full catalog is
-    # driver-certified. Positions 1-8 are the eight NEW queries
-    # (q251-q258, the round-8 operator families staged dormant during
+    # driver-certified. Positions 1-10 are the ten NEW queries:
+    # q251-q258 (the round-8 operator families staged dormant during
     # the r8 certification freeze, parity-tested at sf0.001 and sf0.01
-    # before registration). Positions 9-50 are 42 regression canaries
-    # chosen OLDEST-verdict-first, continuing the monotone re-audit
-    # queue: the entire 35-query r4-verdict block (the oldest driver
-    # verdicts anywhere in the catalog after r8 re-certified the r3
-    # band), then the first 7 queries of the r5-verdict block in
-    # registry order. Displaced r8-window entries keep their pass(r8)
+    # before registration) plus q259/q260 (the two damage-class audit
+    # queries VERDICT r8 item 3 asked for). Positions 11-50 are 40
+    # regression canaries chosen OLDEST-verdict-first, continuing the
+    # monotone re-audit queue: the entire 35-query r4-verdict block
+    # (the oldest driver verdicts anywhere in the catalog after r8
+    # re-certified the r3 band), then the first 5 queries of the
+    # r5-verdict block in registry order. Displaced r8-window entries keep their pass(r8)
     # verdicts (CORRECTNESS_r08.json) and queue at the back of the
     # re-audit order below, which stays monotone oldest-verdict-first
     # past the window: r5 remainder, r6 block, r7 block, r8 block,
@@ -14949,6 +15074,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q256_snapshot_ledger": q256_snapshot_ledger,
     "q257_targeted_erasure": q257_targeted_erasure,
     "q258_snapshot_diff": q258_snapshot_diff,
+    "q259_snapshot_drift_audit": q259_snapshot_drift_audit,
+    "q260_manifest_consistency_audit": q260_manifest_consistency_audit,
     # --- 35 canaries: the full r4-verdict block, oldest remaining
     #     driver verdicts, unchanged relative order (positions 9-43) ---
     "q99_split_leakage": q99_split_leakage,
@@ -14992,10 +15119,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_ngram_jaccard_pairs": q20_ngram_jaccard_pairs,
     "q22_text_quality": q22_text_quality,
     "q25_knn_bruteforce": q25_knn_bruteforce,
-    "q29_event_type_stats": q29_event_type_stats,
-    "q30_event_daily_counts": q30_event_daily_counts,
     # ================= end of the 50-query audit window =================
     # --- r5 window greens, remainder (CORRECTNESS_r05) ---
+    "q29_event_type_stats": q29_event_type_stats,
+    "q30_event_daily_counts": q30_event_daily_counts,
     "q31_sessionize_batch": q31_sessionize_batch,
     "q32_top_suppliers_per_nation": q32_top_suppliers_per_nation,
     "q33_embedding_neardup": q33_embedding_neardup,
@@ -15449,6 +15576,8 @@ ORACLES: dict[str, str] = {
     # HLL estimate was split into an exact-count + error-band boolean
     # form in round 3, so it is oracled above.
     # --- round-9 additions (r8 operator families) ---
+    "q259_snapshot_drift_audit": Q259_SQL,
+    "q260_manifest_consistency_audit": Q260_SQL,
     "q251_pagerank_checkpoint_resume": Q251_SQL,
     "q252_grouped_topk_verified": Q252_SQL,
     "q253_topk_state_rollup": Q253_SQL,
