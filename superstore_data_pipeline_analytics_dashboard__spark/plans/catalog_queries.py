@@ -15037,6 +15037,167 @@ SELECT CAST(2 AS BIGINT) AS n_data_files,
 """
 
 
+# ---------------------------------- schema evolution + z-order erase
+#
+# Growth past the staged batch (VERDICT r8 item 7, first two
+# candidates). q261: column addition mid-table under snapshot pins —
+# batch 0 lands pre-evolution (o_orderkey only), v1 committed; batch 1
+# lands EVOLVED (adds o_total_cents), v2 committed. The report
+# certifies the whole schema-reproducibility contract through real
+# files: the v1 pin's column list must NOT contain the evolved column
+# (path-scoped mergeSchema read — a root-path read would
+# nondeterministically sprout it from the newer batch's footer), the
+# v2 pin merges with NULLs for the pre-evolution batch (null-count =
+# batch 0's rows), and the evolved column aggregates exactly (cents
+# from the proven decimal-cast idiom, exact on both engines). q262:
+# the compliance delete on a GRID-clustered layout — orders landed as
+# a 2x2 (custkey half × orderkey half) grid with two-column manifest
+# envelopes, opt-out tuples confined to the low-low cell. Composite
+# envelopes prune MULTIPLICATIVELY: only the low-low cell can contain
+# a doomed (custkey, orderkey) tuple, so exactly one of four batches
+# is rewritten — a custkey-only envelope would have rewritten the
+# whole low-custkey stripe (both low-cust cells). The oracle
+# recomputes the per-cell report from orders arithmetic.
+
+def q261_schema_evolution_pin(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.manifest import collect_file_stats
+    from ..sources.snapshots import commit_snapshot, read_as_of
+
+    base = tempfile.mkdtemp(prefix="q261_evo_")
+    sink, man, log = f"{base}/sink", f"{base}/man", f"{base}/log"
+    orders = load_table(spark, sf, "orders")
+    cents = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+    b0 = orders.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey")
+    b1 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", cents.alias("o_total_cents")
+    )
+    for bid, part in ((0, b0), (1, b1)):
+        part.coalesce(1).write.mode("overwrite").parquet(
+            f"{sink}/batch={bid}"
+        )
+        stats = collect_file_stats(
+            spark, f"{sink}/batch={bid}", ["o_orderkey"]
+        ).withColumn("batch", F.lit(bid))
+        (
+            stats.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(man)
+        )
+        commit_snapshot(spark, man, log)
+    v1 = read_as_of(spark, sink, log, 1)
+    v2 = read_as_of(spark, sink, log, 2)
+    row = (
+        ",".join(sorted(v1.columns)),
+        ",".join(sorted(v2.columns)),
+        v1.count(),
+        v2.count(),
+        v2.filter(F.col("o_total_cents").isNull()).count(),
+        int(v2.agg(F.sum("o_total_cents")).collect()[0][0]),
+    )
+    # the report row is driver-side scalars — already detached
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "v1_cols STRING, v2_cols STRING, v1_rows BIGINT, v2_rows BIGINT, "
+        "v2_null_cents_rows BIGINT, v2_total_cents BIGINT",
+    )
+
+
+Q261_SQL = """
+WITH c AS (
+  SELECT count(*) FILTER (WHERE o_orderkey % 2 = 0) AS even_n,
+         count(*) AS total_n,
+         CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           END) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT 'batch,o_orderkey' AS v1_cols,
+       'batch,o_orderkey,o_total_cents' AS v2_cols,
+       even_n AS v1_rows,
+       total_n AS v2_rows,
+       even_n AS v2_null_cents_rows,
+       cents AS v2_total_cents
+FROM c
+"""
+
+
+def q262_grid_erasure(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.manifest import collect_file_stats
+    from ..sources.retention import erase_rows
+
+    base = tempfile.mkdtemp(prefix="q262_grid_")
+    sink, man = f"{base}/sink", f"{base}/man"
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    h = orders.agg(
+        F.expr("max(o_custkey) div 2").alias("hc"),
+        F.expr("max(o_orderkey) div 2").alias("ho"),
+    ).collect()[0]
+    hc, ho = h["hc"], h["ho"]
+    cells = {
+        0: (F.col("o_custkey") <= hc) & (F.col("o_orderkey") <= ho),
+        1: (F.col("o_custkey") <= hc) & (F.col("o_orderkey") > ho),
+        2: (F.col("o_custkey") > hc) & (F.col("o_orderkey") <= ho),
+        3: (F.col("o_custkey") > hc) & (F.col("o_orderkey") > ho),
+    }
+    for bid, pred in cells.items():
+        orders.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            f"{sink}/batch={bid}"
+        )
+        stats = collect_file_stats(
+            spark, f"{sink}/batch={bid}", ["o_custkey", "o_orderkey"]
+        ).withColumn("batch", F.lit(bid))
+        (
+            stats.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(man)
+        )
+    optout = orders.filter(
+        (F.col("o_custkey") <= hc)
+        & (F.col("o_orderkey") <= ho)
+        & (F.col("o_orderkey") % 50 == 0)
+    ).select("o_custkey", "o_orderkey")
+    rep = erase_rows(
+        spark, sink, man, ["o_custkey", "o_orderkey"], optout
+    )
+    # report rows are createDataFrame'd driver scalars — detached
+    shutil.rmtree(base, ignore_errors=True)
+    return rep
+
+
+Q262_SQL = """
+WITH h AS (
+  SELECT max(o_custkey) // 2 AS hc, max(o_orderkey) // 2 AS ho
+  FROM orders
+),
+cells AS (
+  SELECT o.*,
+         CASE WHEN o_custkey <= hc AND o_orderkey <= ho THEN 0
+              WHEN o_custkey <= hc AND o_orderkey >  ho THEN 1
+              WHEN o_custkey >  hc AND o_orderkey <= ho THEN 2
+              ELSE 3 END AS cell,
+         (o_custkey <= hc AND o_orderkey <= ho
+          AND o_orderkey % 50 = 0) AS doomed
+  FROM orders o, h
+)
+SELECT CAST(cell AS BIGINT) AS batch,
+       (cell = 0) AS rewritten,
+       count(*) AS rows_before,
+       CAST(coalesce(sum(CASE WHEN doomed THEN 1 END), 0) AS BIGINT)
+         AS rows_erased,
+       count(*) - CAST(coalesce(sum(CASE WHEN doomed THEN 1 END), 0)
+         AS BIGINT) AS rows_after
+FROM cells
+GROUP BY cell
+"""
+
+
 # ---------------------------------------------------------------- registry
 #
 # The driver audits the FIRST 50 registry entries per round (rounds 1-2
@@ -15051,16 +15212,17 @@ SELECT CAST(2 AS BIGINT) AS n_data_files,
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Round-9 audit window (first 50). Rotation rationale (VERDICT r8
     # item 1): catalog growth resumes now that the full catalog is
-    # driver-certified. Positions 1-10 are the ten NEW queries:
+    # driver-certified. Positions 1-12 are the twelve NEW queries:
     # q251-q258 (the round-8 operator families staged dormant during
     # the r8 certification freeze, parity-tested at sf0.001 and sf0.01
-    # before registration) plus q259/q260 (the two damage-class audit
-    # queries VERDICT r8 item 3 asked for). Positions 11-50 are 40
-    # regression canaries chosen OLDEST-verdict-first, continuing the
-    # monotone re-audit queue: the entire 35-query r4-verdict block
-    # (the oldest driver verdicts anywhere in the catalog after r8
-    # re-certified the r3 band), then the first 5 queries of the
-    # r5-verdict block in registry order. Displaced r8-window entries keep their pass(r8)
+    # before registration), q259/q260 (the two damage-class audit
+    # queries VERDICT r8 item 3 asked for), and q261/q262 (item-7
+    # growth: schema evolution under snapshot pins, composite-envelope
+    # grid erasure). Positions 13-50 are 38 regression canaries chosen
+    # OLDEST-verdict-first, continuing the monotone re-audit queue:
+    # the entire 35-query r4-verdict block (the oldest driver verdicts
+    # anywhere in the catalog after r8 re-certified the r3 band), then
+    # the first 3 queries of the r5-verdict block in registry order. Displaced r8-window entries keep their pass(r8)
     # verdicts (CORRECTNESS_r08.json) and queue at the back of the
     # re-audit order below, which stays monotone oldest-verdict-first
     # past the window: r5 remainder, r6 block, r7 block, r8 block,
@@ -15076,6 +15238,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q258_snapshot_diff": q258_snapshot_diff,
     "q259_snapshot_drift_audit": q259_snapshot_drift_audit,
     "q260_manifest_consistency_audit": q260_manifest_consistency_audit,
+    "q261_schema_evolution_pin": q261_schema_evolution_pin,
+    "q262_grid_erasure": q262_grid_erasure,
     # --- 35 canaries: the full r4-verdict block, oldest remaining
     #     driver verdicts, unchanged relative order (positions 9-43) ---
     "q99_split_leakage": q99_split_leakage,
@@ -15117,10 +15281,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q15_idempotent_append": q15_idempotent_append,
     "q17_latest_order_per_customer": q17_latest_order_per_customer,
     "q20_ngram_jaccard_pairs": q20_ngram_jaccard_pairs,
-    "q22_text_quality": q22_text_quality,
-    "q25_knn_bruteforce": q25_knn_bruteforce,
     # ================= end of the 50-query audit window =================
     # --- r5 window greens, remainder (CORRECTNESS_r05) ---
+    "q22_text_quality": q22_text_quality,
+    "q25_knn_bruteforce": q25_knn_bruteforce,
     "q29_event_type_stats": q29_event_type_stats,
     "q30_event_daily_counts": q30_event_daily_counts,
     "q31_sessionize_batch": q31_sessionize_batch,
@@ -15578,6 +15742,8 @@ ORACLES: dict[str, str] = {
     # --- round-9 additions (r8 operator families) ---
     "q259_snapshot_drift_audit": Q259_SQL,
     "q260_manifest_consistency_audit": Q260_SQL,
+    "q261_schema_evolution_pin": Q261_SQL,
+    "q262_grid_erasure": Q262_SQL,
     "q251_pagerank_checkpoint_resume": Q251_SQL,
     "q252_grouped_topk_verified": Q252_SQL,
     "q253_topk_state_rollup": Q253_SQL,

@@ -34,6 +34,9 @@ silently training on a smaller pin.
 
 from __future__ import annotations
 
+import functools
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -46,15 +49,27 @@ def erase_rows(
     spark: SparkSession,
     sink_path: str,
     manifest_path: str,
-    key_col: str,
+    key_col: str | Sequence[str],
     keys: DataFrame,
 ) -> DataFrame:
-    """Delete every row whose ``key_col`` appears in ``keys`` from the
-    sink, rewriting only the batch partitions whose manifest envelope
+    """Delete every row whose ``key_col`` value (or composite tuple,
+    when a list of columns is given) appears in ``keys`` from the sink,
+    rewriting only the batch partitions whose manifest envelope
     intersects the key list. Returns the erasure report — one row per
     batch: ``(batch, rewritten, rows_before, rows_erased, rows_after)``
     with ``rewritten`` false for envelope-pruned (untouched) batches —
     exact integers, the compliance evidence.
+
+    Composite keys make pruning MULTIPLICATIVE on clustered layouts: a
+    batch can contain a doomed ``(a, b)`` tuple only if ``a`` fits its
+    ``a``-envelope AND ``b`` fits its ``b``-envelope, so a z-order /
+    grid-clustered sink confines the rewrite to the intersecting cells
+    — a single-column envelope would rewrite the whole stripe along
+    the other dimension. Every key column must have recorded
+    ``min_/max_`` stats in the manifest (raises otherwise); the
+    manifest refresh re-collects stats for ALL columns the manifest
+    tracks, not just the erasure keys, so later pruned reads on other
+    columns stay correct.
 
     Scale shape: candidate selection is one pass of the key list over
     the broadcast per-batch envelope table (#batches rows); each
@@ -71,11 +86,26 @@ def erase_rows(
     cannot identify a data subject; callers holding NULL-keyed sink
     rows they want gone should delete them by predicate, not by key
     list."""
+    cols = [key_col] if isinstance(key_col, str) else list(key_col)
     man = spark.read.parquet(manifest_path)
+    stat_cols = [c[len("min_") :] for c in man.columns if c.startswith("min_")]
+    unenveloped = [c for c in cols if c not in stat_cols]
+    if unenveloped:
+        raise ValueError(
+            f"erase_rows: manifest records no min_/max_ stats for "
+            f"{unenveloped} (has: {stat_cols}) — rebuild the manifest "
+            "with these columns before keyed erasure"
+        )
     env = man.groupBy(F.col("batch").cast("long").alias("batch")).agg(
-        F.min(f"min_{key_col}").alias("lo"),
-        F.max(f"max_{key_col}").alias("hi"),
         F.sum("n_rows").alias("rows_before"),
+        *(
+            a
+            for c in cols
+            for a in (
+                F.min(f"min_{c}").alias(f"lo_{c}"),
+                F.max(f"max_{c}").alias(f"hi_{c}"),
+            )
+        ),
     )
     # envelopes are #batches rows — collected NOW, because the report
     # must describe the PRE-erasure manifest and everything below
@@ -83,11 +113,18 @@ def erase_rows(
     # rewrite would silently describe the post-erasure state)
     env_rows = env.collect()
     before_counts = {int(r["batch"]): int(r["rows_before"]) for r in env_rows}
-    k = keys.select(F.col(key_col).alias("k")).distinct().persist()
+    k = (
+        keys.select(*(F.col(c).alias(f"k_{c}") for c in cols))
+        .distinct()
+        .persist()
+    )
     k.count()  # materialize once; reused per affected partition
     # docstring NULL policy: a NULL opt-out key would no-op silently
     # through every null-rejecting join below — refuse it loudly
-    if k.filter(F.col("k").isNull()).count():
+    any_null = functools.reduce(
+        lambda a, b: a | b, (F.col(f"k_{c}").isNull() for c in cols)
+    )
+    if k.filter(any_null).count():
         k.unpersist()
         raise ValueError(
             "erase_rows: opt-out key list contains NULL — a NULL cannot "
@@ -95,15 +132,15 @@ def erase_rows(
             "(null-rejecting envelope/anti joins); drop it or delete "
             "NULL-keyed rows by predicate instead"
         )
-    hit = (
-        env.join(
-            k,
-            (F.col("k") >= F.col("lo")) & (F.col("k") <= F.col("hi")),
-            "left_semi",
-        )
-        .select("batch")
-        .collect()
+    in_env = functools.reduce(
+        lambda a, b: a & b,
+        (
+            (F.col(f"k_{c}") >= F.col(f"lo_{c}"))
+            & (F.col(f"k_{c}") <= F.col(f"hi_{c}"))
+            for c in cols
+        ),
     )
+    hit = env.join(k, in_env, "left_semi").select("batch").collect()
     affected = sorted(int(r["batch"]) for r in hit)
 
     jvm = spark._jvm
@@ -112,9 +149,11 @@ def erase_rows(
     for b in affected:
         part = f"{sink_path}/batch={b}"
         before = spark.read.parquet(part)
-        kept = before.join(
-            F.broadcast(k), before[key_col] == F.col("k"), "left_anti"
+        same_key = functools.reduce(
+            lambda a, b: a & b,
+            (before[c] == F.col(f"k_{c}") for c in cols),
         )
+        kept = before.join(F.broadcast(k), same_key, "left_anti")
         staging = f"{sink_path}/.erase_staging_batch={b}"
         kept.write.mode("overwrite").parquet(staging)
         # swap: old → trash, staging → live, drop trash. See module
@@ -133,7 +172,9 @@ def erase_rows(
         # one scan serves both the report count and the manifest refresh
         # (stats must be collected POST-swap: the manifest's `file`
         # column holds live URIs that pruned reads open directly)
-        stats = collect_file_stats(spark, part, [key_col]).withColumn(
+        # refresh stats for EVERY column the manifest tracks (not just
+        # the erasure keys) so other columns' pruned reads stay correct
+        stats = collect_file_stats(spark, part, stat_cols).withColumn(
             "batch", F.lit(b)
         )
         stats.persist()

@@ -21,6 +21,11 @@ manifest) can honestly support:
   (versioned ``v{N}`` dirs, ``_SUCCESS`` commit markers, stamped
   provenance): a torn commit is invisible, a foreign directory is
   rejected, and versions are monotone.
+* as-of reads are SCHEMA-reproducible under column addition: member
+  batches are read by path with ``mergeSchema``, so a pin's schema is
+  the union of ITS member batches' schemas — columns added by later
+  batches don't leak into old pins, and a pin spanning the evolution
+  boundary reads merged with NULLs for pre-evolution batches.
 * what a snapshot CANNOT survive — retention deleting a member batch,
   or a replay that landed different content — is detected, not hidden:
   :func:`snapshot_drift_audit` recounts the member batches against the
@@ -91,19 +96,47 @@ def _load_version(spark: SparkSession, log_path: str, version: int) -> DataFrame
     return _ckpt.load_state(spark, log_path, version, _META)
 
 
+def _read_batches(
+    spark: SparkSession, sink_path: str, batches: list
+) -> DataFrame:
+    """Read exactly the given member-batch directories (path-level
+    pruning — directories outside the set are never even listed), with
+    ``mergeSchema`` so the result's schema is the union of the MEMBER
+    batches' schemas and nothing else. This is the schema-evolution
+    contract: a pin taken before a column was added must not grow that
+    column later (a root-path read infers its schema from an arbitrary
+    file of the WHOLE sink, so an old pin would nondeterministically
+    sprout columns added by newer batches), and a snapshot spanning the
+    evolution boundary reads merged, with NULLs for pre-evolution
+    batches. ``basePath`` keeps the ``batch`` partition column."""
+    paths = [f"{sink_path}/batch={b}" for b in batches]
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", sink_path)
+        .parquet(*paths)
+    )
+
+
 def read_as_of(
     spark: SparkSession, sink_path: str, log_path: str, version: int
 ) -> DataFrame:
     """The sink's rows as of snapshot ``version`` — exactly the batches
-    that version recorded, via a static ``batch IN (...)`` partition
-    filter (directories outside the snapshot are pruned, not scanned).
-    The member list is collected to the driver: bounded state, one id
-    per batch. Content-stable across batch replays; NOT proof against
-    retention or content damage — run :func:`snapshot_drift_audit`
-    before trusting a months-old pin."""
+    that version recorded, read by PATH (only member directories are
+    listed/scanned) with the snapshot's own merged schema
+    (:func:`_read_batches` — columns added by post-pin batches do not
+    exist here, which is what makes the pin reproducible under schema
+    evolution). The member list is collected to the driver: bounded
+    state, one id per batch. Content-stable across batch replays; NOT
+    proof against retention or content damage — run
+    :func:`snapshot_drift_audit` before trusting a months-old pin."""
     snap = _load_version(spark, log_path, version)
     batches = [r["batch"] for r in snap.select("batch").collect()]
-    return spark.read.parquet(sink_path).filter(F.col("batch").isin(batches))
+    if not batches:
+        raise ValueError(
+            f"snapshot v{version} recorded no member batches — there is "
+            "no schema to read it with"
+        )
+    return _read_batches(spark, sink_path, batches)
 
 
 def snapshot_diff(
@@ -133,17 +166,19 @@ def snapshot_diff(
         .select("batch")
         .collect()
     }
-    new = [
+    to_members = [
         r["batch"]
         for r in _load_version(spark, log_path, to_version)
         .select("batch")
         .collect()
-        if r["batch"] not in old
     ]
-    base = spark.read.parquet(sink_path)
+    new = [b for b in to_members if b not in old]
     if not new:
-        return base.filter(F.lit(False))
-    return base.filter(F.col("batch").isin(new))
+        # empty delta, shaped like the newer pin (its merged schema)
+        return _read_batches(spark, sink_path, to_members).filter(
+            F.lit(False)
+        )
+    return _read_batches(spark, sink_path, new)
 
 
 def snapshot_ledger(spark: SparkSession, log_path: str) -> DataFrame:

@@ -2,6 +2,8 @@
 manifest-pruned targeted rewrites, exact-integer evidence, honest
 interplay with pruned reads, the consistency audit, and snapshots."""
 
+from pyspark.sql import functions as F
+
 from superstore_data_pipeline_analytics_dashboard__spark.sources import (
     retention as R,
 )
@@ -93,6 +95,70 @@ def test_erase_null_optout_key_raises(spark, tmp_path):
     assert manifest_consistency_audit(spark, sink, man).collect()[0][
         "consistent"
     ]
+
+
+def test_composite_key_envelope_prunes_what_one_column_cannot(
+    spark, tmp_path
+):
+    """2x2 grid-clustered sink on (a, b): a composite opt-out key that
+    lives only in the low-low cell must rewrite ONLY that cell — a
+    single-column envelope on `a` alone would also rewrite the low-a /
+    high-b stripe. Also pins the guard rails: a key column without
+    manifest stats raises, and a NULL in ANY component raises."""
+    import pytest
+
+    from superstore_data_pipeline_analytics_dashboard__spark.sources.manifest import (
+        collect_file_stats,
+    )
+
+    sink, man = str(tmp_path / "sink"), str(tmp_path / "man")
+    rows = [(a, b) for a in range(100) for b in (0, 1)]
+    df = spark.createDataFrame(rows, "a BIGINT, b BIGINT")
+    cells = {
+        0: (F.col("a") < 50) & (F.col("b") == 0),
+        1: (F.col("a") < 50) & (F.col("b") == 1),
+        2: (F.col("a") >= 50) & (F.col("b") == 0),
+        3: (F.col("a") >= 50) & (F.col("b") == 1),
+    }
+    for bid, pred in cells.items():
+        df.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            f"{sink}/batch={bid}"
+        )
+        stats = collect_file_stats(
+            spark, f"{sink}/batch={bid}", ["a", "b"]
+        ).withColumn("batch", F.lit(bid))
+        (
+            stats.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(man)
+        )
+    doomed = spark.createDataFrame([(7, 0), (13, 0)], "a BIGINT, b BIGINT")
+    rep = {
+        r["batch"]: r
+        for r in R.erase_rows(spark, sink, man, ["a", "b"], doomed).collect()
+    }
+    assert rep[0]["rewritten"] and rep[0]["rows_erased"] == 2
+    # the single-column-would-rewrite stripe (low a, b=1) is untouched
+    assert not rep[1]["rewritten"] and rep[1]["rows_erased"] == 0
+    assert not rep[2]["rewritten"] and not rep[3]["rewritten"]
+    survivors = spark.read.parquet(sink)
+    assert survivors.count() == 198
+    assert (
+        survivors.filter((F.col("a").isin(7, 13)) & (F.col("b") == 0)).count()
+        == 0
+    )
+    # guard rails
+    with pytest.raises(ValueError, match="no min_/max_ stats"):
+        R.erase_rows(
+            spark, sink, man, ["a", "c"],
+            spark.createDataFrame([(1, 2)], "a BIGINT, c BIGINT"),
+        )
+    with pytest.raises(ValueError, match="NULL"):
+        R.erase_rows(
+            spark, sink, man, ["a", "b"],
+            spark.createDataFrame([(1, None)], "a BIGINT, b BIGINT"),
+        )
 
 
 def test_erasure_property_vs_bruteforce(spark, tmp_path):

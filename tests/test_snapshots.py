@@ -51,18 +51,14 @@ def test_commit_and_read_as_of(spark, tmp_path):
     assert _ids(SN.read_as_of(spark, sink, log, 2)) == list(range(0, 250))
     with pytest.raises(ValueError, match="does not exist"):
         SN.read_as_of(spark, sink, log, 3)
-    # as-of reads prune statically: v1's member list compiles into the
-    # scan's PartitionFilters (directory-level, batch=1 never read) and
-    # leaves NO data-level filter — the filter never touches row values
-    plan = (
-        SN.read_as_of(spark, sink, log, 1)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    # as-of reads prune at PATH level: only member directories are
+    # listed/read (stronger than a PartitionFilters compile — non-member
+    # dirs are never even enumerated), and no data-level filter exists
+    pinned = SN.read_as_of(spark, sink, log, 1)
+    files = pinned.inputFiles()
+    assert files and all("/batch=0/" in f for f in files), files
+    plan = pinned._jdf.queryExecution().executedPlan().toString()
     scan = next(ln for ln in plan.split("\n") if "FileScan" in ln)
-    pf = scan.split("PartitionFilters: [")[1].split("]")[0]
-    assert "batch" in pf and "= 0" in pf, pf
     assert "DataFilters: []" in scan, scan
 
 
@@ -98,12 +94,59 @@ def test_drift_audit_detects_retention_and_content_damage(spark, tmp_path):
     assert drift["n_row_drift_batches"] == 1
     assert drift["n_rows_current"] == 200
 
-    # retention ate a member batch: the as-of read silently shrinks —
-    # exactly why the audit exists
+    # retention ate a member batch: the audit reports it as exact
+    # integers, and the PATH-level as-of read now fails LOUDLY (the
+    # member directory is gone) instead of silently returning fewer
+    # rows — partial damage (row drift inside a surviving batch) is
+    # still silent at read time, which is why the audit exists
     shutil.rmtree(f"{sink}/batch=0")
     gone = SN.snapshot_drift_audit(spark, sink, log, 1).collect()[0]
     assert not gone["reproducible"] and gone["n_missing_batches"] == 1
-    assert _ids(SN.read_as_of(spark, sink, log, 1)) == []
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|does not exist"):
+        SN.read_as_of(spark, sink, log, 1).collect()
+
+
+def test_schema_evolution_under_pins(spark, tmp_path):
+    """Column addition mid-table: the v1 pin (pre-evolution) must NOT
+    grow the new column; a pin spanning the boundary reads merged with
+    NULLs for pre-evolution batches; the diff between them carries the
+    evolved schema."""
+    from superstore_data_pipeline_analytics_dashboard__spark.sources.manifest import (
+        collect_file_stats,
+    )
+
+    sink, man, log = (str(tmp_path / d) for d in ("sink", "man", "log"))
+    _land_batch(spark, sink, man, 0, range(0, 100))
+    assert SN.commit_snapshot(spark, man, log) == 1
+    # batch 1 lands with an EVOLVED schema (adds `score`)
+    evolved = spark.range(100, 250).select(
+        F.col("id"), (F.col("id") * 2).alias("score")
+    )
+    evolved.coalesce(1).write.mode("overwrite").parquet(f"{sink}/batch=1")
+    stats = collect_file_stats(spark, f"{sink}/batch=1", ["id"]).withColumn(
+        "batch", F.lit(1)
+    )
+    (
+        stats.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(man)
+    )
+    assert SN.commit_snapshot(spark, man, log) == 2
+
+    v1 = SN.read_as_of(spark, sink, log, 1)
+    assert sorted(v1.columns) == ["batch", "id"]  # no phantom column
+    assert _ids(v1) == list(range(0, 100))
+    v2 = SN.read_as_of(spark, sink, log, 2)
+    assert sorted(v2.columns) == ["batch", "id", "score"]
+    assert _ids(v2) == list(range(0, 250))
+    # merged read: pre-evolution rows carry NULL score
+    nulls = v2.filter(F.col("score").isNull())
+    assert _ids(nulls) == list(range(0, 100))
+    # the incremental read between the pins is evolved-shaped
+    delta = SN.snapshot_diff(spark, sink, log, 1, 2)
+    assert sorted(delta.columns) == ["batch", "id", "score"]
+    assert _ids(delta) == list(range(100, 250))
 
 
 def test_snapshot_diff(spark, tmp_path):
