@@ -15198,6 +15198,115 @@ GROUP BY cell
 """
 
 
+# ------------------------------------------------- late-event audit
+#
+# The ops question behind every watermark setting: "how much of my
+# data would this watermark drop or only partially count?" — the batch
+# twin of the streaming hopping-aggregate late-data semantics that
+# tests/test_streaming.py pins end-to-end (run-split checkpointed
+# stream). Arrival order is modelled as event time plus a
+# deterministic md5-jittered network delay (0..2 h — the same portable
+# md5-prefix integer used by the fingerprint family), the running
+# watermark is max prior ARRIVED event time minus the 10-minute
+# allowance, and each event is classified against its 1h/30m hopping
+# windows exactly as the streaming engine would: `dropped` (all its
+# windows already closed), `partial` (only its latest window still
+# open), `ontime`. Everything is integer microsecond arithmetic —
+# exact on both engines.
+# Scale note: the running watermark is an arrival-ORDER scan, so this
+# is the eval/audit tier (one global sort; at production scale the
+# watermark is tracked per micro-batch boundary, not per row — the
+# streaming module does exactly that, and this audit sizes the
+# lateness allowance before deployment).
+
+def q263_late_event_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.hashing import md5_prefix_long
+
+    ev = load_table(spark, sf, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    )
+    delay = md5_prefix_long(F.col("event_id").cast("string")) % F.lit(
+        7_200_000_000
+    )
+    e = ev.select(
+        "event_id",
+        "event_type",
+        us.alias("us"),
+        (us + delay).alias("arrival_us"),
+    )
+    w = (
+        Window.orderBy("arrival_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    e = e.select(
+        "event_type",
+        (F.max("us").over(w) - F.lit(600_000_000)).alias("wm"),
+        (
+            F.col("us") - F.col("us") % F.lit(1_800_000_000)
+            + F.lit(3_600_000_000)
+        ).alias("late_end"),
+    )
+    cls = (
+        F.when(F.col("wm").isNull(), F.lit("ontime"))
+        .when(F.col("late_end") <= F.col("wm"), F.lit("dropped"))
+        .when(
+            F.col("late_end") - F.lit(1_800_000_000) <= F.col("wm"),
+            F.lit("partial"),
+        )
+        .otherwise(F.lit("ontime"))
+    )
+    return (
+        e.select("event_type", cls.alias("cls"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("cls") == "dropped").cast("long")).alias(
+                "n_dropped"
+            ),
+            F.sum((F.col("cls") == "partial").cast("long")).alias(
+                "n_partial"
+            ),
+            F.sum((F.col("cls") == "ontime").cast("long")).alias("n_ontime"),
+        )
+    )
+
+
+Q263_SQL = """
+WITH e AS (
+  SELECT event_id, event_type, epoch_us(ts) AS us,
+         epoch_us(ts)
+           + CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 7200000000 AS arrival_us
+  FROM events
+), w AS (
+  SELECT event_type,
+         max(us) OVER (ORDER BY arrival_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - 600000000 AS wm,
+         us - us % 1800000000 + 3600000000 AS late_end
+  FROM e
+), c AS (
+  SELECT event_type,
+         CASE WHEN wm IS NULL THEN 'ontime'
+              WHEN late_end <= wm THEN 'dropped'
+              WHEN late_end - 1800000000 <= wm THEN 'partial'
+              ELSE 'ontime' END AS cls
+  FROM w
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(coalesce(sum(CASE WHEN cls = 'dropped' THEN 1 END), 0)
+         AS BIGINT) AS n_dropped,
+       CAST(coalesce(sum(CASE WHEN cls = 'partial' THEN 1 END), 0)
+         AS BIGINT) AS n_partial,
+       CAST(coalesce(sum(CASE WHEN cls = 'ontime' THEN 1 END), 0)
+         AS BIGINT) AS n_ontime
+FROM c
+GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------- registry
 #
 # The driver audits the FIRST 50 registry entries per round (rounds 1-2
@@ -15212,17 +15321,18 @@ GROUP BY cell
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Round-9 audit window (first 50). Rotation rationale (VERDICT r8
     # item 1): catalog growth resumes now that the full catalog is
-    # driver-certified. Positions 1-12 are the twelve NEW queries:
+    # driver-certified. Positions 1-13 are the thirteen NEW queries:
     # q251-q258 (the round-8 operator families staged dormant during
     # the r8 certification freeze, parity-tested at sf0.001 and sf0.01
     # before registration), q259/q260 (the two damage-class audit
-    # queries VERDICT r8 item 3 asked for), and q261/q262 (item-7
+    # queries VERDICT r8 item 3 asked for), and q261-q263 (item-7
     # growth: schema evolution under snapshot pins, composite-envelope
-    # grid erasure). Positions 13-50 are 38 regression canaries chosen
-    # OLDEST-verdict-first, continuing the monotone re-audit queue:
-    # the entire 35-query r4-verdict block (the oldest driver verdicts
-    # anywhere in the catalog after r8 re-certified the r3 band), then
-    # the first 3 queries of the r5-verdict block in registry order. Displaced r8-window entries keep their pass(r8)
+    # grid erasure, watermark late-event audit). Positions 14-50 are
+    # 37 regression canaries chosen OLDEST-verdict-first, continuing
+    # the monotone re-audit queue: the entire 35-query r4-verdict
+    # block (the oldest driver verdicts anywhere in the catalog after
+    # r8 re-certified the r3 band), then the first 2 queries of the
+    # r5-verdict block in registry order. Displaced r8-window entries keep their pass(r8)
     # verdicts (CORRECTNESS_r08.json) and queue at the back of the
     # re-audit order below, which stays monotone oldest-verdict-first
     # past the window: r5 remainder, r6 block, r7 block, r8 block,
@@ -15240,6 +15350,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q260_manifest_consistency_audit": q260_manifest_consistency_audit,
     "q261_schema_evolution_pin": q261_schema_evolution_pin,
     "q262_grid_erasure": q262_grid_erasure,
+    "q263_late_event_audit": q263_late_event_audit,
     # --- 35 canaries: the full r4-verdict block, oldest remaining
     #     driver verdicts, unchanged relative order (positions 9-43) ---
     "q99_split_leakage": q99_split_leakage,
@@ -15280,9 +15391,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- 7 more canaries: head of the r5-verdict block (positions 44-50) ---
     "q15_idempotent_append": q15_idempotent_append,
     "q17_latest_order_per_customer": q17_latest_order_per_customer,
-    "q20_ngram_jaccard_pairs": q20_ngram_jaccard_pairs,
     # ================= end of the 50-query audit window =================
     # --- r5 window greens, remainder (CORRECTNESS_r05) ---
+    "q20_ngram_jaccard_pairs": q20_ngram_jaccard_pairs,
     "q22_text_quality": q22_text_quality,
     "q25_knn_bruteforce": q25_knn_bruteforce,
     "q29_event_type_stats": q29_event_type_stats,
@@ -15744,6 +15855,7 @@ ORACLES: dict[str, str] = {
     "q260_manifest_consistency_audit": Q260_SQL,
     "q261_schema_evolution_pin": Q261_SQL,
     "q262_grid_erasure": Q262_SQL,
+    "q263_late_event_audit": Q263_SQL,
     "q251_pagerank_checkpoint_resume": Q251_SQL,
     "q252_grouped_topk_verified": Q252_SQL,
     "q253_topk_state_rollup": Q253_SQL,

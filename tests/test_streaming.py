@@ -120,6 +120,91 @@ def test_throttle_stream_matches_batch_twin(spark, event_drop_zone):
     q.stop()
 
 
+def test_hopping_watermark_late_data_semantics(spark, tmpdir):
+    """Hopping windows (1h/30m) + 10-min watermark across TWO
+    checkpointed availableNow runs: run 1 establishes the watermark at
+    11:20; run 2 delivers a tolerably-late 10:35 row (counted ONLY in
+    its still-open [10:30,11:30) window — its [10:00,11:00) window is
+    already closed), a beyond-late 09:00 row (every window closed —
+    dropped entirely), and a 13:00 flush row that advances the
+    watermark to close the remaining windows. The parquet sink
+    accumulates append-mode emissions across the runs; the final
+    content is the hand-computed expectation — the drop, the partial
+    inclusion, and closed-windows-only emission all pinned at once."""
+    import datetime as dt
+    import glob
+
+    def land(tag, rows):
+        stage = str(tmpdir / f"stage_{tag}")
+        drop = tmpdir / "hop_in"
+        drop.mkdir(exist_ok=True)
+        spark.createDataFrame(rows, S.EVENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        shutil.move(glob.glob(f"{stage}/*.parquet")[0], str(drop / f"{tag}.parquet"))
+        shutil.rmtree(stage, ignore_errors=True)
+        return drop
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    out, ckpt = str(tmpdir / "hop_out"), str(tmpdir / "hop_ckpt")
+
+    def run(drop):
+        counts = S.windowed_counts(
+            S.read_event_stream(spark, str(drop)),
+            window="1 hour",
+            slide="30 minutes",
+            lateness="10 minutes",
+        )
+        q = (
+            counts.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    drop = land(
+        "run1",
+        [
+            (1, t(10, 0), 1, "A", 1.0, None),
+            (2, t(10, 20), 1, "A", 1.0, None),
+            (3, t(10, 50), 2, "B", 1.0, None),
+            (4, t(11, 30), 2, "B", 1.0, None),  # clock: watermark→11:20
+        ],
+    )
+    run(drop)
+    land(
+        "run2",
+        [
+            (5, t(10, 35), 3, "B", 1.0, None),  # tolerable late
+            (6, t(9, 0), 3, "A", 1.0, None),  # beyond late: dropped
+            (7, t(13, 0), 4, "C", 1.0, None),  # flush: watermark→12:50
+        ],
+    )
+    run(drop)
+
+    got = {
+        (r["window_start"].strftime("%H:%M"), r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        ("09:30", "A"): 2,
+        ("10:00", "A"): 2,
+        ("10:00", "B"): 1,
+        ("10:30", "B"): 2,  # e3 + the tolerably-late e5; NOT e5 twice
+        ("11:00", "B"): 1,
+        ("11:30", "B"): 1,
+    }, got
+    # the beyond-late 09:00 event appears nowhere, and the flush
+    # event's own windows are still open (append emits closed only)
+    assert not any(ws < "09:30" or ws >= "12:30" for ws, _ in got)
+
+
 def test_sessionize_runs_and_bounds(spark, event_drop_zone):
     stream = S.read_event_stream(spark, str(event_drop_zone))
     q = _run_to_memory(S.sessionize(stream, gap="30 minutes"), "sessions")
