@@ -15307,6 +15307,134 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------- retention-aware maintenance
+#
+# q264: the snapshot LOG under retention — three commits, then
+# checkpoint-store vacuum keeps the newest two. The ledger must report
+# exactly the surviving versions with the documented boundary
+# semantics: the OLDEST SURVIVING version counts all its rows as added
+# (its predecessor is gone, so there is nothing to delta against),
+# while later versions keep true deltas. The oracle recomputes both
+# ledger rows from the key-mod-3 batch arithmetic. q265: the
+# incremental-maintenance identity every 100 TB rollup pipeline relies
+# on — a serving aggregate built from pin v1 and then UPDATED with
+# only snapshot_diff(v1, v2) must equal the full recompute at v2. The
+# merged two-stage rollup (partial aggregates unioned, re-aggregated)
+# runs through real files and both pins; the oracle is the plain
+# one-shot rollup over orders. Any diff leak (duplicated batch, missed
+# batch, schema drift) breaks the hash.
+
+def q264_log_retention_ledger(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.checkpoint import vacuum
+    from ..sources.manifest import collect_file_stats
+    from ..sources.snapshots import commit_snapshot, snapshot_ledger
+
+    base = tempfile.mkdtemp(prefix="q264_logret_")
+    sink, man, log = f"{base}/sink", f"{base}/man", f"{base}/log"
+    orders = load_table(spark, sf, "orders").select("o_orderkey")
+    for bid in (0, 1, 2):
+        part = orders.filter(F.col("o_orderkey") % 3 == bid)
+        part.coalesce(1).write.mode("overwrite").parquet(
+            f"{sink}/batch={bid}"
+        )
+        stats = collect_file_stats(
+            spark, f"{sink}/batch={bid}", ["o_orderkey"]
+        ).withColumn("batch", F.lit(bid))
+        (
+            stats.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(man)
+        )
+        commit_snapshot(spark, man, log)
+    vacuum(spark, log, keep_last=2)  # v1 is gone; v2 is now the oldest
+    out = snapshot_ledger(spark, log).localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+Q264_SQL = """
+WITH c AS (
+  SELECT count(*) FILTER (WHERE o_orderkey % 3 = 0) AS n0,
+         count(*) FILTER (WHERE o_orderkey % 3 = 1) AS n1,
+         count(*) FILTER (WHERE o_orderkey % 3 = 2) AS n2
+  FROM orders
+)
+SELECT CAST(2 AS BIGINT) AS version, CAST(2 AS BIGINT) AS n_batches,
+       CAST(2 AS BIGINT) AS n_files, n0 + n1 AS n_rows,
+       n0 + n1 AS rows_added
+FROM c
+UNION ALL
+SELECT CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT),
+       n0 + n1 + n2, n2
+FROM c
+"""
+
+
+def q265_incremental_rollup_via_diff(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    from ..sources.manifest import collect_file_stats
+    from ..sources.snapshots import (
+        commit_snapshot,
+        read_as_of,
+        snapshot_diff,
+    )
+
+    base = tempfile.mkdtemp(prefix="q265_incr_")
+    sink, man, log = f"{base}/sink", f"{base}/man", f"{base}/log"
+    cents = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", cents.alias("cents")
+    )
+    for bid, keep in ((0, 0), (1, 1)):
+        part = orders.filter(F.col("o_orderkey") % 2 == keep)
+        part.coalesce(1).write.mode("overwrite").parquet(
+            f"{sink}/batch={bid}"
+        )
+        stats = collect_file_stats(
+            spark, f"{sink}/batch={bid}", ["o_orderkey"]
+        ).withColumn("batch", F.lit(bid))
+        (
+            stats.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(man)
+        )
+        commit_snapshot(spark, man, log)
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+
+    served = rollup(read_as_of(spark, sink, log, 1))  # built at pin v1
+    delta = rollup(snapshot_diff(spark, sink, log, 1, 2))  # the update
+    out = (
+        served.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_cents").alias("total_cents"),
+        )
+        .localCheckpoint(eager=True)  # detach before the sink vanishes
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+Q265_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+         AS BIGINT) AS total_cents
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------- registry
 #
 # The driver audits the FIRST 50 registry entries per round (rounds 1-2
@@ -15321,18 +15449,18 @@ GROUP BY event_type
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Round-9 audit window (first 50). Rotation rationale (VERDICT r8
     # item 1): catalog growth resumes now that the full catalog is
-    # driver-certified. Positions 1-13 are the thirteen NEW queries:
+    # driver-certified. Positions 1-15 are the fifteen NEW queries:
     # q251-q258 (the round-8 operator families staged dormant during
     # the r8 certification freeze, parity-tested at sf0.001 and sf0.01
     # before registration), q259/q260 (the two damage-class audit
-    # queries VERDICT r8 item 3 asked for), and q261-q263 (item-7
+    # queries VERDICT r8 item 3 asked for), and q261-q265 (item-7
     # growth: schema evolution under snapshot pins, composite-envelope
-    # grid erasure, watermark late-event audit). Positions 14-50 are
-    # 37 regression canaries chosen OLDEST-verdict-first, continuing
-    # the monotone re-audit queue: the entire 35-query r4-verdict
-    # block (the oldest driver verdicts anywhere in the catalog after
-    # r8 re-certified the r3 band), then the first 2 queries of the
-    # r5-verdict block in registry order. Displaced r8-window entries keep their pass(r8)
+    # grid erasure, watermark late-event audit, ledger-under-log-
+    # retention semantics, the incremental-rollup-via-diff identity).
+    # Positions 16-50 are exactly the 35-query r4-verdict block — the
+    # oldest driver verdicts anywhere in the catalog after r8
+    # re-certified the r3 band — as OLDEST-verdict-first canaries,
+    # continuing the monotone re-audit queue. Displaced r8-window entries keep their pass(r8)
     # verdicts (CORRECTNESS_r08.json) and queue at the back of the
     # re-audit order below, which stays monotone oldest-verdict-first
     # past the window: r5 remainder, r6 block, r7 block, r8 block,
@@ -15351,6 +15479,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q261_schema_evolution_pin": q261_schema_evolution_pin,
     "q262_grid_erasure": q262_grid_erasure,
     "q263_late_event_audit": q263_late_event_audit,
+    "q264_log_retention_ledger": q264_log_retention_ledger,
+    "q265_incremental_rollup_via_diff": q265_incremental_rollup_via_diff,
     # --- 35 canaries: the full r4-verdict block, oldest remaining
     #     driver verdicts, unchanged relative order (positions 9-43) ---
     "q99_split_leakage": q99_split_leakage,
@@ -15389,10 +15519,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q07_slicer_dashboard": q07_slicer_dashboard,
     "q09_top5_parts_per_brand": q09_top5_parts_per_brand,
     # --- 7 more canaries: head of the r5-verdict block (positions 44-50) ---
-    "q15_idempotent_append": q15_idempotent_append,
-    "q17_latest_order_per_customer": q17_latest_order_per_customer,
     # ================= end of the 50-query audit window =================
     # --- r5 window greens, remainder (CORRECTNESS_r05) ---
+    "q15_idempotent_append": q15_idempotent_append,
+    "q17_latest_order_per_customer": q17_latest_order_per_customer,
     "q20_ngram_jaccard_pairs": q20_ngram_jaccard_pairs,
     "q22_text_quality": q22_text_quality,
     "q25_knn_bruteforce": q25_knn_bruteforce,
@@ -15856,6 +15986,8 @@ ORACLES: dict[str, str] = {
     "q261_schema_evolution_pin": Q261_SQL,
     "q262_grid_erasure": Q262_SQL,
     "q263_late_event_audit": Q263_SQL,
+    "q264_log_retention_ledger": Q264_SQL,
+    "q265_incremental_rollup_via_diff": Q265_SQL,
     "q251_pagerank_checkpoint_resume": Q251_SQL,
     "q252_grouped_topk_verified": Q252_SQL,
     "q253_topk_state_rollup": Q253_SQL,

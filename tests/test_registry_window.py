@@ -15,7 +15,7 @@ from superstore_data_pipeline_analytics_dashboard__spark.plans.catalog_queries i
 
 # Round-9 window (VERDICT r8 items 1, 3 and 7): catalog growth
 # resumes now that the whole catalog is driver-certified. Positions
-# 1-13: the thirteen NEW queries — q251-q258 (the round-8 operator
+# 1-15: the fifteen NEW queries — q251-q258 (the round-8 operator
 # families, staged dormant through the r8 certification freeze and
 # parity-tested at sf0.001 + sf0.01 before registration), q259/q260
 # (the damage-class audit queries for snapshot drift and manifest
@@ -41,6 +41,8 @@ R9_NEW = [
     "q261_schema_evolution_pin",
     "q262_grid_erasure",
     "q263_late_event_audit",
+    "q264_log_retention_ledger",
+    "q265_incremental_rollup_via_diff",
 ]
 R9_R4_CANARIES = [
     # the full 35-query r4-verdict block, unchanged relative order
@@ -80,17 +82,12 @@ R9_R4_CANARIES = [
     "q07_slicer_dashboard",
     "q09_top5_parts_per_brand",
 ]
-R9_R5_CANARIES = [
-    # first 2 of the r5-verdict block in registry order
-    "q15_idempotent_append",
-    "q17_latest_order_per_customer",
-]
-R9_WINDOW = R9_NEW + R9_R4_CANARIES + R9_R5_CANARIES
+R9_WINDOW = R9_NEW + R9_R4_CANARIES
 
 
 def test_registry_counts():
-    assert len(QUERIES) == 263
-    assert len(ORACLES) == 246
+    assert len(QUERIES) == 265
+    assert len(ORACLES) == 248
     assert set(ORACLES) <= set(QUERIES)
 
 
@@ -113,11 +110,11 @@ def test_queue_past_window_is_oldest_verdict_first():
     # oldest-verdict-first (r5 remainder, r6 block, r7 block, r8
     # block), then the rows-only tail closes the registry
     names = list(QUERIES)
-    assert names[50] == "q20_ngram_jaccard_pairs"  # r5 remainder head
-    assert names[96] == "q150_survivorship_merge"  # r6 block head
-    assert names[146] == "q195_benford_audit"  # r7 block head
+    assert names[50] == "q15_idempotent_append"  # r5 block head
+    assert names[98] == "q150_survivorship_merge"  # r6 block head
+    assert names[148] == "q195_benford_audit"  # r7 block head
     i = names.index("q248_charset_audit")  # r8 displaced block head
-    assert i == 196
+    assert i == 198
     # the displaced r8 window, in its r8-window order: q248-q250, the
     # q103/q124/q139 refactor trio, the 43 r3-era canaries + q98
     r8_band = names[i : i + 50]
