@@ -116,18 +116,25 @@ def _estimate_rows(
     max_items_tracked: int,
 ) -> DataFrame:
     """Explode a fetched estimate array, rank under the total order, cut
-    at k — and DETECT the one regime where that cut is not reproducible:
-    a count-tie run straddling the FETCH boundary. If the sketch
-    returned exactly ``fetch_n`` items (the fetch was truncated, so
-    unfetched tracked items with count ≤ the boundary count may exist)
-    while more items were tracked (``fetch_n < max_items_tracked``), and
-    a SURVIVING row ties the raw fetch-boundary count, then which tied
-    keys were fetched — and therefore which survive the (cnt DESC, key
-    ASC) cut — depends on sketch-internal tie order. Rather than let
-    that reach the hash gate as a silent value drift, the guard raises
-    at execution time with the fix (a larger fetch_factor). The guard is
-    fused into the output ``key`` column so column pruning can never
-    drop it, and it costs one array_min per group — no extra shuffle."""
+    at k — and DETECT the regimes where that cut is not reproducible.
+    If the sketch returned exactly ``fetch_n`` items (the fetch was
+    TRUNCATED: unfetched tracked items with count ≤ the raw boundary
+    count may exist) while more items were tracked
+    (``fetch_n < max_items_tracked``), the cut is untrustworthy when
+    either (a) a SURVIVING row ties the raw fetch-boundary count — an
+    unfetched equal-count key could deserve its place under the (cnt
+    DESC, key ASC) total order, so the result depends on
+    sketch-internal tie order — or (b) fewer than ``k`` NON-NULL rows
+    survive the fetch at all: the sketch tracks NULL as an item, so a
+    fetched NULL can consume a truncated-fetch slot that an unfetched
+    real key deserved, silently under-filling the top-k (the raw
+    ``_nf``/``_min_cnt`` are deliberately computed BEFORE the NULL drop
+    — the truncation bound applies to everything the sketch returned,
+    NULL included). Rather than let either reach the hash gate as a
+    silent value drift, the guard raises at execution time with the fix
+    (a larger fetch_factor). It is fused into the output ``key`` column
+    so column pruning can never drop it; cost is one array_min + one
+    count-over-the-group-window per group — no extra shuffle."""
     boundary = (
         [
             F.size(F.col(est_col)).alias("_nf"),
@@ -153,6 +160,12 @@ def _estimate_rows(
     w = Window.partitionBy(*group_cols).orderBy(
         F.col("cnt").desc(), F.col("key").asc()
     )
+    if boundary:
+        # non-null survivors per group, for failure mode (b); reuses
+        # the rank window's partitioning — no extra shuffle
+        exploded = exploded.withColumn(
+            "_n_nonnull", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+        )
     kept = exploded.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
@@ -162,19 +175,23 @@ def _estimate_rows(
         # — and "re-fetch more" would be impossible advice anyway
         return kept.select(*group_cols, "key", "cnt", "rank")
     overflow = (F.col("_nf") >= F.lit(fetch_n)) & (
-        F.col("cnt") == F.col("_min_cnt")
+        (F.col("cnt") == F.col("_min_cnt"))
+        | (F.col("_n_nonnull") < F.lit(k))
     )
     guarded_key = (
         F.when(~overflow, F.col("key"))
         .otherwise(
             F.raise_error(
                 F.lit(
-                    "approx_top_k fetch-boundary tie run: a surviving "
-                    f"top-{k} row ties the count at the truncated fetch "
-                    f"cut (fetched {fetch_n} of up to {max_items_tracked} "
-                    "tracked items), so the result would depend on "
-                    "sketch-internal tie order; re-run with a larger "
-                    "fetch_factor (or use the exact tier)"
+                    "approx_top_k fetch-boundary hazard: the fetch was "
+                    f"truncated (fetched {fetch_n} of up to "
+                    f"{max_items_tracked} tracked items) and either a "
+                    f"surviving top-{k} row ties the raw boundary count "
+                    "(result would depend on sketch-internal tie order) "
+                    f"or fewer than {k} non-null keys were fetched (a "
+                    "fetched NULL consumed a slot a real key deserved); "
+                    "re-run with a larger fetch_factor (or use the "
+                    "exact tier)"
                 )
             )
         )

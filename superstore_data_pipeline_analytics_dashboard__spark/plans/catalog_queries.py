@@ -14749,33 +14749,57 @@ FROM rep
 # write→commit→pin→read round-trip through real parquet must land on
 # numbers DuckDB computes without ever seeing the sink.
 
+def _land_batch_with_stats(
+    spark: SparkSession,
+    df: DataFrame,
+    sink: str,
+    man: str,
+    batch_id: int,
+    stat_cols: list[str],
+    log: str | None = None,
+) -> None:
+    """Land ONE ingest batch the way
+    streaming/incremental.start_append_with_manifest lays the sink out:
+    a ``batch=<id>`` partition (coalesce(1) — one file per batch, so the
+    oracles' file-count arithmetic stays exact), its manifest stat rows
+    (dynamic per-partition overwrite), and optionally a snapshot commit.
+    One construction shared by every sink-building gate query
+    (q255–q262, q264, q265): a sink-layout change applies once instead
+    of silently diverging across six copies (r9 review find)."""
+    from ..sources.manifest import collect_file_stats
+
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{sink}/batch={batch_id}"
+    )
+    stats = collect_file_stats(
+        spark, f"{sink}/batch={batch_id}", stat_cols
+    ).withColumn("batch", F.lit(batch_id))
+    (
+        stats.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(man)
+    )
+    if log is not None:
+        from ..sources.snapshots import commit_snapshot
+
+        commit_snapshot(spark, man, log)
+
+
 def _land_orders_two_batches(
     spark: SparkSession, sf: str
 ) -> tuple[str, str, str]:
     """orders keys land as batch 0 (even keys) then batch 1 (odd), with
     manifest rows and a snapshot commit after each — the sink layout of
     streaming/incremental.start_append_with_manifest, built directly."""
-    from ..sources.manifest import collect_file_stats
-    from ..sources.snapshots import commit_snapshot
-
     base = tempfile.mkdtemp(prefix="q255_snap_")
     sink, man, log = f"{base}/sink", f"{base}/man", f"{base}/log"
     orders = load_table(spark, sf, "orders").select("o_orderkey")
     for batch_id, keep in ((0, 0), (1, 1)):
         part = orders.filter(F.col("o_orderkey") % 2 == keep)
-        part.coalesce(1).write.mode("overwrite").parquet(
-            f"{sink}/batch={batch_id}"
+        _land_batch_with_stats(
+            spark, part, sink, man, batch_id, ["o_orderkey"], log=log
         )
-        stats = collect_file_stats(
-            spark, f"{sink}/batch={batch_id}", ["o_orderkey"]
-        ).withColumn("batch", F.lit(batch_id))
-        (
-            stats.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch")
-            .parquet(man)
-        )
-        commit_snapshot(spark, man, log)
     return sink, man, log
 
 
@@ -14860,7 +14884,6 @@ SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 1
 # land on DuckDB's numbers.
 
 def q257_targeted_erasure(spark: SparkSession, sf: str) -> DataFrame:
-    from ..sources.manifest import collect_file_stats
     from ..sources.retention import erase_rows
 
     base = tempfile.mkdtemp(prefix="q257_erase_")
@@ -14873,17 +14896,8 @@ def q257_targeted_erasure(spark: SparkSession, sf: str) -> DataFrame:
         (0, orders.filter(F.col("o_orderkey") <= half)),
         (1, orders.filter(F.col("o_orderkey") > half)),
     ):
-        part.coalesce(1).write.mode("overwrite").parquet(
-            f"{sink}/batch={batch_id}"
-        )
-        stats = collect_file_stats(
-            spark, f"{sink}/batch={batch_id}", ["o_orderkey"]
-        ).withColumn("batch", F.lit(batch_id))
-        (
-            stats.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch")
-            .parquet(man)
+        _land_batch_with_stats(
+            spark, part, sink, man, batch_id, ["o_orderkey"]
         )
     optout = orders.filter(
         (F.col("o_orderkey") % 100 == 0) & (F.col("o_orderkey") <= half)
@@ -15060,8 +15074,7 @@ SELECT CAST(2 AS BIGINT) AS n_data_files,
 # recomputes the per-cell report from orders arithmetic.
 
 def q261_schema_evolution_pin(spark: SparkSession, sf: str) -> DataFrame:
-    from ..sources.manifest import collect_file_stats
-    from ..sources.snapshots import commit_snapshot, read_as_of
+    from ..sources.snapshots import read_as_of
 
     base = tempfile.mkdtemp(prefix="q261_evo_")
     sink, man, log = f"{base}/sink", f"{base}/man", f"{base}/log"
@@ -15074,19 +15087,9 @@ def q261_schema_evolution_pin(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderkey", cents.alias("o_total_cents")
     )
     for bid, part in ((0, b0), (1, b1)):
-        part.coalesce(1).write.mode("overwrite").parquet(
-            f"{sink}/batch={bid}"
+        _land_batch_with_stats(
+            spark, part, sink, man, bid, ["o_orderkey"], log=log
         )
-        stats = collect_file_stats(
-            spark, f"{sink}/batch={bid}", ["o_orderkey"]
-        ).withColumn("batch", F.lit(bid))
-        (
-            stats.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch")
-            .parquet(man)
-        )
-        commit_snapshot(spark, man, log)
     v1 = read_as_of(spark, sink, log, 1)
     v2 = read_as_of(spark, sink, log, 2)
     row = (
@@ -15126,7 +15129,6 @@ FROM c
 
 
 def q262_grid_erasure(spark: SparkSession, sf: str) -> DataFrame:
-    from ..sources.manifest import collect_file_stats
     from ..sources.retention import erase_rows
 
     base = tempfile.mkdtemp(prefix="q262_grid_")
@@ -15146,17 +15148,13 @@ def q262_grid_erasure(spark: SparkSession, sf: str) -> DataFrame:
         3: (F.col("o_custkey") > hc) & (F.col("o_orderkey") > ho),
     }
     for bid, pred in cells.items():
-        orders.filter(pred).coalesce(1).write.mode("overwrite").parquet(
-            f"{sink}/batch={bid}"
-        )
-        stats = collect_file_stats(
-            spark, f"{sink}/batch={bid}", ["o_custkey", "o_orderkey"]
-        ).withColumn("batch", F.lit(bid))
-        (
-            stats.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch")
-            .parquet(man)
+        _land_batch_with_stats(
+            spark,
+            orders.filter(pred),
+            sink,
+            man,
+            bid,
+            ["o_custkey", "o_orderkey"],
         )
     optout = orders.filter(
         (F.col("o_custkey") <= hc)
@@ -15326,27 +15324,16 @@ GROUP BY event_type
 
 def q264_log_retention_ledger(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.checkpoint import vacuum
-    from ..sources.manifest import collect_file_stats
-    from ..sources.snapshots import commit_snapshot, snapshot_ledger
+    from ..sources.snapshots import snapshot_ledger
 
     base = tempfile.mkdtemp(prefix="q264_logret_")
     sink, man, log = f"{base}/sink", f"{base}/man", f"{base}/log"
     orders = load_table(spark, sf, "orders").select("o_orderkey")
     for bid in (0, 1, 2):
         part = orders.filter(F.col("o_orderkey") % 3 == bid)
-        part.coalesce(1).write.mode("overwrite").parquet(
-            f"{sink}/batch={bid}"
+        _land_batch_with_stats(
+            spark, part, sink, man, bid, ["o_orderkey"], log=log
         )
-        stats = collect_file_stats(
-            spark, f"{sink}/batch={bid}", ["o_orderkey"]
-        ).withColumn("batch", F.lit(bid))
-        (
-            stats.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch")
-            .parquet(man)
-        )
-        commit_snapshot(spark, man, log)
     vacuum(spark, log, keep_last=2)  # v1 is gone; v2 is now the oldest
     out = snapshot_ledger(spark, log).localCheckpoint(eager=True)
     shutil.rmtree(base, ignore_errors=True)
@@ -15374,12 +15361,7 @@ FROM c
 def q265_incremental_rollup_via_diff(
     spark: SparkSession, sf: str
 ) -> DataFrame:
-    from ..sources.manifest import collect_file_stats
-    from ..sources.snapshots import (
-        commit_snapshot,
-        read_as_of,
-        snapshot_diff,
-    )
+    from ..sources.snapshots import read_as_of, snapshot_diff
 
     base = tempfile.mkdtemp(prefix="q265_incr_")
     sink, man, log = f"{base}/sink", f"{base}/man", f"{base}/log"
@@ -15391,19 +15373,9 @@ def q265_incremental_rollup_via_diff(
     )
     for bid, keep in ((0, 0), (1, 1)):
         part = orders.filter(F.col("o_orderkey") % 2 == keep)
-        part.coalesce(1).write.mode("overwrite").parquet(
-            f"{sink}/batch={bid}"
+        _land_batch_with_stats(
+            spark, part, sink, man, bid, ["o_orderkey"], log=log
         )
-        stats = collect_file_stats(
-            spark, f"{sink}/batch={bid}", ["o_orderkey"]
-        ).withColumn("batch", F.lit(bid))
-        (
-            stats.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch")
-            .parquet(man)
-        )
-        commit_snapshot(spark, man, log)
 
     def rollup(df: DataFrame) -> DataFrame:
         return df.groupBy("o_orderpriority").agg(
@@ -15465,7 +15437,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # re-audit order below, which stays monotone oldest-verdict-first
     # past the window: r5 remainder, r6 block, r7 block, r8 block,
     # rows-only tail.
-    # --- new queries this round: r8 operator families (positions 1-8) ---
+    # --- new queries this round (positions 1-15): q251-q258 the r8
+    #     operator families, q259-q260 the damage-class audits,
+    #     q261-q265 the item-7 growth batch ---
     "q251_pagerank_checkpoint_resume": q251_pagerank_checkpoint_resume,
     "q252_grouped_topk_verified": q252_grouped_topk_verified,
     "q253_topk_state_rollup": q253_topk_state_rollup,
@@ -15482,7 +15456,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q264_log_retention_ledger": q264_log_retention_ledger,
     "q265_incremental_rollup_via_diff": q265_incremental_rollup_via_diff,
     # --- 35 canaries: the full r4-verdict block, oldest remaining
-    #     driver verdicts, unchanged relative order (positions 9-43) ---
+    #     driver verdicts, unchanged relative order (positions 16-50) ---
     "q99_split_leakage": q99_split_leakage,
     "q100_event_throttle": q100_event_throttle,
     "q101_rolling_distinct_users": q101_rolling_distinct_users,
@@ -15518,7 +15492,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q06_year_month_rollup": q06_year_month_rollup,
     "q07_slicer_dashboard": q07_slicer_dashboard,
     "q09_top5_parts_per_brand": q09_top5_parts_per_brand,
-    # --- 7 more canaries: head of the r5-verdict block (positions 44-50) ---
     # ================= end of the 50-query audit window =================
     # --- r5 window greens, remainder (CORRECTNESS_r05) ---
     "q15_idempotent_append": q15_idempotent_append,

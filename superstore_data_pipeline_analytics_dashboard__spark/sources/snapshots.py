@@ -172,6 +172,14 @@ def snapshot_diff(
         .select("batch")
         .collect()
     ]
+    if not to_members:
+        # mirror read_as_of: a memberless pin has no schema to shape
+        # even an empty delta with — fail the same way, not with a
+        # zero-paths analysis error from the reader
+        raise ValueError(
+            f"snapshot v{to_version} recorded no member batches — there "
+            "is no schema to read it with"
+        )
     new = [b for b in to_members if b not in old]
     if not new:
         # empty delta, shaped like the newer pin (its merged schema)

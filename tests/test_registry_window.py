@@ -19,14 +19,14 @@ from superstore_data_pipeline_analytics_dashboard__spark.plans.catalog_queries i
 # families, staged dormant through the r8 certification freeze and
 # parity-tested at sf0.001 + sf0.01 before registration), q259/q260
 # (the damage-class audit queries for snapshot drift and manifest
-# consistency), and q261-q263 (item-7 growth: schema evolution under
+# consistency), and q261-q265 (item-7 growth: schema evolution under
 # snapshot pins, composite-envelope grid erasure, watermark late-event
-# audit). Positions 14-50: 37 regression canaries chosen
-# OLDEST-verdict-first — the entire 35-query r4-verdict block (the
-# oldest driver verdicts remaining after r8 re-certified the r3 band),
-# then the first 2 queries of the r5-verdict block in registry order. Displaced r8-window entries
-# keep their pass(r8) verdicts and queue at the back of the
-# oldest-verdict-first re-audit order.
+# audit, ledger-under-log-retention semantics, the incremental-rollup-
+# via-diff identity). Positions 16-50: exactly the 35-query r4-verdict
+# block — the oldest driver verdicts remaining after r8 re-certified
+# the r3 band — as OLDEST-verdict-first canaries; no r5 queries are in
+# the window. Displaced r8-window entries keep their pass(r8) verdicts
+# and queue at the back of the oldest-verdict-first re-audit order.
 R9_NEW = [
     "q251_pagerank_checkpoint_resume",
     "q252_grouped_topk_verified",

@@ -115,10 +115,31 @@ def test_fetch_boundary_tie_run_raises(spark):
     rows = [("g", f"k{i:02d}") for i in range(30)]  # every key cnt=1
     df = spark.createDataFrame(rows, "grp STRING, key STRING")
     # fetch_n = 4 < 30 tracked: the cut is inside an all-tied run
-    with pytest.raises(Exception, match="fetch-boundary tie run"):
+    with pytest.raises(Exception, match="fetch-boundary hazard"):
         TK.grouped_topk_approx(
             df, ["grp"], "key", 2, max_items_tracked=100, fetch_factor=2
         ).collect()
+    # NULL-slot hazard (review find): counts a=9,b=8,c=7,NULL=3,d=2 with
+    # k=4, fetch_factor=1 — the sketch fetches {a,b,c,NULL}, the NULL
+    # drop leaves only 3 survivors, and pre-fix the guard stayed silent
+    # while d (tracked, exact mode!) vanished from the top-4; the raw
+    # boundary stats are computed BEFORE the NULL drop so this raises
+    nrows = (
+        [("g", "a")] * 9 + [("g", "b")] * 8 + [("g", "c")] * 7
+        + [("g", None)] * 3 + [("g", "d")] * 2
+    )
+    ndf = spark.createDataFrame(nrows, "grp STRING, key STRING")
+    with pytest.raises(Exception, match="fetch-boundary hazard"):
+        TK.grouped_topk_approx(
+            ndf, ["grp"], "key", 4, max_items_tracked=100, fetch_factor=1
+        ).collect()
+    # default fetch_factor over-fetch covers all 5 tracked items
+    # (_nf < fetch_n — no truncation): exact, d recovered at rank 4
+    ok = _rows(TK.grouped_topk_approx(ndf, ["grp"], "key", 4, 100))
+    assert ok == [
+        ("g", "a", 9, 1), ("g", "b", 8, 2), ("g", "c", 7, 3),
+        ("g", "d", 2, 4),
+    ]
     # fetch_n == capacity: same ties, but the fetch is complete — the
     # (cnt DESC, key ASC) cut is deterministic, no guard
     full = _rows(

@@ -169,6 +169,13 @@ def main() -> None:
     print("|---|---|---|---|---|---|---|")
     totals = {k: 0 for k in ("exch", "1part", "bcast", "win", "arrow", "wscg")}
     for name, fn in QUERIES.items():
+        # order-independence: earlier queries persist frames, and
+        # CacheManager substitutes sameResult cache entries into LATER
+        # plans — without this, a registry reorder changes an untouched
+        # query's censused counts (observed r9: q41 3 exch → 2 purely
+        # from the rotation). Same hazard CLAUDE.md documents for
+        # plan-shape tests.
+        spark.catalog.clearCache()
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         c = census(plan)
         for k, v in c.items():
