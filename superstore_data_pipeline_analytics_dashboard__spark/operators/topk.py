@@ -133,23 +133,32 @@ def _estimate_rows(
     NULL included). Rather than let either reach the hash gate as a
     silent value drift, the guard raises at execution time with the fix
     (a larger fetch_factor). It is fused into the output ``key`` column
-    so column pruning can never drop it; cost is one array_min + one
-    count-over-the-group-window per group — no extra shuffle."""
+    so column pruning can never drop it; cost is one array_min + two
+    array size/filter expressions per group row — no window, no extra
+    shuffle."""
     boundary = (
         [
             F.size(F.col(est_col)).alias("_nf"),
             F.array_min(
                 F.expr(f"transform({est_col}, x -> x.count)")
             ).alias("_min_cnt"),
+            # non-null survivors per group, for failure mode (b) —
+            # computed on the ARRAY before explode (one size(filter())
+            # per group row; a count-over-window here measured ~0.3-0.7s
+            # of avoidable extra window pass at sf0.1)
+            F.size(
+                F.expr(f"filter({est_col}, x -> x.item is not null)")
+            ).alias("_n_nonnull"),
         ]
         if fetch_n < int(max_items_tracked)
         else []
     )
+    bcols = ["_nf", "_min_cnt", "_n_nonnull"] if boundary else []
     exploded = (
         sketched.select(*group_cols, *boundary, F.explode(est_col).alias("e"))
         .select(
             *group_cols,
-            *(["_nf", "_min_cnt"] if boundary else []),
+            *bcols,
             F.col("e.item").alias("key"),
             F.col("e.count").alias("cnt"),
         )
@@ -160,12 +169,6 @@ def _estimate_rows(
     w = Window.partitionBy(*group_cols).orderBy(
         F.col("cnt").desc(), F.col("key").asc()
     )
-    if boundary:
-        # non-null survivors per group, for failure mode (b); reuses
-        # the rank window's partitioning — no extra shuffle
-        exploded = exploded.withColumn(
-            "_n_nonnull", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
-        )
     kept = exploded.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
