@@ -182,6 +182,9 @@ def test_erasure_property_vs_bruteforce(spark, tmp_path):
         keys=st.lists(ids, min_size=1, max_size=8, unique=True),
     )
     def run(batches, keys):
+        # mkdtemp + explicit cleanup (not tmp_path: hypothesis reuses
+        # the fixture dir across examples); pre-fix this leaked one
+        # ~100 KB scratch tree per example per suite run
         base = tempfile.mkdtemp(prefix="erase_prop_")
         sink, man = f"{base}/sink", f"{base}/man"
         for b, rows in enumerate(batches):
@@ -204,6 +207,9 @@ def test_erasure_property_vs_bruteforce(spark, tmp_path):
             x for rows in batches for x in rows if x not in kset
         )
         assert _ids(spark.read.parquet(sink)) == want
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
 
     run()
 
