@@ -43,6 +43,11 @@ from ..operators import dedup as DD
 from ..operators import similarity as SIM
 from ..operators.append import idempotent_append, lateral_top1, semi_join
 from ..operators.date_spine import build_date_dim
+from ..operators.expectations import (
+    Expectation,
+    check_expectations,
+    enforce_expectations,
+)
 from ..operators.packing import pack_concat_chunk
 from ..operators.quality import load_issues
 from ..operators.scd2 import scd2_first_load, snapshot
@@ -15407,6 +15412,132 @@ GROUP BY o_orderpriority
 """
 
 
+# ------------------------------------------------------ data contracts
+#
+# q266: the CHECK face of operators/expectations.py — a five-line
+# contract over lineitem with every verdict class represented on real
+# data: passing error lines with zero budget (returnflag domain,
+# positive price), a passing warn line with measured headroom (quantity
+# cap: ~99k ppm against a 200k budget), a FAILING warn line (deep
+# discounts run ~448k ppm against a 400k budget at every SF — the
+# generator's uniform discount makes the rate scale-stable), all from
+# ONE conditional-aggregation scan. The oracle recomputes every count,
+# the integer-ppm division, and the verdict booleans. q267: the ENFORCE
+# face — a referential contract over the orders←lineitem join
+# certifying the gate's pass path (the collected-and-rebuilt report
+# must hash-match SQL): the warn line FAILS its 10k budget (visible in
+# the report, non-blocking) while the error lines pass, so the gate
+# RETURNS rather than raises — certifying severity routing end to end,
+# not just arithmetic. Both were parity-tested dormant at sf0.001 AND
+# sf0.01 before the r10 registration (staged in catalog_queries_r10.py,
+# merged here at the rotation — a back-import would be circular).
+
+
+def q266_lineitem_contract(spark: SparkSession, sf: str) -> DataFrame:
+    li = _li(spark, sf)
+    contract = {
+        "returnflag_domain": Expectation(
+            F.col("l_returnflag").isNull()
+            | ~F.col("l_returnflag").isin("A", "N", "R")
+        ),
+        "positive_price": Expectation(F.col("l_extendedprice") <= 0),
+        "key_not_null": Expectation(
+            F.col("l_orderkey").isNull() | F.col("l_partkey").isNull()
+        ),
+        "qty_cap": Expectation(
+            F.col("l_quantity") > 45, max_ppm=200_000, severity="warn"
+        ),
+        "deep_discount": Expectation(
+            F.col("l_discount") > 0.05, max_ppm=400_000, severity="warn"
+        ),
+    }
+    return check_expectations(li, contract)
+
+
+Q266_SQL = """
+WITH c AS (
+  SELECT count(*) AS n,
+    count(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R')
+                        OR l_returnflag IS NULL) AS v_rf,
+    count(*) FILTER (WHERE l_extendedprice <= 0) AS v_px,
+    count(*) FILTER (WHERE l_orderkey IS NULL
+                        OR l_partkey IS NULL) AS v_nk,
+    count(*) FILTER (WHERE l_quantity > 45) AS v_q,
+    count(*) FILTER (WHERE l_discount > 0.05) AS v_d
+  FROM lineitem
+), e AS (
+  SELECT 'returnflag_domain' AS expectation, 'error' AS severity,
+         v_rf AS v, CAST(0 AS BIGINT) AS max_ppm FROM c
+  UNION ALL
+  SELECT 'positive_price', 'error', v_px, 0 FROM c
+  UNION ALL
+  SELECT 'key_not_null', 'error', v_nk, 0 FROM c
+  UNION ALL
+  SELECT 'qty_cap', 'warn', v_q, 200000 FROM c
+  UNION ALL
+  SELECT 'deep_discount', 'warn', v_d, 400000 FROM c
+)
+SELECT expectation, severity, c.n AS n_rows,
+       CAST(v AS BIGINT) AS n_violations,
+       CAST(v * 1000000 // c.n AS BIGINT) AS violation_ppm,
+       max_ppm,
+       v * 1000000 // c.n <= max_ppm AS passed
+FROM e, c
+"""
+
+
+def q267_referential_gate(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li_keys = (
+        _li(spark, sf).select(F.col("l_orderkey").alias("lk")).distinct()
+    )
+    joined = orders.join(
+        li_keys, orders["o_orderkey"] == F.col("lk"), "left"
+    )
+    contract = {
+        "order_key_not_null": Expectation(F.col("o_orderkey").isNull()),
+        "positive_total": Expectation(F.col("o_totalprice") <= 0),
+        # the generator plants unbilled orders (~17k ppm, the q250
+        # family): over the 10k warn budget at every SF — the gate must
+        # REPORT the failure and still return (severity routing)
+        "orders_have_lines": Expectation(
+            F.col("lk").isNull(), max_ppm=10_000, severity="warn"
+        ),
+    }
+    return enforce_expectations(joined, contract)
+
+
+Q267_SQL = """
+WITH j AS (
+  SELECT o.o_orderkey, o.o_totalprice, l.l_orderkey AS lk
+  FROM orders o
+  LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
+    ON o.o_orderkey = l.l_orderkey
+), c AS (
+  SELECT count(*) AS n,
+    count(*) FILTER (WHERE o_orderkey IS NULL) AS v_k,
+    count(*) FILTER (WHERE o_totalprice <= 0) AS v_t,
+    count(*) FILTER (WHERE lk IS NULL) AS v_u
+  FROM j
+), e AS (
+  SELECT 'order_key_not_null' AS expectation, 'error' AS severity,
+         v_k AS v, CAST(0 AS BIGINT) AS max_ppm FROM c
+  UNION ALL
+  SELECT 'positive_total', 'error', v_t, 0 FROM c
+  UNION ALL
+  SELECT 'orders_have_lines', 'warn', v_u, 10000 FROM c
+)
+SELECT expectation, severity, c.n AS n_rows,
+       CAST(v AS BIGINT) AS n_violations,
+       CAST(v * 1000000 // c.n AS BIGINT) AS violation_ppm,
+       max_ppm,
+       v * 1000000 // c.n <= max_ppm AS passed
+FROM e, c
+"""
+
+
 # ---------------------------------------------------------------- registry
 #
 # The driver audits the FIRST 50 registry entries per round (rounds 1-2
@@ -15419,81 +15550,26 @@ GROUP BY o_orderpriority
 # in COVERAGE.md.
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # Round-9 audit window (first 50). Rotation rationale (VERDICT r8
-    # item 1): catalog growth resumes now that the full catalog is
-    # driver-certified. Positions 1-15 are the fifteen NEW queries:
-    # q251-q258 (the round-8 operator families staged dormant during
-    # the r8 certification freeze, parity-tested at sf0.001 and sf0.01
-    # before registration), q259/q260 (the two damage-class audit
-    # queries VERDICT r8 item 3 asked for), and q261-q265 (item-7
-    # growth: schema evolution under snapshot pins, composite-envelope
-    # grid erasure, watermark late-event audit, ledger-under-log-
-    # retention semantics, the incremental-rollup-via-diff identity).
-    # Positions 16-50 are exactly the 35-query r4-verdict block — the
-    # oldest driver verdicts anywhere in the catalog after r8
-    # re-certified the r3 band — as OLDEST-verdict-first canaries,
-    # continuing the monotone re-audit queue. Displaced r8-window entries keep their pass(r8)
-    # verdicts (CORRECTNESS_r08.json) and queue at the back of the
+    # Round-10 audit window (first 50). Rotation rationale (VERDICT r9
+    # item 1): positions 1-2 are the two NEW queries — q266/q267, the
+    # declarative data-contract operator's check and enforce faces
+    # (operators/expectations.py), staged dormant through round 9 and
+    # parity-tested at sf0.001 AND sf0.01 before registration.
+    # Positions 3-50 are exactly the 48-query r5-verdict remainder —
+    # the oldest driver verdicts anywhere in the catalog after r9
+    # re-certified the r4 band — as OLDEST-verdict-first canaries,
+    # continuing the monotone re-audit queue. Displaced r9-window
+    # entries (q251-q265 + the 35-query r4 block) keep their pass(r9)
+    # verdicts (CORRECTNESS_r09.json) and queue at the back of the
     # re-audit order below, which stays monotone oldest-verdict-first
-    # past the window: r5 remainder, r6 block, r7 block, r8 block,
+    # past the window: r6 block, r7 block, r8 block, r9 block,
     # rows-only tail.
-    # --- new queries this round (positions 1-15): q251-q258 the r8
-    #     operator families, q259-q260 the damage-class audits,
-    #     q261-q265 the item-7 growth batch ---
-    "q251_pagerank_checkpoint_resume": q251_pagerank_checkpoint_resume,
-    "q252_grouped_topk_verified": q252_grouped_topk_verified,
-    "q253_topk_state_rollup": q253_topk_state_rollup,
-    "q254_delivery_ledger": q254_delivery_ledger,
-    "q255_snapshot_as_of": q255_snapshot_as_of,
-    "q256_snapshot_ledger": q256_snapshot_ledger,
-    "q257_targeted_erasure": q257_targeted_erasure,
-    "q258_snapshot_diff": q258_snapshot_diff,
-    "q259_snapshot_drift_audit": q259_snapshot_drift_audit,
-    "q260_manifest_consistency_audit": q260_manifest_consistency_audit,
-    "q261_schema_evolution_pin": q261_schema_evolution_pin,
-    "q262_grid_erasure": q262_grid_erasure,
-    "q263_late_event_audit": q263_late_event_audit,
-    "q264_log_retention_ledger": q264_log_retention_ledger,
-    "q265_incremental_rollup_via_diff": q265_incremental_rollup_via_diff,
-    # --- 35 canaries: the full r4-verdict block, oldest remaining
-    #     driver verdicts, unchanged relative order (positions 16-50) ---
-    "q99_split_leakage": q99_split_leakage,
-    "q100_event_throttle": q100_event_throttle,
-    "q101_rolling_distinct_users": q101_rolling_distinct_users,
-    "q104_vocab_oov": q104_vocab_oov,
-    "q105_label_cohesion": q105_label_cohesion,
-    "q106_leakage_safe_split": q106_leakage_safe_split,
-    "q107_incremental_exact_dedup": q107_incremental_exact_dedup,
-    "q109_corpus_datacard": q109_corpus_datacard,
-    "q110_content_chunks": q110_content_chunks,
-    "q111_chunk_dup_fraction": q111_chunk_dup_fraction,
-    "q112_chunk_dedup_rewrite": q112_chunk_dedup_rewrite,
-    "q113_pagerank_copurchase": q113_pagerank_copurchase,
-    "q115_boilerplate_ngrams": q115_boilerplate_ngrams,
-    "q116_rolling_distinct_by_type": q116_rolling_distinct_by_type,
-    "q117_kmeans_quantized": q117_kmeans_quantized,
-    "q118_embedding_dim_stats": q118_embedding_dim_stats,
-    "q119_token_rarity": q119_token_rarity,
-    "q120_source_overlap": q120_source_overlap,
-    "q121_boilerplate_strip": q121_boilerplate_strip,
-    "q122_canonical_selection": q122_canonical_selection,
-    "q125_ngram_novelty": q125_ngram_novelty,
-    "q126_random_projection": q126_random_projection,
-    "q128_rolling_distinct_sketch": q128_rolling_distinct_sketch,
-    "q129_event_anomaly": q129_event_anomaly,
-    "q130_pair_containment": q130_pair_containment,
-    "q131_packing_efficiency": q131_packing_efficiency,
-    "q132_dup_cluster_sizes": q132_dup_cluster_sizes,
-    "q133_quality_percentiles_by_source": q133_quality_percentiles_by_source,
-    "q137_adaptive_quality_gate": q137_adaptive_quality_gate,
-    "q03_dedup_latest": q03_dedup_latest,
-    "q04_fact_build": q04_fact_build,
-    "q05_sales_by_brand_rollup": q05_sales_by_brand_rollup,
-    "q06_year_month_rollup": q06_year_month_rollup,
-    "q07_slicer_dashboard": q07_slicer_dashboard,
-    "q09_top5_parts_per_brand": q09_top5_parts_per_brand,
-    # ================= end of the 50-query audit window =================
-    # --- r5 window greens, remainder (CORRECTNESS_r05) ---
+    # --- new queries this round (positions 1-2): the data-contract
+    #     check + enforce faces ---
+    "q266_lineitem_contract": q266_lineitem_contract,
+    "q267_referential_gate": q267_referential_gate,
+    # --- 48 canaries: the full r5-verdict remainder, oldest remaining
+    #     driver verdicts, unchanged relative order (positions 3-50) ---
     "q15_idempotent_append": q15_idempotent_append,
     "q17_latest_order_per_customer": q17_latest_order_per_customer,
     "q20_ngram_jaccard_pairs": q20_ngram_jaccard_pairs,
@@ -15542,6 +15618,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q147_time_to_convert": q147_time_to_convert,
     "q148_mad_outliers": q148_mad_outliers,
     "q149_brand_skyline": q149_brand_skyline,
+    # ================= end of the 50-query audit window =================
     # --- r6 window greens incl. its canaries (CORRECTNESS_r06) ---
     "q150_survivorship_merge": q150_survivorship_merge,
     "q151_revenue_correlation": q151_revenue_correlation,
@@ -15695,6 +15772,59 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_gap_filled_daily_revenue": q96_gap_filled_daily_revenue,
     "q97_drift_chi2": q97_drift_chi2,
     "q98_order_count_histogram": q98_order_count_histogram,
+    # --- r9 window greens (CORRECTNESS_r09, freshest — back of queue),
+    #     in their r9-window order: q251-q265, then the 35 r4-block
+    #     canaries ---
+    "q251_pagerank_checkpoint_resume": q251_pagerank_checkpoint_resume,
+    "q252_grouped_topk_verified": q252_grouped_topk_verified,
+    "q253_topk_state_rollup": q253_topk_state_rollup,
+    "q254_delivery_ledger": q254_delivery_ledger,
+    "q255_snapshot_as_of": q255_snapshot_as_of,
+    "q256_snapshot_ledger": q256_snapshot_ledger,
+    "q257_targeted_erasure": q257_targeted_erasure,
+    "q258_snapshot_diff": q258_snapshot_diff,
+    "q259_snapshot_drift_audit": q259_snapshot_drift_audit,
+    "q260_manifest_consistency_audit": q260_manifest_consistency_audit,
+    "q261_schema_evolution_pin": q261_schema_evolution_pin,
+    "q262_grid_erasure": q262_grid_erasure,
+    "q263_late_event_audit": q263_late_event_audit,
+    "q264_log_retention_ledger": q264_log_retention_ledger,
+    "q265_incremental_rollup_via_diff": q265_incremental_rollup_via_diff,
+    "q99_split_leakage": q99_split_leakage,
+    "q100_event_throttle": q100_event_throttle,
+    "q101_rolling_distinct_users": q101_rolling_distinct_users,
+    "q104_vocab_oov": q104_vocab_oov,
+    "q105_label_cohesion": q105_label_cohesion,
+    "q106_leakage_safe_split": q106_leakage_safe_split,
+    "q107_incremental_exact_dedup": q107_incremental_exact_dedup,
+    "q109_corpus_datacard": q109_corpus_datacard,
+    "q110_content_chunks": q110_content_chunks,
+    "q111_chunk_dup_fraction": q111_chunk_dup_fraction,
+    "q112_chunk_dedup_rewrite": q112_chunk_dedup_rewrite,
+    "q113_pagerank_copurchase": q113_pagerank_copurchase,
+    "q115_boilerplate_ngrams": q115_boilerplate_ngrams,
+    "q116_rolling_distinct_by_type": q116_rolling_distinct_by_type,
+    "q117_kmeans_quantized": q117_kmeans_quantized,
+    "q118_embedding_dim_stats": q118_embedding_dim_stats,
+    "q119_token_rarity": q119_token_rarity,
+    "q120_source_overlap": q120_source_overlap,
+    "q121_boilerplate_strip": q121_boilerplate_strip,
+    "q122_canonical_selection": q122_canonical_selection,
+    "q125_ngram_novelty": q125_ngram_novelty,
+    "q126_random_projection": q126_random_projection,
+    "q128_rolling_distinct_sketch": q128_rolling_distinct_sketch,
+    "q129_event_anomaly": q129_event_anomaly,
+    "q130_pair_containment": q130_pair_containment,
+    "q131_packing_efficiency": q131_packing_efficiency,
+    "q132_dup_cluster_sizes": q132_dup_cluster_sizes,
+    "q133_quality_percentiles_by_source": q133_quality_percentiles_by_source,
+    "q137_adaptive_quality_gate": q137_adaptive_quality_gate,
+    "q03_dedup_latest": q03_dedup_latest,
+    "q04_fact_build": q04_fact_build,
+    "q05_sales_by_brand_rollup": q05_sales_by_brand_rollup,
+    "q06_year_month_rollup": q06_year_month_rollup,
+    "q07_slicer_dashboard": q07_slicer_dashboard,
+    "q09_top5_parts_per_brand": q09_top5_parts_per_brand,
     # --- rows-only (r3/r4 rows-ran verdicts; q26-q28 r2 rows-ran;
     #     q220/q235 rows-only by design — recall < 1) ---
     "q102_video_frame_sample": q102_video_frame_sample,
@@ -15969,6 +16099,9 @@ ORACLES: dict[str, str] = {
     "q256_snapshot_ledger": Q256_SQL,
     "q257_targeted_erasure": Q257_SQL,
     "q258_snapshot_diff": Q258_SQL,
+    # --- round-10 additions (data contracts) ---
+    "q266_lineitem_contract": Q266_SQL,
+    "q267_referential_gate": Q267_SQL,
 }
 
 # apply the canonical output boundary to every query and oracle (see the
