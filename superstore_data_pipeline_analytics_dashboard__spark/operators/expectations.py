@@ -33,10 +33,16 @@ from __future__ import annotations
 from collections.abc import Mapping
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["Expectation", "check_expectations", "enforce_expectations"]
+__all__ = [
+    "Expectation",
+    "check_expectations",
+    "enforce_expectations",
+    "check_batch_expectations",
+    "enforce_batch_expectations",
+]
 
 
 @dataclass(frozen=True)
@@ -136,3 +142,116 @@ def enforce_expectations(
     # rebuild from the already-collected rows: a caller acting on the
     # returned report must not re-trigger the contract scan
     return df.sparkSession.createDataFrame(rows, report.schema)
+
+
+def check_batch_expectations(
+    ledger: DataFrame,
+    version_col: str,
+    expectations: Mapping[str, Expectation],
+) -> DataFrame:
+    """Cross-batch (table-level) contracts over a commit ledger — the
+    aggregate face of :func:`check_expectations`: a 100 TB promotion
+    gate doesn't only check rows INSIDE a batch, it checks the batch
+    AGAINST HISTORY ("row count within x% of the previous commit",
+    "table row count monotone", "added-volume drift bounded"). The
+    natural input is ``sources/snapshots.snapshot_ledger`` (one row per
+    commit: version, n_batches, n_files, n_rows, rows_added), but any
+    frame with one row per commit-ordered version works.
+
+    Each expectation's ``violation`` predicate sees the ledger row's
+    columns PLUS ``prev_<col>`` for every column — the previous
+    version's values under the ``version_col`` total order (NULL on the
+    first version, where ``when`` takes the otherwise-branch: the first
+    commit has no history to violate, same NULL contract as the
+    row-level face). ``max_ppm`` budgets apply against the number of
+    versions, so 0 means "no version may violate".
+
+    Report: one row per expectation — ``(expectation, severity,
+    n_versions, n_violations, first_bad_version, max_ppm, passed)``,
+    exact integers; ``first_bad_version`` is NULL when clean.
+
+    Scale shape: the lag window is a single global sort over the
+    LEDGER — #commits rows, the control plane, never data — followed by
+    one conditional aggregation; same one-pass discipline as the
+    row-level face."""
+    cols = ledger.columns
+    if version_col not in cols:
+        raise ValueError(
+            f"version_col {version_col!r} not in ledger columns {cols}"
+        )
+    w = Window.orderBy(F.col(version_col).asc())
+    aug = ledger.select(
+        "*", *[F.lag(c).over(w).alias(f"prev_{c}") for c in cols]
+    )
+    if not expectations:
+        return ledger.sparkSession.createDataFrame(
+            [],
+            "expectation STRING, severity STRING, n_versions BIGINT, "
+            "n_violations BIGINT, first_bad_version BIGINT, "
+            "max_ppm BIGINT, passed BOOLEAN",
+        )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for i, e in enumerate(expectations.values()):
+        aggs.append(
+            F.sum(F.when(e.violation, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"__v{i}")
+        )
+        aggs.append(
+            F.min(F.when(e.violation, F.col(version_col)))
+            .cast("bigint")
+            .alias(f"__first{i}")
+        )
+    wide = aug.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(name).alias("expectation"),
+            F.lit(e.severity).alias("severity"),
+            F.col("__n").alias("n_versions"),
+            F.col(f"__v{i}").alias("n_violations"),
+            F.col(f"__first{i}").alias("first_bad_version"),
+            F.lit(int(e.max_ppm)).cast("bigint").alias("max_ppm"),
+        )
+        for i, (name, e) in enumerate(expectations.items())
+    ])
+    return (
+        wide.select(F.explode(rows).alias("kv"))
+        .select("kv.*")
+        .withColumn(
+            "passed",
+            F.when(F.col("n_versions") == 0, F.lit(True)).otherwise(
+                F.expr(
+                    "CAST(n_violations * 1000000L DIV n_versions AS BIGINT)"
+                )
+                <= F.col("max_ppm")
+            ),
+        )
+    )
+
+
+def enforce_batch_expectations(
+    ledger: DataFrame,
+    version_col: str,
+    expectations: Mapping[str, Expectation],
+) -> DataFrame:
+    """Promotion gate over the ledger contract: raise listing every
+    failed error-severity line (with its first bad version — the commit
+    an operator must inspect), return the collected-and-rebuilt report
+    otherwise. Same severity routing as :func:`enforce_expectations`."""
+    report = check_batch_expectations(ledger, version_col, expectations)
+    rows = report.collect()
+    failed = [
+        r for r in rows if not r["passed"] and r["severity"] == "error"
+    ]
+    if failed:
+        detail = "; ".join(
+            f"{r['expectation']}: {r['n_violations']} of "
+            f"{r['n_versions']} versions violate (first at version "
+            f"{r['first_bad_version']})"
+            for r in failed
+        )
+        raise ValueError(
+            f"batch expectation gate failed ({len(failed)} error-severity "
+            f"contract line(s)): {detail}"
+        )
+    return ledger.sparkSession.createDataFrame(rows, report.schema)

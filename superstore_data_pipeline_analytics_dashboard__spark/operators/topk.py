@@ -135,7 +135,21 @@ def _estimate_rows(
     (a larger fetch_factor). It is fused into the output ``key`` column
     so column pruning can never drop it; cost is one array_min + two
     array size/filter expressions per group row — no window, no extra
-    shuffle."""
+    shuffle.
+
+    Known conservative false positive (exact-fit): ``_nf >= fetch_n``
+    is the truncation signal, and the sketch output does not say
+    whether a full-length return was truncated or the group tracked
+    EXACTLY ``fetch_n`` distinct items (a complete fetch whose cut
+    would be deterministic). A boundary count tie in that exact-fit
+    group therefore raises even though no unfetched key can exist.
+    This is deliberate fail-loud bias: the two cases are
+    indistinguishable from the fetched array alone, a spurious raise
+    costs one re-run with a larger ``fetch_factor`` (which then fetches
+    the whole group and disarms the guard), while the alternative — a
+    side-channel distinct-count to disambiguate — would itself be
+    approximate (``approx_count_distinct``) and turn a hard guarantee
+    into a probabilistic one. Documented per ADVICE r9."""
     boundary = (
         [
             F.size(F.col(est_col)).alias("_nf"),
@@ -177,6 +191,10 @@ def _estimate_rows(
         # run (nothing tracked was left behind), so no guard is needed
         # — and "re-fetch more" would be impossible advice anyway
         return kept.select(*group_cols, "key", "cnt", "rank")
+    # _nf >= fetch_n cannot distinguish a truncated fetch from a group
+    # that tracked exactly fetch_n items — the exact-fit case raises
+    # spuriously on a boundary tie (see docstring: deliberate
+    # fail-loud bias, disarmed by a larger fetch_factor)
     overflow = (F.col("_nf") >= F.lit(fetch_n)) & (
         (F.col("cnt") == F.col("_min_cnt"))
         | (F.col("_n_nonnull") < F.lit(k))

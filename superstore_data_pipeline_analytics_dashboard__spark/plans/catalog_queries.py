@@ -25,6 +25,7 @@ shuffle joins that AQE can re-plan.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import shutil
 import tempfile
@@ -14556,19 +14557,24 @@ def q251_pagerank_checkpoint_resume(
     # survives between the calls without this outer persist).
     edges = _copurchase_edges(spark, sf).persist()
 
-    # interrupted run: checkpoints v1, v2 are written EAGERLY (each
-    # save is a parquet write action); the returned frame is unused
-    pagerank(edges, iters=2, damping=0.85, checkpoint_dir=ckpt)
-    # resumed run: loads v000002, executes round 3 only
-    pr = pagerank(edges, iters=3, damping=0.85, checkpoint_dir=ckpt)
-    out = pr.select(F.col("node").alias("part"), "rank")
-    # the final ranks were reloaded from the round-3 checkpoint files
-    # (pagerank saves the last round and reloads after each save), so
-    # the result must be detached from BOTH the edge cache and the
-    # about-to-be-deleted checkpoint dir before cleanup
-    out = out.localCheckpoint(eager=True)
-    edges.unpersist()
-    shutil.rmtree(ckpt, ignore_errors=True)
+    # try/finally so a mid-run failure can't leak the scratch tree
+    # across repeated gate/bench runs (ADVICE r9)
+    try:
+        # interrupted run: checkpoints v1, v2 are written EAGERLY (each
+        # save is a parquet write action); the returned frame is unused
+        pagerank(edges, iters=2, damping=0.85, checkpoint_dir=ckpt)
+        # resumed run: loads v000002, executes round 3 only
+        pr = pagerank(edges, iters=3, damping=0.85, checkpoint_dir=ckpt)
+        out = pr.select(F.col("node").alias("part"), "rank")
+        # the final ranks were reloaded from the round-3 checkpoint
+        # files (pagerank saves the last round and reloads after each
+        # save), so the result must be detached from BOTH the edge
+        # cache and the about-to-be-deleted checkpoint dir before
+        # cleanup
+        out = out.localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+        shutil.rmtree(ckpt, ignore_errors=True)
     return out
 
 
@@ -14791,13 +14797,29 @@ def _land_batch_with_stats(
         commit_snapshot(spark, man, log)
 
 
+@contextlib.contextmanager
+def _scratch(prefix: str):
+    """mkdtemp whose removal is GUARANTEED (try/finally): any failure
+    between the mkdtemp and the result detach — a parity mismatch
+    raised mid-plan, an erase_rows guard raise, a write error — must
+    not leak a per-invocation copy of the orders table under /tmp
+    across repeated gate/bench/census runs (ADVICE r9). Results that
+    read from the scratch tree must be materialized with
+    ``localCheckpoint(eager=True)`` BEFORE the ``with`` block exits."""
+    base = tempfile.mkdtemp(prefix=prefix)
+    try:
+        yield base
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _land_orders_two_batches(
-    spark: SparkSession, sf: str
+    spark: SparkSession, sf: str, base: str
 ) -> tuple[str, str, str]:
     """orders keys land as batch 0 (even keys) then batch 1 (odd), with
     manifest rows and a snapshot commit after each — the sink layout of
-    streaming/incremental.start_append_with_manifest, built directly."""
-    base = tempfile.mkdtemp(prefix="q255_snap_")
+    streaming/incremental.start_append_with_manifest, built directly
+    under the caller's ``_scratch`` base."""
     sink, man, log = f"{base}/sink", f"{base}/man", f"{base}/log"
     orders = load_table(spark, sf, "orders").select("o_orderkey")
     for batch_id, keep in ((0, 0), (1, 1)):
@@ -14808,23 +14830,16 @@ def _land_orders_two_batches(
     return sink, man, log
 
 
-def _detach_and_clean(out: DataFrame, sink: str) -> DataFrame:
-    """Materialize a result that still reads from the scratch sink
-    (localCheckpoint detaches it from the files), then delete the
-    scratch tree — repeated gate/bench/census invocations must not
-    accumulate /tmp copies of the orders table."""
-    out = out.localCheckpoint(eager=True)
-    shutil.rmtree(sink.rsplit("/", 1)[0], ignore_errors=True)
-    return out
-
-
 def q255_snapshot_as_of(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.snapshots import read_as_of
 
-    sink, _, log = _land_orders_two_batches(spark, sf)
-    return _detach_and_clean(
-        read_as_of(spark, sink, log, 1).select("o_orderkey"), sink
-    )
+    with _scratch("q255_snap_") as base:
+        sink, _, log = _land_orders_two_batches(spark, sf, base)
+        return (
+            read_as_of(spark, sink, log, 1)
+            .select("o_orderkey")
+            .localCheckpoint(eager=True)
+        )
 
 
 Q255_SQL = """
@@ -14835,8 +14850,9 @@ SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
 def q256_snapshot_ledger(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.snapshots import snapshot_ledger
 
-    sink, _, log = _land_orders_two_batches(spark, sf)
-    return _detach_and_clean(snapshot_ledger(spark, log), sink)
+    with _scratch("q256_snap_") as base:
+        _, _, log = _land_orders_two_batches(spark, sf, base)
+        return snapshot_ledger(spark, log).localCheckpoint(eager=True)
 
 
 # coalesce(1) pins n_files to one per landed batch, so the ledger is
@@ -14864,10 +14880,13 @@ def q258_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     difference + static partition filter; no row-level anti-join."""
     from ..sources.snapshots import snapshot_diff
 
-    sink, _, log = _land_orders_two_batches(spark, sf)
-    return _detach_and_clean(
-        snapshot_diff(spark, sink, log, 1, 2).select("o_orderkey"), sink
-    )
+    with _scratch("q258_snap_") as base:
+        sink, _, log = _land_orders_two_batches(spark, sf, base)
+        return (
+            snapshot_diff(spark, sink, log, 1, 2)
+            .select("o_orderkey")
+            .localCheckpoint(eager=True)
+        )
 
 
 Q258_SQL = """
@@ -14891,27 +14910,25 @@ SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 1
 def q257_targeted_erasure(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.retention import erase_rows
 
-    base = tempfile.mkdtemp(prefix="q257_erase_")
-    sink, man = f"{base}/sink", f"{base}/man"
-    orders = load_table(spark, sf, "orders").select("o_orderkey")
-    half = orders.agg(F.expr("max(o_orderkey) div 2").alias("h")).collect()[
-        0
-    ]["h"]
-    for batch_id, part in (
-        (0, orders.filter(F.col("o_orderkey") <= half)),
-        (1, orders.filter(F.col("o_orderkey") > half)),
-    ):
-        _land_batch_with_stats(
-            spark, part, sink, man, batch_id, ["o_orderkey"]
+    with _scratch("q257_erase_") as base:
+        sink, man = f"{base}/sink", f"{base}/man"
+        orders = load_table(spark, sf, "orders").select("o_orderkey")
+        half = orders.agg(
+            F.expr("max(o_orderkey) div 2").alias("h")
+        ).collect()[0]["h"]
+        for batch_id, part in (
+            (0, orders.filter(F.col("o_orderkey") <= half)),
+            (1, orders.filter(F.col("o_orderkey") > half)),
+        ):
+            _land_batch_with_stats(
+                spark, part, sink, man, batch_id, ["o_orderkey"]
+            )
+        optout = orders.filter(
+            (F.col("o_orderkey") % 100 == 0) & (F.col("o_orderkey") <= half)
         )
-    optout = orders.filter(
-        (F.col("o_orderkey") % 100 == 0) & (F.col("o_orderkey") <= half)
-    )
-    rep = erase_rows(spark, sink, man, "o_orderkey", optout)
-    # the report is createDataFrame'd from driver-side scalars — already
-    # detached from the scratch sink, which can go immediately
-    shutil.rmtree(base, ignore_errors=True)
-    return rep
+        # the report is createDataFrame'd from driver-side scalars —
+        # already detached from the scratch sink
+        return erase_rows(spark, sink, man, "o_orderkey", optout)
 
 
 Q257_SQL = """
@@ -14956,24 +14973,26 @@ FROM hi
 def q259_snapshot_drift_audit(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.snapshots import snapshot_drift_audit
 
-    sink, _, log = _land_orders_two_batches(spark, sf)
-    # retention ate member batch 0 after the version-2 commit
-    shutil.rmtree(f"{sink}/batch=0", ignore_errors=True)
-    # a replay rewrote batch 1 with different content (odd keys not
-    # divisible by 3) — reads from the SOURCE table, so no
-    # read-overwrite conflict with the sink path being replaced
-    orders = load_table(spark, sf, "orders").select("o_orderkey")
-    (
-        orders.filter(
-            (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 3 != 0)
+    with _scratch("q259_snap_") as base:
+        sink, _, log = _land_orders_two_batches(spark, sf, base)
+        # retention ate member batch 0 after the version-2 commit
+        shutil.rmtree(f"{sink}/batch=0", ignore_errors=True)
+        # a replay rewrote batch 1 with different content (odd keys not
+        # divisible by 3) — reads from the SOURCE table, so no
+        # read-overwrite conflict with the sink path being replaced
+        orders = load_table(spark, sf, "orders").select("o_orderkey")
+        (
+            orders.filter(
+                (F.col("o_orderkey") % 2 == 1)
+                & (F.col("o_orderkey") % 3 != 0)
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{sink}/batch=1")
         )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{sink}/batch=1")
-    )
-    return _detach_and_clean(
-        snapshot_drift_audit(spark, sink, log, 2), sink
-    )
+        return snapshot_drift_audit(spark, sink, log, 2).localCheckpoint(
+            eager=True
+        )
 
 
 Q259_SQL = """
@@ -15002,44 +15021,45 @@ def q260_manifest_consistency_audit(
 
     from ..streaming.audit import manifest_consistency_audit
 
-    sink, man, _ = _land_orders_two_batches(spark, sf)
-    # damage 1 — stale manifest row: batch 0's (only) data file
-    # vanishes from disk while its manifest row survives
-    for f in glob.glob(f"{sink}/batch=0/*.parquet"):
-        os.remove(f)
-    # damage 2 — unenveloped file: a part file lands in batch 1 behind
-    # the manifest's back (crash between data write and manifest
-    # write). Written via a scratch dir so the writer-UUID name cannot
-    # collide with batch 1's existing file; even keys guarantee the
-    # file is non-empty (an empty parquet file would be invisible to
-    # the input_file_name rollup and the plant would silently no-op).
-    orders = load_table(spark, sf, "orders").select("o_orderkey")
-    scratch = tempfile.mkdtemp(prefix="q260_extra_")
-    orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(scratch)
-    extra = glob.glob(f"{scratch}/*.parquet")[0]
-    shutil.move(extra, f"{sink}/batch=1/{os.path.basename(extra)}")
-    shutil.rmtree(scratch, ignore_errors=True)
-    # damage 3 — stats drift: batch 1's recorded n_rows bumped by 3
-    # (stats from a different write than what survived). Materialized
-    # BEFORE the dynamic overwrite: the drifted rows are computed from
-    # the same path being replaced.
-    drifted = (
-        spark.read.parquet(man)
-        .filter(F.col("batch") == 1)
-        .withColumn("n_rows", F.col("n_rows") + F.lit(3))
-        .localCheckpoint(eager=True)
-    )
-    (
-        drifted.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch")
-        .parquet(man)
-    )
-    return _detach_and_clean(
-        manifest_consistency_audit(spark, sink, man), sink
-    )
+    with _scratch("q260_snap_") as base:
+        sink, man, _ = _land_orders_two_batches(spark, sf, base)
+        # damage 1 — stale manifest row: batch 0's (only) data file
+        # vanishes from disk while its manifest row survives
+        for f in glob.glob(f"{sink}/batch=0/*.parquet"):
+            os.remove(f)
+        # damage 2 — unenveloped file: a part file lands in batch 1
+        # behind the manifest's back (crash between data write and
+        # manifest write). Written via a scratch dir so the writer-UUID
+        # name cannot collide with batch 1's existing file; even keys
+        # guarantee the file is non-empty (an empty parquet file would
+        # be invisible to the input_file_name rollup and the plant
+        # would silently no-op).
+        orders = load_table(spark, sf, "orders").select("o_orderkey")
+        with _scratch("q260_extra_") as scratch:
+            orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(
+                1
+            ).write.mode("overwrite").parquet(scratch)
+            extra = glob.glob(f"{scratch}/*.parquet")[0]
+            shutil.move(extra, f"{sink}/batch=1/{os.path.basename(extra)}")
+        # damage 3 — stats drift: batch 1's recorded n_rows bumped by 3
+        # (stats from a different write than what survived).
+        # Materialized BEFORE the dynamic overwrite: the drifted rows
+        # are computed from the same path being replaced.
+        drifted = (
+            spark.read.parquet(man)
+            .filter(F.col("batch") == 1)
+            .withColumn("n_rows", F.col("n_rows") + F.lit(3))
+            .localCheckpoint(eager=True)
+        )
+        (
+            drifted.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(man)
+        )
+        return manifest_consistency_audit(spark, sink, man).localCheckpoint(
+            eager=True
+        )
 
 
 # one planted fault per damage class — the classification itself is
@@ -15081,32 +15101,31 @@ SELECT CAST(2 AS BIGINT) AS n_data_files,
 def q261_schema_evolution_pin(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.snapshots import read_as_of
 
-    base = tempfile.mkdtemp(prefix="q261_evo_")
-    sink, man, log = f"{base}/sink", f"{base}/man", f"{base}/log"
-    orders = load_table(spark, sf, "orders")
-    cents = F.expr(
-        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
-    )
-    b0 = orders.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey")
-    b1 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
-        "o_orderkey", cents.alias("o_total_cents")
-    )
-    for bid, part in ((0, b0), (1, b1)):
-        _land_batch_with_stats(
-            spark, part, sink, man, bid, ["o_orderkey"], log=log
+    with _scratch("q261_evo_") as base:
+        sink, man, log = f"{base}/sink", f"{base}/man", f"{base}/log"
+        orders = load_table(spark, sf, "orders")
+        cents = F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
         )
-    v1 = read_as_of(spark, sink, log, 1)
-    v2 = read_as_of(spark, sink, log, 2)
-    row = (
-        ",".join(sorted(v1.columns)),
-        ",".join(sorted(v2.columns)),
-        v1.count(),
-        v2.count(),
-        v2.filter(F.col("o_total_cents").isNull()).count(),
-        int(v2.agg(F.sum("o_total_cents")).collect()[0][0]),
-    )
-    # the report row is driver-side scalars — already detached
-    shutil.rmtree(base, ignore_errors=True)
+        b0 = orders.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey")
+        b1 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", cents.alias("o_total_cents")
+        )
+        for bid, part in ((0, b0), (1, b1)):
+            _land_batch_with_stats(
+                spark, part, sink, man, bid, ["o_orderkey"], log=log
+            )
+        v1 = read_as_of(spark, sink, log, 1)
+        v2 = read_as_of(spark, sink, log, 2)
+        # the report row is driver-side scalars — already detached
+        row = (
+            ",".join(sorted(v1.columns)),
+            ",".join(sorted(v2.columns)),
+            v1.count(),
+            v2.count(),
+            v2.filter(F.col("o_total_cents").isNull()).count(),
+            int(v2.agg(F.sum("o_total_cents")).collect()[0][0]),
+        )
     return spark.createDataFrame(
         [row],
         "v1_cols STRING, v2_cols STRING, v1_rows BIGINT, v2_rows BIGINT, "
@@ -15136,42 +15155,40 @@ FROM c
 def q262_grid_erasure(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.retention import erase_rows
 
-    base = tempfile.mkdtemp(prefix="q262_grid_")
-    sink, man = f"{base}/sink", f"{base}/man"
-    orders = load_table(spark, sf, "orders").select(
-        "o_orderkey", "o_custkey"
-    )
-    h = orders.agg(
-        F.expr("max(o_custkey) div 2").alias("hc"),
-        F.expr("max(o_orderkey) div 2").alias("ho"),
-    ).collect()[0]
-    hc, ho = h["hc"], h["ho"]
-    cells = {
-        0: (F.col("o_custkey") <= hc) & (F.col("o_orderkey") <= ho),
-        1: (F.col("o_custkey") <= hc) & (F.col("o_orderkey") > ho),
-        2: (F.col("o_custkey") > hc) & (F.col("o_orderkey") <= ho),
-        3: (F.col("o_custkey") > hc) & (F.col("o_orderkey") > ho),
-    }
-    for bid, pred in cells.items():
-        _land_batch_with_stats(
-            spark,
-            orders.filter(pred),
-            sink,
-            man,
-            bid,
-            ["o_custkey", "o_orderkey"],
+    with _scratch("q262_grid_") as base:
+        sink, man = f"{base}/sink", f"{base}/man"
+        orders = load_table(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey"
         )
-    optout = orders.filter(
-        (F.col("o_custkey") <= hc)
-        & (F.col("o_orderkey") <= ho)
-        & (F.col("o_orderkey") % 50 == 0)
-    ).select("o_custkey", "o_orderkey")
-    rep = erase_rows(
-        spark, sink, man, ["o_custkey", "o_orderkey"], optout
-    )
-    # report rows are createDataFrame'd driver scalars — detached
-    shutil.rmtree(base, ignore_errors=True)
-    return rep
+        h = orders.agg(
+            F.expr("max(o_custkey) div 2").alias("hc"),
+            F.expr("max(o_orderkey) div 2").alias("ho"),
+        ).collect()[0]
+        hc, ho = h["hc"], h["ho"]
+        cells = {
+            0: (F.col("o_custkey") <= hc) & (F.col("o_orderkey") <= ho),
+            1: (F.col("o_custkey") <= hc) & (F.col("o_orderkey") > ho),
+            2: (F.col("o_custkey") > hc) & (F.col("o_orderkey") <= ho),
+            3: (F.col("o_custkey") > hc) & (F.col("o_orderkey") > ho),
+        }
+        for bid, pred in cells.items():
+            _land_batch_with_stats(
+                spark,
+                orders.filter(pred),
+                sink,
+                man,
+                bid,
+                ["o_custkey", "o_orderkey"],
+            )
+        optout = orders.filter(
+            (F.col("o_custkey") <= hc)
+            & (F.col("o_orderkey") <= ho)
+            & (F.col("o_orderkey") % 50 == 0)
+        ).select("o_custkey", "o_orderkey")
+        # report rows are createDataFrame'd driver scalars — detached
+        return erase_rows(
+            spark, sink, man, ["o_custkey", "o_orderkey"], optout
+        )
 
 
 Q262_SQL = """
@@ -15331,18 +15348,16 @@ def q264_log_retention_ledger(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.checkpoint import vacuum
     from ..sources.snapshots import snapshot_ledger
 
-    base = tempfile.mkdtemp(prefix="q264_logret_")
-    sink, man, log = f"{base}/sink", f"{base}/man", f"{base}/log"
-    orders = load_table(spark, sf, "orders").select("o_orderkey")
-    for bid in (0, 1, 2):
-        part = orders.filter(F.col("o_orderkey") % 3 == bid)
-        _land_batch_with_stats(
-            spark, part, sink, man, bid, ["o_orderkey"], log=log
-        )
-    vacuum(spark, log, keep_last=2)  # v1 is gone; v2 is now the oldest
-    out = snapshot_ledger(spark, log).localCheckpoint(eager=True)
-    shutil.rmtree(base, ignore_errors=True)
-    return out
+    with _scratch("q264_logret_") as base:
+        sink, man, log = f"{base}/sink", f"{base}/man", f"{base}/log"
+        orders = load_table(spark, sf, "orders").select("o_orderkey")
+        for bid in (0, 1, 2):
+            part = orders.filter(F.col("o_orderkey") % 3 == bid)
+            _land_batch_with_stats(
+                spark, part, sink, man, bid, ["o_orderkey"], log=log
+            )
+        vacuum(spark, log, keep_last=2)  # v1 gone; v2 is now the oldest
+        return snapshot_ledger(spark, log).localCheckpoint(eager=True)
 
 
 Q264_SQL = """
@@ -15368,39 +15383,38 @@ def q265_incremental_rollup_via_diff(
 ) -> DataFrame:
     from ..sources.snapshots import read_as_of, snapshot_diff
 
-    base = tempfile.mkdtemp(prefix="q265_incr_")
-    sink, man, log = f"{base}/sink", f"{base}/man", f"{base}/log"
-    cents = F.expr(
-        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
-    )
-    orders = load_table(spark, sf, "orders").select(
-        "o_orderkey", "o_orderpriority", cents.alias("cents")
-    )
-    for bid, keep in ((0, 0), (1, 1)):
-        part = orders.filter(F.col("o_orderkey") % 2 == keep)
-        _land_batch_with_stats(
-            spark, part, sink, man, bid, ["o_orderkey"], log=log
+    with _scratch("q265_incr_") as base:
+        sink, man, log = f"{base}/sink", f"{base}/man", f"{base}/log"
+        cents = F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
         )
+        orders = load_table(spark, sf, "orders").select(
+            "o_orderkey", "o_orderpriority", cents.alias("cents")
+        )
+        for bid, keep in ((0, 0), (1, 1)):
+            part = orders.filter(F.col("o_orderkey") % 2 == keep)
+            _land_batch_with_stats(
+                spark, part, sink, man, bid, ["o_orderkey"], log=log
+            )
 
-    def rollup(df: DataFrame) -> DataFrame:
-        return df.groupBy("o_orderpriority").agg(
-            F.count("*").alias("n_orders"),
-            F.sum("cents").alias("total_cents"),
-        )
+        def rollup(df: DataFrame) -> DataFrame:
+            return df.groupBy("o_orderpriority").agg(
+                F.count("*").alias("n_orders"),
+                F.sum("cents").alias("total_cents"),
+            )
 
-    served = rollup(read_as_of(spark, sink, log, 1))  # built at pin v1
-    delta = rollup(snapshot_diff(spark, sink, log, 1, 2))  # the update
-    out = (
-        served.unionByName(delta)
-        .groupBy("o_orderpriority")
-        .agg(
-            F.sum("n_orders").alias("n_orders"),
-            F.sum("total_cents").alias("total_cents"),
+        served = rollup(read_as_of(spark, sink, log, 1))  # at pin v1
+        delta = rollup(snapshot_diff(spark, sink, log, 1, 2))  # update
+        return (
+            served.unionByName(delta)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.sum("n_orders").alias("n_orders"),
+                F.sum("total_cents").alias("total_cents"),
+            )
+            # detach before the sink vanishes
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)  # detach before the sink vanishes
-    )
-    shutil.rmtree(base, ignore_errors=True)
-    return out
 
 
 Q265_SQL = """

@@ -1,0 +1,247 @@
+"""Round-11 staging catalog: the cross-batch (ledger) contract face of
+operators/expectations.py and the approx-top-k truncation honesty
+query, as gate-ready queries + DuckDB oracles, NOT yet registered.
+
+Why staged DORMANT: the round-10 audit window is a pinned contract
+(tests/test_registry_window.py — q266/q267 + the 48-query r5-verdict
+canary block). These queries are fully written, canon-wrapped and
+parity-tested at sf0.001 AND sf0.01 (tests/test_catalog_r11.py), and
+registration is a round-11 rotation step: MERGE this module's body
+into ``catalog_queries.py`` ahead of the registry (exactly as the
+r9/r10 rotations merged their staging modules — a back-import from
+catalog_queries would be circular, since this module imports
+``_canon_query``/``_li``/``_scratch``/``_land_batch_with_stats`` from
+it), splice the queries at the window head, update
+tests/test_registry_window.py + COVERAGE.md, and delete this
+docstring's dormancy paragraph plus the dormancy pin test.
+
+Same conventions as :mod:`catalog_queries`: aliases identical on both
+sides, exact BIGINT counts, integer arithmetic only (no doubles in any
+output).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.expectations import (
+    Expectation,
+    check_batch_expectations,
+)
+from ..sources.catalog import load_table
+from .catalog_queries import (
+    _canon_query,
+    _land_batch_with_stats,
+    _li,
+    _scratch,
+)
+
+
+# --------------------------------------------- cross-batch contracts
+#
+# q268: the LEDGER face of the data-contract layer (VERDICT r9 item 3)
+# — a real promotion gate at 100 TB checks each commit AGAINST HISTORY,
+# not just rows inside it. Three commits land with a planted volume
+# drop (batch 0 = half the keys, batches 1-2 = a quarter each), then
+# check_batch_expectations evaluates three history contracts over the
+# snapshot ledger: row-count monotonicity and added-rows positivity
+# pass (error lines), while the added-volume drift bound (±40% of the
+# previous commit's add) FAILS at version 2 — visible in the report
+# with first_bad_version=2, non-blocking at warn severity. The drift
+# margin is scale-stable: the mod-4 key split makes v2's add ~50% below
+# v1's at every SF. The oracle rebuilds the ledger rows from orders
+# arithmetic, replays the lag window and every verdict in SQL.
+
+def q268_ledger_contract(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.snapshots import snapshot_ledger
+
+    with _scratch("q268_ledg_") as base:
+        sink, man, log = f"{base}/sink", f"{base}/man", f"{base}/log"
+        orders = load_table(spark, sf, "orders").select("o_orderkey")
+        for bid, pred in (
+            (0, F.col("o_orderkey") % 4 <= 1),
+            (1, F.col("o_orderkey") % 4 == 2),
+            (2, F.col("o_orderkey") % 4 == 3),
+        ):
+            _land_batch_with_stats(
+                spark,
+                orders.filter(pred),
+                sink,
+                man,
+                bid,
+                ["o_orderkey"],
+                log=log,
+            )
+        ledger = snapshot_ledger(spark, log)
+        contract = {
+            "row_count_monotone": Expectation(
+                F.col("n_rows") < F.col("prev_n_rows")
+            ),
+            "added_positive": Expectation(F.col("rows_added") <= 0),
+            # |n1 - n0| * 100 > 40 * n0 at v2 (the planted ~50% drop);
+            # v3's add is within a few percent of v2's — 1 violation
+            "added_drift_bounded": Expectation(
+                F.abs(F.col("rows_added") - F.col("prev_rows_added")) * 100
+                > 40 * F.col("prev_rows_added"),
+                severity="warn",
+            ),
+        }
+        return check_batch_expectations(
+            ledger, "version", contract
+        ).localCheckpoint(eager=True)
+
+
+Q268_SQL = """
+WITH c AS (
+  SELECT count(*) FILTER (WHERE o_orderkey % 4 <= 1) AS n0,
+         count(*) FILTER (WHERE o_orderkey % 4 = 2) AS n1,
+         count(*) FILTER (WHERE o_orderkey % 4 = 3) AS n2
+  FROM orders
+), l AS (
+  SELECT 1 AS version, n0 AS n_rows, n0 AS rows_added FROM c
+  UNION ALL SELECT 2, n0 + n1, n1 FROM c
+  UNION ALL SELECT 3, n0 + n1 + n2, n2 FROM c
+), a AS (
+  SELECT version, n_rows, rows_added,
+         lag(n_rows) OVER (ORDER BY version) AS p_rows,
+         lag(rows_added) OVER (ORDER BY version) AS p_add
+  FROM l
+), v AS (
+  SELECT 'row_count_monotone' AS expectation, 'error' AS severity,
+         count(*) AS n_versions,
+         count(*) FILTER (WHERE n_rows < p_rows) AS n_violations,
+         min(version) FILTER (WHERE n_rows < p_rows)
+           AS first_bad_version,
+         CAST(0 AS BIGINT) AS max_ppm
+  FROM a
+  UNION ALL
+  SELECT 'added_positive', 'error', count(*),
+         count(*) FILTER (WHERE rows_added <= 0),
+         min(version) FILTER (WHERE rows_added <= 0), 0
+  FROM a
+  UNION ALL
+  SELECT 'added_drift_bounded', 'warn', count(*),
+         count(*) FILTER (WHERE abs(rows_added - p_add) * 100
+                            > 40 * p_add),
+         min(version) FILTER (WHERE abs(rows_added - p_add) * 100
+                                > 40 * p_add), 0
+  FROM a
+)
+SELECT expectation, severity, CAST(n_versions AS BIGINT) AS n_versions,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       CAST(first_bad_version AS BIGINT) AS first_bad_version,
+       max_ppm,
+       n_violations * 1000000 // n_versions <= max_ppm AS passed
+FROM v
+"""
+
+
+# --------------------------------- approx top-k truncation honesty
+#
+# q269: the sketch tier's truncation-regime guarantee under the
+# driver's gate (VERDICT r9 item 4) — the q35 HLL pattern: exact
+# columns recomputed by the oracle, guarantee booleans compared against
+# literal true, so a guarantee break is a hash mismatch, not a silent
+# drift. Keys are l_partkey with every 10th key collapsed to -1 — a
+# planted ~10% heavy hitter per returnflag group, far above the
+# N/max_tracked ≈ 1.6% tracking threshold, while the remaining ~180
+# (sf0.001) to ~18k (sf0.1) distinct keys keep the 64-item sketch
+# firmly in the truncation regime at every SF. band_ok asserts every
+# fetched estimate sits within the two-sided N/max_tracked band the
+# property test measures (test_topk.py; integer comparison —
+# |err| * max_tracked <= n_rows — no doubles); tracking_ok asserts no
+# guaranteed-tracked heavy key was lost. Measured at all three SFs:
+# estimates are EXACT (error 0) and all 3 planted heavies survive, so
+# both booleans are deterministically true with the full band as
+# margin. Capacity fetch (k = fetch_n = max_items_tracked) keeps the
+# fetch-boundary guard disarmed by construction — nothing tracked is
+# left behind.
+
+def q269_topk_truncation_band(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    from ..operators.topk import grouped_topk_approx
+
+    mt = 64
+    li = _li(spark, sf).select(
+        "l_returnflag",
+        F.when(F.col("l_partkey") % 10 == 0, F.lit(-1))
+        .otherwise(F.col("l_partkey"))
+        .alias("key"),
+    )
+    li = li.persist()  # feeds the sketch, the exact twin and the totals
+    est = grouped_topk_approx(
+        li, ["l_returnflag"], "key", k=mt, max_items_tracked=mt,
+        fetch_factor=1,
+    )
+    exact = li.groupBy("l_returnflag", "key").agg(
+        F.count("*").alias("true_cnt")
+    )
+    totals = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("key").alias("n_keys"),
+    )
+    j = est.join(exact, ["l_returnflag", "key"]).join(
+        totals, "l_returnflag"
+    )
+    per_flag = j.groupBy("l_returnflag", "n_rows", "n_keys").agg(
+        F.count("*").alias("n_est"),
+        F.sum(
+            F.when(
+                F.abs(F.col("cnt") - F.col("true_cnt")) * mt
+                <= F.col("n_rows"),
+                1,
+            ).otherwise(0)
+        ).alias("n_in_band"),
+    )
+    heavy = exact.join(totals, "l_returnflag").filter(
+        F.col("true_cnt") * mt > F.col("n_rows")
+    )
+    missing = (
+        heavy.join(est, ["l_returnflag", "key"], "left_anti")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_missing"))
+    )
+    return per_flag.join(missing, ["l_returnflag"], "left").select(
+        "l_returnflag",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        (F.col("n_in_band") == F.col("n_est")).alias("band_ok"),
+        (F.coalesce(F.col("n_missing"), F.lit(0)) == 0).alias(
+            "tracking_ok"
+        ),
+    )
+
+
+Q269_SQL = """
+WITH k AS (
+  SELECT l_returnflag,
+         CASE WHEN l_partkey % 10 = 0 THEN -1 ELSE l_partkey END AS key
+  FROM lineitem
+)
+SELECT l_returnflag, count(*) AS n_rows,
+       CAST(count(DISTINCT key) AS BIGINT) AS n_keys,
+       true AS band_ok, true AS tracking_ok
+FROM k GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------- registry
+#
+# Dormant: consumed only by tests/test_catalog_r11.py until the r11
+# rotation merges this module into catalog_queries.py and splices
+# these dicts at the main registry's window head.
+
+R11_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q268_ledger_contract": q268_ledger_contract,
+    "q269_topk_truncation_band": q269_topk_truncation_band,
+}
+R11_ORACLES: dict[str, str] = {
+    "q268_ledger_contract": Q268_SQL,
+    "q269_topk_truncation_band": Q269_SQL,
+}
+
+R11_QUERIES = {name: _canon_query(fn) for name, fn in R11_QUERIES.items()}

@@ -173,9 +173,27 @@ def erase_rows(
         # (stats must be collected POST-swap: the manifest's `file`
         # column holds live URIs that pruned reads open directly)
         # refresh stats for EVERY column the manifest tracks (not just
-        # the erasure keys) so other columns' pruned reads stay correct
-        stats = collect_file_stats(spark, part, stat_cols).withColumn(
+        # the erasure keys) so other columns' pruned reads stay correct.
+        # On a schema-evolved sink a pre-evolution batch may LACK a
+        # tracked column — collect stats only for the columns this
+        # batch actually has (asking for a missing one raises, and at
+        # this point the file swap already happened: aborting here
+        # would strand stale manifest rows with dead URIs), and pad the
+        # missing ones as typed NULLs so the manifest schema is stable
+        present = [c for c in stat_cols if c in before.columns]
+        stats = collect_file_stats(spark, part, present).withColumn(
             "batch", F.lit(b)
+        )
+        man_types = {f.name: f.dataType for f in man.schema.fields}
+        for c in stat_cols:
+            if c not in present:
+                stats = stats.withColumn(
+                    f"min_{c}", F.lit(None).cast(man_types[f"min_{c}"])
+                ).withColumn(
+                    f"max_{c}", F.lit(None).cast(man_types[f"max_{c}"])
+                )
+        stats = stats.select(
+            *[c for c in man.columns if c != "batch"], "batch"
         )
         stats.persist()
         n_after = stats.agg(F.sum("n_rows")).collect()[0][0] or 0

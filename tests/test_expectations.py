@@ -132,3 +132,124 @@ def test_single_scan_plan_shape(spark):
     )
     assert plan.count("FileScan parquet") == 1, plan
     assert plan.count("Exchange") <= 2, plan  # partial agg + final
+
+
+# ------------------------------------------- cross-batch (ledger) face
+
+
+@pytest.fixture(scope="module")
+def ledger_like(spark):
+    """A snapshot_ledger-shaped frame: three commits, the second adds
+    far fewer rows than the first (drift), the third shrinks the table
+    (monotonicity break)."""
+    rows = [
+        (1, 1, 1, 1000, 1000),
+        (2, 2, 2, 1100, 100),
+        (3, 3, 3, 900, -200),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version BIGINT, n_batches BIGINT, n_files BIGINT, "
+        "n_rows BIGINT, rows_added BIGINT",
+    ).persist()
+
+
+def test_batch_contract_lag_columns_and_verdicts(ledger_like):
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.expectations import (
+        check_batch_expectations,
+    )
+
+    contract = {
+        # v3 shrinks the table: 1 of 3 versions violates
+        "row_count_monotone": Expectation(
+            F.col("n_rows") < F.col("prev_n_rows")
+        ),
+        # |100 - 1000| * 100 > 50 * 1000 at v2; v3's delta vs 100 also
+        # violates -> 2 violations (abs drift > 50% of previous add)
+        "added_drift_bounded": Expectation(
+            F.abs(F.col("rows_added") - F.col("prev_rows_added")) * 100
+            > 50 * F.abs(F.col("prev_rows_added")),
+            max_ppm=700_000,
+            severity="warn",
+        ),
+        "added_positive": Expectation(
+            F.col("rows_added") <= 0  # v3 only
+        ),
+    }
+    rep = _by_name(
+        check_batch_expectations(ledger_like, "version", contract)
+    )
+    assert all(r["n_versions"] == 3 for r in rep.values())
+    mono = rep["row_count_monotone"]
+    assert mono["n_violations"] == 1
+    assert mono["first_bad_version"] == 3
+    assert not mono["passed"]
+    drift = rep["added_drift_bounded"]
+    assert drift["n_violations"] == 2
+    assert drift["first_bad_version"] == 2
+    # 2 of 3 = 666666 ppm <= 700000 budget: passes with headroom
+    assert drift["passed"]
+    pos = rep["added_positive"]
+    assert pos["n_violations"] == 1 and pos["first_bad_version"] == 3
+
+
+def test_batch_contract_first_version_has_no_history(ledger_like):
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.expectations import (
+        check_batch_expectations,
+    )
+
+    # prev_* is NULL at v1: the predicate is NULL there and the first
+    # commit cannot violate a history contract (documented NULL policy)
+    rep = _by_name(
+        check_batch_expectations(
+            ledger_like,
+            "version",
+            {"always_vs_prev": Expectation(F.col("prev_n_rows") >= 0)},
+        )
+    )
+    assert rep["always_vs_prev"]["n_violations"] == 2  # v2, v3 only
+    assert rep["always_vs_prev"]["first_bad_version"] == 2
+
+
+def test_batch_gate_raises_with_first_bad_version(ledger_like):
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.expectations import (
+        enforce_batch_expectations,
+    )
+
+    with pytest.raises(ValueError, match="first at version 3"):
+        enforce_batch_expectations(
+            ledger_like,
+            "version",
+            {
+                "row_count_monotone": Expectation(
+                    F.col("n_rows") < F.col("prev_n_rows")
+                )
+            },
+        )
+    # warn-severity failures report but do not block, and the returned
+    # report is rebuilt from collected rows (no second ledger scan)
+    rep = enforce_batch_expectations(
+        ledger_like,
+        "version",
+        {
+            "row_count_monotone": Expectation(
+                F.col("n_rows") < F.col("prev_n_rows"), severity="warn"
+            )
+        },
+    )
+    rows = rep.collect()
+    assert len(rows) == 1 and not rows[0]["passed"]
+
+
+def test_batch_contract_guard_rails(ledger_like):
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.expectations import (
+        check_batch_expectations,
+    )
+
+    with pytest.raises(ValueError, match="version_col"):
+        check_batch_expectations(
+            ledger_like, "no_such_col", {"x": Expectation(F.lit(True))}
+        )
+    assert (
+        check_batch_expectations(ledger_like, "version", {}).count() == 0
+    )

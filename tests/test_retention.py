@@ -161,6 +161,67 @@ def test_composite_key_envelope_prunes_what_one_column_cannot(
         )
 
 
+def test_erase_from_schema_evolved_sink(spark, tmp_path):
+    """Erasing a pre-evolution batch from a schema-evolved sink: the
+    manifest tracks a column (`extra`) that the old batch does not
+    have. The post-rewrite stats refresh must collect stats only for
+    the columns the batch actually has and pad the missing tracked
+    column as typed NULLs — asking the batch for `extra` would raise
+    AFTER the file swap, stranding stale manifest rows with dead file
+    URIs (ADVICE r9)."""
+    from superstore_data_pipeline_analytics_dashboard__spark.sources.manifest import (
+        collect_file_stats,
+    )
+
+    sink, man = str(tmp_path / "sink"), str(tmp_path / "man")
+    # batch 0: pre-evolution schema (id only), envelope [0, 99]
+    spark.createDataFrame(
+        [(i,) for i in range(100)], "id BIGINT"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sink}/batch=0")
+    s0 = (
+        collect_file_stats(spark, f"{sink}/batch=0", ["id"])
+        .withColumn("min_extra", F.lit(None).cast("bigint"))
+        .withColumn("max_extra", F.lit(None).cast("bigint"))
+        .withColumn("batch", F.lit(0))
+    )
+    # batch 1: evolved schema (id, extra), envelope [100, 249]
+    spark.createDataFrame(
+        [(i, 2 * i) for i in range(100, 250)], "id BIGINT, extra BIGINT"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sink}/batch=1")
+    s1 = collect_file_stats(
+        spark, f"{sink}/batch=1", ["id", "extra"]
+    ).withColumn("batch", F.lit(1))
+    for s in (s0, s1):
+        (
+            s.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(man)
+        )
+    rep = {
+        r["batch"]: r
+        for r in R.erase_rows(
+            spark, sink, man, "id", _keys(spark, [10, 20])
+        ).collect()
+    }
+    # the pre-evolution batch was rewritten and its manifest refreshed
+    assert rep[0]["rewritten"] and rep[0]["rows_erased"] == 2
+    assert not rep[1]["rewritten"]
+    stats = spark.read.parquet(man)
+    assert sum(r["n_rows"] for r in stats.collect()) == 248
+    by_batch = {r["batch"]: r for r in stats.collect()}
+    # padded NULL stats for the column the old batch never had; the
+    # evolved batch's stats are untouched
+    assert by_batch[0]["min_extra"] is None
+    assert by_batch[0]["min_id"] == 0 and by_batch[0]["max_id"] == 99
+    assert by_batch[1]["min_extra"] == 200
+    # pruned reads on the evolved column still work post-erasure
+    got = _ids(read_pruned(spark, stats, "extra", 200, 204))
+    assert got == [100, 101, 102]
+    audit = manifest_consistency_audit(spark, sink, man).collect()[0]
+    assert audit["consistent"]
+
+
 def test_erasure_property_vs_bruteforce(spark, tmp_path):
     """Property: on arbitrary batch layouts (overlapping envelopes
     included) and arbitrary opt-out sets, erasure equals the Python
