@@ -229,6 +229,197 @@ FROM k GROUP BY l_returnflag
 """
 
 
+# ------------------------------------------- bloom point-prune tier
+#
+# q270: the Bloom manifest tier (sources/bloom.py, r10) under the
+# driver's gate. The envelope tier prunes range-clustered layouts and
+# honestly degrades on random ones — this query builds the HOSTILE
+# layout (orders hashed into 8 batches by the portable md5 bucket, so
+# every batch's [min,max] spans ~the whole key space) and point-looks-up
+# 3 keys. The oracle recomputes the batch assignment, the per-batch
+# envelopes, the envelope-candidate count and the true-hit-batch count
+# EXACTLY in SQL (md5-bucket is the cross-engine hash); the bloom
+# columns follow the q269/q35 guarantee-boolean pattern — the oracle
+# pins them at literal true, so a lost containment (false negative,
+# impossible by construction) or a bloom that stopped pruning at all
+# hash-mismatches the gate instead of drifting silently. Sizing: 2^18
+# bits vs ≤19k distinct keys/batch at sf0.1 keeps the false-positive
+# rate ≤ ~1%, and the booleans are deterministic for fixed data+seed.
+
+def q270_bloom_point_prune(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.sampling import hash_bucket
+    from ..sources.bloom import bloom_candidates, collect_batch_blooms
+
+    nb, n_bits = 8, 1 << 18
+    with _scratch("q270_bloom_") as base:
+        sink = f"{base}/sink"
+        orders = load_table(spark, sf, "orders").select("o_orderkey")
+        df = orders.select(
+            "o_orderkey", hash_bucket("o_orderkey", nb).alias("batch")
+        )
+        df.write.partitionBy("batch").parquet(sink)
+        # feeds the envelope agg, both true-pair consumers and the
+        # bloom collection — persist (PERF.md rule: 2+ consumers)
+        src = (
+            spark.read.option("basePath", sink).parquet(sink).persist()
+        )
+        keys = (
+            orders.filter(F.col("o_orderkey") % 97 == 0)
+            .orderBy("o_orderkey")
+            .limit(3)
+            .persist()  # 3 rows, feeds 4 consumers below
+        )
+        n_keys = keys.count()
+        env = src.groupBy("batch").agg(
+            F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+        )
+        n_env = (
+            env.join(
+                keys,
+                (F.col("o_orderkey") >= F.col("lo"))
+                & (F.col("o_orderkey") <= F.col("hi")),
+                "left_semi",
+            ).count()
+        )
+        true_pairs = src.join(keys, "o_orderkey").select(
+            "batch", "o_orderkey"
+        )
+        n_hit = true_pairs.select("batch").distinct().count()
+        blooms = collect_batch_blooms(
+            spark, sink, "o_orderkey", n_bits=n_bits
+        )
+        cand = bloom_candidates(
+            blooms, keys, "o_orderkey", n_bits=n_bits
+        ).persist()  # feeds the miss check AND the candidate count
+        n_missed = true_pairs.join(
+            cand, ["batch", "o_orderkey"], "left_anti"
+        ).count()
+        n_bloom = cand.select("batch").distinct().count()
+        cand.unpersist()
+        keys.unpersist()
+        src.unpersist()  # scratch sink — gone when the context exits
+        return spark.createDataFrame(
+            [
+                (
+                    nb,
+                    n_keys,
+                    n_env,
+                    n_hit,
+                    n_missed == 0,
+                    n_bloom < nb,
+                )
+            ],
+            "n_batches BIGINT, n_keys BIGINT, "
+            "n_envelope_candidate_batches BIGINT, "
+            "n_true_hit_batches BIGINT, no_false_negatives BOOLEAN, "
+            "bloom_pruned BOOLEAN",
+        )
+
+
+Q270_SQL = """
+WITH b AS (
+  SELECT o_orderkey,
+         CAST(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+              AS BIGINT) % 8 AS INT) AS batch
+  FROM orders
+), k AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey LIMIT 3
+), env AS (
+  SELECT batch, min(o_orderkey) AS lo, max(o_orderkey) AS hi
+  FROM b GROUP BY batch
+), envc AS (
+  SELECT count(*) AS n FROM env
+  WHERE EXISTS (SELECT 1 FROM k
+                WHERE k.o_orderkey BETWEEN env.lo AND env.hi)
+), hits AS (
+  SELECT count(DISTINCT b.batch) AS n FROM b JOIN k USING (o_orderkey)
+)
+SELECT CAST(8 AS BIGINT) AS n_batches,
+       (SELECT CAST(count(*) AS BIGINT) FROM k) AS n_keys,
+       CAST(envc.n AS BIGINT) AS n_envelope_candidate_batches,
+       CAST(hits.n AS BIGINT) AS n_true_hit_batches,
+       true AS no_false_negatives,
+       true AS bloom_pruned
+FROM envc, hits
+"""
+
+
+# ----------------------------------------- multi-batch erasure gate
+#
+# q271: the r10 BATCHED erasure path (one rewrite job per schema
+# group, SCALE_AUDIT.md probe) under the driver's gate, at a hit-set
+# shape the grid-of-4 (q262) never exercised: 12 range-clustered
+# batches, an opt-out list enveloped by THREE of them — sparse hits in
+# batches 2 and 7 plus EVERY key of batch 5, so the fully-emptied
+# branch (zero-row schema-bearing file, manifest rows dropped) runs
+# against real files under the gate. The oracle replays the range
+# arithmetic, the conservative envelope decision (EXISTS doomed key
+# within [lo,hi]) and all four exact-integer report columns in SQL.
+
+def q271_multibatch_erasure(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.retention import erase_rows
+
+    with _scratch("q271_erase_") as base:
+        sink, man = f"{base}/sink", f"{base}/man"
+        orders = load_table(spark, sf, "orders").select("o_orderkey")
+        w = orders.agg(
+            (F.expr("max(o_orderkey) div 12") + 1).alias("w")
+        ).collect()[0]["w"]
+        df = orders.select(
+            "o_orderkey",
+            F.expr(f"o_orderkey div {w}").cast("int").alias("batch"),
+        )
+        # ONE partitioned write + ONE stats scan lands all 12 batches
+        # (the per-batch helper would cost 36 tiny jobs here)
+        df.write.partitionBy("batch").parquet(sink)
+        src = spark.read.option("basePath", sink).parquet(sink)
+        stats = (
+            src.select(
+                F.input_file_name().alias("file"), "batch", "o_orderkey"
+            )
+            .groupBy("file", "batch")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("o_orderkey").alias("min_o_orderkey"),
+                F.max("o_orderkey").alias("max_o_orderkey"),
+            )
+            .select("file", "n_rows", "min_o_orderkey", "max_o_orderkey", "batch")
+        )
+        stats.write.partitionBy("batch").parquet(man)
+        doomed = df.filter(
+            (F.col("batch") == 5)
+            | ((F.col("o_orderkey") % 7 == 0) & F.col("batch").isin(2, 7))
+        ).select("o_orderkey")
+        return erase_rows(spark, sink, man, "o_orderkey", doomed)
+
+
+Q271_SQL = """
+WITH w AS (SELECT max(o_orderkey) // 12 + 1 AS w FROM orders),
+b AS (
+  SELECT o_orderkey, CAST(o_orderkey // w AS INT) AS batch
+  FROM orders, w
+), d AS (
+  SELECT o_orderkey FROM b
+  WHERE batch = 5 OR (o_orderkey % 7 = 0 AND batch IN (2, 7))
+), env AS (
+  SELECT batch, count(*) AS n_rows,
+         min(o_orderkey) AS lo, max(o_orderkey) AS hi
+  FROM b GROUP BY batch
+), er AS (
+  SELECT b.batch, count(*) AS n
+  FROM b JOIN d USING (o_orderkey) GROUP BY b.batch
+)
+SELECT CAST(env.batch AS BIGINT) AS batch,
+       EXISTS (SELECT 1 FROM d
+               WHERE d.o_orderkey BETWEEN env.lo AND env.hi) AS rewritten,
+       CAST(env.n_rows AS BIGINT) AS rows_before,
+       CAST(coalesce(er.n, 0) AS BIGINT) AS rows_erased,
+       CAST(env.n_rows - coalesce(er.n, 0) AS BIGINT) AS rows_after
+FROM env LEFT JOIN er ON env.batch = er.batch
+"""
+
+
 # ---------------------------------------------------------- registry
 #
 # Dormant: consumed only by tests/test_catalog_r11.py until the r11
@@ -238,10 +429,14 @@ FROM k GROUP BY l_returnflag
 R11_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q268_ledger_contract": q268_ledger_contract,
     "q269_topk_truncation_band": q269_topk_truncation_band,
+    "q270_bloom_point_prune": q270_bloom_point_prune,
+    "q271_multibatch_erasure": q271_multibatch_erasure,
 }
 R11_ORACLES: dict[str, str] = {
     "q268_ledger_contract": Q268_SQL,
     "q269_topk_truncation_band": Q269_SQL,
+    "q270_bloom_point_prune": Q270_SQL,
+    "q271_multibatch_erasure": Q271_SQL,
 }
 
 R11_QUERIES = {name: _canon_query(fn) for name, fn in R11_QUERIES.items()}

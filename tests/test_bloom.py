@@ -1,0 +1,110 @@
+"""Per-batch Bloom summaries (sources/bloom.py): the no-false-negative
+guarantee, pruning power on random layouts where envelopes prune
+nothing, determinism, and the NULL policy."""
+
+from pyspark.sql import functions as F
+
+from superstore_data_pipeline_analytics_dashboard__spark.sources import (
+    bloom as B,
+)
+
+
+def _random_layout(spark, tmp_path, n=4000, nbatches=8):
+    """Keys scattered across batches by hash — every batch's [min,max]
+    envelope spans ~the whole key space, the layout where zone maps
+    prune nothing and blooms earn their keep."""
+    sink = str(tmp_path / "sink")
+    df = spark.range(n).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id", F.lit(99)), F.lit(nbatches)).alias("batch"),
+    )
+    df.write.partitionBy("batch").parquet(sink)
+    truth = {
+        (int(r["batch"]), int(r["id"])) for r in df.collect()
+    }
+    return sink, truth
+
+
+def test_no_false_negatives_exhaustive(spark, tmp_path):
+    """EVERY present (batch, key) containment must appear among the
+    candidates — checked for every 40th key, via one set comparison."""
+    sink, truth = _random_layout(spark, tmp_path)
+    blooms = B.collect_batch_blooms(spark, sink, "id", n_bits=1 << 16)
+    probe = spark.range(0, 4000, 40)
+    cand = {
+        (int(r["batch"]), int(r["id"]))
+        for r in B.bloom_candidates(
+            blooms, probe, "id", n_bits=1 << 16
+        ).collect()
+    }
+    probed = {p for p in truth if p[1] % 40 == 0}
+    assert probed <= cand
+
+
+def test_prunes_random_layout_envelopes_cannot(spark, tmp_path):
+    """On the hash-scattered layout every envelope admits every key;
+    the bloom must confine a point lookup to ~its true batch."""
+    sink, truth = _random_layout(spark, tmp_path)
+    # envelopes: every batch spans nearly [0, 4000) — all 8 admit key 77
+    spans = (
+        spark.read.option("basePath", sink).parquet(sink)
+        .groupBy("batch")
+        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+        .collect()
+    )
+    assert all(r["lo"] <= 77 <= r["hi"] for r in spans)
+    blooms = B.collect_batch_blooms(spark, sink, "id", n_bits=1 << 16)
+    keys = spark.createDataFrame([(77,), (1234,), (3999,)], "id BIGINT")
+    cand = B.bloom_candidates(blooms, keys, "id", n_bits=1 << 16).collect()
+    true_pairs = {p for p in truth if p[1] in (77, 1234, 3999)}
+    got = {(int(r["batch"]), int(r["id"])) for r in cand}
+    assert true_pairs <= got
+    # 4000 keys over 8 batches at 2^16 bits: fp per key-batch ~3e-5 —
+    # the candidate set should be the exact truth here, and must at
+    # minimum prune most of the 24 (batch, key) pairs envelopes admit
+    assert len(got) <= 6
+
+
+def test_absent_key_prunes_everything(spark, tmp_path):
+    sink, _ = _random_layout(spark, tmp_path)
+    blooms = B.collect_batch_blooms(spark, sink, "id", n_bits=1 << 16)
+    ghost = spark.createDataFrame([(999_999,)], "id BIGINT")
+    assert B.bloom_candidates(blooms, ghost, "id", n_bits=1 << 16).count() == 0
+
+
+def test_deterministic_and_bounded(spark, tmp_path):
+    sink, _ = _random_layout(spark, tmp_path)
+    a = B.collect_batch_blooms(spark, sink, "id", n_bits=4096).collect()
+    b = B.collect_batch_blooms(spark, sink, "id", n_bits=4096).collect()
+    assert sorted((r["batch"], r["bloom_pos"]) for r in a) == sorted(
+        (r["batch"], r["bloom_pos"]) for r in b
+    )
+    assert all(len(r["bloom_pos"]) <= 4096 for r in a)
+    assert all(
+        0 <= p < 4096 for r in a for p in r["bloom_pos"]
+    )
+
+
+def test_saturated_bloom_degrades_honestly(spark, tmp_path):
+    """n_bits far below n_distinct*k: the bloom saturates and admits
+    everything — it prunes nothing but NEVER lies about presence (the
+    same honest degradation envelopes have on random layouts)."""
+    sink, truth = _random_layout(spark, tmp_path)
+    blooms = B.collect_batch_blooms(spark, sink, "id", n_bits=64)
+    keys = spark.createDataFrame([(77,), (1234,)], "id BIGINT")
+    got = {
+        (int(r["batch"]), int(r["id"]))
+        for r in B.bloom_candidates(blooms, keys, "id", n_bits=64).collect()
+    }
+    assert {p for p in truth if p[1] in (77, 1234)} <= got
+
+
+def test_null_keys_skipped(spark, tmp_path):
+    sink = str(tmp_path / "sink")
+    spark.createDataFrame(
+        [(1, 0), (None, 0), (2, 1)], "id BIGINT, batch BIGINT"
+    ).write.partitionBy("batch").parquet(sink)
+    blooms = B.collect_batch_blooms(spark, sink, "id", n_bits=1024)
+    keys = spark.createDataFrame([(1,), (None,)], "id BIGINT")
+    cand = B.bloom_candidates(blooms, keys, "id", n_bits=1024).collect()
+    assert {(int(r["batch"]), int(r["id"])) for r in cand} == {(0, 1)}
