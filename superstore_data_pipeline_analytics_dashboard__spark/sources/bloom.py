@@ -48,7 +48,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["bloom_positions", "collect_batch_blooms", "bloom_candidates"]
+__all__ = [
+    "bloom_positions",
+    "collect_batch_blooms",
+    "bloom_candidates",
+    "read_bloom_pruned",
+]
 
 
 def bloom_positions(
@@ -106,7 +111,13 @@ def bloom_candidates(
     Inverted-index shape: explode the batch summaries to (batch, pos)
     rows, equi-join the broadcast exploded key positions, keep pairs
     where ALL of the key's (deduplicated) positions matched. Output
-    column ``col`` carries the key value."""
+    column ``col`` carries the key value.
+
+    ``keys[col]`` must carry EXACTLY the type the summaries were
+    collected from — xxhash64 is type-sensitive (an int32 and an int64
+    of the same value hash differently), so a widened key column would
+    silently produce false negatives. ``read_bloom_pruned`` casts via
+    the sink footer for exactly this reason."""
     kp = (
         keys.select(col)
         .filter(F.col(col).isNotNull())
@@ -129,3 +140,46 @@ def bloom_candidates(
         .filter(F.col("n_hit") == F.col("n_pos"))
         .select("batch", col)
     )
+
+
+def read_bloom_pruned(
+    spark: SparkSession,
+    sink_path: str,
+    blooms: DataFrame,
+    col: str,
+    values,
+    n_bits: int = 1 << 18,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Read only the batch partitions whose bloom may contain any of
+    ``values`` (a Python sequence), with the exact ``isin`` residual
+    filter still applied — the point-lookup twin of
+    ``manifest.read_pruned``, for the random layouts where range
+    envelopes admit everything. An empty candidate set returns an
+    empty frame with the sink's schema (footer read only). The bloom
+    must be CURRENT: built (or rebuilt) after the last append — blooms
+    stay safe across row DELETIONS (over-approximation survives), but
+    an append after collection can silently hide new rows."""
+    vals = list(values)
+    # xxhash64 is TYPE-sensitive (int32 and int64 hash differently), so
+    # the probe keys must carry exactly the sink column's type or the
+    # positions won't match the collected ones — cast via the footer
+    key_type = spark.read.parquet(sink_path).schema[col].dataType
+    keys = (
+        spark.createDataFrame([(v,) for v in vals])
+        .toDF(col)
+        .select(F.col(col).cast(key_type))
+    )
+    batches = [
+        int(r["batch"])
+        for r in bloom_candidates(blooms, keys, col, n_bits, n_hashes)
+        .select("batch")
+        .distinct()
+        .collect()
+    ]
+    if not batches:
+        return spark.read.parquet(sink_path).filter(F.lit(False))
+    src = spark.read.option("basePath", sink_path).parquet(
+        *(f"{sink_path}/batch={b}" for b in sorted(batches))
+    )
+    return src.filter(F.col(col).isin(vals))

@@ -11,7 +11,10 @@ else is untouched (zero read, zero write). With a range-clustered
 layout (z-order or range ingest) the affected set is tiny; with a
 random layout every envelope spans the key space and erasure honestly
 degrades to the full rewrite — the same clustered-vs-random contrast
-the zone-map tests demonstrate for reads.
+the zone-map tests demonstrate for reads — UNLESS the caller supplies
+per-batch Bloom summaries (``blooms=``, r10): blooms prune point
+lookups independent of layout, confining the rewrite to the batches
+that can actually contain a doomed key.
 
 Mechanics are BATCHED, not per-partition (r10 — VERDICT r9 item 5):
 the affected partitions are grouped by their exact file schema, and
@@ -70,6 +73,9 @@ def erase_rows(
     manifest_path: str,
     key_col: str | Sequence[str],
     keys: DataFrame,
+    blooms: dict[str, DataFrame] | None = None,
+    bloom_n_bits: int = 1 << 18,
+    bloom_n_hashes: int = 3,
 ) -> DataFrame:
     """Delete every row whose ``key_col`` value (or composite tuple,
     when a list of columns is given) appears in ``keys`` from the sink,
@@ -106,7 +112,24 @@ def erase_rows(
     "silently did not erase" is the one unacceptable behavior. A NULL
     cannot identify a data subject; callers holding NULL-keyed sink
     rows they want gone should delete them by predicate, not by key
-    list."""
+    list.
+
+    ``blooms`` (optional) intersects the envelope candidates with
+    per-batch Bloom summaries (``sources/bloom.py``, a dict of key
+    column → ``collect_batch_blooms`` frame): on RANDOM layouts, where
+    every envelope spans the key space and erasure would honestly
+    degrade to a full-table rewrite, blooms confine the rewrite to the
+    batches that can actually contain a doomed key. The intersection
+    is tuple-precise for composite keys (a batch survives only if,
+    for EVERY bloomed column, it may contain that column's component
+    of SOME single doomed tuple) and conservative by construction —
+    a bloom never has false negatives, so no containing batch is ever
+    skipped. COMPLIANCE CONTRACT: the bloom must be CURRENT — built
+    or rebuilt after the sink's last append. A bloom built before a
+    deletion stays safe (over-approximation survives row removal; in
+    particular this erasure does not invalidate it), but one built
+    before an APPEND can hide the appended rows — for a compliance
+    delete, pass no bloom rather than a possibly-stale one."""
     cols = [key_col] if isinstance(key_col, str) else list(key_col)
     man = spark.read.parquet(manifest_path)
     stat_cols = [c[len("min_") :] for c in man.columns if c.startswith("min_")]
@@ -163,6 +186,44 @@ def erase_rows(
     )
     hit = env.join(k, in_env, "left_semi").select("batch").collect()
     affected = sorted(int(r["batch"]) for r in hit)
+
+    if blooms and affected:
+        from .bloom import bloom_candidates
+
+        bad = sorted(set(blooms) - set(cols))
+        if bad:
+            raise ValueError(
+                f"erase_rows: bloom provided for non-key column(s) {bad}"
+            )
+        # xxhash64 is type-sensitive: probe with exactly the sink's
+        # column types or positions won't match the collected ones
+        sink_types = {
+            f.name: f.dataType
+            for f in spark.read.parquet(sink_path).schema.fields
+        }
+        kc = [f"k_{c}" for c in cols]
+        cand = None
+        for c, bl in blooms.items():
+            probe = (
+                k.select(F.col(f"k_{c}").cast(sink_types[c]).alias(c))
+                .distinct()
+            )
+            cc = bloom_candidates(
+                bl, probe, c, bloom_n_bits, bloom_n_hashes
+            )
+            j = k.join(
+                cc, k[f"k_{c}"].cast(sink_types[c]) == cc[c]
+            ).select(*kc, "batch")
+            cand = (
+                j
+                if cand is None
+                else cand.join(j, [*kc, "batch"], "left_semi")
+            )
+        bloom_ok = {
+            int(r["batch"])
+            for r in cand.select("batch").distinct().collect()
+        }
+        affected = [b for b in affected if b in bloom_ok]
 
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()

@@ -99,6 +99,30 @@ def test_saturated_bloom_degrades_honestly(spark, tmp_path):
     assert {p for p in truth if p[1] in (77, 1234)} <= got
 
 
+def test_read_bloom_pruned_point_lookup(spark, tmp_path):
+    """The point-read face: exact rows back, and ONLY candidate batch
+    directories opened (path-level pruning a range envelope could not
+    provide on this layout)."""
+    sink, truth = _random_layout(spark, tmp_path)
+    blooms = B.collect_batch_blooms(spark, sink, "id", n_bits=1 << 16)
+    got = B.read_bloom_pruned(
+        spark, sink, blooms, "id", [77, 1234], n_bits=1 << 16
+    )
+    assert sorted(r["id"] for r in got.collect()) == [77, 1234]
+    true_batches = {b for (b, k) in truth if k in (77, 1234)}
+    opened = {
+        int(f.split("/batch=")[1].split("/")[0]) for f in got.inputFiles()
+    }
+    assert opened >= true_batches and len(opened) <= 4
+    # python ints probe an int64 sink column correctly (type cast via
+    # the footer — xxhash64 is type-sensitive)
+    empty = B.read_bloom_pruned(
+        spark, sink, blooms, "id", [999_999], n_bits=1 << 16
+    )
+    assert empty.count() == 0
+    assert empty.columns == got.columns
+
+
 def test_null_keys_skipped(spark, tmp_path):
     sink = str(tmp_path / "sink")
     spark.createDataFrame(

@@ -305,6 +305,85 @@ def test_erase_multibatch_hitset_batched(spark, tmp_path):
     assert audit["consistent"]
 
 
+def test_erase_with_bloom_prunes_random_layout(spark, tmp_path):
+    """On a hash-scattered layout every envelope admits every key, so
+    plain erasure rewrites ALL batches; supplying per-batch blooms
+    confines the rewrite to the true-hit batches — with identical
+    final content either way."""
+    from superstore_data_pipeline_analytics_dashboard__spark.sources import (
+        bloom as B,
+    )
+    from superstore_data_pipeline_analytics_dashboard__spark.sources.manifest import (
+        collect_file_stats,
+    )
+
+    def build(subdir):
+        sink, man = str(tmp_path / subdir / "s"), str(tmp_path / subdir / "m")
+        df = spark.createDataFrame(
+            [(i, int(i * 2654435761 % 8)) for i in range(800)],
+            "id BIGINT, b INT",
+        )
+        for bid in range(8):
+            df.filter(F.col("b") == bid).select("id").coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{sink}/batch={bid}")
+            stats = collect_file_stats(
+                spark, f"{sink}/batch={bid}", ["id"]
+            ).withColumn("batch", F.lit(bid))
+            (
+                stats.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch")
+                .parquet(man)
+            )
+        truth = {
+            int(r["id"]): int(r["b"]) for r in df.collect()
+        }
+        return sink, man, truth
+
+    doomed = [17, 402, 655]
+    # without blooms: the scattered envelopes admit every key
+    sink, man, truth = build("plain")
+    rep = {
+        r["batch"]: r
+        for r in R.erase_rows(
+            spark, sink, man, "id", _keys(spark, doomed)
+        ).collect()
+    }
+    assert all(rep[b]["rewritten"] for b in range(8))
+    # with blooms: only the true-hit batches are rewritten
+    sink2, man2, _ = build("bloomed")
+    blooms = B.collect_batch_blooms(spark, sink2, "id", n_bits=1 << 16)
+    rep2 = {
+        r["batch"]: r
+        for r in R.erase_rows(
+            spark,
+            sink2,
+            man2,
+            "id",
+            _keys(spark, doomed),
+            blooms={"id": blooms},
+            bloom_n_bits=1 << 16,
+        ).collect()
+    }
+    hit_batches = {truth[d] for d in doomed}
+    assert {b for b in rep2 if rep2[b]["rewritten"]} == hit_batches
+    assert sum(r["rows_erased"] for r in rep2.values()) == 3
+    want = sorted(set(truth) - set(doomed))
+    assert _ids(spark.read.parquet(sink)) == want
+    assert _ids(spark.read.parquet(sink2)) == want
+    audit = manifest_consistency_audit(spark, sink2, man2).collect()[0]
+    assert audit["consistent"]
+    # guard: a bloom keyed on a non-key column is refused
+    import pytest
+
+    with pytest.raises(ValueError, match="non-key column"):
+        R.erase_rows(
+            spark, sink2, man2, "id", _keys(spark, [1]),
+            blooms={"other": blooms},
+        )
+
+
 def test_erasure_property_vs_bruteforce(spark, tmp_path):
     """Property: on arbitrary batch layouts (overlapping envelopes
     included) and arbitrary opt-out sets, erasure equals the Python
