@@ -53,6 +53,7 @@ __all__ = [
     "collect_batch_blooms",
     "bloom_candidates",
     "read_bloom_pruned",
+    "load_bloom_store",
 ]
 
 
@@ -140,6 +141,30 @@ def bloom_candidates(
         .filter(F.col("n_hit") == F.col("n_pos"))
         .select("batch", col)
     )
+
+
+def load_bloom_store(
+    spark: SparkSession, bloom_path: str, col: str
+) -> DataFrame:
+    """Read one column's per-batch summaries back from a streaming-
+    maintained bloom store
+    (:func:`streaming.incremental.start_append_with_manifest` with
+    ``bloom_cols=``): ``(batch, bloom_pos)`` rows in the shape
+    ``bloom_candidates`` / ``read_bloom_pruned`` / ``erase_rows``
+    consume. Raises if the store never bloomed ``col`` — a typo'd
+    column would otherwise prune everything (zero candidate batches
+    reads as "key nowhere" — for the erasure consumer that is the
+    silent-no-op failure mode the NULL policy exists to prevent)."""
+    store = spark.read.parquet(bloom_path).filter(F.col("key_col") == col)
+    out = store.select(
+        F.col("batch").cast("long").alias("batch"), "bloom_pos"
+    )
+    if not out.limit(1).count():
+        raise ValueError(
+            f"load_bloom_store: no summaries for column {col!r} in "
+            f"{bloom_path} — was it in bloom_cols when the sink landed?"
+        )
+    return out
 
 
 def read_bloom_pruned(

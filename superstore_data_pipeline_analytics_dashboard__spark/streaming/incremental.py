@@ -418,6 +418,10 @@ def start_append_with_manifest(
     manifest_path: str,
     checkpoint: str,
     stat_cols: list[str],
+    bloom_cols: list[str] | None = None,
+    bloom_path: str | None = None,
+    bloom_n_bits: int = 1 << 18,
+    bloom_n_hashes: int = 3,
 ) -> StreamingQuery:
     """Streaming append that MAINTAINS the zone-map manifest as it
     writes — the incremental face of ``sources/manifest.py`` (which
@@ -436,8 +440,26 @@ def start_append_with_manifest(
     — plain append would leave rows pointing at deleted files and
     pruned reads would crash on PATH_NOT_FOUND. Dynamic partition
     overwrite on the manifest's ``batch`` key replaces exactly the
-    replayed batch's rows and leaves every other batch's untouched."""
+    replayed batch's rows and leaves every other batch's untouched.
+
+    ``bloom_cols``/``bloom_path`` (optional, r10) additionally maintain
+    a per-batch Bloom store (``sources/bloom.py``) alongside the zone
+    maps — one ``(key_col, bloom_pos)`` row per bloomed column per
+    batch, landed with the same dynamic-overwrite replay discipline.
+    Maintaining blooms AT LAND TIME is what satisfies the bloom
+    currency contract ``retention.erase_rows`` documents: the store is
+    rebuilt with every append by construction, so point-lookup pruning
+    (and bloom-confined erasure on random layouts) never reads a
+    summary older than the data. Read it back per column with
+    ``bloom.load_bloom_store``."""
+    from ..sources.bloom import bloom_positions
     from ..sources.manifest import collect_file_stats
+
+    if bloom_cols and bloom_path is None:
+        raise ValueError(
+            "start_append_with_manifest: bloom_cols given without a "
+            "bloom_path to land the summaries in"
+        )
 
     def _append(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -452,6 +474,28 @@ def start_append_with_manifest(
             .partitionBy("batch")
             .parquet(manifest_path)
         )
+        if bloom_cols:
+            part = spark.read.parquet(part_dir)
+            rows = None
+            for c in bloom_cols:
+                r = (
+                    part.filter(F.col(c).isNotNull())
+                    .select(
+                        F.explode(
+                            bloom_positions(c, bloom_n_bits, bloom_n_hashes)
+                        ).alias("pos")
+                    )
+                    .agg(F.sort_array(F.collect_set("pos")).alias("bloom_pos"))
+                    .select(F.lit(c).alias("key_col"), "bloom_pos")
+                )
+                rows = r if rows is None else rows.unionByName(r)
+            (
+                rows.withColumn("batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch")
+                .parquet(bloom_path)
+            )
 
     return (
         stream.writeStream.foreachBatch(_append)

@@ -455,6 +455,87 @@ def test_streaming_append_maintains_manifest(spark, tmpdir):
     assert got2 == list(range(90, 111))
 
 
+def test_streaming_append_maintains_bloom_store(spark, tmpdir):
+    """bloom_cols= lands a per-batch Bloom summary alongside the zone
+    maps — current by construction (rebuilt at land time, the contract
+    erase_rows' bloom pruning requires), replay-safe via the same
+    dynamic overwrite, and immediately consumable by the point-read
+    and bloomed-erasure faces."""
+    from superstore_data_pipeline_analytics_dashboard__spark.sources.bloom import (
+        bloom_candidates,
+        load_bloom_store,
+        read_bloom_pruned,
+    )
+
+    drop = tmpdir / "in"
+    # hash-scattered ids per micro-batch file: a RANDOM layout, where
+    # zone-map envelopes admit everything and only the bloom can prune
+    rows = [(i, i % 7) for i in range(0, 300)]
+    for i in range(3):
+        spark.createDataFrame(
+            [r for r in rows if (r[0] * 2654435761) % 3 == i],
+            "id BIGINT, v BIGINT",
+        ).coalesce(1).write.parquet(str(drop / f"b{i}"))
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("id BIGINT, v BIGINT")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", True)
+            .parquet(str(drop))
+        )
+        return S.start_append_with_manifest(
+            stream,
+            str(tmpdir / "sink"),
+            str(tmpdir / "manifest"),
+            ck,
+            stat_cols=["id"],
+            bloom_cols=["id"],
+            bloom_path=str(tmpdir / "bloom"),
+            bloom_n_bits=1 << 16,
+        )
+
+    run(str(tmpdir / "ck")).awaitTermination(120)
+    blooms = load_bloom_store(spark, str(tmpdir / "bloom"), "id")
+    assert blooms.count() == 3
+    # every present key is a candidate in its true batch; the scattered
+    # layout still prunes (one key lives in exactly one batch)
+    probe = spark.createDataFrame([(17,), (202,)], "id BIGINT")
+    cand = bloom_candidates(
+        blooms, probe, "id", n_bits=1 << 16
+    ).collect()
+    sinkdf = spark.read.option("basePath", str(tmpdir / "sink")).parquet(
+        str(tmpdir / "sink")
+    )
+    truth = {
+        (int(r["batch"]), int(r["id"]))
+        for r in sinkdf.filter(F.col("id").isin(17, 202)).select(
+            "batch", "id"
+        ).collect()
+    }
+    got = {(int(r["batch"]), int(r["id"])) for r in cand}
+    assert truth <= got and len(got) <= 4
+    pruned = read_bloom_pruned(
+        spark,
+        str(tmpdir / "sink"),
+        blooms,
+        "id",
+        [17, 202],
+        n_bits=1 << 16,
+    )
+    assert sorted(r["id"] for r in pruned.collect()) == [17, 202]
+    # replay: a fresh checkpoint re-lands every batch with new files —
+    # the bloom store must be REPLACED per batch, not appended
+    run(str(tmpdir / "ck2")).awaitTermination(120)
+    blooms2 = load_bloom_store(spark, str(tmpdir / "bloom"), "id")
+    assert blooms2.count() == 3
+    # a never-bloomed column is refused, not silently prune-everything
+    import pytest
+
+    with pytest.raises(ValueError, match="no summaries"):
+        load_bloom_store(spark, str(tmpdir / "bloom"), "typo")
+
+
 def test_quota_fill_append_respects_budget_across_batches(spark, tmpdir):
     """Streaming quota fill: per-source admitted tokens never exceed the
     quota across micro-batches; within each batch the admitted docs are
