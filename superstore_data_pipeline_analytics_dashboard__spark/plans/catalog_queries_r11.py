@@ -420,6 +420,117 @@ FROM env LEFT JOIN er ON env.batch = er.batch
 """
 
 
+# ------------------------------------------- bloom-confined erasure
+#
+# q272: the q270 bloom tier COMPOSED with the q271 batched erasure —
+# a compliance delete on the layout that defeats envelopes. The same
+# portable-md5 8-batch random sink as q270: plain erasure would
+# rewrite all 8 batches (every envelope admits every key); passing the
+# land-time bloom store confines the rewrite to the true-hit batches.
+# The exact-integer columns (true-hit batch count, total erased, total
+# surviving) are oracle-recomputed from orders arithmetic — if the
+# bloom pruning ever skipped a batch that really contains a doomed key
+# (a false negative, impossible by construction), rows_erased_total
+# would come up short and hash-mismatch. bloom_confined follows the
+# guarantee-boolean pattern (bloom candidacy is xxhash64-internal; a
+# false POSITIVE only adds a zero-erased rewrite and cannot push the
+# rewritten count to all 8).
+
+def q272_bloomed_erasure(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.sampling import hash_bucket
+    from ..sources.bloom import collect_batch_blooms
+    from ..sources.retention import erase_rows
+
+    nb, n_bits = 8, 1 << 18
+    with _scratch("q272_blerase_") as base:
+        sink, man = f"{base}/sink", f"{base}/man"
+        orders = load_table(spark, sf, "orders").select("o_orderkey")
+        df = orders.select(
+            "o_orderkey", hash_bucket("o_orderkey", nb).alias("batch")
+        )
+        df.write.partitionBy("batch").parquet(sink)
+        src = spark.read.option("basePath", sink).parquet(sink)
+        stats = (
+            src.select(
+                F.input_file_name().alias("file"), "batch", "o_orderkey"
+            )
+            .groupBy("file", "batch")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("o_orderkey").alias("min_o_orderkey"),
+                F.max("o_orderkey").alias("max_o_orderkey"),
+            )
+            .select(
+                "file", "n_rows", "min_o_orderkey", "max_o_orderkey", "batch"
+            )
+        )
+        stats.write.partitionBy("batch").parquet(man)
+        blooms = collect_batch_blooms(
+            spark, sink, "o_orderkey", n_bits=n_bits
+        )
+        doomed = (
+            orders.filter(F.col("o_orderkey") % 97 == 0)
+            .orderBy("o_orderkey")
+            .limit(3)
+        )
+        rep = erase_rows(
+            spark,
+            sink,
+            man,
+            "o_orderkey",
+            doomed,
+            blooms={"o_orderkey": blooms},
+            bloom_n_bits=n_bits,
+        ).persist()  # driver-scalar source for all four aggregates
+        n_batches = rep.count()
+        n_rewritten = rep.filter("rewritten").count()
+        agg = rep.agg(
+            F.sum("rows_erased").alias("er"),
+            F.sum("rows_after").alias("af"),
+        ).collect()[0]
+        rep.unpersist()
+        n_hit = (
+            df.join(doomed, "o_orderkey")
+            .select("batch")
+            .distinct()
+            .count()
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    n_batches,
+                    n_hit,
+                    int(agg["er"]),
+                    int(agg["af"]),
+                    n_rewritten < n_batches,
+                )
+            ],
+            "n_batches BIGINT, n_true_hit_batches BIGINT, "
+            "rows_erased_total BIGINT, rows_after_total BIGINT, "
+            "bloom_confined BOOLEAN",
+        )
+
+
+Q272_SQL = """
+WITH b AS (
+  SELECT o_orderkey,
+         CAST(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+              AS BIGINT) % 8 AS INT) AS batch
+  FROM orders
+), k AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey LIMIT 3
+)
+SELECT (SELECT CAST(count(DISTINCT batch) AS BIGINT) FROM b) AS n_batches,
+       (SELECT CAST(count(DISTINCT b.batch) AS BIGINT)
+        FROM b JOIN k USING (o_orderkey)) AS n_true_hit_batches,
+       (SELECT CAST(count(*) AS BIGINT) FROM k) AS rows_erased_total,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders)
+         - (SELECT CAST(count(*) AS BIGINT) FROM k) AS rows_after_total,
+       true AS bloom_confined
+"""
+
+
 # ---------------------------------------------------------- registry
 #
 # Dormant: consumed only by tests/test_catalog_r11.py until the r11
@@ -431,12 +542,14 @@ R11_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q269_topk_truncation_band": q269_topk_truncation_band,
     "q270_bloom_point_prune": q270_bloom_point_prune,
     "q271_multibatch_erasure": q271_multibatch_erasure,
+    "q272_bloomed_erasure": q272_bloomed_erasure,
 }
 R11_ORACLES: dict[str, str] = {
     "q268_ledger_contract": Q268_SQL,
     "q269_topk_truncation_band": Q269_SQL,
     "q270_bloom_point_prune": Q270_SQL,
     "q271_multibatch_erasure": Q271_SQL,
+    "q272_bloomed_erasure": Q272_SQL,
 }
 
 R11_QUERIES = {name: _canon_query(fn) for name, fn in R11_QUERIES.items()}
