@@ -123,6 +123,23 @@ def test_read_bloom_pruned_point_lookup(spark, tmp_path):
     assert empty.columns == got.columns
 
 
+def test_candidate_plan_shape(spark, tmp_path):
+    """The candidate join must be the inverted-index equi-join the
+    module docstring promises: broadcast hash join on `pos`, no
+    CartesianProduct / BroadcastNestedLoopJoin (a pairwise
+    array-subset join would appear as one), no Python evaluation."""
+    spark.catalog.clearCache()  # plan-SHAPE read (CLAUDE.md rule)
+    sink, _ = _random_layout(spark, tmp_path)
+    blooms = B.collect_batch_blooms(spark, sink, "id", n_bits=1 << 16)
+    keys = spark.createDataFrame([(77,), (1234,)], "id BIGINT")
+    cand = B.bloom_candidates(blooms, keys, "id", n_bits=1 << 16)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, bad
+
+
 def test_null_keys_skipped(spark, tmp_path):
     sink = str(tmp_path / "sink")
     spark.createDataFrame(
