@@ -5,49 +5,58 @@ corpus must support, without rewriting the table.
 At 100 TB the naive delete — read everything, anti-join, write
 everything — costs a full table rewrite for an opt-out list of a few
 thousand keys. The manifest (``sources/manifest.py``) already knows
-each batch's key envelope, so erasure prunes first: only partitions
-whose [min, max] can contain a doomed key are rewritten; everything
-else is untouched (zero read, zero write). With a range-clustered
-layout (z-order or range ingest) the affected set is tiny; with a
-random layout every envelope spans the key space and erasure honestly
-degrades to the full rewrite — the same clustered-vs-random contrast
-the zone-map tests demonstrate for reads — UNLESS the caller supplies
-per-batch Bloom summaries (``blooms=``, r10): blooms prune point
-lookups independent of layout, confining the rewrite to the batches
-that can actually contain a doomed key.
+each FILE's key envelope, so erasure prunes at file grain (r10): only
+the files whose own [min, max] can contain a doomed key are
+rewritten; everything else — other files in the same batch included —
+is untouched (zero read, zero write). A 3-file hit inside a 300-file
+partition rewrites 1% of the partition, not all of it. With a
+range-clustered layout (z-order or range ingest) the affected set is
+tiny; with a random layout every envelope spans the key space and
+erasure honestly degrades to the full rewrite — the same
+clustered-vs-random contrast the zone-map tests demonstrate for reads
+— UNLESS the caller supplies per-batch Bloom summaries (``blooms=``,
+r10): blooms prune point lookups independent of layout, confining the
+rewrite to the batches that can actually contain a doomed key.
 
 Mechanics are BATCHED, not per-partition (r10 — VERDICT r9 item 5):
-the affected partitions are grouped by their exact file schema, and
-each group is rewritten by ONE Spark job — read every hit partition of
-the group in a single multi-path scan, anti-join against the
+the candidate files are grouped by their batch's exact file schema,
+and each group is rewritten by ONE Spark job — read every candidate
+file of the group in a single multi-path scan, anti-join against the
 (broadcast) key list once, write the survivors to a hidden staging
 tree partitioned by batch. Spark jobs therefore scale with the number
 of DISTINCT SCHEMAS in the hit set (almost always 1, bounded by the
-sink's evolution history), never with the number of hit partitions —
-a 10k-batch table with 500 enveloped batches costs two jobs, not 500
-sequential ones. Schema grouping is what keeps the batching honest on
-an evolved sink: reading v1 and v2 partitions in one scan would write
-the MERGED schema back into pre-evolution batches, silently evolving
-data that a path-scoped snapshot pin promised would never sprout
-columns. The driver still loops, but only over renames — metadata
-ops, not jobs.
+sink's evolution history), never with the number of hit files or
+partitions — a 10k-batch table with 500 enveloped files costs two
+jobs, not 500 sequential ones. Schema grouping is what keeps the
+batching honest on an evolved sink: reading v1 and v2 partitions in
+one scan would write the MERGED schema back into pre-evolution
+batches, silently evolving data that a path-scoped snapshot pin
+promised would never sprout columns. The driver still loops, but only
+over renames — metadata ops, not jobs.
 
-The swap is rename-based: crash-windows are (a) inside the staging
-write — the sink is untouched and the hidden ``.erase_staging`` tree
-is overwrite-safe on the next erasure; (b) between a partition's
-retire-rename and its land-rename — that partition is missing, which
-``manifest_consistency_audit`` reports as stale manifest rows; (c)
-after the swaps and before the group's manifest refresh — stats
-drift, which the same audit reports as row mismatches. On object
-stores without cheap rename, land the staging dir as the new
-partition location and flip a pointer instead (the manifest IS that
-pointer in this layout). The residual ``.trash`` directory left by a
-crash inside the swap is overwrite-safe on the next erasure. A
-partition whose every row is doomed gets a zero-row schema-bearing
-file (a partitioned write cannot produce a zero-row directory, and
-deleting the dir could leave the sink with no parquet files at all)
-and its manifest rows are dropped — pruned reads would otherwise
-chase files that no longer hold the recorded data.
+The swap is rename-based and file-level: doomed files are retired
+into the hidden ``.erase_trash`` tree, then the rewritten files land
+beside the untouched ones (fresh writer UUIDs — no name collisions).
+Crash-windows are (a) inside the staging write — the sink is
+untouched and the hidden ``.erase_staging``/``.erase_trash`` trees
+are overwrite-safe on the next erasure; (b) between a file's
+retire-rename and its replacement landing — those rows are missing,
+which ``manifest_consistency_audit`` reports as stale manifest rows;
+(c) after the swaps and before the group's manifest refresh — the
+landed files are unenveloped and the retired files' rows stale, which
+the same audit reports. On object stores without cheap rename, land
+the staging files as the new locations and flip the manifest instead
+(the manifest IS that pointer in this layout). A batch whose every
+row is doomed gets a zero-row schema-bearing file (deleting the dir
+could leave the sink with no parquet files at all) and its manifest
+rows are dropped — pruned reads would otherwise chase files that no
+longer hold the recorded data.
+
+Manifest refresh is incremental: untouched files KEEP their
+pre-erasure manifest rows verbatim (no rescan), only the rewritten
+files are scanned for fresh stats; the refreshed batch partitions are
+rebuilt driver-side from those metadata-sized row sets so the
+overwrite never reads the path it writes.
 
 Erasure deliberately BREAKS old snapshots (``sources/snapshots.py``):
 a version that recorded the pre-erasure row counts now fails its drift
@@ -79,31 +88,35 @@ def erase_rows(
 ) -> DataFrame:
     """Delete every row whose ``key_col`` value (or composite tuple,
     when a list of columns is given) appears in ``keys`` from the sink,
-    rewriting only the batch partitions whose manifest envelope
-    intersects the key list. Returns the erasure report — one row per
-    batch: ``(batch, rewritten, rows_before, rows_erased, rows_after)``
-    with ``rewritten`` false for envelope-pruned (untouched) batches —
-    exact integers, the compliance evidence.
+    rewriting only the FILES whose manifest envelope intersects the
+    key list. Returns the erasure report — one row per batch:
+    ``(batch, rewritten, rows_before, rows_erased, rows_after)`` with
+    ``rewritten`` true iff at least one of the batch's file envelopes
+    admitted a key (conservative: an admitting file is rewritten even
+    if no actual row matches) — exact integers, the compliance
+    evidence. Untouched-file counts come from the (audited) manifest;
+    rewritten-file counts from the post-rewrite scan.
 
     Composite keys make pruning MULTIPLICATIVE on clustered layouts: a
-    batch can contain a doomed ``(a, b)`` tuple only if ``a`` fits its
+    file can contain a doomed ``(a, b)`` tuple only if ``a`` fits its
     ``a``-envelope AND ``b`` fits its ``b``-envelope, so a z-order /
     grid-clustered sink confines the rewrite to the intersecting cells
     — a single-column envelope would rewrite the whole stripe along
     the other dimension. Every key column must have recorded
     ``min_/max_`` stats in the manifest (raises otherwise); the
-    manifest refresh re-collects stats for ALL columns the manifest
-    tracks, not just the erasure keys, so later pruned reads on other
-    columns stay correct.
+    manifest refresh keeps untouched files' rows verbatim and
+    re-collects ALL tracked columns' stats for the rewritten files, so
+    later pruned reads on other columns stay correct.
 
     Scale shape: candidate selection is one pass of the key list over
-    the broadcast per-batch envelope table (#batches rows); the hit
-    set is then rewritten in ONE anti-join job per distinct partition
-    schema (plus one stats scan per schema group for the manifest
-    refresh) — the key list is broadcast into those rewrites (opt-out
-    lists are key-sized, not data-sized). Driver-side loops hold only
-    batch ids, rename handles, and counts — never rows, never one
-    Spark job per partition.
+    the broadcast per-file envelope table; the hit set is then
+    rewritten in ONE anti-join job per distinct partition schema (plus
+    one stats scan of only the rewritten files per schema group) — the
+    key list is broadcast into those rewrites (opt-out lists are
+    key-sized, not data-sized). Driver-side loops hold only file
+    URIs, manifest stat rows for affected batches, rename handles and
+    counts — metadata volumes, the same class as ``read_pruned``'s
+    file lists; never data rows, never one Spark job per partition.
 
     NULL keys in the opt-out list RAISE (same NULL-policy documentation
     pattern as operators/topk.py): both the envelope range semi-join
@@ -141,20 +154,13 @@ def erase_rows(
             "with these columns before keyed erasure"
         )
     env = man.groupBy(F.col("batch").cast("long").alias("batch")).agg(
-        F.sum("n_rows").alias("rows_before"),
-        *(
-            a
-            for c in cols
-            for a in (
-                F.min(f"min_{c}").alias(f"lo_{c}"),
-                F.max(f"max_{c}").alias(f"hi_{c}"),
-            )
-        ),
+        F.sum("n_rows").alias("rows_before")
     )
-    # envelopes are #batches rows — collected NOW, because the report
-    # must describe the PRE-erasure manifest and everything below
-    # mutates it (the one-shot-lazy trap: a frame read lazily after the
-    # rewrite would silently describe the post-erasure state)
+    # per-batch pre-erasure counts are #batches rows — collected NOW,
+    # because the report must describe the PRE-erasure manifest and
+    # everything below mutates it (the one-shot-lazy trap: a frame read
+    # lazily after the rewrite would silently describe the
+    # post-erasure state)
     env_rows = env.collect()
     before_counts = {int(r["batch"]): int(r["rows_before"]) for r in env_rows}
     k = (
@@ -176,16 +182,37 @@ def erase_rows(
             "(null-rejecting envelope/anti joins); drop it or delete "
             "NULL-keyed rows by predicate instead"
         )
-    in_env = functools.reduce(
+    # FILE-grain candidates (r10): the manifest is per-file, so within
+    # an affected batch only the files whose own [min,max] envelopes
+    # intersect the key list are rewritten — a 3-file hit inside a
+    # 300-file partition rewrites 1% of it, not all of it. This is
+    # also TIGHTER than the batch aggregate: a key falling in the gap
+    # between two files' ranges hits the batch envelope but no file
+    # envelope, and correctly rewrites nothing. NULL stats (a
+    # pre-evolution file that lacks a later-added key column) are
+    # null-rejecting here, which is CORRECT: no column, no key.
+    in_env_file = functools.reduce(
         lambda a, b: a & b,
         (
-            (F.col(f"k_{c}") >= F.col(f"lo_{c}"))
-            & (F.col(f"k_{c}") <= F.col(f"hi_{c}"))
+            (F.col(f"k_{c}") >= F.col(f"min_{c}"))
+            & (F.col(f"k_{c}") <= F.col(f"max_{c}"))
             for c in cols
         ),
     )
-    hit = env.join(k, in_env, "left_semi").select("batch").collect()
-    affected = sorted(int(r["batch"]) for r in hit)
+    cand_rows = (
+        man.join(k, in_env_file, "left_semi")
+        .select(F.col("batch").cast("long").alias("batch"), "file", "n_rows")
+        .collect()
+    )
+    cand_by_batch: dict[int, list[str]] = {}
+    cand_rows_by_batch: dict[int, int] = {}
+    for r in cand_rows:
+        b = int(r["batch"])
+        cand_by_batch.setdefault(b, []).append(r["file"])
+        cand_rows_by_batch[b] = cand_rows_by_batch.get(b, 0) + int(
+            r["n_rows"]
+        )
+    affected = sorted(cand_by_batch)
 
     if blooms and affected:
         from .bloom import bloom_candidates
@@ -229,6 +256,23 @@ def erase_rows(
     hconf = spark._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path
     man_types = {f.name: f.dataType for f in man.schema.fields}
+    # drop candidate entries for bloom-pruned batches so the rewrite,
+    # retire and manifest bookkeeping below never touch them
+    cand_by_batch = {b: cand_by_batch[b] for b in affected}
+    # the pre-erasure manifest rows of every affected batch, collected
+    # NOW (metadata-sized — #files-in-affected-batches rows, same class
+    # as the envelope collect): untouched files keep these rows
+    # verbatim in the refreshed manifest, and collecting up front
+    # avoids re-reading manifest partitions an earlier schema group's
+    # refresh already replaced (a lazily re-read listing snapshot would
+    # chase deleted files)
+    pre_rows = (
+        man.filter(F.col("batch").cast("long").isin(affected)).collect()
+        if affected
+        else []
+    )
+    cand_uri_set = {u for us in cand_by_batch.values() for u in us}
+
     # group the hit set by exact file schema: one rewrite job per GROUP
     # (see module docstring — mixing schemas in one scan would write
     # the merged schema back into pre-evolution batches). Schema reads
@@ -240,27 +284,39 @@ def erase_rows(
         groups.setdefault(sig, []).append(b)
 
     kept_counts: dict[int, int] = {}
+    staging = f"{sink_path}/.erase_staging"
+    trash = f"{sink_path}/.erase_trash"
     for sig, bs in groups.items():
-        parts = [f"{sink_path}/batch={b}" for b in bs]
-        src = spark.read.option("basePath", sink_path).parquet(*parts)
+        files = [u for b in bs for u in cand_by_batch[b]]
+        src = spark.read.option("basePath", sink_path).parquet(*files)
         same_key = functools.reduce(
             lambda a, b: a & b,
             (src[c] == F.col(f"k_{c}") for c in cols),
         )
         kept = src.join(F.broadcast(k), same_key, "left_anti")
-        # ONE job rewrites every hit partition of this schema group
-        staging = f"{sink_path}/.erase_staging"
+        # ONE job rewrites every candidate file of this schema group
         fs = hpath(staging).getFileSystem(hconf)
         fs.delete(hpath(staging), True)
+        fs.delete(hpath(trash), True)
         kept.write.partitionBy("batch").parquet(staging)
         # a partitioned write produces a batch=N dir only for batches
-        # with surviving rows — absent dirs are fully-erased batches
+        # with surviving rewritten rows
         surv: set[int] = set()
         for st in fs.listStatus(hpath(staging)):
             name = st.getPath().getName()
             if name.startswith("batch="):
                 surv.add(int(name.split("=", 1)[1]))
-        emptied = [b for b in bs if b not in surv]
+        untouched_files = {
+            b: [
+                r["file"]
+                for r in pre_rows
+                if int(r["batch"]) == b and r["file"] not in cand_uri_set
+            ]
+            for b in bs
+        }
+        emptied = [
+            b for b in bs if b not in surv and not untouched_files[b]
+        ]
         empty_file = None
         if emptied:
             # a fully-emptied batch still lands ONE zero-row file with
@@ -277,20 +333,36 @@ def erase_rows(
                 if st.getPath().getName().startswith("part-")
             )
         # swap loop: renames/copies only (metadata-sized ops, no jobs).
-        # See module docstring for the crash windows and which audit
-        # catches each.
+        # Per batch: retire the doomed files into the hidden trash tree,
+        # land the rewritten files beside the untouched ones (fresh
+        # writer UUIDs — no name collisions). See module docstring for
+        # the crash windows and which audit catches each.
+        moved: dict[int, list[str]] = {}
         for b in bs:
             part = f"{sink_path}/batch={b}"
-            trash = hpath(f"{part}.trash")
-            fs.delete(trash, True)
-            if not fs.rename(hpath(part), trash):
-                raise IOError(f"erase swap failed: could not retire {part}")
-            if b in surv:
-                if not fs.rename(hpath(f"{staging}/batch={b}"), hpath(part)):
+            fs.mkdirs(hpath(f"{trash}/batch={b}"))
+            for u in cand_by_batch[b]:
+                name = u.rsplit("/", 1)[1]
+                if not fs.rename(
+                    hpath(u), hpath(f"{trash}/batch={b}/{name}")
+                ):
                     raise IOError(
-                        f"erase swap failed: could not land batch {b}"
+                        f"erase swap failed: could not retire {u}"
                     )
-            else:
+            moved[b] = []
+            st_dir = hpath(f"{staging}/batch={b}")
+            if b in surv:
+                for st in fs.listStatus(st_dir):
+                    name = st.getPath().getName()
+                    if not name.startswith("part-"):
+                        continue
+                    if not fs.rename(st.getPath(), hpath(f"{part}/{name}")):
+                        raise IOError(
+                            f"erase swap failed: could not land "
+                            f"{name} into batch {b}"
+                        )
+                    moved[b].append(f"{part}/{name}")
+            if b in emptied:
                 kept_counts[b] = 0
                 fs.mkdirs(hpath(part))
                 jvm.org.apache.hadoop.fs.FileUtil.copy(
@@ -306,57 +378,87 @@ def erase_rows(
                 # would send pruned reads at files that no longer hold
                 # the recorded data
                 fs.delete(hpath(f"{manifest_path}/batch={b}"), True)
-            fs.delete(trash, True)
         fs.delete(hpath(staging), True)
+        fs.delete(hpath(trash), True)
         if emptied:
             fs.delete(hpath(f"{sink_path}/.erase_empty"), True)
 
-        nonempty = [b for b in bs if b in surv]
-        if not nonempty:
+        with_manifest = [b for b in bs if b not in emptied]
+        if not with_manifest:
             continue
-        # one scan serves both the report counts and the manifest
-        # refresh for the whole group (stats must be collected
+        # one scan of ONLY the rewritten files serves both the report
+        # counts and the manifest refresh (stats must be collected
         # POST-swap: the manifest's `file` column holds live URIs that
-        # pruned reads open directly). Refresh stats for EVERY column
-        # the manifest tracks (not just the erasure keys) so other
-        # columns' pruned reads stay correct; columns this group's
-        # schema lacks (pre-evolution batches) are padded as typed
-        # NULLs so the manifest schema is stable.
-        group_cols = {name for name, _ in sig}
-        present = [c for c in stat_cols if c in group_cols]
-        live = [f"{sink_path}/batch={b}" for b in nonempty]
-        src2 = spark.read.option("basePath", sink_path).parquet(*live)
-        aggs = [F.count(F.lit(1)).alias("n_rows")]
-        for c in present:
-            aggs.append(F.min(c).alias(f"min_{c}"))
-            aggs.append(F.max(c).alias(f"max_{c}"))
-        stats = (
-            src2.select(
-                F.input_file_name().alias("file"), "batch", *present
+        # pruned reads open directly); untouched files keep their
+        # pre-erasure manifest rows verbatim — no rescan. Refresh
+        # stats for EVERY column the manifest tracks (not just the
+        # erasure keys) so other columns' pruned reads stay correct;
+        # columns this group's schema lacks (pre-evolution batches)
+        # are padded as typed NULLs so the manifest schema is stable.
+        new_live = [f for b in with_manifest for f in moved.get(b, [])]
+        new_rows_by_batch: dict[int, int] = {}
+        if new_live:
+            group_cols = {name for name, _ in sig}
+            present = [c for c in stat_cols if c in group_cols]
+            src2 = spark.read.option("basePath", sink_path).parquet(
+                *new_live
             )
-            .groupBy("file", "batch")
-            .agg(*aggs)
-        )
-        for c in stat_cols:
-            if c not in present:
-                stats = stats.withColumn(
-                    f"min_{c}", F.lit(None).cast(man_types[f"min_{c}"])
-                ).withColumn(
-                    f"max_{c}", F.lit(None).cast(man_types[f"max_{c}"])
+            aggs = [F.count(F.lit(1)).alias("n_rows")]
+            for c in present:
+                aggs.append(F.min(c).alias(f"min_{c}"))
+                aggs.append(F.max(c).alias(f"max_{c}"))
+            stats = (
+                src2.select(
+                    F.input_file_name().alias("file"), "batch", *present
                 )
-        stats = stats.select(
-            *[c for c in man.columns if c != "batch"], "batch"
+                .groupBy("file", "batch")
+                .agg(*aggs)
+            )
+            for c in stat_cols:
+                if c not in present:
+                    stats = stats.withColumn(
+                        f"min_{c}", F.lit(None).cast(man_types[f"min_{c}"])
+                    ).withColumn(
+                        f"max_{c}", F.lit(None).cast(man_types[f"max_{c}"])
+                    )
+            stats = stats.select(
+                *(
+                    F.col(c).cast(man_types[c]).alias(c)
+                    for c in man.columns
+                )
+            )
+            new_stat_rows = stats.collect()
+            for r in new_stat_rows:
+                b = int(r["batch"])
+                new_rows_by_batch[b] = new_rows_by_batch.get(b, 0) + int(
+                    r["n_rows"]
+                )
+        else:
+            new_stat_rows = []
+        # refreshed partition content = untouched files' pre-erasure
+        # rows + the rewritten files' fresh rows, rebuilt driver-side
+        # (metadata volumes) so the overwrite never reads the path it
+        # writes
+        keep_old = [
+            r
+            for r in pre_rows
+            if int(r["batch"]) in set(with_manifest)
+            and r["file"] not in cand_uri_set
+        ]
+        refreshed = spark.createDataFrame(
+            keep_old + new_stat_rows, man.schema
         )
-        stats.persist()
-        for r in stats.groupBy("batch").agg(F.sum("n_rows").alias("n")).collect():
-            kept_counts[int(r["batch"])] = int(r["n"])
         (
-            stats.write.mode("overwrite")
+            refreshed.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch")
             .parquet(manifest_path)
         )
-        stats.unpersist()
+        for b in with_manifest:
+            untouched_rows = before_counts[b] - cand_rows_by_batch.get(
+                b, 0
+            )
+            kept_counts[b] = untouched_rows + new_rows_by_batch.get(b, 0)
     k.unpersist()
     rows = [
         (

@@ -305,6 +305,77 @@ def test_erase_multibatch_hitset_batched(spark, tmp_path):
     assert audit["consistent"]
 
 
+def test_erase_file_grain_within_batch(spark, tmp_path):
+    """File-grain pruning (r10): a batch holding FOUR range-clustered
+    files rewrites only the file whose own envelope admits a key —
+    the other three keep their physical files and their manifest rows
+    verbatim; and a key falling in the GAP between two files' ranges
+    (inside the batch's aggregate span) rewrites nothing at all."""
+    from superstore_data_pipeline_analytics_dashboard__spark.sources.manifest import (
+        collect_file_stats,
+        read_pruned,
+    )
+
+    sink, man = str(tmp_path / "sink"), str(tmp_path / "man")
+    # one batch, four files covering [0,100) [100,200) [300,400) [400,500)
+    # — note the deliberate [200,300) GAP. Appended one at a time so
+    # each file's envelope is exactly its range (repartitionByRange
+    # samples boundaries and could put one file across the gap).
+    for lo, hi in ((0, 100), (100, 200), (300, 400), (400, 500)):
+        spark.createDataFrame(
+            [(i,) for i in range(lo, hi)], "id BIGINT"
+        ).coalesce(1).write.mode("append").parquet(f"{sink}/batch=0")
+    stats = collect_file_stats(spark, f"{sink}/batch=0", ["id"])
+    assert stats.count() == 4  # four files, four envelopes
+    (
+        stats.withColumn("batch", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(man)
+    )
+    pre = {r["file"]: r["n_rows"] for r in spark.read.parquet(man).collect()}
+    files_before = set(spark.read.parquet(f"{sink}/batch=0").inputFiles())
+
+    # a key in the gap: batch span [0,499] admits it, NO file does
+    rep = R.erase_rows(spark, sink, man, "id", _keys(spark, [250]))
+    assert [(r["rewritten"], r["rows_erased"]) for r in rep.collect()] == [
+        (False, 0)
+    ]
+    assert set(spark.read.parquet(f"{sink}/batch=0").inputFiles()) == (
+        files_before
+    )
+
+    # keys inside ONE file's range: only that file is replaced
+    rep = {
+        r["batch"]: r
+        for r in R.erase_rows(
+            spark, sink, man, "id", _keys(spark, [130, 131])
+        ).collect()
+    }
+    assert rep[0]["rewritten"] and rep[0]["rows_erased"] == 2
+    assert rep[0]["rows_after"] == 398
+    files_after = set(spark.read.parquet(f"{sink}/batch=0").inputFiles())
+    assert len(files_after) == 4
+    # three original files untouched, exactly one replaced
+    assert len(files_before & files_after) == 3
+    # manifest: untouched files' rows verbatim, rewritten file fresh
+    post = {r["file"]: r["n_rows"] for r in spark.read.parquet(man).collect()}
+    kept_same = set(pre) & set(post)
+    assert len(kept_same) == 3
+    assert all(pre[f] == post[f] for f in kept_same)
+    assert sum(post.values()) == 398
+    # pruned reads around the erased keys stay exact
+    got = _ids(read_pruned(spark, spark.read.parquet(man), "id", 128, 133))
+    assert got == [128, 129, 132, 133]
+    audit = manifest_consistency_audit(spark, sink, man).collect()[0]
+    assert audit["consistent"]
+    # content equals brute force
+    assert _ids(spark.read.parquet(sink)) == sorted(
+        (set(range(0, 200)) | set(range(300, 500))) - {130, 131}
+    )
+
+
 def test_erase_with_bloom_prunes_random_layout(spark, tmp_path):
     """On a hash-scattered layout every envelope admits every key, so
     plain erasure rewrites ALL batches; supplying per-batch blooms
