@@ -531,6 +531,90 @@ SELECT (SELECT CAST(count(DISTINCT batch) AS BIGINT) FROM b) AS n_batches,
 """
 
 
+# ------------------------------------------- file-grain erasure gate
+#
+# q273: the r10 FILE-grain erasure refinement under the driver's gate.
+# One batch partition holding FOUR deterministic quartile files of the
+# orders keys (appended one at a time — each file's envelope is
+# exactly its quartile); the opt-out list lives entirely inside
+# quartile 2, so exactly ONE file is rewritten and the other three
+# survive physically untouched (asserted via inputFiles identity and
+# returned as exact file counts the oracle pins). Rows columns are
+# oracle-recomputed from orders arithmetic; a regression to
+# batch-grain rewriting would flip n_files_untouched from 3 to 0 and
+# hash-mismatch.
+
+def q273_filegrain_erasure(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.manifest import collect_file_stats
+    from ..sources.retention import erase_rows
+
+    with _scratch("q273_fgerase_") as base:
+        sink, man = f"{base}/sink", f"{base}/man"
+        orders = load_table(spark, sf, "orders").select("o_orderkey")
+        w = orders.agg(
+            (F.expr("max(o_orderkey) div 4") + 1).alias("w")
+        ).collect()[0]["w"]
+        for q in range(4):
+            (
+                orders.filter(
+                    F.expr(f"o_orderkey div {w}") == q
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(f"{sink}/batch=0")
+            )
+        stats = collect_file_stats(
+            spark, f"{sink}/batch=0", ["o_orderkey"]
+        ).withColumn("batch", F.lit(0))
+        (
+            stats.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(man)
+        )
+        files_before = set(
+            spark.read.parquet(f"{sink}/batch=0").inputFiles()
+        )
+        doomed = orders.filter(
+            (F.expr(f"o_orderkey div {w}") == 1)
+            & (F.col("o_orderkey") % 11 == 0)
+        )
+        rep = erase_rows(spark, sink, man, "o_orderkey", doomed).collect()
+        files_after = set(
+            spark.read.parquet(f"{sink}/batch=0").inputFiles()
+        )
+        assert len(rep) == 1
+        return spark.createDataFrame(
+            [
+                (
+                    len(files_before),
+                    len(files_after),
+                    len(files_before & files_after),
+                    int(rep[0]["rows_erased"]),
+                    int(rep[0]["rows_after"]),
+                )
+            ],
+            "n_files_before BIGINT, n_files_after BIGINT, "
+            "n_files_untouched BIGINT, rows_erased BIGINT, "
+            "rows_after BIGINT",
+        )
+
+
+Q273_SQL = """
+WITH w AS (SELECT max(o_orderkey) // 4 + 1 AS w FROM orders),
+d AS (
+  SELECT count(*) AS n FROM orders, w
+  WHERE o_orderkey // w = 1 AND o_orderkey % 11 = 0
+)
+SELECT CAST(4 AS BIGINT) AS n_files_before,
+       CAST(4 AS BIGINT) AS n_files_after,
+       CAST(3 AS BIGINT) AS n_files_untouched,
+       CAST(d.n AS BIGINT) AS rows_erased,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders) - d.n AS rows_after
+FROM d
+"""
+
+
 # ---------------------------------------------------------- registry
 #
 # Dormant: consumed only by tests/test_catalog_r11.py until the r11
@@ -543,6 +627,7 @@ R11_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q270_bloom_point_prune": q270_bloom_point_prune,
     "q271_multibatch_erasure": q271_multibatch_erasure,
     "q272_bloomed_erasure": q272_bloomed_erasure,
+    "q273_filegrain_erasure": q273_filegrain_erasure,
 }
 R11_ORACLES: dict[str, str] = {
     "q268_ledger_contract": Q268_SQL,
@@ -550,6 +635,7 @@ R11_ORACLES: dict[str, str] = {
     "q270_bloom_point_prune": Q270_SQL,
     "q271_multibatch_erasure": Q271_SQL,
     "q272_bloomed_erasure": Q272_SQL,
+    "q273_filegrain_erasure": Q273_SQL,
 }
 
 R11_QUERIES = {name: _canon_query(fn) for name, fn in R11_QUERIES.items()}
