@@ -615,6 +615,77 @@ FROM d
 """
 
 
+# ----------------------------------------- manifest-aware compaction
+#
+# q274: sources/formats.compact_batch (r10) under the driver's gate —
+# the maintenance op whose CONTRAST with erasure is the point: six
+# small files compact to one, content byte-identical, the manifest
+# refreshed (post-compaction pruned-read row count is oracle-exact),
+# and a PRE-compaction snapshot pin stays REPRODUCIBLE (snapshots pin
+# content stats, not file lists) where q259 proves erasure audibly
+# breaks one. File counts and the reproducibility boolean are pinned
+# by the oracle; row columns recomputed from orders arithmetic.
+
+def q274_compact_batch(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.formats import compact_batch
+    from ..sources.manifest import collect_file_stats, read_pruned
+    from ..sources.snapshots import commit_snapshot, snapshot_drift_audit
+
+    with _scratch("q274_compact_") as base:
+        sink, man, log = f"{base}/sink", f"{base}/man", f"{base}/log"
+        orders = load_table(spark, sf, "orders").select("o_orderkey")
+        for m in range(6):  # six single-file appends, one per residue
+            (
+                orders.filter(F.col("o_orderkey") % 6 == m)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(f"{sink}/batch=0")
+            )
+        stats = collect_file_stats(
+            spark, f"{sink}/batch=0", ["o_orderkey"]
+        ).withColumn("batch", F.lit(0))
+        (
+            stats.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(man)
+        )
+        commit_snapshot(spark, man, log)
+        files_before, files_after = compact_batch(spark, sink, man, 0)
+        lo = orders.agg(F.min("o_orderkey").alias("lo")).collect()[0]["lo"]
+        pruned_n = read_pruned(
+            spark, spark.read.parquet(man), "o_orderkey", lo, lo + 99
+        ).count()
+        drift = snapshot_drift_audit(spark, sink, log, 1).collect()[0]
+        n_rows = int(
+            spark.read.parquet(man).agg(F.sum("n_rows")).collect()[0][0]
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    files_before,
+                    files_after,
+                    n_rows,
+                    pruned_n,
+                    bool(drift["reproducible"]),
+                )
+            ],
+            "files_before BIGINT, files_after BIGINT, n_rows BIGINT, "
+            "pruned_read_rows BIGINT, pin_reproducible BOOLEAN",
+        )
+
+
+Q274_SQL = """
+WITH lo AS (SELECT min(o_orderkey) AS lo FROM orders)
+SELECT CAST(6 AS BIGINT) AS files_before,
+       CAST(1 AS BIGINT) AS files_after,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders, lo
+        WHERE o_orderkey BETWEEN lo AND lo + 99) AS pruned_read_rows,
+       true AS pin_reproducible
+"""
+
+
 # ---------------------------------------------------------- registry
 #
 # Dormant: consumed only by tests/test_catalog_r11.py until the r11
@@ -628,6 +699,7 @@ R11_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q271_multibatch_erasure": q271_multibatch_erasure,
     "q272_bloomed_erasure": q272_bloomed_erasure,
     "q273_filegrain_erasure": q273_filegrain_erasure,
+    "q274_compact_batch": q274_compact_batch,
 }
 R11_ORACLES: dict[str, str] = {
     "q268_ledger_contract": Q268_SQL,
@@ -636,6 +708,7 @@ R11_ORACLES: dict[str, str] = {
     "q271_multibatch_erasure": Q271_SQL,
     "q272_bloomed_erasure": Q272_SQL,
     "q273_filegrain_erasure": Q273_SQL,
+    "q274_compact_batch": Q274_SQL,
 }
 
 R11_QUERIES = {name: _canon_query(fn) for name, fn in R11_QUERIES.items()}

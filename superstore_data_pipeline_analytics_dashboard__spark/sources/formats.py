@@ -215,3 +215,95 @@ def write_any(
     if compression:
         writer = writer.option("compression", compression)
     writer.save(path)
+
+
+def compact_batch(
+    spark: SparkSession,
+    sink_path: str,
+    manifest_path: str,
+    batch: int,
+    target_files: int = 1,
+) -> tuple[int, int]:
+    """In-place compaction of ONE ``batch=<id>`` partition of the
+    manifest-maintained sink — the maintenance twin of
+    ``compact_parquet`` for sinks whose readers prune through the
+    zone-map manifest (``sources/manifest.py``). Streaming appends
+    leave one-or-more small files per micro-batch; this rewrites the
+    batch into ``target_files`` files and refreshes its manifest rows
+    so pruned reads keep working, without ever compacting the live
+    directory in place: write to a hidden staging dir, rename-swap,
+    refresh — the same discipline (and the same audit-caught crash
+    windows) as ``retention.erase_rows``. Returns
+    ``(files_before, files_after)``.
+
+    Content is byte-identical, which is what makes compaction SAFE
+    where erasure is deliberately destructive: snapshots pin batch
+    sets + content stats (not file lists), so a pre-compaction pin
+    stays REPRODUCIBLE — ``snapshot_drift_audit`` passes across a
+    compaction and fails across an erasure, and the tests pin that
+    contrast. A batch-grain Bloom store row (``sources/bloom.py``)
+    also stays exactly correct: same rows, same positions.
+
+    The manifest refresh re-collects stats for every tracked column
+    the batch has (padding evolved-away columns as typed NULLs, the
+    erase_rows convention) in ONE scan of the compacted partition."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    part = f"{sink_path}/batch={batch}"
+    fs = hpath(part).getFileSystem(hconf)
+    files_before = sum(
+        1
+        for st in fs.listStatus(hpath(part))
+        if st.getPath().getName().startswith("part-")
+    )
+    man = spark.read.parquet(manifest_path)
+    man_types = {f.name: f.dataType for f in man.schema.fields}
+    stat_cols = [
+        c[len("min_") :] for c in man.columns if c.startswith("min_")
+    ]
+    df = spark.read.parquet(part)
+    staging = f"{sink_path}/.compact_staging_batch={batch}"
+    fs.delete(hpath(staging), True)
+    df.coalesce(target_files).write.parquet(staging)
+    trash = hpath(f"{part}.trash")
+    fs.delete(trash, True)
+    if not fs.rename(hpath(part), trash):
+        raise IOError(f"compact swap failed: could not retire {part}")
+    if not fs.rename(hpath(staging), hpath(part)):
+        raise IOError(f"compact swap failed: could not land {staging}")
+    fs.delete(trash, True)
+    present = [c for c in stat_cols if c in df.columns]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in present:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    stats = (
+        spark.read.parquet(part)
+        .select(F.input_file_name().alias("file"), *present)
+        .groupBy("file")
+        .agg(*aggs)
+        .withColumn("batch", F.lit(batch))
+    )
+    for c in stat_cols:
+        if c not in present:
+            stats = stats.withColumn(
+                f"min_{c}", F.lit(None).cast(man_types[f"min_{c}"])
+            ).withColumn(
+                f"max_{c}", F.lit(None).cast(man_types[f"max_{c}"])
+            )
+    stats = stats.select(
+        *(F.col(c).cast(man_types[c]).alias(c) for c in man.columns)
+    )
+    (
+        stats.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(manifest_path)
+    )
+    files_after = sum(
+        1
+        for st in fs.listStatus(hpath(part))
+        if st.getPath().getName().startswith("part-")
+    )
+    return files_before, files_after

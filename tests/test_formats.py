@@ -199,3 +199,57 @@ def test_json_quarantine_does_not_mutate_caller_schema(spark, tmpdir):
     assert out2["good"].count() == 1
     out1["parsed"].unpersist()
     out2["parsed"].unpersist()
+
+
+def test_compact_batch_preserves_content_manifest_and_snapshots(
+    spark, tmp_path
+):
+    """Manifest-aware in-place batch compaction: 6 small files -> 1,
+    byte-identical content, manifest refreshed (pruned reads stay
+    exact, audit consistent) — and, the contrast with erasure, a
+    PRE-compaction snapshot pin stays REPRODUCIBLE because snapshots
+    pin content stats, not file lists."""
+    from superstore_data_pipeline_analytics_dashboard__spark.sources import (
+        snapshots as SN,
+    )
+    from superstore_data_pipeline_analytics_dashboard__spark.sources.manifest import (
+        collect_file_stats,
+        read_pruned,
+    )
+    from superstore_data_pipeline_analytics_dashboard__spark.streaming.audit import (
+        manifest_consistency_audit,
+    )
+
+    sink, man, log = (str(tmp_path / d) for d in ("sink", "man", "log"))
+    for lo in range(0, 300, 50):  # six single-file appends
+        spark.createDataFrame(
+            [(i,) for i in range(lo, lo + 50)], "id BIGINT"
+        ).coalesce(1).write.mode("append").parquet(f"{sink}/batch=0")
+    stats = collect_file_stats(spark, f"{sink}/batch=0", ["id"])
+    assert stats.count() == 6
+    (
+        stats.withColumn("batch", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(man)
+    )
+    assert SN.commit_snapshot(spark, man, log) == 1
+
+    before, after = FM.compact_batch(spark, sink, man, 0)
+    assert (before, after) == (6, 1)
+    got = sorted(r["id"] for r in spark.read.parquet(sink).collect())
+    assert got == list(range(300))
+    post = spark.read.parquet(man)
+    assert post.count() == 1
+    row = post.collect()[0]
+    assert row["n_rows"] == 300 and row["min_id"] == 0
+    assert sorted(
+        r["id"] for r in read_pruned(spark, post, "id", 140, 160).collect()
+    ) == list(range(140, 161))
+    audit = manifest_consistency_audit(spark, sink, man).collect()[0]
+    assert audit["consistent"]
+    # the pin survives compaction (content stats unchanged) — the
+    # deliberate contrast with erasure, which audibly breaks it
+    drift = SN.snapshot_drift_audit(spark, sink, log, 1).collect()[0]
+    assert drift["reproducible"]
