@@ -523,3 +523,55 @@ def test_erasure_breaks_old_snapshots_audibly(spark, tmp_path):
     v2 = SN.commit_snapshot(spark, man, log)
     ok = SN.snapshot_drift_audit(spark, sink, log, v2).collect()[0]
     assert ok["reproducible"] and ok["n_rows_recorded"] == 247
+
+
+def test_maintenance_chain_compact_then_erase(spark, tmp_path):
+    """The maintenance ops compose: a multi-file batch is compacted
+    (manifest refreshed to one file), then keys are erased from the
+    compacted sink — content equals brute force, the manifest stays
+    consistent after BOTH rewrites, and the compaction-era snapshot
+    pin survives compaction but audibly breaks at erasure."""
+    from superstore_data_pipeline_analytics_dashboard__spark.sources import (
+        snapshots as SN,
+    )
+    from superstore_data_pipeline_analytics_dashboard__spark.sources.formats import (
+        compact_batch,
+    )
+    from superstore_data_pipeline_analytics_dashboard__spark.sources.manifest import (
+        collect_file_stats,
+    )
+
+    sink, man, log = (str(tmp_path / d) for d in ("sink", "man", "log"))
+    for lo in (0, 50):  # batch 0: two files covering [0,50) [50,100)
+        spark.createDataFrame(
+            [(i,) for i in range(lo, lo + 50)], "id BIGINT"
+        ).coalesce(1).write.mode("append").parquet(f"{sink}/batch=0")
+    (
+        collect_file_stats(spark, f"{sink}/batch=0", ["id"])
+        .withColumn("batch", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(man)
+    )
+    _land_batch(spark, sink, man, 1, range(100, 200))
+    SN.commit_snapshot(spark, man, log)
+
+    assert compact_batch(spark, sink, man, 0) == (2, 1)
+    assert SN.snapshot_drift_audit(spark, sink, log, 1).collect()[0][
+        "reproducible"
+    ]
+    rep = {
+        r["batch"]: r
+        for r in R.erase_rows(
+            spark, sink, man, "id", _keys(spark, [7, 70, 170])
+        ).collect()
+    }
+    assert rep[0]["rows_erased"] == 2 and rep[1]["rows_erased"] == 1
+    assert _ids(spark.read.parquet(sink)) == sorted(
+        set(range(200)) - {7, 70, 170}
+    )
+    audit = manifest_consistency_audit(spark, sink, man).collect()[0]
+    assert audit["consistent"]
+    drift = SN.snapshot_drift_audit(spark, sink, log, 1).collect()[0]
+    assert not drift["reproducible"]
