@@ -686,6 +686,136 @@ SELECT CAST(6 AS BIGINT) AS files_before,
 """
 
 
+# ------------------------------------- streamed bloom chain, end-to-end
+#
+# q275: the full production chain under one gate query — the sink is
+# landed BY THE STREAMING MACHINERY (start_append_with_manifest with
+# bloom_cols, availableNow over three interleaved residue slices), the
+# bloom store is read back with load_bloom_store, erasure is
+# bloom-confined through it, and a point read goes through
+# read_bloom_pruned. Residue slices make every batch's envelope span
+# the whole key space (the layout where only the bloom can confine);
+# all doomed keys live in ONE residue slice, so `confined` (fewer
+# batches rewritten than exist) fails only if BOTH other slices false-
+# positive simultaneously. Sizing matters and was MEASURED: at 2^20
+# bits the sf0.1 slice (~50k distinct keys) false-positived for ~0.3%
+# of the 167 doomed keys per slice — enough that both slices lit up.
+# At 2^24 bits the per-key rate is ~7e-7, so the failure odds are
+# ~1e-8 across all SFs (deterministic for fixed data+seed — verified
+# at all three). Every count column is
+# slice-permutation-invariant (file listing order may assign batch ids
+# differently across runs) and oracle-recomputed from orders
+# arithmetic; the booleans follow the guarantee pattern.
+
+def q275_streamed_bloom_chain(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.bloom import load_bloom_store, read_bloom_pruned
+    from ..sources.retention import erase_rows
+    from ..streaming.incremental import start_append_with_manifest
+
+    n_bits = 1 << 24
+    with _scratch("q275_chain_") as base:
+        drop, sink, man, blm, ck = (
+            f"{base}/{d}" for d in ("drop", "sink", "man", "bloom", "ck")
+        )
+        orders = load_table(spark, sf, "orders").select("o_orderkey")
+        for m in range(3):  # one file per residue slice
+            (
+                orders.filter(F.col("o_orderkey") % 3 == m)
+                .coalesce(1)
+                .write.parquet(f"{drop}/s{m}")
+            )
+        stream = (
+            spark.readStream.schema("o_orderkey BIGINT")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", True)
+            .parquet(drop)
+        )
+        q = start_append_with_manifest(
+            stream,
+            sink,
+            man,
+            ck,
+            stat_cols=["o_orderkey"],
+            bloom_cols=["o_orderkey"],
+            bloom_path=blm,
+            bloom_n_bits=n_bits,
+        )
+        q.awaitTermination(300)
+        store = load_bloom_store(spark, blm, "o_orderkey")
+        n_store = store.count()
+        # doomed keys: all in the residue-0 slice
+        doomed = orders.filter(
+            (F.col("o_orderkey") % 3 == 0)
+            & (F.col("o_orderkey") % 301 == 0)
+        )
+        rep = erase_rows(
+            spark,
+            sink,
+            man,
+            "o_orderkey",
+            doomed,
+            blooms={"o_orderkey": store},
+            bloom_n_bits=n_bits,
+        ).persist()
+        n_batches = rep.count()
+        n_rewritten = rep.filter("rewritten").count()
+        agg = rep.agg(
+            F.sum("rows_erased").alias("er"),
+            F.sum("rows_after").alias("af"),
+        ).collect()[0]
+        rep.unpersist()
+        # point read through the SAME store, for two surviving keys
+        probe = [
+            int(r["o_orderkey"])
+            for r in orders.filter(
+                (F.col("o_orderkey") % 3 == 1)
+                & (F.col("o_orderkey") % 301 == 0)
+            )
+            .orderBy("o_orderkey")
+            .limit(2)
+            .collect()
+        ]
+        n_point = read_bloom_pruned(
+            spark, sink, store, "o_orderkey", probe, n_bits=n_bits
+        ).count()
+        return spark.createDataFrame(
+            [
+                (
+                    n_batches,
+                    n_store,
+                    int(agg["er"]),
+                    int(agg["af"]),
+                    n_point,
+                    n_rewritten < n_batches,
+                )
+            ],
+            "n_batches BIGINT, n_store_rows BIGINT, rows_erased BIGINT, "
+            "rows_after BIGINT, point_read_rows BIGINT, "
+            "confined BOOLEAN",
+        )
+
+
+Q275_SQL = """
+WITH d AS (
+  SELECT count(*) AS n FROM orders
+  WHERE o_orderkey % 3 = 0 AND o_orderkey % 301 = 0
+), p AS (
+  SELECT count(*) AS n FROM (
+    SELECT o_orderkey FROM orders
+    WHERE o_orderkey % 3 = 1 AND o_orderkey % 301 = 0
+    ORDER BY o_orderkey LIMIT 2
+  )
+)
+SELECT CAST(3 AS BIGINT) AS n_batches,
+       CAST(3 AS BIGINT) AS n_store_rows,
+       (SELECT CAST(n AS BIGINT) FROM d) AS rows_erased,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders)
+         - (SELECT CAST(n AS BIGINT) FROM d) AS rows_after,
+       (SELECT CAST(n AS BIGINT) FROM p) AS point_read_rows,
+       true AS confined
+"""
+
+
 # ---------------------------------------------------------- registry
 #
 # Dormant: consumed only by tests/test_catalog_r11.py until the r11
@@ -700,6 +830,7 @@ R11_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q272_bloomed_erasure": q272_bloomed_erasure,
     "q273_filegrain_erasure": q273_filegrain_erasure,
     "q274_compact_batch": q274_compact_batch,
+    "q275_streamed_bloom_chain": q275_streamed_bloom_chain,
 }
 R11_ORACLES: dict[str, str] = {
     "q268_ledger_contract": Q268_SQL,
@@ -709,6 +840,7 @@ R11_ORACLES: dict[str, str] = {
     "q272_bloomed_erasure": Q272_SQL,
     "q273_filegrain_erasure": Q273_SQL,
     "q274_compact_batch": Q274_SQL,
+    "q275_streamed_bloom_chain": Q275_SQL,
 }
 
 R11_QUERIES = {name: _canon_query(fn) for name, fn in R11_QUERIES.items()}
