@@ -1,6 +1,11 @@
-"""Round-11 staging catalog: the cross-batch (ledger) contract face of
-operators/expectations.py and the approx-top-k truncation honesty
-query, as gate-ready queries + DuckDB oracles, NOT yet registered.
+"""Round-11 staging catalog — eight gate-ready queries + DuckDB
+oracles, NOT yet registered: the cross-batch (ledger) contract face of
+operators/expectations.py (q268), the approx-top-k truncation honesty
+query (q269), the Bloom manifest tier and its compositions (q270
+point-prune, q272 bloom-confined erasure, q275 streamed
+land→store→erase→read chain), the r10 erasure rewrite's evidence
+queries (q271 multi-batch hit-set, q273 file-grain pruning), and
+manifest-aware in-place compaction (q274).
 
 Why staged DORMANT: the round-10 audit window is a pinned contract
 (tests/test_registry_window.py — q266/q267 + the 48-query r5-verdict
