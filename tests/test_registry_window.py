@@ -13,76 +13,78 @@ from superstore_data_pipeline_analytics_dashboard__spark.plans.catalog_queries i
     QUERIES,
 )
 
-# Round-10 window (VERDICT r9 item 1): positions 1-2 are the two NEW
-# queries — q266/q267, the declarative data-contract operator's check
-# and enforce faces (operators/expectations.py), staged dormant through
-# round 9 and parity-tested at sf0.001 + sf0.01 before registration.
-# Positions 3-50: exactly the 48-query r5-verdict remainder — the
-# oldest driver verdicts remaining after r9 re-certified the r4 band —
-# as OLDEST-verdict-first canaries; no r6 queries are in the window.
-# Displaced r9-window entries keep their pass(r9) verdicts and queue at
-# the back of the oldest-verdict-first re-audit order.
-R10_NEW = [
-    "q266_lineitem_contract",
-    "q267_referential_gate",
+# Round-11 window (VERDICT r10 item 1): positions 1-8 are the EIGHT new
+# queries — q268-q275, the r10 compliance/maintenance tier (cross-batch
+# ledger contracts, top-k truncation band, Bloom manifest tier,
+# batched/bloomed/file-grain erasure evidence, in-place compaction, the
+# streamed bloom chain), staged dormant through round 10 and
+# parity-tested at sf0.001 + sf0.01 before registration.
+# Positions 9-50: the first 42 queries of the r6-verdict block — the
+# oldest driver verdicts remaining after r10 re-certified the r5 band —
+# as OLDEST-verdict-first canaries. Displaced r10-window entries keep
+# their pass(r10) verdicts and queue at the back of the
+# oldest-verdict-first re-audit order.
+R11_NEW = [
+    "q268_ledger_contract",
+    "q269_topk_truncation_band",
+    "q270_bloom_point_prune",
+    "q271_multibatch_erasure",
+    "q272_bloomed_erasure",
+    "q273_filegrain_erasure",
+    "q274_compact_batch",
+    "q275_streamed_bloom_chain",
 ]
-R10_R5_CANARIES = [
-    # the full 48-query r5-verdict remainder, unchanged relative order
-    "q15_idempotent_append",
-    "q17_latest_order_per_customer",
-    "q20_ngram_jaccard_pairs",
-    "q22_text_quality",
-    "q25_knn_bruteforce",
-    "q29_event_type_stats",
-    "q30_event_daily_counts",
-    "q31_sessionize_batch",
-    "q32_top_suppliers_per_nation",
-    "q33_embedding_neardup",
-    "q34_cube_region_segment",
-    "q37_order_value_percentiles",
-    "q42_revenue_mom",
-    "q45_grouping_sets_sql",
-    "q46_asof_click_attribution",
-    "q47_price_band_join",
-    "q48_deterministic_split",
-    "q49_dedup_clusters",
-    "q50_pivot_returnflag",
-    "q51_unpivot_measures",
-    "q52_rolling_range_revenue",
-    "q53_supplier_revenue_distribution",
-    "q54_small_quantity_parts",
-    "q55_promo_revenue_share",
-    "q56_spend_deciles",
-    "q57_stratified_sample",
-    "q58_hopping_window_counts",
-    "q59_global_topk",
-    "q60_late_unreturned_orders",
-    "q61_bloom_semi_reduction",
-    "q62_price_histogram",
-    "q63_embedding_norms",
-    "q64_pricing_summary",
-    "q65_shipping_priority",
-    "q66_salted_skew_agg",
-    "q68_json_map_explode",
-    "q136_ann_recall",
-    "q138_rolling_quantile_sketch",
-    "q140_retention_cohorts",
-    "q141_order_islands",
-    "q142_event_transitions",
-    "q143_day_hour_heatmap",
-    "q144_global_nucleus_fill",
-    "q145_scd2_from_cdc",
-    "q146_bigram_lift",
-    "q147_time_to_convert",
-    "q148_mad_outliers",
-    "q149_brand_skyline",
+R11_R6_CANARIES = [
+    # the first 42 of the r6-verdict block, unchanged relative order
+    "q150_survivorship_merge",
+    "q151_revenue_correlation",
+    "q152_prefix_duplicates",
+    "q153_lang_mismatch_audit",
+    "q154_minhash_recall",
+    "q155_interleave_order",
+    "q156_snapshot_diff",
+    "q157_trimmed_mean",
+    "q158_cluster_quality",
+    "q159_revenue_trend",
+    "q160_column_profile",
+    "q161_fk_integrity",
+    "q162_association_rules",
+    "q163_rfm_segments",
+    "q164_numeric_drift",
+    "q165_trend_residuals",
+    "q166_order_backlog",
+    "q167_gains_table",
+    "q168_label_outliers",
+    "q169_abc_classification",
+    "q170_seasonal_backtest",
+    "q171_duplicate_orders",
+    "q172_decontaminate",
+    "q173_quality_length_corr",
+    "q174_crosslang_fingerprints",
+    "q175_profile_drift",
+    "q176_ab_experiment",
+    "q177_time_weighted_value",
+    "q178_entity_resolution",
+    "q179_segment_confidence",
+    "q180_new_vs_returning",
+    "q181_sole_blame_supplier",
+    "q182_quintile_migration",
+    "q183_duplicate_linenumbers",
+    "q184_weekday_seasonality",
+    "q185_session_stats",
+    "q186_supplier_hhi",
+    "q187_revenue_gini",
+    "q188_dedup_threshold_sweep",
+    "q189_pps_systematic_sample",
+    "q190_event_retention",
+    "q191_funnel_summary",
 ]
-R10_WINDOW = R10_NEW + R10_R5_CANARIES
+R11_WINDOW = R11_NEW + R11_R6_CANARIES
 
 
 def test_registry_counts():
-    assert len(QUERIES) == 267
-    assert len(ORACLES) == 250
+    assert len(QUERIES) == 275
+    assert len(ORACLES) == 258
     assert set(ORACLES) <= set(QUERIES)
 
 
@@ -96,33 +98,43 @@ def test_window_is_50_and_fully_oracled():
 
 def test_window_composition_matches_coverage_doc():
     window = list(QUERIES)[:50]
-    assert len(R10_WINDOW) == 50
-    assert window == R10_WINDOW
+    assert len(R11_WINDOW) == 50
+    assert window == R11_WINDOW
 
 
 def test_queue_past_window_is_oldest_verdict_first():
     # past the window the oracled re-audit queue is monotone
-    # oldest-verdict-first (r6 block, r7 block, r8 block, displaced r9
-    # block), then the rows-only tail closes the registry
+    # oldest-verdict-first (the 8 r6-block queries the 42-canary window
+    # didn't re-audit, then the r7, r8, r9 and displaced r10 blocks),
+    # then the rows-only tail closes the registry
     names = list(QUERIES)
-    assert names[50] == "q150_survivorship_merge"  # r6 block head
-    assert names[100] == "q195_benford_audit"  # r7 block head
-    assert names[150] == "q248_charset_audit"  # r8 displaced block head
-    i = names.index("q251_pagerank_checkpoint_resume")  # r9 displaced head
-    assert i == 200
-    # the displaced r9 window, in its r9-window order: q251-q265, then
-    # the 35-query r4-block canaries
-    r9_band = names[i : i + 50]
-    assert r9_band[:4] == [
-        "q251_pagerank_checkpoint_resume",
-        "q252_grouped_topk_verified",
-        "q253_topk_state_rollup",
-        "q254_delivery_ledger",
+    r6_rest = names[50:58]
+    assert r6_rest == [
+        "q192_dead_stock",
+        "q193_token_weighted_median",
+        "q194_embedding_drift",
+        "q243_tier_disagreement",
+        "q88_copurchase_triangles",
+        "q123_quota_sample",
+        "q134_training_recipe",
+        "q08_rolling_30row",
     ]
-    assert r9_band[14] == "q265_incremental_rollup_via_diff"
-    assert r9_band[15] == "q99_split_leakage"
-    assert r9_band[-1] == "q09_top5_parts_per_brand"
-    assert all(n in ORACLES for n in r9_band)
-    # everything after the displaced r9 block is the rows-only tail
+    assert names[58] == "q195_benford_audit"  # r7 block head
+    assert names[108] == "q248_charset_audit"  # r8 displaced block head
+    assert names[158] == "q251_pagerank_checkpoint_resume"  # r9 head
+    i = names.index("q266_lineitem_contract")  # displaced r10 head
+    assert i == 208
+    # the displaced r10 window, in its r10-window order: q266/q267,
+    # then the 48-query r5-verdict remainder
+    r10_band = names[i : i + 50]
+    assert r10_band[:4] == [
+        "q266_lineitem_contract",
+        "q267_referential_gate",
+        "q15_idempotent_append",
+        "q17_latest_order_per_customer",
+    ]
+    assert r10_band[-1] == "q149_brand_skyline"
+    assert all(n in ORACLES for n in r10_band)
+    # everything after the displaced r10 block is the rows-only tail
     assert all(n not in ORACLES for n in names[i + 50 :])
     assert len(names[i + 50 :]) == 17
