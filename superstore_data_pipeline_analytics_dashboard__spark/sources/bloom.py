@@ -186,6 +186,10 @@ def read_bloom_pruned(
     stay safe across row DELETIONS (over-approximation survives), but
     an append after collection can silently hide new rows."""
     vals = list(values)
+    if not vals:
+        # the documented empty-frame return must not depend on inferring
+        # a schema from an empty probe list (createDataFrame would raise)
+        return spark.read.parquet(sink_path).filter(F.lit(False))
     # xxhash64 is TYPE-sensitive (int32 and int64 hash differently), so
     # the probe keys must carry exactly the sink column's type or the
     # positions won't match the collected ones — cast via the footer

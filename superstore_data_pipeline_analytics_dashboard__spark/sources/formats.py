@@ -266,7 +266,12 @@ def compact_batch(
     staging = f"{sink_path}/.compact_staging_batch={batch}"
     fs.delete(hpath(staging), True)
     df.coalesce(target_files).write.parquet(staging)
-    trash = hpath(f"{part}.trash")
+    # hidden (dot-prefixed) trash path: a crash between the retire-rename
+    # and the final delete must leave residue INVISIBLE to Spark's
+    # partition discovery — a non-hidden `{part}.trash` dir would surface
+    # as a bogus partition value and double-count the pre-compaction copy
+    # in full-sink reads (same discipline as erase_rows' .erase_trash)
+    trash = hpath(f"{sink_path}/.compact_trash_batch={batch}")
     fs.delete(trash, True)
     if not fs.rename(hpath(part), trash):
         raise IOError(f"compact swap failed: could not retire {part}")

@@ -277,11 +277,33 @@ def erase_rows(
     # (see module docstring — mixing schemas in one scan would write
     # the merged schema back into pre-evolution batches). Schema reads
     # are driver-side footer lookups, not jobs.
+    # each batch's signature comes from its CANDIDATE files' own footers
+    # (one driver-side footer read per hit file — ∝ files being rewritten
+    # anyway, never the whole dir), not a one-file sample of the batch
+    # dir: a sampled footer could disagree with the files actually
+    # scanned if a writer ever violated the one-schema-per-batch landing
+    # convention, and the grouped multi-path rewrite would then silently
+    # DROP (or NULL-pad) columns of the non-sampled candidates — the
+    # exact merged-schema corruption the grouping exists to prevent, one
+    # level down. Candidates that disagree among themselves fail loudly.
     groups: dict[tuple, list[int]] = {}
     for b in affected:
-        sch = spark.read.parquet(f"{sink_path}/batch={b}").schema
-        sig = tuple((f.name, f.dataType.simpleString()) for f in sch)
-        groups.setdefault(sig, []).append(b)
+        sigs = {
+            tuple(
+                (f.name, f.dataType.simpleString())
+                for f in spark.read.parquet(u).schema
+            )
+            for u in cand_by_batch[b]
+        }
+        if len(sigs) > 1:
+            raise ValueError(
+                f"erase_rows: batch {b}'s hit files hold heterogeneous "
+                f"schemas ({sorted(sorted(s) for s in sigs)}) — rewriting "
+                "them in one scan would corrupt whichever files the "
+                "scan schema wasn't sampled from; compact or re-land "
+                "the batch to one schema first"
+            )
+        groups.setdefault(sigs.pop(), []).append(b)
 
     kept_counts: dict[int, int] = {}
     staging = f"{sink_path}/.erase_staging"

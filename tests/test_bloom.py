@@ -149,3 +149,13 @@ def test_null_keys_skipped(spark, tmp_path):
     keys = spark.createDataFrame([(1,), (None,)], "id BIGINT")
     cand = B.bloom_candidates(blooms, keys, "id", n_bits=1024).collect()
     assert {(int(r["batch"]), int(r["id"])) for r in cand} == {(0, 1)}
+
+
+def test_read_bloom_pruned_empty_probe_list(spark, tmp_path):
+    """An empty values sequence returns the documented empty frame with
+    the sink's schema instead of crashing on schema inference."""
+    sink, _ = _random_layout(spark, tmp_path)
+    blooms = B.collect_batch_blooms(spark, sink, "id", n_bits=1 << 16)
+    got = B.read_bloom_pruned(spark, sink, blooms, "id", [], n_bits=1 << 16)
+    assert got.count() == 0
+    assert got.columns == spark.read.parquet(sink).columns

@@ -253,3 +253,25 @@ def test_compact_batch_preserves_content_manifest_and_snapshots(
     # deliberate contrast with erasure, which audibly breaks it
     drift = SN.snapshot_drift_audit(spark, sink, log, 1).collect()[0]
     assert drift["reproducible"]
+
+
+def test_compact_batch_crash_residue_is_hidden(spark, tmp_path):
+    """The retire-rename target is a DOT-prefixed dir: residue left by
+    a crash between the retire and the final delete must be invisible
+    to Spark partition discovery — a non-hidden `batch=0.trash` dir
+    would surface as a bogus partition value and double-count the
+    pre-compaction copy in full-sink reads."""
+    sink = str(tmp_path / "sink")
+    spark.createDataFrame([(i,) for i in range(100)], "id BIGINT").coalesce(
+        1
+    ).write.parquet(f"{sink}/batch=0")
+    # simulate the crash window: the retired copy still present under
+    # the hidden trash path compact_batch uses
+    import shutil
+
+    shutil.copytree(
+        f"{sink}/batch=0", f"{sink}/.compact_trash_batch=0"
+    )
+    df = spark.read.parquet(sink)
+    assert df.count() == 100  # no double count
+    assert [r["batch"] for r in df.select("batch").distinct().collect()] == [0]

@@ -575,3 +575,38 @@ def test_maintenance_chain_compact_then_erase(spark, tmp_path):
     assert audit["consistent"]
     drift = SN.snapshot_drift_audit(spark, sink, log, 1).collect()[0]
     assert not drift["reproducible"]
+
+
+def test_erase_heterogeneous_batch_raises(spark, tmp_path):
+    """A batch whose FILES disagree on schema (a writer violating the
+    one-schema-per-batch landing convention) must fail loudly: the
+    grouped rewrite would otherwise scan all candidate files with one
+    sampled footer schema and silently drop the columns present only
+    in the non-sampled files."""
+    import pytest
+
+    sink, man = str(tmp_path / "sink"), str(tmp_path / "man")
+    spark.createDataFrame(
+        [(i,) for i in range(50)], "id BIGINT"
+    ).coalesce(1).write.mode("append").parquet(f"{sink}/batch=0")
+    spark.createDataFrame(
+        [(i, "x") for i in range(50, 100)], "id BIGINT, extra STRING"
+    ).coalesce(1).write.mode("append").parquet(f"{sink}/batch=0")
+    from superstore_data_pipeline_analytics_dashboard__spark.sources.manifest import (
+        collect_file_stats,
+    )
+
+    stats = collect_file_stats(spark, f"{sink}/batch=0", ["id"]).withColumn(
+        "batch", F.lit(0)
+    )
+    stats.write.partitionBy("batch").parquet(man)
+    # keys hit BOTH files, so the one-scan rewrite would mix schemas
+    with pytest.raises(ValueError, match="heterogeneous"):
+        R.erase_rows(spark, sink, man, "id", _keys(spark, [10, 60]))
+    # and the sink was not touched by the refused rewrite
+    assert spark.read.parquet(f"{sink}/batch=0").count() == 100
+    # a hit confined to ONE file's envelope is safe: the scan schema is
+    # that file's own footer — the erasure proceeds at file grain
+    rep = R.erase_rows(spark, sink, man, "id", _keys(spark, [10]))
+    assert rep.collect()[0]["rows_erased"] == 1
+    assert spark.read.parquet(f"{sink}/batch=0").count() == 99
