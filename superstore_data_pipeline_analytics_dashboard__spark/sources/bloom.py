@@ -11,8 +11,8 @@ but answers "can this batch contain key x?" probabilistically with NO
 false negatives, independent of layout. Lakehouse formats ship the
 same tier (Parquet bloom filters, Delta's BLOOMFILTER index); for the
 plain-parquet manifest sink this module materializes it as one row per
-batch — ``(batch, bloom_pos)`` where ``bloom_pos`` is the sorted set
-of set bit positions, bounded by ``n_bits``.
+(batch, key column) — ``bloom_pos`` is the sorted set of set bit
+positions, bounded by ``n_bits``.
 
 Positions use the Kirsch-Mitzenmacher construction (two xxhash64
 seeds, position_i = (h1 + i*h2) mod n_bits — the same double-hashing
@@ -22,25 +22,45 @@ pruning state, never oracle-compared (the portable-hashing boundary
 rule) — gate queries compare the exact row counts and guarantee
 booleans the pruning produces, not the positions.
 
-Scale shape: collection is ONE narrow scan of the key column
-(explode k positions per row, ``collect_set`` partial-aggregates
-map-side; the result is #batches rows, each at most ``n_bits``
-ints). Candidate selection is an inverted-index equi-join on
-position — the exploded batch summaries against the BROADCAST
-exploded key positions (opt-out / lookup lists are key-sized) —
-then an all-k-positions count per (batch, key): linear in total
-summary size, never #batches × #keys pairwise array scans.
+Summary rows are SELF-DESCRIBING (r11): each carries the geometry and
+provenance it was collected under — ``key_type`` (xxhash64 is
+type-sensitive, so a probe of a different type silently
+false-negatives: the worst failure mode for a compliance delete),
+``n_bits``/``n_hashes`` (a probe hashed under a different geometry
+also silently false-negatives), and ``n_keys`` (the batch's non-NULL
+key count at collection time — what lets ``bloom_store_audit`` detect
+a summary that no longer describes its batch). ``bloom_candidates``
+refuses a probe that contradicts the recorded metadata instead of
+relying on caller discipline.
+
+Scale shape: collection is ONE narrow scan of the key column(s) —
+multi-column collection explodes a per-row struct array so k columns
+cost one scan, not k (measured in SCALE_AUDIT.md) — with
+``collect_set`` partial-aggregating map-side; the result is
+#batches × #columns rows, each at most ``n_bits`` ints. Candidate
+selection is an inverted-index equi-join on position — the exploded
+batch summaries against the BROADCAST exploded key positions
+(opt-out / lookup lists are key-sized) — then an all-k-positions
+count per (batch, key): linear in total summary size, never
+#batches × #keys pairwise array scans.
 
 Sizing: false-positive rate per key per batch is roughly
 ``(n_distinct*k/n_bits)^k``; keep ``n_bits`` an order of magnitude
-above ``n_distinct*k`` per batch. A saturated bloom (n_bits too
-small) never lies about presence — it just prunes nothing, the same
-honest degradation the envelope tier has on random layouts.
+above ``n_distinct*k`` per batch. When the caller passes no
+``n_bits``, ``collect_batch_blooms`` derives one per column from a
+measured approximate NDV (next power of two ≥ 16·ndv·k, floor 2^12 —
+fp ≈ (1/16)^k ≈ 2.4e-4 at k=3), so skipping the sizing paragraph no
+longer buys an honest-but-useless saturated store. A saturated bloom
+(n_bits too small) never lies about presence — it just prunes
+nothing, the same honest degradation the envelope tier has on random
+layouts; ``bloom_store_audit`` reports fill so saturation is visible.
 
 NULL keys are not representable (a point lookup for NULL identifies
 nothing — the same policy as ``retention.erase_rows``): collection
 skips NULL values and candidate keys drop NULLs; callers wanting
-NULL-keyed rows should filter by predicate.
+NULL-keyed rows should filter by predicate. A batch whose key column
+is entirely NULL lands no summary row (nothing to look up), and the
+audit expects exactly that.
 """
 
 from __future__ import annotations
@@ -51,10 +71,15 @@ from pyspark.sql import functions as F
 __all__ = [
     "bloom_positions",
     "collect_batch_blooms",
+    "bloom_summary_rows",
     "bloom_candidates",
     "read_bloom_pruned",
     "load_bloom_store",
+    "bloom_store_audit",
 ]
+
+#: metadata columns every summary row carries (see module docstring)
+_META_COLS = ("key_col", "key_type", "n_bits", "n_hashes", "n_keys")
 
 
 def bloom_positions(
@@ -74,51 +99,221 @@ def bloom_positions(
     )
 
 
+def _col_map(cols: list[str], values: dict[str, object]) -> Column:
+    """A literal ``key_col -> value`` map expression."""
+    return F.create_map(
+        *(x for c in cols for x in (F.lit(c), F.lit(values[c])))
+    )
+
+
+def bloom_summary_rows(
+    df: DataFrame,
+    cols: list[str],
+    n_bits: dict[str, int] | int,
+    n_hashes: int = 3,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Self-describing summary rows for every column in ``cols`` from
+    ONE scan of ``df`` — the shared core of batch-side
+    ``collect_batch_blooms`` and the streaming writer's land-time
+    maintenance (``streaming.incremental.start_append_with_manifest``).
+
+    Output: one row per (``group_cols``…, key column) with
+    ``key_col, key_type, n_bits, n_hashes, n_keys, bloom_pos``.
+    ``n_bits`` may be per-column (dict) or shared (int). Columns with
+    zero non-NULL keys in a group produce no row (module docstring).
+
+    The one-scan shape is a per-row struct array — (key_col, that
+    column's positions) per bloomed column — exploded once, so land
+    time for a composite-key sink does NOT multiply with the number of
+    bloomed columns."""
+    bits = n_bits if isinstance(n_bits, dict) else {c: n_bits for c in cols}
+    g = list(group_cols or [])
+    types = {c: df.schema[c].dataType.simpleString() for c in cols}
+    pairs = F.array(
+        *(
+            F.struct(
+                F.lit(c).alias("key_col"),
+                F.when(
+                    F.col(c).isNotNull(),
+                    bloom_positions(c, bits[c], n_hashes),
+                ).alias("k_pos"),
+            )
+            for c in cols
+        )
+    )
+    pos = (
+        df.select(*g, F.explode(pairs).alias("p"))
+        .filter(F.col("p.k_pos").isNotNull())
+        .select(*g, "p.key_col", F.posexplode("p.k_pos").alias("i", "pos"))
+    )
+    rows = pos.groupBy(*g, "key_col").agg(
+        # each non-NULL key contributes exactly one i==0 row
+        F.sum((F.col("i") == 0).cast("long")).alias("n_keys"),
+        F.sort_array(F.collect_set("pos")).alias("bloom_pos"),
+    )
+    return rows.select(
+        *g,
+        "key_col",
+        F.element_at(_col_map(cols, types), F.col("key_col")).alias(
+            "key_type"
+        ),
+        F.element_at(_col_map(cols, bits), F.col("key_col"))
+        .cast("long")
+        .alias("n_bits"),
+        F.lit(n_hashes).cast("long").alias("n_hashes"),
+        "n_keys",
+        "bloom_pos",
+    )
+
+
+def _derived_n_bits(
+    spark: SparkSession, src: DataFrame, cols: list[str], n_hashes: int
+) -> dict[str, int]:
+    """Per-column ``n_bits`` from a measured approximate NDV: next
+    power of two ≥ 16·ndv·k per batch (max over batches), floor 2^12.
+    One narrow scan (approx_count_distinct per batch per column)."""
+    ndv = (
+        src.groupBy("batch")
+        .agg(
+            *(
+                F.approx_count_distinct(c).alias(c)
+                for c in cols
+            )
+        )
+        .agg(*(F.max(c).alias(c) for c in cols))
+        .collect()[0]
+    )
+    out = {}
+    for c in cols:
+        target = 16 * max(int(ndv[c] or 0), 1) * n_hashes
+        bits = 1 << 12
+        while bits < target:
+            bits <<= 1
+        out[c] = bits
+    return out
+
+
 def collect_batch_blooms(
     spark: SparkSession,
     sink_path: str,
-    col: str,
-    n_bits: int = 1 << 18,
+    col: str | list[str],
+    n_bits: int | None = None,
     n_hashes: int = 3,
 ) -> DataFrame:
-    """One row per ``batch=<id>`` partition of the sink:
-    ``(batch, bloom_pos)`` — the sorted distinct bit positions of every
-    non-NULL key in the batch. One narrow scan of ``col``."""
+    """One row per ``batch=<id>`` partition per key column:
+    ``(batch, key_col, key_type, n_bits, n_hashes, n_keys, bloom_pos)``
+    — the sorted distinct bit positions of every non-NULL key in the
+    batch, with the self-describing metadata ``bloom_candidates``
+    validates probes against. One narrow scan of the key column(s)
+    regardless of how many are bloomed.
+
+    ``n_bits=None`` derives a per-column size from a measured
+    approximate NDV (one extra narrow scan; formula in the module
+    docstring) — the safe default for callers who skip the sizing
+    paragraph. Pass an explicit power of two to pin geometry across
+    rebuilds."""
+    cols = [col] if isinstance(col, str) else list(col)
     src = spark.read.option("basePath", sink_path).parquet(sink_path)
-    return (
-        src.filter(F.col(col).isNotNull())
-        .select(
-            F.col("batch").cast("long").alias("batch"),
-            F.explode(bloom_positions(col, n_bits, n_hashes)).alias("pos"),
-        )
-        .groupBy("batch")
-        .agg(F.sort_array(F.collect_set("pos")).alias("bloom_pos"))
+    bits: dict[str, int] | int
+    if n_bits is None:
+        bits = _derived_n_bits(spark, src, cols, n_hashes)
+    else:
+        bits = n_bits
+    rows = bloom_summary_rows(
+        src.select("batch", *cols),
+        cols,
+        bits,
+        n_hashes,
+        group_cols=["batch"],
     )
+    return rows.select(
+        F.col("batch").cast("long").alias("batch"),
+        *(c for c in rows.columns if c != "batch"),
+    )
+
+
+def _resolve_meta(
+    blooms: DataFrame,
+    col: str,
+    keys: DataFrame | None,
+    n_bits: int | None,
+    n_hashes: int | None,
+) -> tuple[DataFrame, int, int]:
+    """Filter a (possibly multi-column) summary frame down to ``col``
+    and resolve the probe geometry: recorded metadata wins and a
+    contradicting explicit parameter (or probe key type) RAISES —
+    a mismatched probe silently false-negatives, the worst failure
+    mode for a compliance delete. Raw frames without metadata fall
+    back to the explicit parameters (or the historical defaults)."""
+    if "key_col" in blooms.columns:
+        blooms = blooms.filter(F.col("key_col") == col)
+    if "n_bits" not in blooms.columns:
+        return blooms, n_bits or 1 << 18, n_hashes or 3
+    meta = (
+        blooms.select("key_type", "n_bits", "n_hashes").distinct().collect()
+    )
+    if len(meta) > 1:
+        raise ValueError(
+            f"bloom summaries for {col!r} carry inconsistent geometry "
+            f"{sorted((r['n_bits'], r['n_hashes']) for r in meta)} — a "
+            "single probe cannot match more than one; rebuild the store "
+            "at one geometry"
+        )
+    if not meta:  # empty store slice: geometry moot, result empty
+        return blooms, n_bits or 1 << 18, n_hashes or 3
+    rec = meta[0]
+    if n_bits is not None and n_bits != int(rec["n_bits"]):
+        raise ValueError(
+            f"bloom probe n_bits={n_bits} contradicts the store's "
+            f"recorded n_bits={int(rec['n_bits'])} for {col!r} — a "
+            "mismatched geometry silently false-negatives; omit n_bits "
+            "to use the recorded one"
+        )
+    if n_hashes is not None and n_hashes != int(rec["n_hashes"]):
+        raise ValueError(
+            f"bloom probe n_hashes={n_hashes} contradicts the store's "
+            f"recorded n_hashes={int(rec['n_hashes'])} for {col!r}"
+        )
+    if keys is not None:
+        probe_type = keys.schema[col].dataType.simpleString()
+        if rec["key_type"] is not None and probe_type != rec["key_type"]:
+            raise TypeError(
+                f"bloom probe for {col!r} carries type {probe_type} but "
+                f"the summaries were collected from {rec['key_type']} — "
+                "xxhash64 is type-sensitive, a widened probe silently "
+                "false-negatives; cast the probe to the collected type"
+            )
+    return blooms, int(rec["n_bits"]), int(rec["n_hashes"])
 
 
 def bloom_candidates(
     blooms: DataFrame,
     keys: DataFrame,
     col: str,
-    n_bits: int = 1 << 18,
-    n_hashes: int = 3,
+    n_bits: int | None = None,
+    n_hashes: int | None = None,
 ) -> DataFrame:
     """(batch, key) pairs whose batch bloom MAY contain the key — a
     superset of the true containments (no false negatives, guaranteed
-    by construction: a present key's every position is set). ``n_bits``
-    and ``n_hashes`` must match the ``collect_batch_blooms`` call that
-    built ``blooms``.
+    by construction: a present key's every position is set).
+
+    Geometry and key type come from the summary frame's recorded
+    metadata when present (the ``collect_batch_blooms`` /
+    ``bloom_summary_rows`` shape): an explicit ``n_bits``/``n_hashes``
+    that contradicts the record, or a probe column whose type differs
+    from the collected one, RAISES instead of silently
+    false-negativing (xxhash64 is type- and geometry-sensitive). Raw
+    ``(batch, bloom_pos)`` frames fall back to the explicit
+    parameters.
 
     Inverted-index shape: explode the batch summaries to (batch, pos)
     rows, equi-join the broadcast exploded key positions, keep pairs
     where ALL of the key's (deduplicated) positions matched. Output
-    column ``col`` carries the key value.
-
-    ``keys[col]`` must carry EXACTLY the type the summaries were
-    collected from — xxhash64 is type-sensitive (an int32 and an int64
-    of the same value hash differently), so a widened key column would
-    silently produce false negatives. ``read_bloom_pruned`` casts via
-    the sink footer for exactly this reason."""
+    column ``col`` carries the key value."""
+    blooms, n_bits, n_hashes = _resolve_meta(
+        blooms, col, keys, n_bits, n_hashes
+    )
     kp = (
         keys.select(col)
         .filter(F.col(col).isNotNull())
@@ -149,15 +344,19 @@ def load_bloom_store(
     """Read one column's per-batch summaries back from a streaming-
     maintained bloom store
     (:func:`streaming.incremental.start_append_with_manifest` with
-    ``bloom_cols=``): ``(batch, bloom_pos)`` rows in the shape
-    ``bloom_candidates`` / ``read_bloom_pruned`` / ``erase_rows``
-    consume. Raises if the store never bloomed ``col`` — a typo'd
+    ``bloom_cols=``): the self-describing rows ``bloom_candidates`` /
+    ``read_bloom_pruned`` / ``erase_rows`` consume (metadata columns
+    pass through so probes validate against the recorded geometry and
+    key type). Raises if the store never bloomed ``col`` — a typo'd
     column would otherwise prune everything (zero candidate batches
     reads as "key nowhere" — for the erasure consumer that is the
     silent-no-op failure mode the NULL policy exists to prevent)."""
     store = spark.read.parquet(bloom_path).filter(F.col("key_col") == col)
+    passthrough = [c for c in _META_COLS if c in store.columns]
     out = store.select(
-        F.col("batch").cast("long").alias("batch"), "bloom_pos"
+        F.col("batch").cast("long").alias("batch"),
+        *passthrough,
+        "bloom_pos",
     )
     if not out.limit(1).count():
         raise ValueError(
@@ -173,18 +372,20 @@ def read_bloom_pruned(
     blooms: DataFrame,
     col: str,
     values,
-    n_bits: int = 1 << 18,
-    n_hashes: int = 3,
+    n_bits: int | None = None,
+    n_hashes: int | None = None,
 ) -> DataFrame:
     """Read only the batch partitions whose bloom may contain any of
     ``values`` (a Python sequence), with the exact ``isin`` residual
     filter still applied — the point-lookup twin of
     ``manifest.read_pruned``, for the random layouts where range
-    envelopes admit everything. An empty candidate set returns an
-    empty frame with the sink's schema (footer read only). The bloom
-    must be CURRENT: built (or rebuilt) after the last append — blooms
-    stay safe across row DELETIONS (over-approximation survives), but
-    an append after collection can silently hide new rows."""
+    envelopes admit everything. An empty candidate set (or an empty
+    ``values``) returns an empty frame with the sink's schema (footer
+    read only). The bloom must be CURRENT: built (or rebuilt) after
+    the last append — blooms stay safe across row DELETIONS
+    (over-approximation survives), but an append after collection can
+    silently hide new rows; ``bloom_store_audit`` detects exactly
+    that."""
     vals = list(values)
     if not vals:
         # the documented empty-frame return must not depend on inferring
@@ -212,3 +413,165 @@ def read_bloom_pruned(
         *(f"{sink_path}/batch={b}" for b in sorted(batches))
     )
     return src.filter(F.col(col).isin(vals))
+
+
+def bloom_store_audit(
+    spark: SparkSession, sink_path: str, bloom_path: str
+) -> DataFrame:
+    """Filesystem audit of a per-batch Bloom store against the sink it
+    summarizes — the bloom tier's twin of
+    ``streaming.audit.manifest_consistency_audit``, closing the
+    documented currency contract (a bloom built before an append can
+    silently hide rows — for point reads a wrong empty result, for
+    bloom-confined erasure a silently-skipped batch: the worst failure
+    mode a compliance delete has) with DETECTION instead of caller
+    discipline.
+
+    Joins what is ON DISK (per batch, per bloomed column: the non-NULL
+    key count, from one narrow scan of exactly the bloomed columns)
+    against what the STORE claims (its recorded ``n_keys`` per row),
+    full-outer per (key column, batch). Output: one row per bloomed
+    column —
+
+    * ``n_sink_batches`` — batches holding ≥1 non-NULL key,
+    * ``n_store_batches`` — summary rows in the store,
+    * ``n_missing_batches`` — batches with keys but NO summary row
+      (an append the store never saw: the stale-store damage class),
+    * ``n_orphan_batches`` — summary rows describing a batch with no
+      keys on disk (a dropped/emptied batch whose summary survived),
+    * ``n_count_mismatches`` — both present but the key count changed
+      (a replay/overwrite after collection),
+    * ``type_ok`` — every row's recorded ``key_type`` matches the
+      sink footer's current type for that column,
+    * ``geometry_ok`` — the store holds exactly one
+      (``n_bits``, ``n_hashes``) per column,
+    * ``max_fill_ppm`` — the fullest summary's set-bit fraction (ppm);
+      ``saturated`` flags fill > 1/8 (point fp rate ≈ fill³ > 0.2%:
+      still no false negatives, just fading pruning — reported, not
+      failed),
+    * ``current`` — all violation counts zero AND types and geometry
+      consistent. Point reads and bloom-confined erasure can trust the
+      store iff ``current``.
+
+    Requires a self-describing store (r11 rows); raises on a store
+    without metadata columns, which cannot be audited for type or
+    currency."""
+    store = spark.read.parquet(bloom_path)
+    missing_meta = [c for c in _META_COLS if c not in store.columns]
+    if missing_meta:
+        raise ValueError(
+            f"bloom_store_audit: store at {bloom_path} lacks metadata "
+            f"column(s) {missing_meta} — rebuild it with r11 "
+            "collect_batch_blooms / start_append_with_manifest to make "
+            "it auditable"
+        )
+    cols = sorted(
+        r["key_col"] for r in store.select("key_col").distinct().collect()
+    )
+    if not cols:
+        raise ValueError(
+            f"bloom_store_audit: store at {bloom_path} is empty"
+        )
+    sink = spark.read.option("basePath", sink_path).parquet(sink_path)
+    sink_types = {
+        c: sink.schema[c].dataType.simpleString()
+        for c in cols
+        if c in sink.columns
+    }
+    # one narrow scan of exactly the bloomed columns: per (batch, col)
+    # non-NULL key counts, via the same struct-array explode the
+    # collection uses
+    pairs = F.array(
+        *(
+            F.struct(
+                F.lit(c).alias("key_col"),
+                (
+                    F.col(c).isNotNull()
+                    if c in sink.columns
+                    else F.lit(False)
+                ).alias("nn"),
+            )
+            for c in cols
+        )
+    )
+    exp = (
+        sink.select(F.col("batch").cast("long").alias("batch"), pairs.alias("ps"))
+        .select("batch", F.explode("ps").alias("p"))
+        .groupBy("batch", F.col("p.key_col").alias("key_col"))
+        .agg(F.sum(F.col("p.nn").cast("long")).alias("n_nonnull"))
+        .filter(F.col("n_nonnull") > 0)
+    )
+    st = store.select(
+        F.col("key_col"),
+        F.col("batch").cast("long").alias("batch"),
+        F.col("n_keys"),
+        F.col("n_bits"),
+        F.col("n_hashes"),
+        F.col("key_type"),
+        (F.size("bloom_pos").cast("long") * F.lit(1_000_000) / F.col("n_bits"))
+        .cast("long")
+        .alias("fill_ppm"),
+    )
+    j = exp.join(st, ["key_col", "batch"], "full_outer")
+    type_map = _col_map(
+        cols, {c: sink_types.get(c) for c in cols}
+    )
+    rep = j.groupBy("key_col").agg(
+        F.sum(F.col("n_nonnull").isNotNull().cast("long")).alias(
+            "n_sink_batches"
+        ),
+        F.sum(F.col("n_keys").isNotNull().cast("long")).alias(
+            "n_store_batches"
+        ),
+        F.sum(
+            (F.col("n_nonnull").isNotNull() & F.col("n_keys").isNull()).cast(
+                "long"
+            )
+        ).alias("n_missing_batches"),
+        F.sum(
+            (F.col("n_nonnull").isNull() & F.col("n_keys").isNotNull()).cast(
+                "long"
+            )
+        ).alias("n_orphan_batches"),
+        F.sum(
+            (
+                F.col("n_nonnull").isNotNull()
+                & F.col("n_keys").isNotNull()
+                & (F.col("n_nonnull") != F.col("n_keys"))
+            ).cast("long")
+        ).alias("n_count_mismatches"),
+        F.coalesce(
+            F.min(
+                (
+                    F.col("key_type")
+                    == F.element_at(type_map, F.col("key_col"))
+                ).cast("boolean")
+            ),
+            F.lit(False),
+        ).alias("type_ok"),
+        (
+            F.count_distinct(F.col("n_bits"), F.col("n_hashes")) <= 1
+        ).alias("geometry_ok"),
+        F.coalesce(F.max("fill_ppm"), F.lit(0)).cast("long").alias(
+            "max_fill_ppm"
+        ),
+    )
+    return rep.select(
+        "key_col",
+        "n_sink_batches",
+        "n_store_batches",
+        "n_missing_batches",
+        "n_orphan_batches",
+        "n_count_mismatches",
+        "type_ok",
+        "geometry_ok",
+        "max_fill_ppm",
+        (F.col("max_fill_ppm") > 125_000).alias("saturated"),
+        (
+            (F.col("n_missing_batches") == 0)
+            & (F.col("n_orphan_batches") == 0)
+            & (F.col("n_count_mismatches") == 0)
+            & F.col("type_ok")
+            & F.col("geometry_ok")
+        ).alias("current"),
+    ).orderBy("key_col")

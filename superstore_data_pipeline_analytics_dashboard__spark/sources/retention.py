@@ -83,8 +83,8 @@ def erase_rows(
     key_col: str | Sequence[str],
     keys: DataFrame,
     blooms: dict[str, DataFrame] | None = None,
-    bloom_n_bits: int = 1 << 18,
-    bloom_n_hashes: int = 3,
+    bloom_n_bits: int | None = None,
+    bloom_n_hashes: int | None = None,
 ) -> DataFrame:
     """Delete every row whose ``key_col`` value (or composite tuple,
     when a list of columns is given) appears in ``keys`` from the sink,

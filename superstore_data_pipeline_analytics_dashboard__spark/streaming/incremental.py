@@ -444,15 +444,17 @@ def start_append_with_manifest(
 
     ``bloom_cols``/``bloom_path`` (optional, r10) additionally maintain
     a per-batch Bloom store (``sources/bloom.py``) alongside the zone
-    maps — one ``(key_col, bloom_pos)`` row per bloomed column per
-    batch, landed with the same dynamic-overwrite replay discipline.
+    maps — one self-describing summary row (key column, key type,
+    geometry, key count, positions) per bloomed column per batch,
+    collected in ONE scan regardless of how many columns are bloomed
+    and landed with the same dynamic-overwrite replay discipline.
     Maintaining blooms AT LAND TIME is what satisfies the bloom
     currency contract ``retention.erase_rows`` documents: the store is
     rebuilt with every append by construction, so point-lookup pruning
     (and bloom-confined erasure on random layouts) never reads a
     summary older than the data. Read it back per column with
     ``bloom.load_bloom_store``."""
-    from ..sources.bloom import bloom_positions
+    from ..sources.bloom import bloom_summary_rows
     from ..sources.manifest import collect_file_stats
 
     if bloom_cols and bloom_path is None:
@@ -475,20 +477,15 @@ def start_append_with_manifest(
             .parquet(manifest_path)
         )
         if bloom_cols:
+            # ONE scan collects every bloomed column's summary row
+            # (per-row struct-array explode — land time does not
+            # multiply with the number of bloomed columns, r11), with
+            # the self-describing metadata bloom_candidates validates
+            # probes against
             part = spark.read.parquet(part_dir)
-            rows = None
-            for c in bloom_cols:
-                r = (
-                    part.filter(F.col(c).isNotNull())
-                    .select(
-                        F.explode(
-                            bloom_positions(c, bloom_n_bits, bloom_n_hashes)
-                        ).alias("pos")
-                    )
-                    .agg(F.sort_array(F.collect_set("pos")).alias("bloom_pos"))
-                    .select(F.lit(c).alias("key_col"), "bloom_pos")
-                )
-                rows = r if rows is None else rows.unionByName(r)
+            rows = bloom_summary_rows(
+                part, list(bloom_cols), bloom_n_bits, bloom_n_hashes
+            )
             (
                 rows.withColumn("batch", F.lit(batch_id))
                 .write.mode("overwrite")

@@ -159,3 +159,186 @@ def test_read_bloom_pruned_empty_probe_list(spark, tmp_path):
     got = B.read_bloom_pruned(spark, sink, blooms, "id", [], n_bits=1 << 16)
     assert got.count() == 0
     assert got.columns == spark.read.parquet(sink).columns
+
+
+def test_summary_rows_are_self_describing(spark, tmp_path):
+    """r11: summary rows carry the geometry/provenance metadata, and a
+    probe that contradicts it is REFUSED instead of silently
+    false-negativing (the worst failure mode for a compliance
+    delete)."""
+    import pytest
+
+    sink, _ = _random_layout(spark, tmp_path)
+    blooms = B.collect_batch_blooms(spark, sink, "id", n_bits=1 << 16)
+    row = blooms.limit(1).collect()[0]
+    assert row["key_col"] == "id" and row["key_type"] == "bigint"
+    assert row["n_bits"] == 1 << 16 and row["n_hashes"] == 3
+    assert row["n_keys"] > 0
+    keys = spark.createDataFrame([(77,)], "id BIGINT")
+    # geometry contradiction
+    with pytest.raises(ValueError, match="n_bits"):
+        B.bloom_candidates(blooms, keys, "id", n_bits=1 << 18)
+    # widened probe type contradiction
+    narrow = spark.createDataFrame([(77,)], "id INT")
+    with pytest.raises(TypeError, match="type-sensitive"):
+        B.bloom_candidates(blooms, narrow, "id")
+    # omitted geometry resolves from the record — same candidates as
+    # the explicit matching call
+    a = sorted(
+        (r["batch"], r["id"])
+        for r in B.bloom_candidates(blooms, keys, "id").collect()
+    )
+    b = sorted(
+        (r["batch"], r["id"])
+        for r in B.bloom_candidates(
+            blooms, keys, "id", n_bits=1 << 16, n_hashes=3
+        ).collect()
+    )
+    assert a == b and a
+    # mixed-geometry store slices are refused outright
+    mixed = blooms.unionByName(
+        B.collect_batch_blooms(spark, sink, "id", n_bits=1 << 14)
+    )
+    with pytest.raises(ValueError, match="inconsistent geometry"):
+        B.bloom_candidates(mixed, keys, "id")
+
+
+def test_multi_column_collection_one_scan(spark, tmp_path):
+    """k bloomed columns cost ONE scan (a struct-array explode), and
+    the per-column summaries are exactly what per-column collection
+    would have produced."""
+    sink = str(tmp_path / "sink")
+    df = spark.range(2000).select(
+        F.col("id"),
+        (F.col("id") * 7 % 1000).alias("other"),
+        F.pmod(F.xxhash64("id", F.lit(5)), F.lit(4)).alias("batch"),
+    )
+    df.write.partitionBy("batch").parquet(sink)
+    multi = B.collect_batch_blooms(
+        spark, sink, ["id", "other"], n_bits=1 << 14
+    )
+    assert sorted(
+        r["key_col"] for r in multi.select("key_col").distinct().collect()
+    ) == ["id", "other"]
+    for c in ("id", "other"):
+        single = {
+            int(r["batch"]): (list(r["bloom_pos"]), int(r["n_keys"]))
+            for r in B.collect_batch_blooms(
+                spark, sink, c, n_bits=1 << 14
+            ).collect()
+        }
+        part = {
+            int(r["batch"]): (list(r["bloom_pos"]), int(r["n_keys"]))
+            for r in multi.filter(F.col("key_col") == c).collect()
+        }
+        assert single == part
+    # one-scan plan: exactly one FileScan of the sink feeds the rows
+    spark.catalog.clearCache()
+    plan = (
+        multi._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1
+
+
+def test_auto_sized_n_bits_from_measured_ndv(spark, tmp_path):
+    """n_bits=None derives a power-of-two size from measured NDV (next
+    pow2 >= 16*ndv*k, floor 2^12) — large enough that the store is not
+    saturated, and pruning still works."""
+    sink, truth = _random_layout(spark, tmp_path)
+    blooms = B.collect_batch_blooms(spark, sink, "id")
+    bits = {int(r["n_bits"]) for r in blooms.select("n_bits").distinct().collect()}
+    assert len(bits) == 1
+    n_bits = bits.pop()
+    assert n_bits & (n_bits - 1) == 0  # power of two
+    # ~500 distinct keys per batch; 16*ndv*3 ≈ 24k → at least 2^15
+    assert n_bits >= 1 << 14
+    keys = spark.createDataFrame([(77,), (1234,)], "id BIGINT")
+    cand = {
+        (int(r["batch"]), int(r["id"]))
+        for r in B.bloom_candidates(blooms, keys, "id").collect()
+    }
+    assert cand >= {t for t in truth if t[1] in (77, 1234)}
+    assert len(cand) <= 6  # prunes most of the 16 (batch, key) pairs
+
+
+def test_bloom_store_audit_detects_each_damage_class(spark, tmp_path):
+    """The currency contract, closed with detection: a clean store is
+    `current`; an out-of-band append (missing), a dropped batch
+    (orphan), a replayed batch (count mismatch), a widened sink column
+    (type), and a mixed-geometry store each flip their own counter."""
+    sink, blm = str(tmp_path / "sink"), str(tmp_path / "blm")
+
+    def land(bid, lo, hi):
+        spark.range(lo, hi).select(
+            F.col("id"), F.lit(bid).alias("batch")
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch").parquet(sink)
+
+    def rebuild_store():
+        B.collect_batch_blooms(
+            spark, sink, "id", n_bits=1 << 14
+        ).write.mode("overwrite").partitionBy("batch").parquet(blm)
+
+    for b in range(3):
+        land(b, b * 100, b * 100 + 100)
+    rebuild_store()
+    rep = B.bloom_store_audit(spark, sink, blm).collect()[0]
+    assert rep["current"] and rep["type_ok"] and rep["geometry_ok"]
+    assert rep["n_sink_batches"] == rep["n_store_batches"] == 3
+    assert not rep["saturated"]
+
+    # (1) out-of-band append: a batch the store never saw
+    land(3, 300, 400)
+    rep = B.bloom_store_audit(spark, sink, blm).collect()[0]
+    assert rep["n_missing_batches"] == 1 and not rep["current"]
+
+    # (2) replayed batch: same batch id, different content
+    rebuild_store()
+    land(2, 200, 350)
+    rep = B.bloom_store_audit(spark, sink, blm).collect()[0]
+    assert rep["n_count_mismatches"] == 1 and not rep["current"]
+
+    # (3) dropped batch: summary row describing nothing on disk
+    rebuild_store()
+    import shutil
+
+    shutil.rmtree(f"{sink}/batch=3")
+    rep = B.bloom_store_audit(spark, sink, blm).collect()[0]
+    assert rep["n_orphan_batches"] == 1 and not rep["current"]
+
+    # (4) mixed geometry
+    rebuild_store()
+    extra = B.collect_batch_blooms(spark, sink, "id", n_bits=1 << 12)
+    extra.filter(F.col("batch") == 0).write.mode("append").partitionBy(
+        "batch"
+    ).parquet(blm)
+    rep = B.bloom_store_audit(spark, sink, blm).collect()[0]
+    assert not rep["geometry_ok"] and not rep["current"]
+
+    # (5) recorded type no longer matches the sink footer
+    rebuild_store()
+    tampered = spark.read.parquet(blm).withColumn(
+        "key_type", F.lit("int")
+    )
+    tampered.write.mode("overwrite").partitionBy("batch").parquet(
+        str(tmp_path / "blm2")
+    )
+    rep = B.bloom_store_audit(
+        spark, sink, str(tmp_path / "blm2")
+    ).collect()[0]
+    assert not rep["type_ok"] and not rep["current"]
+
+
+def test_bloom_store_audit_requires_metadata(spark, tmp_path):
+    """A store without the self-describing columns cannot be audited
+    for type or currency — refused loudly."""
+    import pytest
+
+    sink, _ = _random_layout(spark, tmp_path)
+    legacy = B.collect_batch_blooms(
+        spark, sink, "id", n_bits=1 << 14
+    ).select("batch", F.lit("id").alias("key_col"), "bloom_pos")
+    legacy.write.partitionBy("batch").parquet(str(tmp_path / "blm"))
+    with pytest.raises(ValueError, match="metadata"):
+        B.bloom_store_audit(spark, sink, str(tmp_path / "blm"))
