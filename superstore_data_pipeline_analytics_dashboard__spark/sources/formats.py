@@ -312,3 +312,67 @@ def compact_batch(
         if st.getPath().getName().startswith("part-")
     )
     return files_before, files_after
+
+
+def repair_compaction(
+    spark: SparkSession,
+    sink_path: str,
+    manifest_path: str,
+    batch: int,
+) -> "DataFrame":
+    """Recover a batch partition from a CRASHED ``compact_batch`` call.
+    The swap is retire-then-land, so the crash states are unambiguous:
+
+    * live ``batch=N`` missing + staging complete (``_SUCCESS``): the
+      crash hit between the two renames — COMPLETE the swap (land the
+      staged compacted files) and drop the trash;
+    * live ``batch=N`` missing + no complete staging: the retire ran
+      but the compacted copy is torn — RESTORE the partition from the
+      hidden trash (it holds the only copy) and discard the staging;
+    * live partition present: both hidden trees are residue — cleaned.
+
+    Always finishes by reconciling the manifest via
+    :func:`retention.repair_manifest` (a crash after the swap but
+    before the refresh leaves the rows pointing at retired files).
+    Returns one row: ``(action, consistent_after)``."""
+    from .retention import repair_manifest
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    part = f"{sink_path}/batch={batch}"
+    staging = f"{sink_path}/.compact_staging_batch={batch}"
+    trash = f"{sink_path}/.compact_trash_batch={batch}"
+    fs = hpath(part).getFileSystem(hconf)
+    if not fs.exists(hpath(part)):
+        if fs.exists(hpath(f"{staging}/_SUCCESS")):
+            if not fs.rename(hpath(staging), hpath(part)):
+                raise IOError(
+                    f"compaction repair failed: could not land {staging}"
+                )
+            fs.delete(hpath(trash), True)
+            action = "completed"
+        elif fs.exists(hpath(trash)):
+            if not fs.rename(hpath(trash), hpath(part)):
+                raise IOError(
+                    f"compaction repair failed: could not restore {trash}"
+                )
+            fs.delete(hpath(staging), True)
+            action = "restored"
+        else:
+            raise ValueError(
+                f"repair_compaction: batch {batch} has no live "
+                "partition and no residue to recover it from"
+            )
+    else:
+        cleaned = fs.delete(hpath(staging), True) | fs.delete(
+            hpath(trash), True
+        )
+        action = "cleaned" if cleaned else "noop"
+    ok = bool(
+        repair_manifest(spark, sink_path, manifest_path)
+        .collect()[0]["consistent_after"]
+    )
+    return spark.createDataFrame(
+        [(action, ok)], "action STRING, consistent_after BOOLEAN"
+    )

@@ -37,14 +37,21 @@ over renames — metadata ops, not jobs.
 The swap is rename-based and file-level: doomed files are retired
 into the hidden ``.erase_trash`` tree, then the rewritten files land
 beside the untouched ones (fresh writer UUIDs — no name collisions).
-Crash-windows are (a) inside the staging write — the sink is
-untouched and the hidden ``.erase_staging``/``.erase_trash`` trees
-are overwrite-safe on the next erasure; (b) between a file's
-retire-rename and its replacement landing — those rows are missing,
-which ``manifest_consistency_audit`` reports as stale manifest rows;
-(c) after the swaps and before the group's manifest refresh — the
-landed files are unenveloped and the retired files' rows stale, which
-the same audit reports. On object stores without cheap rename, land
+Each schema group JOURNALS its rewrite plan (``.erase_plan.json``,
+metadata-sized) before touching the sink, which makes every crash
+window REPAIRABLE, not just detectable (r11): (a) inside the staging
+write — the sink is untouched, ``repair_erasure`` discards the torn
+staging tree; (b) between a file's retire-rename and its replacement
+landing — ``manifest_consistency_audit`` reports the stale rows, and
+``repair_erasure`` rolls the swap FORWARD from the plan + staged
+survivors (forward is the only acceptable direction for a promised
+compliance delete); (c) after the swaps and before the group's
+manifest refresh — the landed files are unenveloped and the retired
+files' rows stale, which the audit reports and ``repair_manifest``
+reconciles. A successful call deletes its own staging/trash/plan
+before returning; crash residue is reclaimed by ``repair_erasure``
+or, once repaired, ``vacuum_maintenance`` (which refuses to destroy
+load-bearing residue). On object stores without cheap rename, land
 the staging files as the new locations and flip the manifest instead
 (the manifest IS that pointer in this layout). A batch whose every
 row is doomed gets a zero-row schema-bearing file (deleting the dir
@@ -68,12 +75,46 @@ silently training on a smaller pin.
 from __future__ import annotations
 
 import functools
+import json
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["erase_rows"]
+__all__ = [
+    "erase_rows",
+    "repair_erasure",
+    "repair_manifest",
+    "vacuum_maintenance",
+]
+
+
+def _fs(spark: SparkSession, path: str):
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    return (
+        hpath(path).getFileSystem(spark._jsc.hadoopConfiguration()),
+        hpath,
+    )
+
+
+def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    fs, hpath = _fs(spark, path)
+    out = fs.create(hpath(path), True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text(spark: SparkSession, path: str) -> str:
+    fs, hpath = _fs(spark, path)
+    stream = fs.open(hpath(path))
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
 
 
 def erase_rows(
@@ -308,6 +349,7 @@ def erase_rows(
     kept_counts: dict[int, int] = {}
     staging = f"{sink_path}/.erase_staging"
     trash = f"{sink_path}/.erase_trash"
+    plan_path = f"{sink_path}/.erase_plan.json"
     for sig, bs in groups.items():
         files = [u for b in bs for u in cand_by_batch[b]]
         src = spark.read.option("basePath", sink_path).parquet(*files)
@@ -320,14 +362,7 @@ def erase_rows(
         fs = hpath(staging).getFileSystem(hconf)
         fs.delete(hpath(staging), True)
         fs.delete(hpath(trash), True)
-        kept.write.partitionBy("batch").parquet(staging)
-        # a partitioned write produces a batch=N dir only for batches
-        # with surviving rewritten rows
-        surv: set[int] = set()
-        for st in fs.listStatus(hpath(staging)):
-            name = st.getPath().getName()
-            if name.startswith("batch="):
-                surv.add(int(name.split("=", 1)[1]))
+        fs.delete(hpath(plan_path), False)
         untouched_files = {
             b: [
                 r["file"]
@@ -336,6 +371,37 @@ def erase_rows(
             ]
             for b in bs
         }
+        # journal this group's rewrite plan BEFORE touching anything: a
+        # crash anywhere past this point leaves the plan + the hidden
+        # trees behind, and repair_erasure can roll the swap FORWARD
+        # (the staged files hold the survivors; completing the swap is
+        # the original erasure's semantics — for a compliance delete,
+        # forward is the only acceptable direction once staging is
+        # durable). The plan is metadata-sized: candidate URIs and
+        # untouched-file counts per batch.
+        _write_text(
+            spark,
+            plan_path,
+            json.dumps(
+                {
+                    "batches": {
+                        str(b): {
+                            "files": cand_by_batch[b],
+                            "n_untouched": len(untouched_files[b]),
+                        }
+                        for b in bs
+                    }
+                }
+            ),
+        )
+        kept.write.partitionBy("batch").parquet(staging)
+        # a partitioned write produces a batch=N dir only for batches
+        # with surviving rewritten rows
+        surv: set[int] = set()
+        for st in fs.listStatus(hpath(staging)):
+            name = st.getPath().getName()
+            if name.startswith("batch="):
+                surv.add(int(name.split("=", 1)[1]))
         emptied = [
             b for b in bs if b not in surv and not untouched_files[b]
         ]
@@ -402,6 +468,7 @@ def erase_rows(
                 fs.delete(hpath(f"{manifest_path}/batch={b}"), True)
         fs.delete(hpath(staging), True)
         fs.delete(hpath(trash), True)
+        fs.delete(hpath(plan_path), False)
         if emptied:
             fs.delete(hpath(f"{sink_path}/.erase_empty"), True)
 
@@ -496,4 +563,353 @@ def erase_rows(
         rows,
         "batch BIGINT, rewritten BOOLEAN, rows_before BIGINT, "
         "rows_erased BIGINT, rows_after BIGINT",
+    )
+
+
+def repair_manifest(
+    spark: SparkSession, sink_path: str, manifest_path: str
+) -> DataFrame:
+    """Detect-and-REPAIR for the zone-map manifest — the pairing
+    ``manifest_consistency_audit`` was missing (the audit reports
+    stale rows, unenveloped files and row-count drift; this fixes
+    them, the q213 unknown-member-repair loop applied to the storage
+    layer). Each damage class maps to one action:
+
+    * stale rows (manifest points at a file no longer on disk —
+      a retired/deleted file whose refresh never ran): DROPPED;
+    * unenveloped files (on disk, never recorded — a crash between a
+      data write and its manifest write, e.g. erasure crash window
+      (c)): stats collected and ENVELOPED, one scan of exactly those
+      files per footer-schema group (the erase_rows convention — a
+      mixed-schema scan would pad pre-evolution files with merged
+      columns);
+    * row-count mismatches (both present, counts disagree — stats from
+      a different write than what survived): RE-SCANNED with the
+      unenveloped files.
+
+    Only the damaged batches' manifest partitions are rebuilt
+    (driver-side, metadata-sized row sets, dynamic overwrite — the
+    erase_rows refresh discipline); a batch whose repaired row set is
+    empty has its partition dropped (the emptied-batch convention).
+    Detection needs the audit's per-file row counts, so the cost is
+    one narrow count scan of the sink plus one stats scan of only the
+    damaged files — incident response, not a hot path.
+
+    Returns one row: ``(n_stale_rows_dropped, n_files_reenveloped,
+    n_count_refreshed, n_batches_repaired, consistent_after)`` where
+    ``consistent_after`` re-runs the audit's criteria post-repair."""
+    from ..streaming.audit import manifest_consistency_audit
+
+    src = spark.read.option("basePath", sink_path).parquet(sink_path)
+    disk_rows = (
+        src.groupBy(
+            F.input_file_name().alias("file"),
+            F.col("batch").cast("long").alias("batch"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    )
+    man = spark.read.parquet(manifest_path)
+    man_types = {f.name: f.dataType for f in man.schema.fields}
+    stat_cols = [c[len("min_") :] for c in man.columns if c.startswith("min_")]
+    man_rows = man.collect()  # metadata-sized: one row per enveloped file
+    base = lambda u: u.rsplit("/", 1)[1]  # noqa: E731
+    disk_by_base = {base(r["file"]): r for r in disk_rows}
+    man_by_base = {base(r["file"]): r for r in man_rows}
+    stale = [r for r in man_rows if base(r["file"]) not in disk_by_base]
+    unenv = [
+        r for bn, r in disk_by_base.items() if bn not in man_by_base
+    ]
+    mismatch = [
+        disk_by_base[bn]
+        for bn, r in man_by_base.items()
+        if bn in disk_by_base
+        and int(disk_by_base[bn]["n_rows"]) != int(r["n_rows"])
+    ]
+    affected = sorted(
+        {int(r["batch"]) for r in stale}
+        | {int(r["batch"]) for r in unenv}
+        | {int(r["batch"]) for r in mismatch}
+    )
+    rescan = unenv + mismatch
+    fresh_rows = []
+    if rescan:
+        # one stats scan per footer-schema group of the damaged files
+        groups: dict[tuple, list[str]] = {}
+        for r in rescan:
+            sch = spark.read.parquet(r["file"]).schema
+            sig = tuple((f.name, f.dataType.simpleString()) for f in sch)
+            groups.setdefault(sig, []).append(r["file"])
+        for sig, uris in groups.items():
+            present = [c for c in stat_cols if c in {n for n, _ in sig}]
+            aggs = [F.count(F.lit(1)).alias("n_rows")]
+            for c in present:
+                aggs.append(F.min(c).alias(f"min_{c}"))
+                aggs.append(F.max(c).alias(f"max_{c}"))
+            stats = (
+                spark.read.option("basePath", sink_path)
+                .parquet(*uris)
+                .select(
+                    F.input_file_name().alias("file"), "batch", *present
+                )
+                .groupBy("file", "batch")
+                .agg(*aggs)
+            )
+            for c in stat_cols:
+                if c not in present:
+                    stats = stats.withColumn(
+                        f"min_{c}", F.lit(None).cast(man_types[f"min_{c}"])
+                    ).withColumn(
+                        f"max_{c}", F.lit(None).cast(man_types[f"max_{c}"])
+                    )
+            fresh_rows.extend(
+                stats.select(
+                    *(
+                        F.col(c).cast(man_types[c]).alias(c)
+                        for c in man.columns
+                    )
+                ).collect()
+            )
+    if affected:
+        fs, hpath = _fs(spark, manifest_path)
+        mismatch_bases = {base(r["file"]) for r in mismatch}
+        keep = [
+            r
+            for r in man_rows
+            if int(r["batch"]) in set(affected)
+            and base(r["file"]) in disk_by_base
+            and base(r["file"]) not in mismatch_bases
+        ]
+        refreshed = keep + fresh_rows
+        if refreshed:
+            (
+                spark.createDataFrame(refreshed, man.schema)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch")
+                .parquet(manifest_path)
+            )
+        refreshed_batches = {int(r["batch"]) for r in refreshed}
+        for b in affected:
+            if b not in refreshed_batches:
+                fs.delete(hpath(f"{manifest_path}/batch={b}"), True)
+    ok = bool(
+        manifest_consistency_audit(spark, sink_path, manifest_path)
+        .collect()[0]["consistent"]
+    )
+    return spark.createDataFrame(
+        [(len(stale), len(unenv), len(mismatch), len(affected), ok)],
+        "n_stale_rows_dropped BIGINT, n_files_reenveloped BIGINT, "
+        "n_count_refreshed BIGINT, n_batches_repaired BIGINT, "
+        "consistent_after BOOLEAN",
+    )
+
+
+def repair_erasure(
+    spark: SparkSession, sink_path: str, manifest_path: str
+) -> DataFrame:
+    """Recover a sink from a CRASHED ``erase_rows`` call — the repair
+    face of the three documented crash windows (module docstring),
+    completing the detect→repair pairing the repo uses elsewhere.
+
+    The crashed call's journal decides the direction:
+
+    * ``.erase_plan.json`` present AND the staging write completed
+      (``_SUCCESS``): roll the swap FORWARD — finish retiring every
+      planned candidate file still in its partition, land every staged
+      survivor file not yet landed, and land the zero-row
+      schema-bearing file for a batch the plan shows fully emptied.
+      Forward is the only acceptable direction once staging is durable:
+      the erasure was promised, and the staged files hold the
+      survivors (windows (b) and (c)).
+    * plan present but staging incomplete (window (a), crash inside
+      the staging write): the sink was never touched — the torn
+      staging tree is DISCARDED.
+
+    Either way the hidden residue trees are then removed and the
+    manifest reconciled via :func:`repair_manifest` (retired files'
+    rows dropped, landed files enveloped), so a plain
+    ``manifest_consistency_audit`` goes green again. Idempotent: a
+    second call finds no residue and repairs nothing. All driver-side
+    work is metadata-sized (the plan, file listings, renames).
+
+    Returns one row: ``(found_residue, rolled_forward,
+    n_files_retired, n_files_landed, n_batches_emptied,
+    n_stale_rows_dropped, n_files_reenveloped, consistent_after)``."""
+    fs, hpath = _fs(spark, sink_path)
+    staging = f"{sink_path}/.erase_staging"
+    trash = f"{sink_path}/.erase_trash"
+    plan_path = f"{sink_path}/.erase_plan.json"
+    empty_tmpl = f"{sink_path}/.erase_empty"
+    has_plan = fs.exists(hpath(plan_path))
+    has_staging = fs.exists(hpath(staging))
+    staged_ok = fs.exists(hpath(f"{staging}/_SUCCESS"))
+    found = bool(
+        has_plan
+        or has_staging
+        or fs.exists(hpath(trash))
+        or fs.exists(hpath(empty_tmpl))
+    )
+    retired = landed = emptied_n = 0
+    rolled_forward = False
+    if has_plan and staged_ok:
+        rolled_forward = True
+        plan = json.loads(_read_text(spark, plan_path))
+        for b_str, info in sorted(plan["batches"].items(), key=lambda kv: int(kv[0])):
+            b = int(b_str)
+            part = f"{sink_path}/batch={b}"
+            fs.mkdirs(hpath(f"{trash}/batch={b}"))
+            for u in info["files"]:
+                name = u.rsplit("/", 1)[1]
+                if fs.exists(hpath(u)):
+                    if not fs.rename(
+                        hpath(u), hpath(f"{trash}/batch={b}/{name}")
+                    ):
+                        raise IOError(
+                            f"erase repair failed: could not retire {u}"
+                        )
+                    retired += 1
+            st_dir = hpath(f"{staging}/batch={b}")
+            if fs.exists(st_dir):
+                for st in fs.listStatus(st_dir):
+                    name = st.getPath().getName()
+                    if not name.startswith("part-"):
+                        continue
+                    if not fs.rename(st.getPath(), hpath(f"{part}/{name}")):
+                        raise IOError(
+                            f"erase repair failed: could not land {name}"
+                        )
+                    landed += 1
+            if info["n_untouched"] == 0:
+                fs.mkdirs(hpath(part))
+                has_files = any(
+                    st.getPath().getName().startswith("part-")
+                    for st in fs.listStatus(hpath(part))
+                )
+                if not has_files:
+                    # the fully-emptied branch: schema from a retired
+                    # file of this batch (all candidates are in trash
+                    # by now)
+                    src_file = next(
+                        st.getPath().toString()
+                        for st in fs.listStatus(hpath(f"{trash}/batch={b}"))
+                        if st.getPath().getName().startswith("part-")
+                    )
+                    fs.delete(hpath(empty_tmpl), True)
+                    (
+                        spark.read.parquet(src_file)
+                        .limit(0)
+                        .coalesce(1)
+                        .write.parquet(empty_tmpl)
+                    )
+                    ef = next(
+                        st.getPath()
+                        for st in fs.listStatus(hpath(empty_tmpl))
+                        if st.getPath().getName().startswith("part-")
+                    )
+                    if not fs.rename(ef, hpath(f"{part}/{ef.getName()}")):
+                        raise IOError(
+                            "erase repair failed: could not land the "
+                            f"zero-row file for batch {b}"
+                        )
+                    fs.delete(hpath(f"{manifest_path}/batch={b}"), True)
+                    emptied_n += 1
+    # residue cleanup (either direction; discarding a torn staging
+    # tree is safe — the sink was never touched before _SUCCESS)
+    fs.delete(hpath(staging), True)
+    fs.delete(hpath(trash), True)
+    fs.delete(hpath(plan_path), False)
+    fs.delete(hpath(empty_tmpl), True)
+    mrep = repair_manifest(spark, sink_path, manifest_path).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                found,
+                rolled_forward,
+                retired,
+                landed,
+                emptied_n,
+                int(mrep["n_stale_rows_dropped"]),
+                int(mrep["n_files_reenveloped"]),
+                bool(mrep["consistent_after"]),
+            )
+        ],
+        "found_residue BOOLEAN, rolled_forward BOOLEAN, "
+        "n_files_retired BIGINT, n_files_landed BIGINT, "
+        "n_batches_emptied BIGINT, n_stale_rows_dropped BIGINT, "
+        "n_files_reenveloped BIGINT, consistent_after BOOLEAN",
+    )
+
+
+def vacuum_maintenance(
+    spark: SparkSession, sink_path: str, force: bool = False
+) -> DataFrame:
+    """Delete maintenance residue left under a sink by CRASHED
+    erasures/compactions — the disk-leak and compliance closure for
+    the hidden trees (a successful ``erase_rows`` / ``compact_batch``
+    already deletes its own staging and trash before returning; what
+    accumulates is crash residue, and its trash generations hold
+    pre-erasure bytes that compliance wants gone).
+
+    Refuses (raises) instead of deleting when the residue is still
+    LOAD-BEARING, so a vacuum can never destroy the only copy:
+
+    * an erasure plan with a completed staging write is
+      roll-forwardable — run :func:`repair_erasure` first (vacuuming
+      would discard the staged survivor rows: data loss);
+    * a ``.compact_trash_batch=N`` whose live ``batch=N`` partition is
+      missing holds the partition's only copy — run
+      :func:`formats.repair_compaction` first.
+
+    ``force=True`` overrides both guards (documented data loss — an
+    operator decision, never a default). Returns one row:
+    ``(n_paths_removed, n_files_removed)``."""
+    fs, hpath = _fs(spark, sink_path)
+    staging = f"{sink_path}/.erase_staging"
+    plan_path = f"{sink_path}/.erase_plan.json"
+    if not force and fs.exists(hpath(plan_path)) and fs.exists(
+        hpath(f"{staging}/_SUCCESS")
+    ):
+        raise ValueError(
+            "vacuum_maintenance: a crashed erasure left a "
+            "roll-forwardable plan + completed staging tree — run "
+            "repair_erasure first (vacuuming now would discard the "
+            "staged survivor rows), or pass force=True to accept the "
+            "loss"
+        )
+    residue = [staging, f"{sink_path}/.erase_trash", plan_path,
+               f"{sink_path}/.erase_empty"]
+    for st in fs.listStatus(hpath(sink_path)):
+        name = st.getPath().getName()
+        if name.startswith(".compact_staging_batch="):
+            residue.append(st.getPath().toString())
+        elif name.startswith(".compact_trash_batch="):
+            b = name.split("=", 1)[1]
+            if not force and not fs.exists(
+                hpath(f"{sink_path}/batch={b}")
+            ):
+                raise ValueError(
+                    f"vacuum_maintenance: {name} holds the only copy "
+                    f"of batch {b} (its live partition is missing — a "
+                    "compaction crashed mid-swap); run "
+                    "repair_compaction first, or pass force=True to "
+                    "accept the loss"
+                )
+            residue.append(st.getPath().toString())
+    n_paths = n_files = 0
+    for p in residue:
+        if not fs.exists(hpath(p)):
+            continue
+        if fs.getFileStatus(hpath(p)).isDirectory():
+            it = fs.listFiles(hpath(p), True)
+            while it.hasNext():
+                it.next()
+                n_files += 1
+        else:
+            n_files += 1
+        fs.delete(hpath(p), True)
+        n_paths += 1
+    return spark.createDataFrame(
+        [(n_paths, n_files)],
+        "n_paths_removed BIGINT, n_files_removed BIGINT",
     )

@@ -610,3 +610,236 @@ def test_erase_heterogeneous_batch_raises(spark, tmp_path):
     rep = R.erase_rows(spark, sink, man, "id", _keys(spark, [10]))
     assert rep.collect()[0]["rows_erased"] == 1
     assert spark.read.parquet(f"{sink}/batch=0").count() == 99
+
+
+# --------------------------------------------- crash repair + vacuum
+#
+# The r11 repair face: every documented erase_rows crash window is
+# constructed BY HAND (via the journal + hidden trees, exactly the
+# state a real crash leaves) and repaired; vacuum_maintenance refuses
+# to destroy load-bearing residue.
+
+import json as _json
+import os as _os
+import shutil as _shutil
+
+
+def _local(uri):
+    """file:/... URI -> local path."""
+    return uri.split(":", 1)[1] if ":" in uri else uri
+
+
+def _stage_crash(spark, sink, man, doomed_ids, land=False):
+    """Reproduce erase_rows' on-disk state for a crash in window (b):
+    plan journaled, staging written (with _SUCCESS), batch-0 candidate
+    file retired to trash, replacements NOT landed (unless land=)."""
+    cand = [
+        r["file"]
+        for r in spark.read.parquet(man)
+        .filter(F.col("batch") == 0)
+        .collect()
+    ]
+    n_untouched = 0
+    src = spark.read.option("basePath", sink).parquet(*cand)
+    kept = src.filter(~F.col("id").isin(doomed_ids))
+    kept.write.partitionBy("batch").parquet(f"{sink}/.erase_staging")
+    R._write_text(
+        spark,
+        f"{sink}/.erase_plan.json",
+        _json.dumps(
+            {"batches": {"0": {"files": cand, "n_untouched": n_untouched}}}
+        ),
+    )
+    _os.makedirs(f"{sink}/.erase_trash/batch=0", exist_ok=True)
+    for u in cand:
+        p = _local(u)
+        _shutil.move(p, f"{sink}/.erase_trash/batch=0/")
+    if land:
+        st = f"{sink}/.erase_staging/batch=0"
+        if _os.path.isdir(st):
+            for name in _os.listdir(st):
+                if name.startswith("part-"):
+                    _shutil.move(f"{st}/{name}", f"{sink}/batch=0/{name}")
+
+
+def test_repair_erasure_rolls_forward_mid_swap_crash(spark, tmp_path):
+    """Window (b): retired but not landed. The audit reports the
+    damage; repair rolls the swap FORWARD from the journal and the
+    result is bit-for-bit the erasure a non-crashed call produces."""
+    sink, man = _build(spark, tmp_path / "a")
+    twin_sink, twin_man = _build(spark, tmp_path / "b")
+    R.erase_rows(spark, twin_sink, twin_man, "id", _keys(spark, [10, 20, 30]))
+    _stage_crash(spark, sink, man, [10, 20, 30])
+    assert not manifest_consistency_audit(spark, sink, man).collect()[0][
+        "consistent"
+    ]
+    rep = R.repair_erasure(spark, sink, man).collect()[0]
+    assert rep["found_residue"] and rep["rolled_forward"]
+    assert rep["n_files_landed"] >= 1 and rep["consistent_after"]
+    assert _ids(spark.read.parquet(sink)) == _ids(
+        spark.read.parquet(twin_sink)
+    )
+    # manifests agree batch-for-batch on content stats
+    a = {
+        (int(r["batch"])): int(r["n_rows"])
+        for r in spark.read.parquet(man)
+        .groupBy("batch")
+        .agg(F.sum("n_rows").alias("n_rows"))
+        .collect()
+    }
+    b = {
+        (int(r["batch"])): int(r["n_rows"])
+        for r in spark.read.parquet(twin_man)
+        .groupBy("batch")
+        .agg(F.sum("n_rows").alias("n_rows"))
+        .collect()
+    }
+    assert a == b
+    # idempotent: a second repair finds nothing and stays consistent
+    rep2 = R.repair_erasure(spark, sink, man).collect()[0]
+    assert not rep2["found_residue"] and rep2["consistent_after"]
+
+
+def test_repair_erasure_window_c_manifest_only(spark, tmp_path):
+    """Window (c): swaps complete, crash before the manifest refresh —
+    landed files unenveloped, retired files' rows stale. Repair is
+    manifest-only (no roll-forward needed)."""
+    sink, man = _build(spark, tmp_path / "a")
+    twin_sink, twin_man = _build(spark, tmp_path / "b")
+    R.erase_rows(spark, twin_sink, twin_man, "id", _keys(spark, [10, 20, 30]))
+    _stage_crash(spark, sink, man, [10, 20, 30], land=True)
+    rep = R.repair_erasure(spark, sink, man).collect()[0]
+    assert rep["rolled_forward"] and rep["n_files_landed"] == 0
+    assert rep["n_stale_rows_dropped"] == 1
+    assert rep["n_files_reenveloped"] == 1 and rep["consistent_after"]
+    assert _ids(spark.read.parquet(sink)) == _ids(
+        spark.read.parquet(twin_sink)
+    )
+
+
+def test_repair_erasure_discards_torn_staging(spark, tmp_path):
+    """Window (a): crash inside the staging write (no _SUCCESS). The
+    sink was never touched — repair discards the torn tree."""
+    sink, man = _build(spark, tmp_path)
+    src = spark.read.option("basePath", sink).parquet(sink)
+    src.filter("batch = 0").write.partitionBy("batch").parquet(
+        f"{sink}/.erase_staging"
+    )
+    _os.remove(f"{sink}/.erase_staging/_SUCCESS")
+    R._write_text(
+        spark,
+        f"{sink}/.erase_plan.json",
+        _json.dumps({"batches": {"0": {"files": [], "n_untouched": 0}}}),
+    )
+    rep = R.repair_erasure(spark, sink, man).collect()[0]
+    assert rep["found_residue"] and not rep["rolled_forward"]
+    assert rep["consistent_after"]
+    assert len(_ids(spark.read.parquet(sink))) == 250
+    assert not _os.path.exists(f"{sink}/.erase_staging")
+    assert not _os.path.exists(f"{sink}/.erase_plan.json")
+
+
+def test_repair_erasure_completes_emptied_batch(spark, tmp_path):
+    """A batch whose every row was doomed, crashed mid-swap: repair
+    lands the zero-row schema-bearing file and drops the batch's
+    manifest rows — the same end state a non-crashed erasure leaves."""
+    sink, man = _build(spark, tmp_path)
+    _stage_crash(spark, sink, man, list(range(0, 100)))
+    rep = R.repair_erasure(spark, sink, man).collect()[0]
+    assert rep["rolled_forward"] and rep["n_batches_emptied"] == 1
+    assert rep["consistent_after"]
+    assert _ids(spark.read.parquet(sink)) == list(range(100, 250))
+    # the emptied batch kept a schema-bearing file, no manifest rows
+    assert any(
+        n.startswith("part-") for n in _os.listdir(f"{sink}/batch=0")
+    )
+    assert not _os.path.exists(f"{man}/batch=0")
+
+
+def test_repair_manifest_standalone(spark, tmp_path):
+    """The generic detect→repair: stale row (file deleted), unenveloped
+    file (out-of-band write), count drift (file replaced) — one call
+    fixes all three and pruned reads are exact again."""
+    sink, man = _build(spark, tmp_path)
+    # stale: delete batch 1's file behind the manifest's back
+    f1 = _local(
+        spark.read.parquet(man).filter(F.col("batch") == 1).collect()[0][
+            "file"
+        ]
+    )
+    _os.remove(f1)
+    # unenveloped: land an extra file in batch 1 out of band
+    spark.createDataFrame([(i,) for i in range(500, 520)], "id BIGINT").coalesce(
+        1
+    ).write.mode("append").parquet(f"{sink}/batch=1")
+    assert not manifest_consistency_audit(spark, sink, man).collect()[0][
+        "consistent"
+    ]
+    rep = R.repair_manifest(spark, sink, man).collect()[0]
+    assert rep["n_stale_rows_dropped"] == 1
+    assert rep["n_files_reenveloped"] == 1
+    assert rep["consistent_after"]
+    got = _ids(read_pruned(spark, spark.read.parquet(man), "id", 500, 505))
+    assert got == list(range(500, 506))
+
+
+def test_vacuum_refuses_loadbearing_residue(spark, tmp_path):
+    """vacuum_maintenance never destroys the only copy: a
+    roll-forwardable erasure is refused (repair first), inert residue
+    is reclaimed and counted."""
+    import pytest
+
+    sink, man = _build(spark, tmp_path)
+    _stage_crash(spark, sink, man, [10, 20, 30])
+    with pytest.raises(ValueError, match="repair_erasure"):
+        R.vacuum_maintenance(spark, sink)
+    R.repair_erasure(spark, sink, man)
+    # repair cleaned its own residue — nothing left to vacuum
+    rep = R.vacuum_maintenance(spark, sink).collect()[0]
+    assert rep["n_paths_removed"] == 0
+    # inert residue (trash without a plan): reclaimed
+    _os.makedirs(f"{sink}/.erase_trash/batch=9")
+    with open(f"{sink}/.erase_trash/batch=9/part-junk", "w") as fh:
+        fh.write("x")
+    rep = R.vacuum_maintenance(spark, sink).collect()[0]
+    assert rep["n_paths_removed"] == 1 and rep["n_files_removed"] == 1
+    assert not _os.path.exists(f"{sink}/.erase_trash")
+
+
+def test_repair_compaction_restores_and_completes(spark, tmp_path):
+    """compact_batch's two mid-swap crash states: torn staging →
+    partition RESTORED from trash; completed staging → swap COMPLETED
+    to the compacted copy. Both end manifest-consistent, and vacuum
+    refuses while the trash is the only copy."""
+    import pytest
+
+    from superstore_data_pipeline_analytics_dashboard__spark.sources import (
+        formats as FM,
+    )
+
+    sink, man = _build(spark, tmp_path)
+    # --- torn staging: retire ran, compacted copy incomplete
+    _shutil.move(f"{sink}/batch=0", f"{sink}/.compact_trash_batch=0")
+    _os.makedirs(f"{sink}/.compact_staging_batch=0")
+    with pytest.raises(ValueError, match="repair_compaction"):
+        R.vacuum_maintenance(spark, sink)
+    rep = FM.repair_compaction(spark, sink, man, 0).collect()[0]
+    assert rep["action"] == "restored" and rep["consistent_after"]
+    assert len(_ids(spark.read.parquet(sink))) == 250
+    # --- completed staging: land it instead of restoring
+    spark.read.parquet(f"{sink}/batch=0").coalesce(1).write.parquet(
+        f"{sink}/.compact_staging_batch=0"
+    )
+    _shutil.move(f"{sink}/batch=0", f"{sink}/.compact_trash_batch=0")
+    rep = FM.repair_compaction(spark, sink, man, 0).collect()[0]
+    assert rep["action"] == "completed" and rep["consistent_after"]
+    assert len(_ids(spark.read.parquet(sink))) == 250
+    assert (
+        sum(
+            1
+            for n in _os.listdir(f"{sink}/batch=0")
+            if n.startswith("part-")
+        )
+        == 1
+    )
+    assert not _os.path.exists(f"{sink}/.compact_trash_batch=0")
