@@ -613,18 +613,22 @@ def repair_manifest(
     man_types = {f.name: f.dataType for f in man.schema.fields}
     stat_cols = [c[len("min_") :] for c in man.columns if c.startswith("min_")]
     man_rows = man.collect()  # metadata-sized: one row per enveloped file
+    # identity = (batch, basename): one multi-partition write reuses a
+    # task's file name across every batch dir it touches, so basenames
+    # are only unique WITHIN a batch (same key as the audit, r11)
     base = lambda u: u.rsplit("/", 1)[1]  # noqa: E731
-    disk_by_base = {base(r["file"]): r for r in disk_rows}
-    man_by_base = {base(r["file"]): r for r in man_rows}
-    stale = [r for r in man_rows if base(r["file"]) not in disk_by_base]
+    key = lambda r: (int(r["batch"]), base(r["file"]))  # noqa: E731
+    disk_by_key = {key(r): r for r in disk_rows}
+    man_by_key = {key(r): r for r in man_rows}
+    stale = [r for r in man_rows if key(r) not in disk_by_key]
     unenv = [
-        r for bn, r in disk_by_base.items() if bn not in man_by_base
+        r for kk, r in disk_by_key.items() if kk not in man_by_key
     ]
     mismatch = [
-        disk_by_base[bn]
-        for bn, r in man_by_base.items()
-        if bn in disk_by_base
-        and int(disk_by_base[bn]["n_rows"]) != int(r["n_rows"])
+        disk_by_key[kk]
+        for kk, r in man_by_key.items()
+        if kk in disk_by_key
+        and int(disk_by_key[kk]["n_rows"]) != int(r["n_rows"])
     ]
     affected = sorted(
         {int(r["batch"]) for r in stale}
@@ -672,13 +676,13 @@ def repair_manifest(
             )
     if affected:
         fs, hpath = _fs(spark, manifest_path)
-        mismatch_bases = {base(r["file"]) for r in mismatch}
+        mismatch_keys = {key(r) for r in mismatch}
         keep = [
             r
             for r in man_rows
             if int(r["batch"]) in set(affected)
-            and base(r["file"]) in disk_by_base
-            and base(r["file"]) not in mismatch_bases
+            and key(r) in disk_by_key
+            and key(r) not in mismatch_keys
         ]
         refreshed = keep + fresh_rows
         if refreshed:

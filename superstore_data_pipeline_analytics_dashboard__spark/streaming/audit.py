@@ -140,18 +140,30 @@ def manifest_consistency_audit(
     ``n_row_mismatches`` (both present but row counts disagree — stats
     collected from a different write than what survived), and
     ``consistent`` = all three violation counts are zero. Readers can
-    trust manifest-pruned reads iff ``consistent``."""
+    trust manifest-pruned reads iff ``consistent``.
+
+    The identity key is (batch, basename), NOT the basename alone: a
+    single multi-partition write reuses one task's file name across
+    every ``batch=N`` dir it touches (``part-00000-<job-uuid>`` lands
+    in each), so basenames are only unique WITHIN a batch directory —
+    a basename-only join would cross-match those twins and false-alarm
+    row mismatches on a perfectly consistent sink (r11)."""
     base = lambda c: F.element_at(F.split(c, "/"), -1)  # noqa: E731
     disk = (
-        spark.read.parquet(sink_path)
-        .groupBy(base(F.input_file_name()).alias("fname"))
+        spark.read.option("basePath", sink_path)
+        .parquet(sink_path)
+        .groupBy(
+            F.col("batch").cast("long").alias("batch"),
+            base(F.input_file_name()).alias("fname"),
+        )
         .agg(F.count(F.lit(1)).alias("disk_rows"))
     )
     man = spark.read.parquet(manifest_path).select(
+        F.col("batch").cast("long").alias("batch"),
         base(F.col("file")).alias("fname"),
         F.col("n_rows").alias("manifest_rows"),
     )
-    j = disk.join(man, "fname", "full_outer")
+    j = disk.join(man, ["batch", "fname"], "full_outer")
     rep = j.agg(
         F.sum(F.col("disk_rows").isNotNull().cast("long")).alias("n_data_files"),
         F.sum(F.col("manifest_rows").isNotNull().cast("long")).alias(

@@ -1,0 +1,75 @@
+"""Parity gate for the DORMANT round-12 staging catalog
+(plans/catalog_queries_r12.py): every staged query vs its DuckDB
+oracle at sf0.001 AND at sf0.01 — the driver's audit scale — so the
+r12 rotation is a pure registry splice of already-certified queries.
+
+Deliberately the same comparator as the main gate (tools/parity.compare:
+Arrow-canonical types, bit-identical floats, banned boundary types)."""
+
+import duckdb
+import pytest
+
+from superstore_data_pipeline_analytics_dashboard__spark.plans.catalog_queries_r12 import (
+    R12_ORACLES,
+    R12_QUERIES,
+)
+from superstore_data_pipeline_analytics_dashboard__spark.sources.catalog import TABLES
+from tests.conftest import SF_ORACLE, SF_SMOKE
+from tools.parity import compare
+
+_SFS = [SF_SMOKE, SF_ORACLE]
+
+
+@pytest.fixture(scope="module", params=_SFS, ids=["sf0.001", "sf0.01"])
+def duck_sf(request):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{request.param}/{t}.parquet'"
+        )
+    yield request.param, con
+    con.close()
+
+
+def test_every_staged_query_has_an_oracle():
+    assert set(R12_QUERIES) == set(R12_ORACLES)
+
+
+@pytest.mark.parametrize("name", sorted(R12_ORACLES))
+def test_staged_query_matches_oracle(spark, duck_sf, name):
+    sf, con = duck_sf
+    df = R12_QUERIES[name](spark, sf)
+    problems = compare(name, df, con, R12_ORACLES[name])
+    assert not problems, problems
+
+
+def test_staged_plan_hygiene(spark):
+    """No row-at-a-time Python, no CartesianProduct, no undocumented
+    Arrow stage in any staged plan (same audit as the registered
+    catalog gets in test_plan_quality.py)."""
+    # plan-SHAPE reads need a clean cache (CLAUDE.md)
+    spark.catalog.clearCache()
+    failures = []
+    for name, fn in R12_QUERIES.items():
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        for bad in (
+            "BatchEvalPython",
+            "CartesianProduct",
+            "ArrowEvalPython",
+            "MapInPandas",
+            "FlatMapGroupsInPandas",
+        ):
+            if bad in plan:
+                failures.append((name, bad))
+    assert not failures, failures
+
+
+def test_staged_names_not_yet_registered():
+    # dormancy contract: registration is the r12 rotation commit, which
+    # must ALSO rewrite tests/test_registry_window.py — at that point
+    # this test is deleted alongside the module's dormancy docstring
+    from superstore_data_pipeline_analytics_dashboard__spark.plans.catalog_queries import (
+        QUERIES,
+    )
+
+    assert not set(R12_QUERIES) & set(QUERIES)

@@ -214,3 +214,43 @@ def test_manifest_audit_consistent_then_corrupted(spark, event_drop_zone, tmpdir
     assert not bad["consistent"]
     assert bad["n_stale_manifest_rows"] == 1
     assert bad["n_unenveloped_files"] == 1
+
+
+def test_audit_keys_on_batch_plus_basename(spark, tmp_path):
+    """A single multi-partition write reuses one task's file name
+    across every batch dir it touches (part-00000-<job-uuid> lands in
+    each), so basenames are only unique WITHIN a batch — the audit
+    must key on (batch, basename) or it cross-matches those twins and
+    false-alarms row mismatches on a perfectly consistent sink."""
+    from pyspark.sql import functions as F
+
+    from superstore_data_pipeline_analytics_dashboard__spark.streaming.audit import (
+        manifest_consistency_audit,
+    )
+
+    sink, man = str(tmp_path / "sink"), str(tmp_path / "man")
+    df = spark.range(300).select(
+        F.col("id"), (F.col("id") % 3).alias("batch")
+    )
+    # ONE partitioned write → same basenames across the 3 batch dirs
+    df.coalesce(1).write.partitionBy("batch").parquet(sink)
+    src = spark.read.option("basePath", sink).parquet(sink)
+    (
+        src.select(F.input_file_name().alias("file"), "batch", "id")
+        .groupBy("file", "batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .select("file", "n_rows", "min_id", "max_id", "batch")
+        .write.partitionBy("batch")
+        .parquet(man)
+    )
+    names = {
+        f.rsplit("/", 1)[1] for f in spark.read.parquet(sink).inputFiles()
+    }
+    assert len(names) == 1  # the collision this test exists for
+    rep = manifest_consistency_audit(spark, sink, man).collect()[0]
+    assert rep["consistent"], rep.asDict()
+    assert rep["n_row_mismatches"] == 0 and rep["n_data_files"] == 3
