@@ -379,18 +379,25 @@ FROM hits
 # recorded metadata (no explicit n_bits anywhere — the r11
 # auto-resolution path under the gate). On the md5-random layout only
 # the bloom can confine; a false negative on EITHER column would
-# leave rows_erased_total short and hash-mismatch.
+# leave rows_erased_total short and hash-mismatch. The store is
+# MAINTAINED through the delete (bloom_store_path=): afterwards
+# bloom_store_audit must be green for both columns
+# (store_current_after), closing the maintenance loop under the gate.
 
 def q279_multicol_bloomed_erasure(
     spark: SparkSession, sf: str
 ) -> DataFrame:
     from ..functions.sampling import hash_bucket
-    from ..sources.bloom import collect_batch_blooms
+    from ..sources.bloom import (
+        bloom_store_audit,
+        collect_batch_blooms,
+        load_bloom_store,
+    )
     from ..sources.retention import erase_rows
 
     nb = 8
     with _scratch("q279_mcerase_") as base:
-        sink, man = f"{base}/sink", f"{base}/man"
+        sink, man, blm = f"{base}/sink", f"{base}/man", f"{base}/blm"
         orders = load_table(spark, sf, "orders").select(
             "o_orderkey", "o_custkey"
         )
@@ -429,10 +436,13 @@ def q279_multicol_bloomed_erasure(
         stats.write.partitionBy("batch").parquet(man)
         # ONE scan collects BOTH columns' summaries (2^18 spans every
         # SF's per-batch NDV comfortably: ≤ ~19k keys/batch at sf0.1)
-        store = collect_batch_blooms(
+        collect_batch_blooms(
             spark, sink, ["o_orderkey", "o_custkey"], n_bits=1 << 18
-        ).persist()
-        store.count()
+        ).write.partitionBy("batch").parquet(blm)
+        stores = {
+            c: load_bloom_store(spark, blm, c)
+            for c in ("o_orderkey", "o_custkey")
+        }
         doomed = (
             orders.filter(F.col("o_orderkey") % 97 == 0)
             .orderBy("o_orderkey")
@@ -445,7 +455,8 @@ def q279_multicol_bloomed_erasure(
             man,
             ["o_orderkey", "o_custkey"],
             doomed,
-            blooms={"o_orderkey": store, "o_custkey": store},
+            blooms=stores,
+            bloom_store_path=blm,
         ).persist()
         n_batches = rep.count()
         n_rewritten = rep.filter("rewritten").count()
@@ -454,7 +465,10 @@ def q279_multicol_bloomed_erasure(
             F.sum("rows_after").alias("af"),
         ).collect()[0]
         rep.unpersist()
-        store.unpersist()
+        store_ok = all(
+            r["current"]
+            for r in bloom_store_audit(spark, sink, blm).collect()
+        )
         n_hit = (
             df.join(doomed, ["o_orderkey", "o_custkey"])
             .select("batch")
@@ -469,11 +483,12 @@ def q279_multicol_bloomed_erasure(
                     int(agg["er"]),
                     int(agg["af"]),
                     n_rewritten < n_batches,
+                    store_ok,
                 )
             ],
             "n_batches BIGINT, n_true_hit_batches BIGINT, "
             "rows_erased_total BIGINT, rows_after_total BIGINT, "
-            "bloom_confined BOOLEAN",
+            "bloom_confined BOOLEAN, store_current_after BOOLEAN",
         )
 
 
@@ -493,7 +508,8 @@ SELECT (SELECT CAST(count(DISTINCT batch) AS BIGINT) FROM b) AS n_batches,
        (SELECT CAST(count(*) AS BIGINT) FROM k) AS rows_erased_total,
        (SELECT CAST(count(*) AS BIGINT) FROM orders)
          - (SELECT CAST(count(*) AS BIGINT) FROM k) AS rows_after_total,
-       true AS bloom_confined
+       true AS bloom_confined,
+       true AS store_current_after
 """
 
 

@@ -126,6 +126,7 @@ def erase_rows(
     blooms: dict[str, DataFrame] | None = None,
     bloom_n_bits: int | None = None,
     bloom_n_hashes: int | None = None,
+    bloom_store_path: str | None = None,
 ) -> DataFrame:
     """Delete every row whose ``key_col`` value (or composite tuple,
     when a list of columns is given) appears in ``keys`` from the sink,
@@ -183,7 +184,18 @@ def erase_rows(
     deletion stays safe (over-approximation survives row removal; in
     particular this erasure does not invalidate it), but one built
     before an APPEND can hide the appended rows — for a compliance
-    delete, pass no bloom rather than a possibly-stale one."""
+    delete, pass no bloom rather than a possibly-stale one.
+
+    ``bloom_store_path`` (optional) keeps an on-disk Bloom store
+    CURRENT through the delete: after the swap, the rewritten batches'
+    summary rows are re-collected under the store's own recorded
+    geometry (one scan of those batches — a summary covers untouched
+    files too, so this is batch-sized, but still confined to the
+    batches the erasure touched) and fully-emptied batches drop their
+    store partition. Without it, an in-place erasure leaves the store
+    safely over-approximating (no false negatives — deletions cannot
+    hide rows) but no longer CURRENT, which ``bloom_store_audit``
+    reports as count mismatches / orphan rows."""
     cols = [key_col] if isinstance(key_col, str) else list(key_col)
     man = spark.read.parquet(manifest_path)
     stat_cols = [c[len("min_") :] for c in man.columns if c.startswith("min_")]
@@ -549,6 +561,10 @@ def erase_rows(
             )
             kept_counts[b] = untouched_rows + new_rows_by_batch.get(b, 0)
     k.unpersist()
+    if bloom_store_path is not None and affected:
+        _refresh_bloom_store(
+            spark, sink_path, bloom_store_path, affected, kept_counts
+        )
     rows = [
         (
             b,
@@ -564,6 +580,64 @@ def erase_rows(
         "batch BIGINT, rewritten BOOLEAN, rows_before BIGINT, "
         "rows_erased BIGINT, rows_after BIGINT",
     )
+
+
+def _refresh_bloom_store(
+    spark: SparkSession,
+    sink_path: str,
+    bloom_store_path: str,
+    affected: list[int],
+    kept_counts: dict[int, int],
+) -> None:
+    """Re-collect the Bloom store rows of the batches an erasure
+    rewrote, so the store stays CURRENT through the delete (the
+    maintenance story's last leg: streaming appends maintain it,
+    compaction preserves it byte-identically, and with
+    ``bloom_store_path=`` erasure refreshes it — ``bloom_store_audit``
+    stays green end to end). One scan of the affected LIVE batches per
+    the store's recorded geometry (a summary covers the whole batch,
+    untouched files included, so the scan is batch-sized — still
+    confined to the batches the erasure itself touched); fully-emptied
+    batches drop their store partition outright."""
+    from .bloom import bloom_summary_rows
+
+    store = spark.read.parquet(bloom_store_path)
+    meta = (
+        store.select("key_col", "n_bits", "n_hashes").distinct().collect()
+    )
+    bits = {r["key_col"]: int(r["n_bits"]) for r in meta}
+    hashes = {int(r["n_hashes"]) for r in meta}
+    if len(meta) != len(bits) or len(hashes) != 1:
+        raise ValueError(
+            "erase_rows: the bloom store at "
+            f"{bloom_store_path} records inconsistent geometry — run "
+            "bloom_store_audit and rebuild it before maintaining it "
+            "through an erasure"
+        )
+    fs, hpath = _fs(spark, bloom_store_path)
+    live = [b for b in affected if kept_counts.get(b, 0) > 0]
+    emptied = [b for b in affected if kept_counts.get(b, 0) == 0]
+    if live:
+        src = (
+            spark.read.option("basePath", sink_path)
+            .option("mergeSchema", True)  # evolved batches in one scan
+            .parquet(*(f"{sink_path}/batch={b}" for b in live))
+        )
+        rows = bloom_summary_rows(
+            src,
+            sorted(bits),
+            bits,
+            hashes.pop(),
+            group_cols=["batch"],
+        )
+        (
+            rows.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(bloom_store_path)
+        )
+    for b in emptied:
+        fs.delete(hpath(f"{bloom_store_path}/batch={b}"), True)
 
 
 def repair_manifest(

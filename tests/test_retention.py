@@ -843,3 +843,50 @@ def test_repair_compaction_restores_and_completes(spark, tmp_path):
         == 1
     )
     assert not _os.path.exists(f"{sink}/.compact_trash_batch=0")
+
+
+def test_erase_maintains_bloom_store(spark, tmp_path):
+    """bloom_store_path= keeps the store CURRENT through the delete:
+    rewritten batches' rows re-collected, a fully-emptied batch's
+    store partition dropped — bloom_store_audit green end to end
+    (without it, the audit correctly reports the safe-but-stale
+    count mismatches an in-place delete leaves)."""
+    from superstore_data_pipeline_analytics_dashboard__spark.sources import (
+        bloom as B,
+    )
+
+    sink, man = _build(spark, tmp_path)  # batches [0,99], [100,249]
+    blm = str(tmp_path / "blm")
+    B.collect_batch_blooms(spark, sink, "id", n_bits=1 << 14).write.partitionBy(
+        "batch"
+    ).parquet(blm)
+    assert B.bloom_store_audit(spark, sink, blm).collect()[0]["current"]
+    store = B.load_bloom_store(spark, blm, "id")
+    # batch 0 fully doomed + a sparse hit in batch 1
+    rep = R.erase_rows(
+        spark,
+        sink,
+        man,
+        "id",
+        _keys(spark, list(range(0, 100)) + [110, 120]),
+        blooms={"id": store},
+        bloom_store_path=blm,
+    )
+    assert {r["batch"]: r["rows_after"] for r in rep.collect()} == {
+        0: 0,
+        1: 148,
+    }
+    aud = B.bloom_store_audit(spark, sink, blm).collect()[0]
+    assert aud["current"], aud.asDict()
+    # emptied batch 0 dropped its store partition; batch 1 re-collected
+    assert sorted(
+        int(r["batch"])
+        for r in spark.read.parquet(blm).select("batch").distinct().collect()
+    ) == [1]
+    row = spark.read.parquet(blm).collect()[0]
+    assert int(row["n_keys"]) == 148
+    # and the refreshed store still point-prunes correctly
+    got = B.read_bloom_pruned(
+        spark, sink, B.load_bloom_store(spark, blm, "id"), "id", [130]
+    )
+    assert [r["id"] for r in got.collect()] == [130]
