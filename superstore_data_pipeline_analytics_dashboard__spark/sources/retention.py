@@ -617,6 +617,7 @@ def _refresh_bloom_store(
     fs, hpath = _fs(spark, bloom_store_path)
     live = [b for b in affected if kept_counts.get(b, 0) > 0]
     emptied = [b for b in affected if kept_counts.get(b, 0) == 0]
+    refreshed: set[int] = set()
     if live:
         src = (
             spark.read.option("basePath", sink_path)
@@ -629,14 +630,23 @@ def _refresh_bloom_store(
             bits,
             hashes.pop(),
             group_cols=["batch"],
-        )
+        ).persist()
+        refreshed = {
+            int(r["batch"])
+            for r in rows.select("batch").distinct().collect()
+        }
         (
             rows.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch")
             .parquet(bloom_store_path)
         )
-    for b in emptied:
+        rows.unpersist()
+    # a live batch that produced NO summary rows (its remaining keys
+    # are all NULL) gets nothing from the dynamic overwrite — its old
+    # partition would survive as stale orphan rows; drop it alongside
+    # the emptied batches
+    for b in [*emptied, *(b for b in live if b not in refreshed)]:
         fs.delete(hpath(f"{bloom_store_path}/batch={b}"), True)
 
 

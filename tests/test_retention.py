@@ -890,3 +890,42 @@ def test_erase_maintains_bloom_store(spark, tmp_path):
         spark, sink, B.load_bloom_store(spark, blm, "id"), "id", [130]
     )
     assert [r["id"] for r in got.collect()] == [130]
+
+
+def test_erase_store_refresh_drops_all_null_key_batch(spark, tmp_path):
+    """Edge of the store maintenance: a batch whose SURVIVING rows all
+    carry NULL keys lands no summary rows — its old store partition
+    must be dropped (dynamic overwrite alone would leave it as stale
+    orphan rows)."""
+    from superstore_data_pipeline_analytics_dashboard__spark.sources import (
+        bloom as B,
+    )
+    from superstore_data_pipeline_analytics_dashboard__spark.sources.manifest import (
+        collect_file_stats,
+    )
+
+    sink, man, blm = (str(tmp_path / d) for d in ("sink", "man", "blm"))
+    # batch 0: keyed rows 0-9 plus 5 NULL-keyed rows
+    rows = [(i,) for i in range(10)] + [(None,)] * 5
+    spark.createDataFrame(rows, "id BIGINT").coalesce(1).write.parquet(
+        f"{sink}/batch=0"
+    )
+    stats = collect_file_stats(spark, f"{sink}/batch=0", ["id"]).withColumn(
+        "batch", F.lit(0)
+    )
+    stats.write.partitionBy("batch").parquet(man)
+    B.collect_batch_blooms(spark, sink, "id", n_bits=1 << 12).write.partitionBy(
+        "batch"
+    ).parquet(blm)
+    # erase every NON-NULL key; NULL-keyed rows survive
+    R.erase_rows(
+        spark, sink, man, "id", _keys(spark, range(10)),
+        bloom_store_path=blm,
+    )
+    survivors = spark.read.parquet(sink)
+    assert survivors.count() == 5
+    assert survivors.filter(F.col("id").isNotNull()).count() == 0
+    # the store partition is gone, not stale
+    import os
+
+    assert not os.path.exists(f"{blm}/batch=0")
