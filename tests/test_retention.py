@@ -929,3 +929,101 @@ def test_erase_store_refresh_drops_all_null_key_batch(spark, tmp_path):
     import os
 
     assert not os.path.exists(f"{blm}/batch=0")
+
+
+def test_maintenance_lifecycle_model_based(spark, tmp_path):
+    """Model-based interleaving of the whole maintenance surface:
+    append / erase / compact / mid-swap-crash+repair / vacuum in a
+    deterministic pseudo-random order, with the surviving-id set
+    tracked in a Python model. After every operation the sink must
+    equal the model and (post-repair) the audit must be green —
+    interaction bugs between the swap disciplines would surface here
+    long before a single-scenario test sees them."""
+    import random
+
+    from superstore_data_pipeline_analytics_dashboard__spark.sources import (
+        formats as FM,
+    )
+
+    rng = random.Random(11)
+    sink, man = str(tmp_path / "sink"), str(tmp_path / "man")
+    model: dict[int, set[int]] = {}
+    next_id = 0
+
+    def land(bid):
+        nonlocal next_id
+        ids = range(next_id, next_id + 80)
+        _land_batch(spark, sink, man, bid, ids)
+        model[bid] = set(ids)
+        next_id += 80
+
+    def check():
+        got = sorted(
+            r["id"]
+            for r in spark.read.parquet(sink)
+            .filter(F.col("id").isNotNull())
+            .collect()
+        )
+        want = sorted(i for s in model.values() for i in s)
+        assert got == want
+        assert manifest_consistency_audit(spark, sink, man).collect()[0][
+            "consistent"
+        ]
+
+    land(0)
+    land(1)
+    for step in range(8):
+        op = rng.choice(["append", "erase", "compact", "crash", "vacuum"])
+        if op == "append":
+            land(max(model) + 1)
+        elif op == "erase":
+            pool = sorted(i for s in model.values() for i in s)
+            doomed = set(rng.sample(pool, min(25, len(pool))))
+            R.erase_rows(spark, sink, man, "id", _keys(spark, sorted(doomed)))
+            for s in model.values():
+                s.difference_update(doomed)
+        elif op == "compact":
+            b = rng.choice(sorted(b for b in model if model[b]))
+            FM.compact_batch(spark, sink, man, b)
+        elif op == "crash":
+            # a mid-swap erasure crash on one non-empty batch, rolled
+            # forward by repair — net effect must equal the erasure
+            bs = sorted(b for b in model if model[b])
+            b = rng.choice(bs)
+            doomed = set(rng.sample(sorted(model[b]), min(10, len(model[b]))))
+            cand = [
+                r["file"]
+                for r in spark.read.parquet(man)
+                .filter(F.col("batch") == b)
+                .collect()
+            ]
+            csrc = spark.read.option("basePath", sink).parquet(*cand)
+            kept = csrc.filter(~F.col("id").isin(sorted(doomed)))
+            kept.write.partitionBy("batch").parquet(f"{sink}/.erase_staging")
+            R._write_text(
+                spark,
+                f"{sink}/.erase_plan.json",
+                _json.dumps(
+                    {
+                        "batches": {
+                            str(b): {"files": cand, "n_untouched": 0}
+                        }
+                    }
+                ),
+            )
+            fs, hpath = R._fs(spark, sink)
+            fs.mkdirs(hpath(f"{sink}/.erase_trash/batch={b}"))
+            for u in cand:
+                fs.rename(
+                    hpath(u),
+                    hpath(
+                        f"{sink}/.erase_trash/batch={b}/"
+                        + u.rsplit("/", 1)[1]
+                    ),
+                )
+            rep = R.repair_erasure(spark, sink, man).collect()[0]
+            assert rep["consistent_after"], (step, b)
+            model[b].difference_update(doomed)
+        elif op == "vacuum":
+            R.vacuum_maintenance(spark, sink)
+        check()
