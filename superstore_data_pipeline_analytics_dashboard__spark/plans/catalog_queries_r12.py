@@ -1,9 +1,11 @@
-"""Round-12 staging catalog — four gate-ready queries + DuckDB
+"""Round-12 staging catalog — five gate-ready queries + DuckDB
 oracles, NOT yet registered: the Bloom-store consistency audit with a
 rebuild fix (q276), the erasure crash-repair chain (q277), the
 NDV-derived bloom autosizing default with saturation honesty (q278),
-and composite-key bloom-confined erasure over a multi-column one-scan
-store (q279) — the r11 operator families
+composite-key bloom-confined erasure over a multi-column one-scan
+store with the store maintained through the delete (q279), and the
+compaction crash → vacuum-refusal → repair → surviving-pin chain
+(q280) — the r11 operator families
 (``sources/bloom.py:bloom_store_audit``,
 ``sources/retention.py:repair_erasure``/``repair_manifest``, the
 self-describing summary metadata and ``bloom_summary_rows``) under
@@ -513,6 +515,112 @@ SELECT (SELECT CAST(count(DISTINCT batch) AS BIGINT) FROM b) AS n_batches,
 """
 
 
+# ----------------------------- compaction crash, refusal, repair, pin
+#
+# q280: the compaction side of the r11 crash story in one chain — the
+# q274 six-file batch is compacted BY HAND up to the mid-swap instant
+# (durable staging, partition retired to the hidden trash: exactly the
+# state a crash between compact_batch's two renames leaves), then:
+# vacuum_maintenance REFUSES (the trash holds the partition's only
+# copy — vacuum_refused is the guarantee boolean), repair_compaction
+# COMPLETES the swap to the compacted copy and reconciles the
+# manifest, the pruned read is oracle-exact again, and — the q274
+# contrast carried through a crash — the PRE-compaction snapshot pin
+# is still reproducible (content byte-identical). File counts, row
+# counts and every boolean are oracle-pinned.
+
+def q280_compaction_crash_chain(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.formats import repair_compaction
+    from ..sources.manifest import collect_file_stats, read_pruned
+    from ..sources.retention import _fs, vacuum_maintenance
+    from ..sources.snapshots import commit_snapshot, snapshot_drift_audit
+
+    with _scratch("q280_cchain_") as base:
+        sink, man, log = f"{base}/sink", f"{base}/man", f"{base}/log"
+        orders = load_table(spark, sf, "orders").select("o_orderkey")
+        for m in range(6):  # six single-file appends, one per residue
+            (
+                orders.filter(F.col("o_orderkey") % 6 == m)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(f"{sink}/batch=0")
+            )
+        stats = collect_file_stats(
+            spark, f"{sink}/batch=0", ["o_orderkey"]
+        ).withColumn("batch", F.lit(0))
+        (
+            stats.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(man)
+        )
+        commit_snapshot(spark, man, log)
+        fs, hpath = _fs(spark, sink)
+        files_before = sum(
+            1
+            for st in fs.listStatus(hpath(f"{sink}/batch=0"))
+            if st.getPath().getName().startswith("part-")
+        )
+        # mid-swap crash state: durable compacted staging, live
+        # partition retired to the hidden trash, nothing landed
+        spark.read.parquet(f"{sink}/batch=0").coalesce(1).write.parquet(
+            f"{sink}/.compact_staging_batch=0"
+        )
+        fs.rename(
+            hpath(f"{sink}/batch=0"),
+            hpath(f"{sink}/.compact_trash_batch=0"),
+        )
+        try:
+            vacuum_maintenance(spark, sink)
+            refused = False
+        except ValueError:
+            refused = True
+        rep = repair_compaction(spark, sink, man, 0).collect()[0]
+        files_after = sum(
+            1
+            for st in fs.listStatus(hpath(f"{sink}/batch=0"))
+            if st.getPath().getName().startswith("part-")
+        )
+        n_rows = spark.read.parquet(f"{sink}/batch=0").count()
+        lo = orders.agg(F.min("o_orderkey").alias("lo")).collect()[0]["lo"]
+        pruned_n = read_pruned(
+            spark, spark.read.parquet(man), "o_orderkey", lo, lo + 99
+        ).count()
+        drift = snapshot_drift_audit(spark, sink, log, 1).collect()[0]
+        return spark.createDataFrame(
+            [
+                (
+                    files_before,
+                    files_after,
+                    n_rows,
+                    pruned_n,
+                    refused,
+                    rep["action"] == "completed",
+                    bool(rep["consistent_after"]),
+                    bool(drift["reproducible"]),
+                )
+            ],
+            "files_before BIGINT, files_after BIGINT, n_rows BIGINT, "
+            "pruned_read_rows BIGINT, vacuum_refused BOOLEAN, "
+            "swap_completed BOOLEAN, consistent_after BOOLEAN, "
+            "pin_reproducible BOOLEAN",
+        )
+
+
+Q280_SQL = """
+WITH lo AS (SELECT min(o_orderkey) AS lo FROM orders)
+SELECT CAST(6 AS BIGINT) AS files_before,
+       CAST(1 AS BIGINT) AS files_after,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders, lo
+        WHERE o_orderkey BETWEEN lo AND lo + 99) AS pruned_read_rows,
+       true AS vacuum_refused,
+       true AS swap_completed,
+       true AS consistent_after,
+       true AS pin_reproducible
+"""
+
+
 # ---------------------------------------------------------- registry
 #
 # Dormant: consumed only by tests/test_catalog_r12.py until the r12
@@ -524,12 +632,14 @@ R12_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q277_erasure_crash_repair": q277_erasure_crash_repair,
     "q278_bloom_autosize": q278_bloom_autosize,
     "q279_multicol_bloomed_erasure": q279_multicol_bloomed_erasure,
+    "q280_compaction_crash_chain": q280_compaction_crash_chain,
 }
 R12_ORACLES: dict[str, str] = {
     "q276_bloom_store_audit": Q276_SQL,
     "q277_erasure_crash_repair": Q277_SQL,
     "q278_bloom_autosize": Q278_SQL,
     "q279_multicol_bloomed_erasure": Q279_SQL,
+    "q280_compaction_crash_chain": Q280_SQL,
 }
 
 R12_QUERIES = {name: _canon_query(fn) for name, fn in R12_QUERIES.items()}
