@@ -106,6 +106,7 @@ def q276_bloom_store_audit(spark: SparkSession, sf: str) -> DataFrame:
                     int(bad["n_count_mismatches"]),
                     bool(bad["type_ok"]),
                     bool(bad["geometry_ok"]),
+                    bool(bad["positions_ok"]),
                     bool(bad["saturated"]),
                     bool(bad["current"]),
                     bool(good["current"]),
@@ -115,7 +116,8 @@ def q276_bloom_store_audit(spark: SparkSession, sf: str) -> DataFrame:
             "key_col STRING, n_sink_batches BIGINT, n_store_batches BIGINT, "
             "n_missing_batches BIGINT, n_orphan_batches BIGINT, "
             "n_count_mismatches BIGINT, type_ok BOOLEAN, "
-            "geometry_ok BOOLEAN, saturated BOOLEAN, current BOOLEAN, "
+            "geometry_ok BOOLEAN, positions_ok BOOLEAN, "
+            "saturated BOOLEAN, current BOOLEAN, "
             "current_after_rebuild BOOLEAN, n_keys_after_rebuild BIGINT",
         )
 
@@ -133,7 +135,7 @@ SELECT 'o_orderkey' AS key_col,
        CAST(1 AS BIGINT) AS n_missing_batches,
        CAST(0 AS BIGINT) AS n_orphan_batches,
        CAST(1 AS BIGINT) AS n_count_mismatches,
-       true AS type_ok, true AS geometry_ok,
+       true AS type_ok, true AS geometry_ok, true AS positions_ok,
        false AS saturated, false AS current,
        true AS current_after_rebuild,
        CAST(n01 + n2keep + n3 AS BIGINT) AS n_keys_after_rebuild

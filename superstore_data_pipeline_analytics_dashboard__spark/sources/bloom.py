@@ -445,6 +445,9 @@ def bloom_store_audit(
       sink footer's current type for that column,
     * ``geometry_ok`` — the store holds exactly one
       (``n_bits``, ``n_hashes``) per column,
+    * ``positions_ok`` — every recorded position lies in
+      [0, ``n_bits``): an out-of-range position can never match a
+      probe, so a corrupted row is a silent false-negative vector,
     * ``max_fill_ppm`` — the fullest summary's set-bit fraction (ppm);
       ``saturated`` flags fill > 1/8 (point fp rate ≈ fill³ > 0.2%:
       still no false negatives, just fading pruning — reported, not
@@ -511,6 +514,19 @@ def bloom_store_audit(
         (F.size("bloom_pos").cast("long") * F.lit(1_000_000) / F.col("n_bits"))
         .cast("long")
         .alias("fill_ppm"),
+        # an out-of-range position can never match a probe's positions,
+        # so a corrupted row is a silent false-negative vector — the
+        # structural check belongs in the audit, not in every probe
+        (
+            (F.size("bloom_pos") == 0)
+            | (
+                (F.coalesce(F.array_min("bloom_pos"), F.lit(-1)) >= 0)
+                & (
+                    F.coalesce(F.array_max("bloom_pos"), F.lit(-1))
+                    < F.col("n_bits")
+                )
+            )
+        ).alias("pos_ok"),
     )
     j = exp.join(st, ["key_col", "batch"], "full_outer")
     type_map = _col_map(
@@ -552,6 +568,9 @@ def bloom_store_audit(
         (
             F.count_distinct(F.col("n_bits"), F.col("n_hashes")) <= 1
         ).alias("geometry_ok"),
+        F.coalesce(F.min(F.col("pos_ok").cast("boolean")), F.lit(True)).alias(
+            "positions_ok"
+        ),
         F.coalesce(F.max("fill_ppm"), F.lit(0)).cast("long").alias(
             "max_fill_ppm"
         ),
@@ -565,6 +584,7 @@ def bloom_store_audit(
         "n_count_mismatches",
         "type_ok",
         "geometry_ok",
+        "positions_ok",
         "max_fill_ppm",
         (F.col("max_fill_ppm") > 125_000).alias("saturated"),
         (
@@ -573,5 +593,6 @@ def bloom_store_audit(
             & (F.col("n_count_mismatches") == 0)
             & F.col("type_ok")
             & F.col("geometry_ok")
+            & F.col("positions_ok")
         ).alias("current"),
     ).orderBy("key_col")

@@ -342,3 +342,30 @@ def test_bloom_store_audit_requires_metadata(spark, tmp_path):
     legacy.write.partitionBy("batch").parquet(str(tmp_path / "blm"))
     with pytest.raises(ValueError, match="metadata"):
         B.bloom_store_audit(spark, sink, str(tmp_path / "blm"))
+
+
+def test_bloom_store_audit_flags_corrupt_positions(spark, tmp_path):
+    """An out-of-range recorded position can never match a probe — a
+    corrupted store row is a silent false-negative vector, so the
+    audit's structural check must flag it."""
+    sink, _ = _random_layout(spark, tmp_path)
+    blm = str(tmp_path / "blm")
+    B.collect_batch_blooms(spark, sink, "id", n_bits=1 << 14).write.partitionBy(
+        "batch"
+    ).parquet(blm)
+    rep = B.bloom_store_audit(spark, sink, blm).collect()[0]
+    assert rep["positions_ok"] and rep["current"]
+    corrupt = spark.read.parquet(blm).withColumn(
+        "bloom_pos",
+        F.when(
+            F.col("batch") == 0,
+            F.array_union("bloom_pos", F.array(F.lit(1 << 20))),
+        ).otherwise(F.col("bloom_pos")),
+    )
+    corrupt.write.mode("overwrite").partitionBy("batch").parquet(
+        str(tmp_path / "blm2")
+    )
+    rep = B.bloom_store_audit(
+        spark, sink, str(tmp_path / "blm2")
+    ).collect()[0]
+    assert not rep["positions_ok"] and not rep["current"]
