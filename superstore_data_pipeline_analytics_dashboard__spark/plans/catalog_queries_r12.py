@@ -1,11 +1,12 @@
-"""Round-12 staging catalog — five gate-ready queries + DuckDB
+"""Round-12 staging catalog — six gate-ready queries + DuckDB
 oracles, NOT yet registered: the Bloom-store consistency audit with a
 rebuild fix (q276), the erasure crash-repair chain (q277), the
 NDV-derived bloom autosizing default with saturation honesty (q278),
 composite-key bloom-confined erasure over a multi-column one-scan
 store with the store maintained through the delete (q279), and the
 compaction crash → vacuum-refusal → repair → surviving-pin chain
-(q280) — the r11 operator families
+(q280), and the standalone three-damage-class manifest repair (q281)
+— the r11 operator families
 (``sources/bloom.py:bloom_store_audit``,
 ``sources/retention.py:repair_erasure``/``repair_manifest``, the
 self-describing summary metadata and ``bloom_summary_rows``) under
@@ -623,6 +624,120 @@ SELECT CAST(6 AS BIGINT) AS files_before,
 """
 
 
+# ------------------------------------------ manifest detect-and-repair
+#
+# q281: repair_manifest standalone under the gate — all three audit
+# damage classes planted at once on a 3-batch orders sink (a STALE row:
+# batch 0's file deleted behind the manifest's back; an UNENVELOPED
+# file: an out-of-band append into batch 1; a COUNT MISMATCH: batch 2's
+# file replaced by its even-key half with the old manifest row kept),
+# detected (pre_consistent=false), repaired in one call, and proven:
+# the post-repair audit is green and a pruned read over the
+# out-of-band keys is oracle-exact. Counts are recomputed by DuckDB
+# from the residue arithmetic; booleans follow the guarantee pattern.
+
+def q281_manifest_repair(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.manifest import collect_file_stats, read_pruned
+    from ..sources.retention import _fs, repair_manifest
+    from ..streaming.audit import manifest_consistency_audit
+
+    with _scratch("q281_manrep_") as base:
+        sink, man = f"{base}/sink", f"{base}/man"
+        orders = load_table(spark, sf, "orders").select("o_orderkey")
+        hi = orders.agg(F.max("o_orderkey").alias("m")).collect()[0]["m"]
+        for b in range(3):  # one file per batch, keys by residue mod 3
+            (
+                orders.filter(F.col("o_orderkey") % 3 == b)
+                .coalesce(1)
+                .write.parquet(f"{sink}/batch={b}")
+            )
+            stats = collect_file_stats(
+                spark, f"{sink}/batch={b}", ["o_orderkey"]
+            ).withColumn("batch", F.lit(b))
+            (
+                stats.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch")
+                .parquet(man)
+            )
+        fs, hpath = _fs(spark, sink)
+        # stale: batch 0's file vanishes behind the manifest's back
+        f0 = spark.read.parquet(f"{sink}/batch=0").inputFiles()[0]
+        fs.delete(hpath(f0), False)
+        # unenveloped: out-of-band keys [hi+1, hi+50] land in batch 1
+        spark.range(hi + 1, hi + 51).select(
+            F.col("id").alias("o_orderkey")
+        ).coalesce(1).write.mode("append").parquet(f"{sink}/batch=1")
+        # count mismatch: batch 2's file replaced by its even-key half,
+        # manifest row left pointing at the old count
+        keep2 = (
+            spark.read.parquet(f"{sink}/batch=2")
+            .filter(F.col("o_orderkey") % 2 == 0)
+            .localCheckpoint(eager=True)  # sever lineage before delete
+        )
+        f2 = spark.read.parquet(f"{sink}/batch=2").inputFiles()[0]
+        fs.delete(hpath(f2), False)
+        keep2.coalesce(1).write.mode("append").parquet(f"{sink}/batch=2")
+        old2 = spark.read.parquet(man).filter(F.col("batch") == 2)
+        old2.localCheckpoint(eager=True).withColumn(
+            "file",
+            F.concat(
+                F.lit("file:"),
+                F.lit(spark.read.parquet(f"{sink}/batch=2").inputFiles()[0]
+                      .removeprefix("file:")),
+            ),
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch").parquet(man)
+        pre_ok = bool(
+            manifest_consistency_audit(spark, sink, man).collect()[0][
+                "consistent"
+            ]
+        )
+        rep = repair_manifest(spark, sink, man).collect()[0]
+        pruned = read_pruned(
+            spark, spark.read.parquet(man), "o_orderkey", hi + 1, hi + 25
+        ).count()
+        n_rows = int(
+            spark.read.parquet(man).agg(F.sum("n_rows")).collect()[0][0]
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    pre_ok,
+                    int(rep["n_stale_rows_dropped"]),
+                    int(rep["n_files_reenveloped"]),
+                    int(rep["n_count_refreshed"]),
+                    bool(rep["consistent_after"]),
+                    pruned,
+                    n_rows,
+                )
+            ],
+            "pre_consistent BOOLEAN, n_stale_rows_dropped BIGINT, "
+            "n_files_reenveloped BIGINT, n_count_refreshed BIGINT, "
+            "consistent_after BOOLEAN, pruned_read_rows BIGINT, "
+            "manifest_rows_total BIGINT",
+        )
+
+
+Q281_SQL = """
+WITH c AS (
+  SELECT count(*) FILTER (WHERE o_orderkey % 3 = 1) AS n1,
+         count(*) FILTER (WHERE o_orderkey % 3 = 2
+                          AND o_orderkey % 2 = 0) AS n2even
+  FROM orders
+)
+SELECT false AS pre_consistent,
+       CAST(1 AS BIGINT) AS n_stale_rows_dropped,
+       CAST(1 AS BIGINT) AS n_files_reenveloped,
+       CAST(1 AS BIGINT) AS n_count_refreshed,
+       true AS consistent_after,
+       CAST(25 AS BIGINT) AS pruned_read_rows,
+       CAST(n1 + 50 + n2even AS BIGINT) AS manifest_rows_total
+FROM c
+"""
+
+
 # ---------------------------------------------------------- registry
 #
 # Dormant: consumed only by tests/test_catalog_r12.py until the r12
@@ -635,6 +750,7 @@ R12_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q278_bloom_autosize": q278_bloom_autosize,
     "q279_multicol_bloomed_erasure": q279_multicol_bloomed_erasure,
     "q280_compaction_crash_chain": q280_compaction_crash_chain,
+    "q281_manifest_repair": q281_manifest_repair,
 }
 R12_ORACLES: dict[str, str] = {
     "q276_bloom_store_audit": Q276_SQL,
@@ -642,6 +758,7 @@ R12_ORACLES: dict[str, str] = {
     "q278_bloom_autosize": Q278_SQL,
     "q279_multicol_bloomed_erasure": Q279_SQL,
     "q280_compaction_crash_chain": Q280_SQL,
+    "q281_manifest_repair": Q281_SQL,
 }
 
 R12_QUERIES = {name: _canon_query(fn) for name, fn in R12_QUERIES.items()}
