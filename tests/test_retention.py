@@ -931,7 +931,11 @@ def test_erase_store_refresh_drops_all_null_key_batch(spark, tmp_path):
     assert not os.path.exists(f"{blm}/batch=0")
 
 
-def test_maintenance_lifecycle_model_based(spark, tmp_path):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("seed", [11, 23, 47])
+def test_maintenance_lifecycle_model_based(spark, tmp_path, seed):
     """Model-based interleaving of the whole maintenance surface:
     append / erase / compact / mid-swap-crash+repair / vacuum in a
     deterministic pseudo-random order, with the surviving-id set
@@ -945,7 +949,7 @@ def test_maintenance_lifecycle_model_based(spark, tmp_path):
         formats as FM,
     )
 
-    rng = random.Random(11)
+    rng = random.Random(seed)
     sink, man = str(tmp_path / "sink"), str(tmp_path / "man")
     model: dict[int, set[int]] = {}
     next_id = 0
