@@ -154,9 +154,12 @@ FROM c
 # rows (batch-1 keys ≡ 0 mod 13) are at that instant physically
 # missing along with their surviving file-mates, and the audit says so
 # (pre_consistent=false). repair_erasure rolls the swap forward from
-# the journal; afterwards the sink holds exactly orders-minus-doomed
-# rows, zero doomed keys remain, and the audit is green — all counts
-# oracle-recomputed from the range arithmetic.
+# the commit marker, reconciles the manifest, and RESUMES the delete
+# from the journaled keys (here a no-op: the roll-forward already
+# erased everything — n_rows_erased_on_resume pinned at 0); afterwards
+# the sink holds exactly orders-minus-doomed rows, zero doomed keys
+# remain, and the audit is green — all counts oracle-recomputed from
+# the range arithmetic.
 
 def q277_erasure_crash_repair(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.retention import _fs, _write_text, repair_erasure
@@ -195,8 +198,17 @@ def q277_erasure_crash_repair(spark: SparkSession, sf: str) -> DataFrame:
         ).select("o_orderkey")
         n_doomed = doomed.count()
         # --- construct crash window (b), exactly as erase_rows leaves
-        # it: journal, staged survivors (durable), candidates retired,
-        # nothing landed
+        # it: resumability journal (keys + intent), staged survivors,
+        # the post-staging commit marker, candidates retired, nothing
+        # landed
+        doomed.write.parquet(f"{sink}/.erase_keys")
+        _write_text(
+            spark,
+            f"{sink}/.erase_intent.json",
+            json.dumps(
+                {"key_cols": ["o_orderkey"], "bloom_store_path": None}
+            ),
+        )
         cand = [
             r["file"]
             for r in spark.read.parquet(man)
@@ -208,7 +220,7 @@ def q277_erasure_crash_repair(spark: SparkSession, sf: str) -> DataFrame:
         kept.write.partitionBy("batch").parquet(f"{sink}/.erase_staging")
         _write_text(
             spark,
-            f"{sink}/.erase_plan.json",
+            f"{sink}/.erase_commit.json",
             json.dumps(
                 {"batches": {"1": {"files": cand, "n_untouched": 0}}}
             ),
@@ -239,13 +251,16 @@ def q277_erasure_crash_repair(spark: SparkSession, sf: str) -> DataFrame:
                     bool(rep["rolled_forward"]),
                     n_after,
                     n_remaining,
+                    bool(rep["erasure_resumed"]),
+                    int(rep["n_rows_erased_on_resume"]),
                     bool(rep["consistent_after"]),
                 )
             ],
             "n_rows_before BIGINT, n_doomed BIGINT, "
             "pre_consistent BOOLEAN, found_residue BOOLEAN, "
             "rolled_forward BOOLEAN, n_rows_after BIGINT, "
-            "n_doomed_remaining BIGINT, consistent_after BOOLEAN",
+            "n_doomed_remaining BIGINT, erasure_resumed BOOLEAN, "
+            "n_rows_erased_on_resume BIGINT, consistent_after BOOLEAN",
         )
 
 
@@ -262,6 +277,8 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows_before,
        true AS rolled_forward,
        (SELECT CAST(count(*) AS BIGINT) FROM orders) - d.n AS n_rows_after,
        CAST(0 AS BIGINT) AS n_doomed_remaining,
+       true AS erasure_resumed,
+       CAST(0 AS BIGINT) AS n_rows_erased_on_resume,
        true AS consistent_after
 FROM d
 """

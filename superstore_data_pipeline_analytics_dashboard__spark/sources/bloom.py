@@ -247,7 +247,24 @@ def _resolve_meta(
     mode for a compliance delete. Raw frames without metadata fall
     back to the explicit parameters (or the historical defaults)."""
     if "key_col" in blooms.columns:
-        blooms = blooms.filter(F.col("key_col") == col)
+        sliced = blooms.filter(F.col("key_col") == col)
+        if not sliced.limit(1).count() and blooms.limit(1).count():
+            # a nonempty multi-column summary frame that never
+            # collected THIS column: zero candidate batches would read
+            # as "key nowhere" — for the erasure consumer that is the
+            # silent-no-op failure mode load_bloom_store's raise exists
+            # to prevent, reachable here by handing erase_rows the
+            # wrong column's frame
+            have = sorted(
+                r["key_col"]
+                for r in blooms.select("key_col").distinct().collect()
+            )
+            raise ValueError(
+                f"bloom summaries carry no rows for column {col!r} "
+                f"(collected: {have}) — probing them would silently "
+                "prune every batch"
+            )
+        blooms = sliced
     if "n_bits" not in blooms.columns:
         return blooms, n_bits or 1 << 18, n_hashes or 3
     meta = (

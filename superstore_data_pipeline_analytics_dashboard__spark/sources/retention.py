@@ -37,21 +37,31 @@ over renames — metadata ops, not jobs.
 The swap is rename-based and file-level: doomed files are retired
 into the hidden ``.erase_trash`` tree, then the rewritten files land
 beside the untouched ones (fresh writer UUIDs — no name collisions).
-Each schema group JOURNALS its rewrite plan (``.erase_plan.json``,
-metadata-sized) before touching the sink, which makes every crash
-window REPAIRABLE, not just detectable (r11): (a) inside the staging
-write — the sink is untouched, ``repair_erasure`` discards the torn
-staging tree; (b) between a file's retire-rename and its replacement
-landing — ``manifest_consistency_audit`` reports the stale rows, and
-``repair_erasure`` rolls the swap FORWARD from the plan + staged
+The erasure is JOURNALED at two grains, which makes every crash
+window REPAIRABLE — and the whole delete RESUMABLE — not just
+detectable (r11): a once-per-call resumability journal
+(``.erase_keys`` + ``.erase_intent.json``, written before any group
+mutates the sink) and a per-group durability marker
+(``.erase_commit.json``, written only after the group's staging write
+commits — our own artifact rather than the writer's ``_SUCCESS``
+file, which clusters can disable). Crash windows: (a) inside the
+staging write — no commit marker, the sink is untouched,
+``repair_erasure`` discards the torn staging tree; (b) between a
+file's retire-rename and its replacement landing —
+``manifest_consistency_audit`` reports the stale rows, and
+``repair_erasure`` rolls the swap FORWARD from the commit + staged
 survivors (forward is the only acceptable direction for a promised
 compliance delete); (c) after the swaps and before the group's
 manifest refresh — the landed files are unenveloped and the retired
 files' rows stale, which the audit reports and ``repair_manifest``
-reconciles. A successful call deletes its own staging/trash/plan
-before returning; crash residue is reclaimed by ``repair_erasure``
-or, once repaired, ``vacuum_maintenance`` (which refuses to destroy
-load-bearing residue). On object stores without cheap rename, land
+reconciles; (d) before LATER schema groups ran at all — the
+resumability journal outlives every window, and repair finishes the
+delete by re-running the erasure from the journaled keys, so a
+multi-group crash can never masquerade as a completed delete. A
+successful call deletes its own journals and trees before returning;
+crash residue is reclaimed by ``repair_erasure`` or, once repaired,
+``vacuum_maintenance`` (which refuses to destroy load-bearing
+residue). On object stores without cheap rename, land
 the staging files as the new locations and flip the manifest instead
 (the manifest IS that pointer in this layout). A batch whose every
 row is doomed gets a zero-row schema-bearing file (deleting the dir
@@ -115,6 +125,54 @@ def _read_text(spark: SparkSession, path: str) -> str:
         )
     finally:
         stream.close()
+
+
+
+
+def _fresh_stat_rows(
+    spark: SparkSession,
+    sink_path: str,
+    files_by_sig: dict[tuple, list[str]],
+    stat_cols: list[str],
+    man_types: dict,
+    man_columns: list[str],
+) -> list:
+    """Collect fresh manifest rows (n_rows + min_/max_ stats for every
+    tracked column, evolved-away columns padded as typed NULLs, cast to
+    the manifest's schema) for the given files — ONE scan per
+    footer-schema group (a mixed-schema scan would NULL-pad
+    pre-evolution files with merged columns). Shared by erase_rows'
+    post-rewrite refresh and repair_manifest's re-enveloping so the
+    two cannot drift."""
+    rows: list = []
+    for sig, uris in files_by_sig.items():
+        if not uris:
+            continue
+        present = [c for c in stat_cols if c in {n for n, _ in sig}]
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c in present:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
+        stats = (
+            spark.read.option("basePath", sink_path)
+            .parquet(*uris)
+            .select(F.input_file_name().alias("file"), "batch", *present)
+            .groupBy("file", "batch")
+            .agg(*aggs)
+        )
+        for c in stat_cols:
+            if c not in present:
+                stats = stats.withColumn(
+                    f"min_{c}", F.lit(None).cast(man_types[f"min_{c}"])
+                ).withColumn(
+                    f"max_{c}", F.lit(None).cast(man_types[f"max_{c}"])
+                )
+        rows.extend(
+            stats.select(
+                *(F.col(c).cast(man_types[c]).alias(c) for c in man_columns)
+            ).collect()
+        )
+    return rows
 
 
 def erase_rows(
@@ -197,6 +255,12 @@ def erase_rows(
     hide rows) but no longer CURRENT, which ``bloom_store_audit``
     reports as count mismatches / orphan rows."""
     cols = [key_col] if isinstance(key_col, str) else list(key_col)
+    if bloom_store_path is not None:
+        # validate BEFORE any irreversible file work: a mistyped path or
+        # an inconsistent store would otherwise abort after the swap,
+        # losing the erasure report and leaving the store stale despite
+        # the maintenance flag
+        _load_store_geometry(spark, bloom_store_path)
     man = spark.read.parquet(manifest_path)
     stat_cols = [c[len("min_") :] for c in man.columns if c.startswith("min_")]
     unenveloped = [c for c in cols if c not in stat_cols]
@@ -361,7 +425,34 @@ def erase_rows(
     kept_counts: dict[int, int] = {}
     staging = f"{sink_path}/.erase_staging"
     trash = f"{sink_path}/.erase_trash"
-    plan_path = f"{sink_path}/.erase_plan.json"
+    commit_path = f"{sink_path}/.erase_commit.json"
+    keys_path = f"{sink_path}/.erase_keys"
+    intent_path = f"{sink_path}/.erase_intent.json"
+    fs = hpath(sink_path).getFileSystem(hconf)
+    if groups:
+        # RESUMABILITY journal, written ONCE before any group mutates
+        # the sink: the distinct opt-out keys (key-sized parquet) plus
+        # the erasure intent. A crash in ANY group — including groups
+        # the crashed call never reached — leaves these behind, and
+        # repair_erasure finishes the whole delete by re-running
+        # erase_rows from them after its file/manifest reconciliation
+        # (a partial compliance delete that READS as repaired would be
+        # worse than no repair at all). Both are deleted only after
+        # the last group's refresh completes. The key list necessarily
+        # persists on disk until then — it must, for the delete to be
+        # resumable — under the same hidden-tree visibility rules as
+        # the staging/trash residue.
+        fs.delete(hpath(keys_path), True)
+        k.select(*(F.col(f"k_{c}").alias(c) for c in cols)).write.parquet(
+            keys_path
+        )
+        _write_text(
+            spark,
+            intent_path,
+            json.dumps(
+                {"key_cols": cols, "bloom_store_path": bloom_store_path}
+            ),
+        )
     for sig, bs in groups.items():
         files = [u for b in bs for u in cand_by_batch[b]]
         src = spark.read.option("basePath", sink_path).parquet(*files)
@@ -371,10 +462,9 @@ def erase_rows(
         )
         kept = src.join(F.broadcast(k), same_key, "left_anti")
         # ONE job rewrites every candidate file of this schema group
-        fs = hpath(staging).getFileSystem(hconf)
         fs.delete(hpath(staging), True)
         fs.delete(hpath(trash), True)
-        fs.delete(hpath(plan_path), False)
+        fs.delete(hpath(commit_path), False)
         untouched_files = {
             b: [
                 r["file"]
@@ -383,17 +473,22 @@ def erase_rows(
             ]
             for b in bs
         }
-        # journal this group's rewrite plan BEFORE touching anything: a
-        # crash anywhere past this point leaves the plan + the hidden
-        # trees behind, and repair_erasure can roll the swap FORWARD
-        # (the staged files hold the survivors; completing the swap is
-        # the original erasure's semantics — for a compliance delete,
-        # forward is the only acceptable direction once staging is
-        # durable). The plan is metadata-sized: candidate URIs and
-        # untouched-file counts per batch.
+        kept.write.partitionBy("batch").parquet(staging)
+        # DURABILITY marker, written only AFTER the staging write
+        # committed: its presence is what tells repair_erasure the
+        # staged survivors are complete and the swap must roll FORWARD
+        # (completing the swap is the original erasure's semantics —
+        # for a compliance delete, forward is the only acceptable
+        # direction once staging is durable). Deliberately our own
+        # artifact, not the writer's _SUCCESS file: clusters that set
+        # mapreduce.fileoutputcommitter.marksuccessfuljobs=false would
+        # otherwise make a durable staging look torn and a discarding
+        # "repair" would destroy the only copies of the surviving
+        # rows. Metadata-sized: candidate URIs and untouched-file
+        # counts per batch.
         _write_text(
             spark,
-            plan_path,
+            commit_path,
             json.dumps(
                 {
                     "batches": {
@@ -406,7 +501,6 @@ def erase_rows(
                 }
             ),
         )
-        kept.write.partitionBy("batch").parquet(staging)
         # a partitioned write produces a batch=N dir only for batches
         # with surviving rewritten rows
         surv: set[int] = set()
@@ -480,12 +574,13 @@ def erase_rows(
                 fs.delete(hpath(f"{manifest_path}/batch={b}"), True)
         fs.delete(hpath(staging), True)
         fs.delete(hpath(trash), True)
-        fs.delete(hpath(plan_path), False)
         if emptied:
             fs.delete(hpath(f"{sink_path}/.erase_empty"), True)
 
         with_manifest = [b for b in bs if b not in emptied]
         if not with_manifest:
+            # this group's work (incl. manifest-row drops) is complete
+            fs.delete(hpath(commit_path), False)
             continue
         # one scan of ONLY the rewritten files serves both the report
         # counts and the manifest refresh (stats must be collected
@@ -498,44 +593,15 @@ def erase_rows(
         # are padded as typed NULLs so the manifest schema is stable.
         new_live = [f for b in with_manifest for f in moved.get(b, [])]
         new_rows_by_batch: dict[int, int] = {}
-        if new_live:
-            group_cols = {name for name, _ in sig}
-            present = [c for c in stat_cols if c in group_cols]
-            src2 = spark.read.option("basePath", sink_path).parquet(
-                *new_live
+        new_stat_rows = _fresh_stat_rows(
+            spark, sink_path, {sig: new_live}, stat_cols, man_types,
+            man.columns,
+        )
+        for r in new_stat_rows:
+            b = int(r["batch"])
+            new_rows_by_batch[b] = new_rows_by_batch.get(b, 0) + int(
+                r["n_rows"]
             )
-            aggs = [F.count(F.lit(1)).alias("n_rows")]
-            for c in present:
-                aggs.append(F.min(c).alias(f"min_{c}"))
-                aggs.append(F.max(c).alias(f"max_{c}"))
-            stats = (
-                src2.select(
-                    F.input_file_name().alias("file"), "batch", *present
-                )
-                .groupBy("file", "batch")
-                .agg(*aggs)
-            )
-            for c in stat_cols:
-                if c not in present:
-                    stats = stats.withColumn(
-                        f"min_{c}", F.lit(None).cast(man_types[f"min_{c}"])
-                    ).withColumn(
-                        f"max_{c}", F.lit(None).cast(man_types[f"max_{c}"])
-                    )
-            stats = stats.select(
-                *(
-                    F.col(c).cast(man_types[c]).alias(c)
-                    for c in man.columns
-                )
-            )
-            new_stat_rows = stats.collect()
-            for r in new_stat_rows:
-                b = int(r["batch"])
-                new_rows_by_batch[b] = new_rows_by_batch.get(b, 0) + int(
-                    r["n_rows"]
-                )
-        else:
-            new_stat_rows = []
         # refreshed partition content = untouched files' pre-erasure
         # rows + the rewritten files' fresh rows, rebuilt driver-side
         # (metadata volumes) so the overwrite never reads the path it
@@ -560,11 +626,18 @@ def erase_rows(
                 b, 0
             )
             kept_counts[b] = untouched_rows + new_rows_by_batch.get(b, 0)
+        # this group's work (incl. the manifest refresh) is complete
+        fs.delete(hpath(commit_path), False)
     k.unpersist()
     if bloom_store_path is not None and affected:
         _refresh_bloom_store(
             spark, sink_path, bloom_store_path, affected, kept_counts
         )
+    if groups:
+        # the whole delete (every group + store refresh) is complete:
+        # retire the resumability journal
+        fs.delete(hpath(intent_path), False)
+        fs.delete(hpath(keys_path), True)
     rows = [
         (
             b,
@@ -580,6 +653,30 @@ def erase_rows(
         "batch BIGINT, rewritten BOOLEAN, rows_before BIGINT, "
         "rows_erased BIGINT, rows_after BIGINT",
     )
+
+
+
+
+def _load_store_geometry(
+    spark: SparkSession, bloom_store_path: str
+) -> tuple[dict[str, int], int]:
+    """Read and validate an on-disk Bloom store's recorded geometry:
+    one ``n_bits`` per column, one ``n_hashes`` store-wide. Raises on
+    a missing/unreadable store or inconsistent geometry — callers run
+    this BEFORE mutating anything the store describes."""
+    store = spark.read.parquet(bloom_store_path)
+    meta = (
+        store.select("key_col", "n_bits", "n_hashes").distinct().collect()
+    )
+    bits = {r["key_col"]: int(r["n_bits"]) for r in meta}
+    hashes = {int(r["n_hashes"]) for r in meta}
+    if not meta or len(meta) != len(bits) or len(hashes) != 1:
+        raise ValueError(
+            f"the bloom store at {bloom_store_path} is empty or records "
+            "inconsistent geometry — run bloom_store_audit and rebuild "
+            "it before maintaining it through an erasure"
+        )
+    return bits, hashes.pop()
 
 
 def _refresh_bloom_store(
@@ -601,19 +698,8 @@ def _refresh_bloom_store(
     batches drop their store partition outright."""
     from .bloom import bloom_summary_rows
 
-    store = spark.read.parquet(bloom_store_path)
-    meta = (
-        store.select("key_col", "n_bits", "n_hashes").distinct().collect()
-    )
-    bits = {r["key_col"]: int(r["n_bits"]) for r in meta}
-    hashes = {int(r["n_hashes"]) for r in meta}
-    if len(meta) != len(bits) or len(hashes) != 1:
-        raise ValueError(
-            "erase_rows: the bloom store at "
-            f"{bloom_store_path} records inconsistent geometry — run "
-            "bloom_store_audit and rebuild it before maintaining it "
-            "through an erasure"
-        )
+    bits, n_hashes = _load_store_geometry(spark, bloom_store_path)
+    hashes = {n_hashes}
     fs, hpath = _fs(spark, bloom_store_path)
     live = [b for b in affected if kept_counts.get(b, 0) > 0]
     emptied = [b for b in affected if kept_counts.get(b, 0) == 0]
@@ -723,41 +809,16 @@ def repair_manifest(
     fresh_rows = []
     if rescan:
         # one stats scan per footer-schema group of the damaged files
+        # (the shared erase_rows refresh helper — same NULL-padding and
+        # casting policy, so the two paths cannot drift)
         groups: dict[tuple, list[str]] = {}
         for r in rescan:
             sch = spark.read.parquet(r["file"]).schema
             sig = tuple((f.name, f.dataType.simpleString()) for f in sch)
             groups.setdefault(sig, []).append(r["file"])
-        for sig, uris in groups.items():
-            present = [c for c in stat_cols if c in {n for n, _ in sig}]
-            aggs = [F.count(F.lit(1)).alias("n_rows")]
-            for c in present:
-                aggs.append(F.min(c).alias(f"min_{c}"))
-                aggs.append(F.max(c).alias(f"max_{c}"))
-            stats = (
-                spark.read.option("basePath", sink_path)
-                .parquet(*uris)
-                .select(
-                    F.input_file_name().alias("file"), "batch", *present
-                )
-                .groupBy("file", "batch")
-                .agg(*aggs)
-            )
-            for c in stat_cols:
-                if c not in present:
-                    stats = stats.withColumn(
-                        f"min_{c}", F.lit(None).cast(man_types[f"min_{c}"])
-                    ).withColumn(
-                        f"max_{c}", F.lit(None).cast(man_types[f"max_{c}"])
-                    )
-            fresh_rows.extend(
-                stats.select(
-                    *(
-                        F.col(c).cast(man_types[c]).alias(c)
-                        for c in man.columns
-                    )
-                ).collect()
-            )
+        fresh_rows = _fresh_stat_rows(
+            spark, sink_path, groups, stat_cols, man_types, man.columns
+        )
     if affected:
         fs, hpath = _fs(spark, manifest_path)
         mismatch_keys = {key(r) for r in mismatch}
@@ -796,53 +857,66 @@ def repair_manifest(
 def repair_erasure(
     spark: SparkSession, sink_path: str, manifest_path: str
 ) -> DataFrame:
-    """Recover a sink from a CRASHED ``erase_rows`` call — the repair
-    face of the three documented crash windows (module docstring),
-    completing the detect→repair pairing the repo uses elsewhere.
+    """Recover a sink from a CRASHED ``erase_rows`` call AND finish the
+    delete — the repair face of the documented crash windows (module
+    docstring), completing the detect→repair pairing the repo uses
+    elsewhere. Three phases:
 
-    The crashed call's journal decides the direction:
+    1. **Roll the current group's swap forward.** ``.erase_commit.json``
+       present means the staged survivors are durable (the marker is
+       written only after the staging write commits — deliberately not
+       the writer's ``_SUCCESS`` file, which clusters can disable):
+       finish retiring every planned candidate file still in its
+       partition, land every staged survivor file not yet landed, and
+       land the zero-row schema-bearing file for a batch the commit
+       shows fully emptied. Forward is the only acceptable direction
+       once staging is durable — the erasure was promised. A staging
+       tree WITHOUT the commit marker is torn (crash inside the
+       staging write, sink untouched) and is discarded.
+    2. **Reconcile the manifest** via :func:`repair_manifest` (retired
+       files' rows dropped, landed files enveloped).
+    3. **RESUME the erasure.** The resumability journal
+       (``.erase_keys`` + ``.erase_intent.json``, written once before
+       any group mutates the sink) outlives every crash window, and a
+       multi-schema erasure may have crashed before LATER groups even
+       started — rolling forward only the current group would leave
+       those groups' subject rows on disk while reporting success, a
+       partial compliance delete disguised as a repaired one. Repair
+       re-runs ``erase_rows`` from the journaled keys (idempotent:
+       already-erased batches rewrite conservatively with zero rows
+       erased), so ``consistent_after`` certifies the COMPLETE delete.
 
-    * ``.erase_plan.json`` present AND the staging write completed
-      (``_SUCCESS``): roll the swap FORWARD — finish retiring every
-      planned candidate file still in its partition, land every staged
-      survivor file not yet landed, and land the zero-row
-      schema-bearing file for a batch the plan shows fully emptied.
-      Forward is the only acceptable direction once staging is durable:
-      the erasure was promised, and the staged files hold the
-      survivors (windows (b) and (c)).
-    * plan present but staging incomplete (window (a), crash inside
-      the staging write): the sink was never touched — the torn
-      staging tree is DISCARDED.
-
-    Either way the hidden residue trees are then removed and the
-    manifest reconciled via :func:`repair_manifest` (retired files'
-    rows dropped, landed files enveloped), so a plain
-    ``manifest_consistency_audit`` goes green again. Idempotent: a
-    second call finds no residue and repairs nothing. All driver-side
-    work is metadata-sized (the plan, file listings, renames).
+    Idempotent: a second call finds no residue and repairs nothing.
+    Driver-side work is metadata-sized (journals, listings, renames);
+    the resume is a normal erasure, data-proportional only to what is
+    still enveloped.
 
     Returns one row: ``(found_residue, rolled_forward,
     n_files_retired, n_files_landed, n_batches_emptied,
-    n_stale_rows_dropped, n_files_reenveloped, consistent_after)``."""
+    n_stale_rows_dropped, n_files_reenveloped, erasure_resumed,
+    n_rows_erased_on_resume, consistent_after)``."""
     fs, hpath = _fs(spark, sink_path)
     staging = f"{sink_path}/.erase_staging"
     trash = f"{sink_path}/.erase_trash"
-    plan_path = f"{sink_path}/.erase_plan.json"
+    commit_path = f"{sink_path}/.erase_commit.json"
+    keys_path = f"{sink_path}/.erase_keys"
+    intent_path = f"{sink_path}/.erase_intent.json"
     empty_tmpl = f"{sink_path}/.erase_empty"
-    has_plan = fs.exists(hpath(plan_path))
-    has_staging = fs.exists(hpath(staging))
-    staged_ok = fs.exists(hpath(f"{staging}/_SUCCESS"))
+    has_commit = fs.exists(hpath(commit_path))
+    has_intent = fs.exists(hpath(intent_path))
     found = bool(
-        has_plan
-        or has_staging
+        has_commit
+        or has_intent
+        or fs.exists(hpath(staging))
         or fs.exists(hpath(trash))
+        or fs.exists(hpath(keys_path))
         or fs.exists(hpath(empty_tmpl))
     )
     retired = landed = emptied_n = 0
     rolled_forward = False
-    if has_plan and staged_ok:
+    if has_commit:
         rolled_forward = True
-        plan = json.loads(_read_text(spark, plan_path))
+        plan = json.loads(_read_text(spark, commit_path))
         for b_str, info in sorted(plan["batches"].items(), key=lambda kv: int(kv[0])):
             b = int(b_str)
             part = f"{sink_path}/batch={b}"
@@ -902,13 +976,47 @@ def repair_erasure(
                         )
                     fs.delete(hpath(f"{manifest_path}/batch={b}"), True)
                     emptied_n += 1
-    # residue cleanup (either direction; discarding a torn staging
-    # tree is safe — the sink was never touched before _SUCCESS)
+    # residue cleanup (either direction; a staging tree without the
+    # commit marker is torn — the sink was never touched before the
+    # marker, so discarding it is safe)
     fs.delete(hpath(staging), True)
     fs.delete(hpath(trash), True)
-    fs.delete(hpath(plan_path), False)
+    fs.delete(hpath(commit_path), False)
     fs.delete(hpath(empty_tmpl), True)
     mrep = repair_manifest(spark, sink_path, manifest_path).collect()[0]
+    consistent = bool(mrep["consistent_after"])
+    resumed = False
+    resumed_erased = 0
+    if has_intent and fs.exists(hpath(keys_path)):
+        # phase 3: finish the whole delete from the resumability
+        # journal — groups the crashed call never reached are still
+        # pending. The resumed call re-journals and cleans up behind
+        # itself (incl. these journal files, which it overwrites).
+        intent = json.loads(_read_text(spark, intent_path))
+        journaled = spark.read.parquet(keys_path).localCheckpoint(
+            eager=True  # sever lineage: the resume overwrites the path
+        )
+        rrep = erase_rows(
+            spark,
+            sink_path,
+            manifest_path,
+            intent["key_cols"],
+            journaled,
+            bloom_store_path=intent.get("bloom_store_path"),
+        ).collect()
+        resumed = True
+        resumed_erased = sum(int(r["rows_erased"]) for r in rrep)
+        from ..streaming.audit import manifest_consistency_audit
+
+        consistent = bool(
+            manifest_consistency_audit(spark, sink_path, manifest_path)
+            .collect()[0]["consistent"]
+        )
+    else:
+        # crash before the journal finished writing: nothing ran, the
+        # leftovers are inert
+        fs.delete(hpath(intent_path), False)
+        fs.delete(hpath(keys_path), True)
     return spark.createDataFrame(
         [
             (
@@ -919,13 +1027,16 @@ def repair_erasure(
                 emptied_n,
                 int(mrep["n_stale_rows_dropped"]),
                 int(mrep["n_files_reenveloped"]),
-                bool(mrep["consistent_after"]),
+                resumed,
+                resumed_erased,
+                consistent,
             )
         ],
         "found_residue BOOLEAN, rolled_forward BOOLEAN, "
         "n_files_retired BIGINT, n_files_landed BIGINT, "
         "n_batches_emptied BIGINT, n_stale_rows_dropped BIGINT, "
-        "n_files_reenveloped BIGINT, consistent_after BOOLEAN",
+        "n_files_reenveloped BIGINT, erasure_resumed BOOLEAN, "
+        "n_rows_erased_on_resume BIGINT, consistent_after BOOLEAN",
     )
 
 
@@ -954,19 +1065,22 @@ def vacuum_maintenance(
     ``(n_paths_removed, n_files_removed)``."""
     fs, hpath = _fs(spark, sink_path)
     staging = f"{sink_path}/.erase_staging"
-    plan_path = f"{sink_path}/.erase_plan.json"
-    if not force and fs.exists(hpath(plan_path)) and fs.exists(
-        hpath(f"{staging}/_SUCCESS")
+    commit_path = f"{sink_path}/.erase_commit.json"
+    intent_path = f"{sink_path}/.erase_intent.json"
+    keys_path = f"{sink_path}/.erase_keys"
+    if not force and (
+        fs.exists(hpath(commit_path)) or fs.exists(hpath(intent_path))
     ):
         raise ValueError(
-            "vacuum_maintenance: a crashed erasure left a "
-            "roll-forwardable plan + completed staging tree — run "
-            "repair_erasure first (vacuuming now would discard the "
-            "staged survivor rows), or pass force=True to accept the "
-            "loss"
+            "vacuum_maintenance: a crashed erasure left its journal "
+            "behind (a committed staging tree to roll forward and/or a "
+            "resumable key list) — run repair_erasure first (vacuuming "
+            "now would discard staged survivor rows and abandon the "
+            "unfinished compliance delete), or pass force=True to "
+            "accept the loss"
         )
-    residue = [staging, f"{sink_path}/.erase_trash", plan_path,
-               f"{sink_path}/.erase_empty"]
+    residue = [staging, f"{sink_path}/.erase_trash", commit_path,
+               intent_path, keys_path, f"{sink_path}/.erase_empty"]
     for st in fs.listStatus(hpath(sink_path)):
         name = st.getPath().getName()
         if name.startswith(".compact_staging_batch="):

@@ -14,7 +14,7 @@ from superstore_data_pipeline_analytics_dashboard__spark.plans.catalog_queries_r
     R12_QUERIES,
 )
 from superstore_data_pipeline_analytics_dashboard__spark.sources.catalog import TABLES
-from tests.conftest import SF_ORACLE, SF_SMOKE
+from tests.conftest import SF_ORACLE, SF_SMOKE  # noqa: F401
 from tools.parity import compare
 
 _SFS = [SF_SMOKE, SF_ORACLE]
@@ -43,25 +43,14 @@ def test_staged_query_matches_oracle(spark, duck_sf, name):
     assert not problems, problems
 
 
-def test_staged_plan_hygiene(spark):
-    """No row-at-a-time Python, no CartesianProduct, no undocumented
-    Arrow stage in any staged plan (same audit as the registered
-    catalog gets in test_plan_quality.py)."""
-    # plan-SHAPE reads need a clean cache (CLAUDE.md)
-    spark.catalog.clearCache()
-    failures = []
-    for name, fn in R12_QUERIES.items():
-        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
-        for bad in (
-            "BatchEvalPython",
-            "CartesianProduct",
-            "ArrowEvalPython",
-            "MapInPandas",
-            "FlatMapGroupsInPandas",
-        ):
-            if bad in plan:
-                failures.append((name, bad))
-    assert not failures, failures
+# NOTE: no plan-hygiene sweep here, deliberately — every r12 staged
+# query returns a driver-local createDataFrame of already-collected
+# scalars, so its executedPlan is a LocalTableScan that could never
+# contain an anti-pattern regardless of what the internal jobs did
+# (the sweep would re-run six heavyweight crash/repair scenarios to
+# assert a vacuous property). The operators these queries exercise
+# carry their own plan pins in test_bloom.py / test_retention.py /
+# test_expectations.py.
 
 
 def test_staged_names_not_yet_registered():

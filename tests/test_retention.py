@@ -629,37 +629,53 @@ def _local(uri):
     return uri.split(":", 1)[1] if ":" in uri else uri
 
 
-def _stage_crash(spark, sink, man, doomed_ids, land=False):
+def _journal(spark, sink, doomed_ids):
+    """The once-per-call resumability journal erase_rows writes before
+    any group mutates the sink."""
+    spark.createDataFrame(
+        [(i,) for i in doomed_ids], "id BIGINT"
+    ).write.mode("overwrite").parquet(f"{sink}/.erase_keys")
+    R._write_text(
+        spark,
+        f"{sink}/.erase_intent.json",
+        _json.dumps({"key_cols": ["id"], "bloom_store_path": None}),
+    )
+
+
+def _stage_crash(spark, sink, man, doomed_ids, land=False, batch=0):
     """Reproduce erase_rows' on-disk state for a crash in window (b):
-    plan journaled, staging written (with _SUCCESS), batch-0 candidate
-    file retired to trash, replacements NOT landed (unless land=)."""
+    resumability journal + commit marker written, staging durable, the
+    batch's candidate files retired to trash, replacements NOT landed
+    (unless land=, which reproduces window (c))."""
+    _journal(spark, sink, doomed_ids)
     cand = [
         r["file"]
         for r in spark.read.parquet(man)
-        .filter(F.col("batch") == 0)
+        .filter(F.col("batch") == batch)
         .collect()
     ]
-    n_untouched = 0
     src = spark.read.option("basePath", sink).parquet(*cand)
-    kept = src.filter(~F.col("id").isin(doomed_ids))
+    kept = src.filter(~F.col("id").isin(list(doomed_ids)))
     kept.write.partitionBy("batch").parquet(f"{sink}/.erase_staging")
     R._write_text(
         spark,
-        f"{sink}/.erase_plan.json",
+        f"{sink}/.erase_commit.json",
         _json.dumps(
-            {"batches": {"0": {"files": cand, "n_untouched": n_untouched}}}
+            {"batches": {str(batch): {"files": cand, "n_untouched": 0}}}
         ),
     )
-    _os.makedirs(f"{sink}/.erase_trash/batch=0", exist_ok=True)
+    _os.makedirs(f"{sink}/.erase_trash/batch={batch}", exist_ok=True)
     for u in cand:
         p = _local(u)
-        _shutil.move(p, f"{sink}/.erase_trash/batch=0/")
+        _shutil.move(p, f"{sink}/.erase_trash/batch={batch}/")
     if land:
-        st = f"{sink}/.erase_staging/batch=0"
+        st = f"{sink}/.erase_staging/batch={batch}"
         if _os.path.isdir(st):
             for name in _os.listdir(st):
                 if name.startswith("part-"):
-                    _shutil.move(f"{st}/{name}", f"{sink}/batch=0/{name}")
+                    _shutil.move(
+                        f"{st}/{name}", f"{sink}/batch={batch}/{name}"
+                    )
 
 
 def test_repair_erasure_rolls_forward_mid_swap_crash(spark, tmp_path):
@@ -676,6 +692,9 @@ def test_repair_erasure_rolls_forward_mid_swap_crash(spark, tmp_path):
     rep = R.repair_erasure(spark, sink, man).collect()[0]
     assert rep["found_residue"] and rep["rolled_forward"]
     assert rep["n_files_landed"] >= 1 and rep["consistent_after"]
+    # the journaled resume re-ran the erasure; the roll-forward had
+    # already erased everything, so the resume erases nothing more
+    assert rep["erasure_resumed"] and rep["n_rows_erased_on_resume"] == 0
     assert _ids(spark.read.parquet(sink)) == _ids(
         spark.read.parquet(twin_sink)
     )
@@ -717,26 +736,46 @@ def test_repair_erasure_window_c_manifest_only(spark, tmp_path):
     )
 
 
-def test_repair_erasure_discards_torn_staging(spark, tmp_path):
-    """Window (a): crash inside the staging write (no _SUCCESS). The
-    sink was never touched — repair discards the torn tree."""
+def test_repair_erasure_discards_torn_staging_then_resumes(
+    spark, tmp_path
+):
+    """Window (a): crash inside the staging write — NO commit marker,
+    so the torn tree is discarded (the sink was never touched), and
+    the journaled resume then runs the WHOLE delete: a repair that
+    left the subject rows on disk would be a partial compliance
+    delete disguised as a repaired one. Deliberately no _SUCCESS
+    dependence: the marker can be disabled cluster-wide."""
     sink, man = _build(spark, tmp_path)
+    _journal(spark, sink, [10, 20, 30])
     src = spark.read.option("basePath", sink).parquet(sink)
     src.filter("batch = 0").write.partitionBy("batch").parquet(
         f"{sink}/.erase_staging"
     )
     _os.remove(f"{sink}/.erase_staging/_SUCCESS")
-    R._write_text(
-        spark,
-        f"{sink}/.erase_plan.json",
-        _json.dumps({"batches": {"0": {"files": [], "n_untouched": 0}}}),
-    )
     rep = R.repair_erasure(spark, sink, man).collect()[0]
     assert rep["found_residue"] and not rep["rolled_forward"]
+    assert rep["erasure_resumed"] and rep["n_rows_erased_on_resume"] == 3
     assert rep["consistent_after"]
-    assert len(_ids(spark.read.parquet(sink))) == 250
+    left = _ids(spark.read.parquet(sink))
+    assert len(left) == 247 and not {10, 20, 30} & set(left)
     assert not _os.path.exists(f"{sink}/.erase_staging")
-    assert not _os.path.exists(f"{sink}/.erase_plan.json")
+    assert not _os.path.exists(f"{sink}/.erase_intent.json")
+    assert not _os.path.exists(f"{sink}/.erase_keys")
+
+
+def test_repair_erasure_finishes_pending_groups(spark, tmp_path):
+    """A multi-group erasure that crashed before later groups even
+    started: only the journal exists. Repair must finish the delete
+    from it — consistent_after certifies the COMPLETE erasure, not
+    just a consistent manifest over a partial one."""
+    sink, man = _build(spark, tmp_path)
+    _journal(spark, sink, [10, 110])  # keys spanning both batches
+    rep = R.repair_erasure(spark, sink, man).collect()[0]
+    assert rep["found_residue"] and not rep["rolled_forward"]
+    assert rep["erasure_resumed"] and rep["n_rows_erased_on_resume"] == 2
+    assert rep["consistent_after"]
+    left = _ids(spark.read.parquet(sink))
+    assert len(left) == 248 and not {10, 110} & set(left)
 
 
 def test_repair_erasure_completes_emptied_batch(spark, tmp_path):
@@ -995,6 +1034,7 @@ def test_maintenance_lifecycle_model_based(spark, tmp_path, seed):
             bs = sorted(b for b in model if model[b])
             b = rng.choice(bs)
             doomed = set(rng.sample(sorted(model[b]), min(10, len(model[b]))))
+            _journal(spark, sink, sorted(doomed))
             cand = [
                 r["file"]
                 for r in spark.read.parquet(man)
@@ -1006,7 +1046,7 @@ def test_maintenance_lifecycle_model_based(spark, tmp_path, seed):
             kept.write.partitionBy("batch").parquet(f"{sink}/.erase_staging")
             R._write_text(
                 spark,
-                f"{sink}/.erase_plan.json",
+                f"{sink}/.erase_commit.json",
                 _json.dumps(
                     {
                         "batches": {
