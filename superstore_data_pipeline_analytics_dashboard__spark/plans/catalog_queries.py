@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import contextlib
 import functools
+import json
 import shutil
 import tempfile
 from collections.abc import Callable
@@ -16329,6 +16330,718 @@ SELECT CAST(3 AS BIGINT) AS n_batches,
 """
 
 
+# ------------------------------------------- bloom-store consistency
+#
+# q276: the r11 bloom_store_audit under the driver's gate — the
+# currency contract that q275's chain satisfies BY CONSTRUCTION,
+# here violated deliberately and detected. Three residue batches land
+# and the store is collected (NDV-autosized, so `saturated` is
+# deterministically false at every SF); then batch 3 lands OUT OF
+# BAND (the store never sees it — n_missing_batches=1: the damage
+# class a non-streaming writer leaves) and batch 2 is REPLAYED with
+# half its keys (recorded n_keys no longer matches —
+# n_count_mismatches=1). The audit reports both, `current` goes
+# false; a store rebuild flips it back and the rebuilt store's total
+# recorded key count is oracle-exact from orders arithmetic.
+
+def q276_bloom_store_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.bloom import bloom_store_audit, collect_batch_blooms
+
+    with _scratch("q276_blaudit_") as base:
+        sink, blm = f"{base}/sink", f"{base}/blm"
+        orders = load_table(spark, sf, "orders").select("o_orderkey")
+        df = orders.select(
+            "o_orderkey", (F.col("o_orderkey") % 4).alias("batch")
+        )
+        df.filter(F.col("batch") <= 2).write.partitionBy("batch").parquet(
+            sink
+        )
+        collect_batch_blooms(spark, sink, "o_orderkey").write.partitionBy(
+            "batch"
+        ).parquet(blm)
+        # out-of-band append: a batch the store never saw
+        df.filter(F.col("batch") == 3).write.mode("append").partitionBy(
+            "batch"
+        ).parquet(sink)
+        # replayed batch: same id, half the keys
+        (
+            df.filter(
+                (F.col("batch") == 2) & (F.col("o_orderkey") % 8 == 2)
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(sink)
+        )
+        bad = bloom_store_audit(spark, sink, blm).collect()[0]
+        # the fix the audit directs: rebuild, then re-audit
+        collect_batch_blooms(spark, sink, "o_orderkey").write.mode(
+            "overwrite"
+        ).partitionBy("batch").parquet(blm)
+        good = bloom_store_audit(spark, sink, blm).collect()[0]
+        store = spark.read.parquet(blm)
+        n_keys_after = int(
+            store.agg(F.sum("n_keys")).collect()[0][0]
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    bad["key_col"],
+                    int(bad["n_sink_batches"]),
+                    int(bad["n_store_batches"]),
+                    int(bad["n_missing_batches"]),
+                    int(bad["n_orphan_batches"]),
+                    int(bad["n_count_mismatches"]),
+                    bool(bad["type_ok"]),
+                    bool(bad["geometry_ok"]),
+                    bool(bad["positions_ok"]),
+                    bool(bad["saturated"]),
+                    bool(bad["current"]),
+                    bool(good["current"]),
+                    n_keys_after,
+                )
+            ],
+            "key_col STRING, n_sink_batches BIGINT, n_store_batches BIGINT, "
+            "n_missing_batches BIGINT, n_orphan_batches BIGINT, "
+            "n_count_mismatches BIGINT, type_ok BOOLEAN, "
+            "geometry_ok BOOLEAN, positions_ok BOOLEAN, "
+            "saturated BOOLEAN, current BOOLEAN, "
+            "current_after_rebuild BOOLEAN, n_keys_after_rebuild BIGINT",
+        )
+
+
+Q276_SQL = """
+WITH c AS (
+  SELECT count(*) FILTER (WHERE o_orderkey % 4 <= 1) AS n01,
+         count(*) FILTER (WHERE o_orderkey % 8 = 2) AS n2keep,
+         count(*) FILTER (WHERE o_orderkey % 4 = 3) AS n3
+  FROM orders
+)
+SELECT 'o_orderkey' AS key_col,
+       CAST(4 AS BIGINT) AS n_sink_batches,
+       CAST(3 AS BIGINT) AS n_store_batches,
+       CAST(1 AS BIGINT) AS n_missing_batches,
+       CAST(0 AS BIGINT) AS n_orphan_batches,
+       CAST(1 AS BIGINT) AS n_count_mismatches,
+       true AS type_ok, true AS geometry_ok, true AS positions_ok,
+       false AS saturated, false AS current,
+       true AS current_after_rebuild,
+       CAST(n01 + n2keep + n3 AS BIGINT) AS n_keys_after_rebuild
+FROM c
+"""
+
+
+# --------------------------------------------- erasure crash repair
+#
+# q277: the r11 repair face end to end under the gate. A 4-range-batch
+# sink is built, then crash window (b) is constructed EXACTLY as a
+# real mid-swap crash leaves it (the journaled plan, the completed
+# staging tree with batch 1's survivors, batch 1's candidate files
+# retired to the hidden trash, replacements NOT landed): the doomed
+# rows (batch-1 keys ≡ 0 mod 13) are at that instant physically
+# missing along with their surviving file-mates, and the audit says so
+# (pre_consistent=false). repair_erasure rolls the swap forward from
+# the commit marker, reconciles the manifest, and RESUMES the delete
+# from the journaled keys (here a no-op: the roll-forward already
+# erased everything — n_rows_erased_on_resume pinned at 0); afterwards
+# the sink holds exactly orders-minus-doomed rows, zero doomed keys
+# remain, and the audit is green — all counts oracle-recomputed from
+# the range arithmetic.
+
+def q277_erasure_crash_repair(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.retention import _fs, _write_text, repair_erasure
+    from ..streaming.audit import manifest_consistency_audit
+
+    with _scratch("q277_crash_") as base:
+        sink, man = f"{base}/sink", f"{base}/man"
+        orders = load_table(spark, sf, "orders").select("o_orderkey")
+        w = orders.agg(
+            (F.expr("max(o_orderkey) div 4") + 1).alias("w")
+        ).collect()[0]["w"]
+        df = orders.select(
+            "o_orderkey",
+            F.expr(f"o_orderkey div {w}").cast("int").alias("batch"),
+        )
+        df.write.partitionBy("batch").parquet(sink)
+        src = spark.read.option("basePath", sink).parquet(sink)
+        stats = (
+            src.select(
+                F.input_file_name().alias("file"), "batch", "o_orderkey"
+            )
+            .groupBy("file", "batch")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("o_orderkey").alias("min_o_orderkey"),
+                F.max("o_orderkey").alias("max_o_orderkey"),
+            )
+            .select(
+                "file", "n_rows", "min_o_orderkey", "max_o_orderkey", "batch"
+            )
+        )
+        stats.write.partitionBy("batch").parquet(man)
+        n_before = orders.count()
+        doomed = df.filter(
+            (F.col("batch") == 1) & (F.col("o_orderkey") % 13 == 0)
+        ).select("o_orderkey")
+        n_doomed = doomed.count()
+        # --- construct crash window (b), exactly as erase_rows leaves
+        # it: resumability journal (keys + intent), staged survivors,
+        # the post-staging commit marker, candidates retired, nothing
+        # landed
+        doomed.write.parquet(f"{sink}/.erase_keys")
+        _write_text(
+            spark,
+            f"{sink}/.erase_intent.json",
+            json.dumps(
+                {"key_cols": ["o_orderkey"], "bloom_store_path": None}
+            ),
+        )
+        cand = [
+            r["file"]
+            for r in spark.read.parquet(man)
+            .filter(F.col("batch") == 1)
+            .collect()
+        ]
+        csrc = spark.read.option("basePath", sink).parquet(*cand)
+        kept = csrc.join(F.broadcast(doomed), "o_orderkey", "left_anti")
+        kept.write.partitionBy("batch").parquet(f"{sink}/.erase_staging")
+        _write_text(
+            spark,
+            f"{sink}/.erase_commit.json",
+            json.dumps(
+                {"batches": {"1": {"files": cand, "n_untouched": 0}}}
+            ),
+        )
+        fs, hpath = _fs(spark, sink)
+        fs.mkdirs(hpath(f"{sink}/.erase_trash/batch=1"))
+        for u in cand:
+            name = u.rsplit("/", 1)[1]
+            fs.rename(
+                hpath(u), hpath(f"{sink}/.erase_trash/batch=1/{name}")
+            )
+        pre_ok = bool(
+            manifest_consistency_audit(spark, sink, man).collect()[0][
+                "consistent"
+            ]
+        )
+        rep = repair_erasure(spark, sink, man).collect()[0]
+        after = spark.read.option("basePath", sink).parquet(sink)
+        n_after = after.count()
+        n_remaining = after.join(doomed, "o_orderkey", "left_semi").count()
+        return spark.createDataFrame(
+            [
+                (
+                    n_before,
+                    n_doomed,
+                    pre_ok,
+                    bool(rep["found_residue"]),
+                    bool(rep["rolled_forward"]),
+                    n_after,
+                    n_remaining,
+                    bool(rep["erasure_resumed"]),
+                    int(rep["n_rows_erased_on_resume"]),
+                    bool(rep["consistent_after"]),
+                )
+            ],
+            "n_rows_before BIGINT, n_doomed BIGINT, "
+            "pre_consistent BOOLEAN, found_residue BOOLEAN, "
+            "rolled_forward BOOLEAN, n_rows_after BIGINT, "
+            "n_doomed_remaining BIGINT, erasure_resumed BOOLEAN, "
+            "n_rows_erased_on_resume BIGINT, consistent_after BOOLEAN",
+        )
+
+
+Q277_SQL = """
+WITH w AS (SELECT max(o_orderkey) // 4 + 1 AS w FROM orders),
+d AS (
+  SELECT count(*) AS n FROM orders, w
+  WHERE o_orderkey // w = 1 AND o_orderkey % 13 = 0
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows_before,
+       CAST(d.n AS BIGINT) AS n_doomed,
+       false AS pre_consistent,
+       true AS found_residue,
+       true AS rolled_forward,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders) - d.n AS n_rows_after,
+       CAST(0 AS BIGINT) AS n_doomed_remaining,
+       true AS erasure_resumed,
+       CAST(0 AS BIGINT) AS n_rows_erased_on_resume,
+       true AS consistent_after
+FROM d
+"""
+
+
+# ------------------------------------------- bloom sizing honesty
+#
+# q278: the r11 NDV-derived autosizing default under the gate, against
+# the deliberately-undersized store that motivated it (VERDICT r10
+# "what's wrong" item 3: the old fixed default was honest but useless
+# on large batches). Same hostile md5-random 8-batch layout as q270.
+# The autosized store must be a power of two, unsaturated (fill ≤ 1/8
+# by the 16·ndv·k formula — deterministic at every SF), keep the
+# no-false-negative guarantee, and actually prune; the 2^10 store
+# must report saturation (fill > 1/8 at every SF: ≥ ~180 distinct
+# keys/batch × 3 positions against 1024 bits). True-hit counts are
+# oracle-recomputed from the portable-md5 bucket arithmetic.
+
+def q278_bloom_autosize(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.sampling import hash_bucket
+    from ..sources.bloom import bloom_candidates, collect_batch_blooms
+
+    nb = 8
+    with _scratch("q278_autosize_") as base:
+        sink = f"{base}/sink"
+        orders = load_table(spark, sf, "orders").select("o_orderkey")
+        df = orders.select(
+            "o_orderkey", hash_bucket("o_orderkey", nb).alias("batch")
+        )
+        df.write.partitionBy("batch").parquet(sink)
+        keys = (
+            orders.filter(F.col("o_orderkey") % 97 == 0)
+            .orderBy("o_orderkey")
+            .limit(3)
+            .persist()
+        )
+        n_keys = keys.count()
+        src = spark.read.option("basePath", sink).parquet(sink)
+        true_pairs = src.join(keys, "o_orderkey").select(
+            "batch", "o_orderkey"
+        ).persist()
+        n_hit = true_pairs.select("batch").distinct().count()
+        auto = collect_batch_blooms(spark, sink, "o_orderkey").persist()
+        geom = auto.select("n_bits").distinct().collect()
+        pow2_ok = len(geom) == 1 and (
+            int(geom[0]["n_bits"]) & (int(geom[0]["n_bits"]) - 1) == 0
+        )
+        sat = auto.agg(
+            F.max(
+                F.size("bloom_pos").cast("long") * 8 - F.col("n_bits")
+            ).alias("m")
+        ).collect()[0]["m"]
+        auto_not_saturated = int(sat) < 0
+        cand = bloom_candidates(auto, keys, "o_orderkey").persist()
+        n_missed = true_pairs.join(
+            cand, ["batch", "o_orderkey"], "left_anti"
+        ).count()
+        n_auto_batches = cand.select("batch").distinct().count()
+        tiny = collect_batch_blooms(
+            spark, sink, "o_orderkey", n_bits=1 << 10
+        )
+        tiny_sat = tiny.agg(
+            F.max(
+                F.size("bloom_pos").cast("long") * 8 - F.col("n_bits")
+            ).alias("m")
+        ).collect()[0]["m"]
+        for p in (cand, auto, true_pairs, keys):
+            p.unpersist()
+        return spark.createDataFrame(
+            [
+                (
+                    nb,
+                    n_keys,
+                    n_hit,
+                    pow2_ok,
+                    auto_not_saturated,
+                    n_missed == 0,
+                    n_auto_batches < nb,
+                    int(tiny_sat) >= 0,
+                )
+            ],
+            "n_batches BIGINT, n_keys BIGINT, n_true_hit_batches BIGINT, "
+            "autosized_pow2 BOOLEAN, auto_not_saturated BOOLEAN, "
+            "no_false_negatives BOOLEAN, auto_pruned BOOLEAN, "
+            "tiny_saturated BOOLEAN",
+        )
+
+
+Q278_SQL = """
+WITH b AS (
+  SELECT o_orderkey,
+         CAST(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+              AS BIGINT) % 8 AS INT) AS batch
+  FROM orders
+), k AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey LIMIT 3
+), hits AS (
+  SELECT count(DISTINCT b.batch) AS n FROM b JOIN k USING (o_orderkey)
+)
+SELECT CAST(8 AS BIGINT) AS n_batches,
+       (SELECT CAST(count(*) AS BIGINT) FROM k) AS n_keys,
+       CAST(hits.n AS BIGINT) AS n_true_hit_batches,
+       true AS autosized_pow2,
+       true AS auto_not_saturated,
+       true AS no_false_negatives,
+       true AS auto_pruned,
+       true AS tiny_saturated
+FROM hits
+"""
+
+
+# ----------------------------- composite multi-column bloomed erasure
+#
+# q279: the r11 one-scan multi-column collection feeding a
+# COMPOSITE-key bloom-confined erasure — q272's shape upgraded to two
+# key columns: the store holds both o_orderkey and o_custkey
+# summaries from ONE scan, erase_rows intersects the two blooms
+# tuple-precisely, and the probe geometry comes from the store's
+# recorded metadata (no explicit n_bits anywhere — the r11
+# auto-resolution path under the gate). On the md5-random layout only
+# the bloom can confine; a false negative on EITHER column would
+# leave rows_erased_total short and hash-mismatch. The store is
+# MAINTAINED through the delete (bloom_store_path=): afterwards
+# bloom_store_audit must be green for both columns
+# (store_current_after), closing the maintenance loop under the gate.
+
+def q279_multicol_bloomed_erasure(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    from ..functions.sampling import hash_bucket
+    from ..sources.bloom import (
+        bloom_store_audit,
+        collect_batch_blooms,
+        load_bloom_store,
+    )
+    from ..sources.retention import erase_rows
+
+    nb = 8
+    with _scratch("q279_mcerase_") as base:
+        sink, man, blm = f"{base}/sink", f"{base}/man", f"{base}/blm"
+        orders = load_table(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        df = orders.select(
+            "o_orderkey",
+            "o_custkey",
+            hash_bucket("o_orderkey", nb).alias("batch"),
+        )
+        df.write.partitionBy("batch").parquet(sink)
+        src = spark.read.option("basePath", sink).parquet(sink)
+        stats = (
+            src.select(
+                F.input_file_name().alias("file"),
+                "batch",
+                "o_orderkey",
+                "o_custkey",
+            )
+            .groupBy("file", "batch")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("o_orderkey").alias("min_o_orderkey"),
+                F.max("o_orderkey").alias("max_o_orderkey"),
+                F.min("o_custkey").alias("min_o_custkey"),
+                F.max("o_custkey").alias("max_o_custkey"),
+            )
+            .select(
+                "file",
+                "n_rows",
+                "min_o_orderkey",
+                "max_o_orderkey",
+                "min_o_custkey",
+                "max_o_custkey",
+                "batch",
+            )
+        )
+        stats.write.partitionBy("batch").parquet(man)
+        # ONE scan collects BOTH columns' summaries (2^18 spans every
+        # SF's per-batch NDV comfortably: ≤ ~19k keys/batch at sf0.1)
+        collect_batch_blooms(
+            spark, sink, ["o_orderkey", "o_custkey"], n_bits=1 << 18
+        ).write.partitionBy("batch").parquet(blm)
+        stores = {
+            c: load_bloom_store(spark, blm, c)
+            for c in ("o_orderkey", "o_custkey")
+        }
+        doomed = (
+            orders.filter(F.col("o_orderkey") % 97 == 0)
+            .orderBy("o_orderkey")
+            .limit(3)
+            .select("o_orderkey", "o_custkey")
+        )
+        rep = erase_rows(
+            spark,
+            sink,
+            man,
+            ["o_orderkey", "o_custkey"],
+            doomed,
+            blooms=stores,
+            bloom_store_path=blm,
+        ).persist()
+        n_batches = rep.count()
+        n_rewritten = rep.filter("rewritten").count()
+        agg = rep.agg(
+            F.sum("rows_erased").alias("er"),
+            F.sum("rows_after").alias("af"),
+        ).collect()[0]
+        rep.unpersist()
+        store_ok = all(
+            r["current"]
+            for r in bloom_store_audit(spark, sink, blm).collect()
+        )
+        n_hit = (
+            df.join(doomed, ["o_orderkey", "o_custkey"])
+            .select("batch")
+            .distinct()
+            .count()
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    n_batches,
+                    n_hit,
+                    int(agg["er"]),
+                    int(agg["af"]),
+                    n_rewritten < n_batches,
+                    store_ok,
+                )
+            ],
+            "n_batches BIGINT, n_true_hit_batches BIGINT, "
+            "rows_erased_total BIGINT, rows_after_total BIGINT, "
+            "bloom_confined BOOLEAN, store_current_after BOOLEAN",
+        )
+
+
+Q279_SQL = """
+WITH b AS (
+  SELECT o_orderkey,
+         CAST(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+              AS BIGINT) % 8 AS INT) AS batch
+  FROM orders
+), k AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey LIMIT 3
+)
+SELECT (SELECT CAST(count(DISTINCT batch) AS BIGINT) FROM b) AS n_batches,
+       (SELECT CAST(count(DISTINCT b.batch) AS BIGINT)
+        FROM b JOIN k USING (o_orderkey)) AS n_true_hit_batches,
+       (SELECT CAST(count(*) AS BIGINT) FROM k) AS rows_erased_total,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders)
+         - (SELECT CAST(count(*) AS BIGINT) FROM k) AS rows_after_total,
+       true AS bloom_confined,
+       true AS store_current_after
+"""
+
+
+# ----------------------------- compaction crash, refusal, repair, pin
+#
+# q280: the compaction side of the r11 crash story in one chain — the
+# q274 six-file batch is compacted BY HAND up to the mid-swap instant
+# (durable staging, partition retired to the hidden trash: exactly the
+# state a crash between compact_batch's two renames leaves), then:
+# vacuum_maintenance REFUSES (the trash holds the partition's only
+# copy — vacuum_refused is the guarantee boolean), repair_compaction
+# COMPLETES the swap to the compacted copy and reconciles the
+# manifest, the pruned read is oracle-exact again, and — the q274
+# contrast carried through a crash — the PRE-compaction snapshot pin
+# is still reproducible (content byte-identical). File counts, row
+# counts and every boolean are oracle-pinned.
+
+def q280_compaction_crash_chain(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.formats import repair_compaction
+    from ..sources.manifest import collect_file_stats, read_pruned
+    from ..sources.retention import _fs, vacuum_maintenance
+    from ..sources.snapshots import commit_snapshot, snapshot_drift_audit
+
+    with _scratch("q280_cchain_") as base:
+        sink, man, log = f"{base}/sink", f"{base}/man", f"{base}/log"
+        orders = load_table(spark, sf, "orders").select("o_orderkey")
+        for m in range(6):  # six single-file appends, one per residue
+            (
+                orders.filter(F.col("o_orderkey") % 6 == m)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(f"{sink}/batch=0")
+            )
+        stats = collect_file_stats(
+            spark, f"{sink}/batch=0", ["o_orderkey"]
+        ).withColumn("batch", F.lit(0))
+        (
+            stats.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(man)
+        )
+        commit_snapshot(spark, man, log)
+        fs, hpath = _fs(spark, sink)
+        files_before = sum(
+            1
+            for st in fs.listStatus(hpath(f"{sink}/batch=0"))
+            if st.getPath().getName().startswith("part-")
+        )
+        # mid-swap crash state: durable compacted staging, live
+        # partition retired to the hidden trash, nothing landed
+        spark.read.parquet(f"{sink}/batch=0").coalesce(1).write.parquet(
+            f"{sink}/.compact_staging_batch=0"
+        )
+        fs.rename(
+            hpath(f"{sink}/batch=0"),
+            hpath(f"{sink}/.compact_trash_batch=0"),
+        )
+        try:
+            vacuum_maintenance(spark, sink)
+            refused = False
+        except ValueError:
+            refused = True
+        rep = repair_compaction(spark, sink, man, 0).collect()[0]
+        files_after = sum(
+            1
+            for st in fs.listStatus(hpath(f"{sink}/batch=0"))
+            if st.getPath().getName().startswith("part-")
+        )
+        n_rows = spark.read.parquet(f"{sink}/batch=0").count()
+        lo = orders.agg(F.min("o_orderkey").alias("lo")).collect()[0]["lo"]
+        pruned_n = read_pruned(
+            spark, spark.read.parquet(man), "o_orderkey", lo, lo + 99
+        ).count()
+        drift = snapshot_drift_audit(spark, sink, log, 1).collect()[0]
+        return spark.createDataFrame(
+            [
+                (
+                    files_before,
+                    files_after,
+                    n_rows,
+                    pruned_n,
+                    refused,
+                    rep["action"] == "completed",
+                    bool(rep["consistent_after"]),
+                    bool(drift["reproducible"]),
+                )
+            ],
+            "files_before BIGINT, files_after BIGINT, n_rows BIGINT, "
+            "pruned_read_rows BIGINT, vacuum_refused BOOLEAN, "
+            "swap_completed BOOLEAN, consistent_after BOOLEAN, "
+            "pin_reproducible BOOLEAN",
+        )
+
+
+Q280_SQL = """
+WITH lo AS (SELECT min(o_orderkey) AS lo FROM orders)
+SELECT CAST(6 AS BIGINT) AS files_before,
+       CAST(1 AS BIGINT) AS files_after,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders, lo
+        WHERE o_orderkey BETWEEN lo AND lo + 99) AS pruned_read_rows,
+       true AS vacuum_refused,
+       true AS swap_completed,
+       true AS consistent_after,
+       true AS pin_reproducible
+"""
+
+
+# ------------------------------------------ manifest detect-and-repair
+#
+# q281: repair_manifest standalone under the gate — all three audit
+# damage classes planted at once on a 3-batch orders sink (a STALE row:
+# batch 0's file deleted behind the manifest's back; an UNENVELOPED
+# file: an out-of-band append into batch 1; a COUNT MISMATCH: batch 2's
+# file replaced by its even-key half with the old manifest row kept),
+# detected (pre_consistent=false), repaired in one call, and proven:
+# the post-repair audit is green and a pruned read over the
+# out-of-band keys is oracle-exact. Counts are recomputed by DuckDB
+# from the residue arithmetic; booleans follow the guarantee pattern.
+
+def q281_manifest_repair(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.manifest import collect_file_stats, read_pruned
+    from ..sources.retention import _fs, repair_manifest
+    from ..streaming.audit import manifest_consistency_audit
+
+    with _scratch("q281_manrep_") as base:
+        sink, man = f"{base}/sink", f"{base}/man"
+        orders = load_table(spark, sf, "orders").select("o_orderkey")
+        hi = orders.agg(F.max("o_orderkey").alias("m")).collect()[0]["m"]
+        for b in range(3):  # one file per batch, keys by residue mod 3
+            (
+                orders.filter(F.col("o_orderkey") % 3 == b)
+                .coalesce(1)
+                .write.parquet(f"{sink}/batch={b}")
+            )
+            stats = collect_file_stats(
+                spark, f"{sink}/batch={b}", ["o_orderkey"]
+            ).withColumn("batch", F.lit(b))
+            (
+                stats.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch")
+                .parquet(man)
+            )
+        fs, hpath = _fs(spark, sink)
+        # stale: batch 0's file vanishes behind the manifest's back
+        f0 = spark.read.parquet(f"{sink}/batch=0").inputFiles()[0]
+        fs.delete(hpath(f0), False)
+        # unenveloped: out-of-band keys [hi+1, hi+50] land in batch 1
+        spark.range(hi + 1, hi + 51).select(
+            F.col("id").alias("o_orderkey")
+        ).coalesce(1).write.mode("append").parquet(f"{sink}/batch=1")
+        # count mismatch: batch 2's file replaced by its even-key half,
+        # manifest row left pointing at the old count
+        keep2 = (
+            spark.read.parquet(f"{sink}/batch=2")
+            .filter(F.col("o_orderkey") % 2 == 0)
+            .localCheckpoint(eager=True)  # sever lineage before delete
+        )
+        f2 = spark.read.parquet(f"{sink}/batch=2").inputFiles()[0]
+        fs.delete(hpath(f2), False)
+        keep2.coalesce(1).write.mode("append").parquet(f"{sink}/batch=2")
+        old2 = spark.read.parquet(man).filter(F.col("batch") == 2)
+        old2.localCheckpoint(eager=True).withColumn(
+            "file",
+            F.concat(
+                F.lit("file:"),
+                F.lit(spark.read.parquet(f"{sink}/batch=2").inputFiles()[0]
+                      .removeprefix("file:")),
+            ),
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch").parquet(man)
+        pre_ok = bool(
+            manifest_consistency_audit(spark, sink, man).collect()[0][
+                "consistent"
+            ]
+        )
+        rep = repair_manifest(spark, sink, man).collect()[0]
+        pruned = read_pruned(
+            spark, spark.read.parquet(man), "o_orderkey", hi + 1, hi + 25
+        ).count()
+        n_rows = int(
+            spark.read.parquet(man).agg(F.sum("n_rows")).collect()[0][0]
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    pre_ok,
+                    int(rep["n_stale_rows_dropped"]),
+                    int(rep["n_files_reenveloped"]),
+                    int(rep["n_count_refreshed"]),
+                    bool(rep["consistent_after"]),
+                    pruned,
+                    n_rows,
+                )
+            ],
+            "pre_consistent BOOLEAN, n_stale_rows_dropped BIGINT, "
+            "n_files_reenveloped BIGINT, n_count_refreshed BIGINT, "
+            "consistent_after BOOLEAN, pruned_read_rows BIGINT, "
+            "manifest_rows_total BIGINT",
+        )
+
+
+Q281_SQL = """
+WITH c AS (
+  SELECT count(*) FILTER (WHERE o_orderkey % 3 = 1) AS n1,
+         count(*) FILTER (WHERE o_orderkey % 3 = 2
+                          AND o_orderkey % 2 = 0) AS n2even
+  FROM orders
+)
+SELECT false AS pre_consistent,
+       CAST(1 AS BIGINT) AS n_stale_rows_dropped,
+       CAST(1 AS BIGINT) AS n_files_reenveloped,
+       CAST(1 AS BIGINT) AS n_count_refreshed,
+       true AS consistent_after,
+       CAST(25 AS BIGINT) AS pruned_read_rows,
+       CAST(n1 + 50 + n2even AS BIGINT) AS manifest_rows_total
+FROM c
+"""
+
+
 # ---------------------------------------------------------------- registry
 #
 # The driver audits the FIRST 50 registry entries per round (rounds 1-2
@@ -16341,80 +17054,37 @@ SELECT CAST(3 AS BIGINT) AS n_batches,
 # in COVERAGE.md.
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # Round-11 audit window (first 50). Rotation rationale (VERDICT r10
-    # item 1): positions 1-8 are the EIGHT new queries — q268-q275, the
-    # r10 compliance/maintenance tier (cross-batch ledger contracts,
-    # top-k truncation band, Bloom manifest tier, batched/bloomed/
-    # file-grain erasure evidence, in-place compaction, and the full
-    # streamed bloom chain), staged dormant through round 10 and
-    # parity-tested at sf0.001 AND sf0.01 before registration.
-    # Positions 9-50 are the first 42 queries of the r6-verdict block —
-    # the oldest driver verdicts anywhere in the catalog after r10
-    # re-certified the r5 band — as OLDEST-verdict-first canaries,
-    # continuing the monotone re-audit queue. Displaced r10-window
-    # entries (q266/q267 + the 48-query r5-verdict remainder) keep
-    # their pass(r10) verdicts (CORRECTNESS_r10.json) and queue at the
-    # back of the re-audit order below, which stays monotone
-    # oldest-verdict-first past the window: the 8 remaining r6-block
-    # queries, r7 block, r8 block, r9 block, r10 block, rows-only tail.
-    # --- new queries this round (positions 1-8): the r10
-    #     compliance/maintenance tier ---
-    "q268_ledger_contract": q268_ledger_contract,
-    "q269_topk_truncation_band": q269_topk_truncation_band,
-    "q270_bloom_point_prune": q270_bloom_point_prune,
-    "q271_multibatch_erasure": q271_multibatch_erasure,
-    "q272_bloomed_erasure": q272_bloomed_erasure,
-    "q273_filegrain_erasure": q273_filegrain_erasure,
-    "q274_compact_batch": q274_compact_batch,
-    "q275_streamed_bloom_chain": q275_streamed_bloom_chain,
-    # --- 42 canaries: the head of the r6-verdict block, oldest
-    #     remaining driver verdicts, unchanged relative order
-    #     (positions 9-50) ---
-    "q150_survivorship_merge": q150_survivorship_merge,
-    "q151_revenue_correlation": q151_revenue_correlation,
-    "q152_prefix_duplicates": q152_prefix_duplicates,
-    "q153_lang_mismatch_audit": q153_lang_mismatch_audit,
-    "q154_minhash_recall": q154_minhash_recall,
-    "q155_interleave_order": q155_interleave_order,
-    "q156_snapshot_diff": q156_snapshot_diff,
-    "q157_trimmed_mean": q157_trimmed_mean,
-    "q158_cluster_quality": q158_cluster_quality,
-    "q159_revenue_trend": q159_revenue_trend,
-    "q160_column_profile": q160_column_profile,
-    "q161_fk_integrity": q161_fk_integrity,
-    "q162_association_rules": q162_association_rules,
-    "q163_rfm_segments": q163_rfm_segments,
-    "q164_numeric_drift": q164_numeric_drift,
-    "q165_trend_residuals": q165_trend_residuals,
-    "q166_order_backlog": q166_order_backlog,
-    "q167_gains_table": q167_gains_table,
-    "q168_label_outliers": q168_label_outliers,
-    "q169_abc_classification": q169_abc_classification,
-    "q170_seasonal_backtest": q170_seasonal_backtest,
-    "q171_duplicate_orders": q171_duplicate_orders,
-    "q172_decontaminate": q172_decontaminate,
-    "q173_quality_length_corr": q173_quality_length_corr,
-    "q174_crosslang_fingerprints": q174_crosslang_fingerprints,
-    "q175_profile_drift": q175_profile_drift,
-    "q176_ab_experiment": q176_ab_experiment,
-    "q177_time_weighted_value": q177_time_weighted_value,
-    "q178_entity_resolution": q178_entity_resolution,
-    "q179_segment_confidence": q179_segment_confidence,
-    "q180_new_vs_returning": q180_new_vs_returning,
-    "q181_sole_blame_supplier": q181_sole_blame_supplier,
-    "q182_quintile_migration": q182_quintile_migration,
-    "q183_duplicate_linenumbers": q183_duplicate_linenumbers,
-    "q184_weekday_seasonality": q184_weekday_seasonality,
-    "q185_session_stats": q185_session_stats,
-    "q186_supplier_hhi": q186_supplier_hhi,
-    "q187_revenue_gini": q187_revenue_gini,
-    "q188_dedup_threshold_sweep": q188_dedup_threshold_sweep,
-    "q189_pps_systematic_sample": q189_pps_systematic_sample,
-    "q190_event_retention": q190_event_retention,
-    "q191_funnel_summary": q191_funnel_summary,
-    # ================= end of the 50-query audit window =================
-    # --- the 8 r6-verdict queries not in the window (oldest verdicts
-    #     past the window — queue head) ---
+    # Round-12 audit window (first 50). Rotation rationale (VERDICT r11
+    # item 1): positions 1-6 are the SIX new queries — q276-q281, the
+    # r11 maintenance/repair tier (bloom-store consistency audit with a
+    # rebuild fix, erasure crash repair + resume, NDV-derived bloom
+    # autosizing vs a saturated tiny store, composite-key bloom-confined
+    # erasure with the store maintained through the delete, the
+    # compaction crash → vacuum-refusal → repair → surviving-pin chain,
+    # and the standalone three-damage-class manifest repair), staged
+    # dormant through round 11 and parity-tested at sf0.001 AND sf0.01
+    # before registration.
+    # Positions 7-50 are the 44 oldest-verdict canaries: the 8
+    # remaining r6-verdict queries, then the first 36 queries of the
+    # r7-verdict block, unchanged relative order — continuing the
+    # monotone oldest-verdict-first re-audit queue. Displaced
+    # r11-window entries (q268-q275 + the 42-query r6-verdict band)
+    # keep their pass(r11) verdicts (CORRECTNESS_r11.json) and queue at
+    # the back of the re-audit order below, which stays monotone
+    # oldest-verdict-first past the window: the 14 remaining r7-block
+    # queries, r8 block, r9 block, r10 block, r11 block, rows-only
+    # tail.
+    # --- new queries this round (positions 1-6): the r11
+    #     maintenance/repair tier ---
+    "q276_bloom_store_audit": q276_bloom_store_audit,
+    "q277_erasure_crash_repair": q277_erasure_crash_repair,
+    "q278_bloom_autosize": q278_bloom_autosize,
+    "q279_multicol_bloomed_erasure": q279_multicol_bloomed_erasure,
+    "q280_compaction_crash_chain": q280_compaction_crash_chain,
+    "q281_manifest_repair": q281_manifest_repair,
+    # --- 44 canaries (positions 7-50): the 8 remaining r6-verdict
+    #     queries, then the head of the r7-verdict block, unchanged
+    #     relative order ---
     "q192_dead_stock": q192_dead_stock,
     "q193_token_weighted_median": q193_token_weighted_median,
     "q194_embedding_drift": q194_embedding_drift,
@@ -16423,7 +17093,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q123_quota_sample": q123_quota_sample,
     "q134_training_recipe": q134_training_recipe,
     "q08_rolling_30row": q08_rolling_30row,
-    # --- r7 window greens (CORRECTNESS_r07) ---
     "q195_benford_audit": q195_benford_audit,
     "q196_revenue_anomaly_mad": q196_revenue_anomaly_mad,
     "q197_keyword_search": q197_keyword_search,
@@ -16460,6 +17129,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q229_lang_confusion": q229_lang_confusion,
     "q230_share_matrix": q230_share_matrix,
     "q231_hhi_trend": q231_hhi_trend,
+    # ================= end of the 50-query audit window =================
+    # --- the 14 r7-verdict queries not in the window (oldest verdicts
+    #     past the window — queue head) ---
     "q232_tokenizer_fertility": q232_tokenizer_fertility,
     "q233_review_queue": q233_review_queue,
     "q234_gate_ablation": q234_gate_ablation,
@@ -16577,9 +17249,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q06_year_month_rollup": q06_year_month_rollup,
     "q07_slicer_dashboard": q07_slicer_dashboard,
     "q09_top5_parts_per_brand": q09_top5_parts_per_brand,
-    # --- r10 window greens (CORRECTNESS_r10, freshest — back of
-    #     queue), in their r10-window order: q266/q267, then the
-    #     48-query r5-verdict remainder ---
+    # --- r10 window greens (CORRECTNESS_r10), in their r10-window
+    #     order: q266/q267, then the 48-query r5-verdict remainder ---
     "q266_lineitem_contract": q266_lineitem_contract,
     "q267_referential_gate": q267_referential_gate,
     "q15_idempotent_append": q15_idempotent_append,
@@ -16630,6 +17301,59 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q147_time_to_convert": q147_time_to_convert,
     "q148_mad_outliers": q148_mad_outliers,
     "q149_brand_skyline": q149_brand_skyline,
+    # --- r11 window greens (CORRECTNESS_r11, freshest — back of
+    #     queue), in their r11-window order: q268-q275, then the
+    #     42-query r6-verdict band ---
+    "q268_ledger_contract": q268_ledger_contract,
+    "q269_topk_truncation_band": q269_topk_truncation_band,
+    "q270_bloom_point_prune": q270_bloom_point_prune,
+    "q271_multibatch_erasure": q271_multibatch_erasure,
+    "q272_bloomed_erasure": q272_bloomed_erasure,
+    "q273_filegrain_erasure": q273_filegrain_erasure,
+    "q274_compact_batch": q274_compact_batch,
+    "q275_streamed_bloom_chain": q275_streamed_bloom_chain,
+    "q150_survivorship_merge": q150_survivorship_merge,
+    "q151_revenue_correlation": q151_revenue_correlation,
+    "q152_prefix_duplicates": q152_prefix_duplicates,
+    "q153_lang_mismatch_audit": q153_lang_mismatch_audit,
+    "q154_minhash_recall": q154_minhash_recall,
+    "q155_interleave_order": q155_interleave_order,
+    "q156_snapshot_diff": q156_snapshot_diff,
+    "q157_trimmed_mean": q157_trimmed_mean,
+    "q158_cluster_quality": q158_cluster_quality,
+    "q159_revenue_trend": q159_revenue_trend,
+    "q160_column_profile": q160_column_profile,
+    "q161_fk_integrity": q161_fk_integrity,
+    "q162_association_rules": q162_association_rules,
+    "q163_rfm_segments": q163_rfm_segments,
+    "q164_numeric_drift": q164_numeric_drift,
+    "q165_trend_residuals": q165_trend_residuals,
+    "q166_order_backlog": q166_order_backlog,
+    "q167_gains_table": q167_gains_table,
+    "q168_label_outliers": q168_label_outliers,
+    "q169_abc_classification": q169_abc_classification,
+    "q170_seasonal_backtest": q170_seasonal_backtest,
+    "q171_duplicate_orders": q171_duplicate_orders,
+    "q172_decontaminate": q172_decontaminate,
+    "q173_quality_length_corr": q173_quality_length_corr,
+    "q174_crosslang_fingerprints": q174_crosslang_fingerprints,
+    "q175_profile_drift": q175_profile_drift,
+    "q176_ab_experiment": q176_ab_experiment,
+    "q177_time_weighted_value": q177_time_weighted_value,
+    "q178_entity_resolution": q178_entity_resolution,
+    "q179_segment_confidence": q179_segment_confidence,
+    "q180_new_vs_returning": q180_new_vs_returning,
+    "q181_sole_blame_supplier": q181_sole_blame_supplier,
+    "q182_quintile_migration": q182_quintile_migration,
+    "q183_duplicate_linenumbers": q183_duplicate_linenumbers,
+    "q184_weekday_seasonality": q184_weekday_seasonality,
+    "q185_session_stats": q185_session_stats,
+    "q186_supplier_hhi": q186_supplier_hhi,
+    "q187_revenue_gini": q187_revenue_gini,
+    "q188_dedup_threshold_sweep": q188_dedup_threshold_sweep,
+    "q189_pps_systematic_sample": q189_pps_systematic_sample,
+    "q190_event_retention": q190_event_retention,
+    "q191_funnel_summary": q191_funnel_summary,
     # --- rows-only (r3/r4 rows-ran verdicts; q26-q28 r2 rows-ran;
     #     q220/q235 rows-only by design — recall < 1) ---
     "q102_video_frame_sample": q102_video_frame_sample,
@@ -16916,6 +17640,13 @@ ORACLES: dict[str, str] = {
     "q273_filegrain_erasure": Q273_SQL,
     "q274_compact_batch": Q274_SQL,
     "q275_streamed_bloom_chain": Q275_SQL,
+    # --- round-12 additions (maintenance/repair tier) ---
+    "q276_bloom_store_audit": Q276_SQL,
+    "q277_erasure_crash_repair": Q277_SQL,
+    "q278_bloom_autosize": Q278_SQL,
+    "q279_multicol_bloomed_erasure": Q279_SQL,
+    "q280_compaction_crash_chain": Q280_SQL,
+    "q281_manifest_repair": Q281_SQL,
 }
 
 # apply the canonical output boundary to every query and oracle (see the
