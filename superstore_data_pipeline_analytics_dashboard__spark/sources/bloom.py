@@ -76,6 +76,7 @@ __all__ = [
     "read_bloom_pruned",
     "load_bloom_store",
     "bloom_store_audit",
+    "repair_bloom_store",
 ]
 
 #: metadata columns every summary row carries (see module docstring)
@@ -432,6 +433,88 @@ def read_bloom_pruned(
     return src.filter(F.col(col).isin(vals))
 
 
+def _require_meta(store: DataFrame, bloom_path: str) -> list[str]:
+    """Validate a store frame is self-describing (r11 rows) and return
+    its bloomed columns, sorted. Shared by the audit and the repair so
+    they refuse the same un-auditable stores."""
+    missing_meta = [c for c in _META_COLS if c not in store.columns]
+    if missing_meta:
+        raise ValueError(
+            f"bloom store at {bloom_path} lacks metadata "
+            f"column(s) {missing_meta} — rebuild it with r11 "
+            "collect_batch_blooms / start_append_with_manifest to make "
+            "it auditable"
+        )
+    cols = sorted(
+        r["key_col"] for r in store.select("key_col").distinct().collect()
+    )
+    if not cols:
+        raise ValueError(f"bloom store at {bloom_path} is empty")
+    return cols
+
+
+def _sink_key_counts(sink: DataFrame, cols: list[str]) -> DataFrame:
+    """Per (batch, key column) non-NULL key counts from ONE narrow scan
+    of exactly the bloomed columns — the struct-array explode the
+    collection uses; a column absent from the sink schema counts zero.
+    Shared by the audit (detection) and the repair (classification) so
+    the two cannot disagree about what is on disk."""
+    pairs = F.array(
+        *(
+            F.struct(
+                F.lit(c).alias("key_col"),
+                (
+                    F.col(c).isNotNull()
+                    if c in sink.columns
+                    else F.lit(False)
+                ).alias("nn"),
+            )
+            for c in cols
+        )
+    )
+    return (
+        sink.select(
+            F.col("batch").cast("long").alias("batch"), pairs.alias("ps")
+        )
+        .select("batch", F.explode("ps").alias("p"))
+        .groupBy("batch", F.col("p.key_col").alias("key_col"))
+        .agg(F.sum(F.col("p.nn").cast("long")).alias("n_nonnull"))
+        .filter(F.col("n_nonnull") > 0)
+    )
+
+
+def _store_rows(store: DataFrame) -> DataFrame:
+    """The store normalized for the (key_col, batch) join: recorded
+    metadata plus ``fill_ppm`` and the structural ``pos_ok`` check (an
+    out-of-range position can never match a probe, so a corrupted row
+    is a silent false-negative vector)."""
+    return store.select(
+        F.col("key_col"),
+        F.col("batch").cast("long").alias("batch"),
+        F.col("n_keys"),
+        F.col("n_bits"),
+        F.col("n_hashes"),
+        F.col("key_type"),
+        (
+            F.size("bloom_pos").cast("long")
+            * F.lit(1_000_000)
+            / F.col("n_bits")
+        )
+        .cast("long")
+        .alias("fill_ppm"),
+        (
+            (F.size("bloom_pos") == 0)
+            | (
+                (F.coalesce(F.array_min("bloom_pos"), F.lit(-1)) >= 0)
+                & (
+                    F.coalesce(F.array_max("bloom_pos"), F.lit(-1))
+                    < F.col("n_bits")
+                )
+            )
+        ).alias("pos_ok"),
+    )
+
+
 def bloom_store_audit(
     spark: SparkSession, sink_path: str, bloom_path: str
 ) -> DataFrame:
@@ -477,74 +560,15 @@ def bloom_store_audit(
     without metadata columns, which cannot be audited for type or
     currency."""
     store = spark.read.parquet(bloom_path)
-    missing_meta = [c for c in _META_COLS if c not in store.columns]
-    if missing_meta:
-        raise ValueError(
-            f"bloom_store_audit: store at {bloom_path} lacks metadata "
-            f"column(s) {missing_meta} — rebuild it with r11 "
-            "collect_batch_blooms / start_append_with_manifest to make "
-            "it auditable"
-        )
-    cols = sorted(
-        r["key_col"] for r in store.select("key_col").distinct().collect()
-    )
-    if not cols:
-        raise ValueError(
-            f"bloom_store_audit: store at {bloom_path} is empty"
-        )
+    cols = _require_meta(store, bloom_path)
     sink = spark.read.option("basePath", sink_path).parquet(sink_path)
     sink_types = {
         c: sink.schema[c].dataType.simpleString()
         for c in cols
         if c in sink.columns
     }
-    # one narrow scan of exactly the bloomed columns: per (batch, col)
-    # non-NULL key counts, via the same struct-array explode the
-    # collection uses
-    pairs = F.array(
-        *(
-            F.struct(
-                F.lit(c).alias("key_col"),
-                (
-                    F.col(c).isNotNull()
-                    if c in sink.columns
-                    else F.lit(False)
-                ).alias("nn"),
-            )
-            for c in cols
-        )
-    )
-    exp = (
-        sink.select(F.col("batch").cast("long").alias("batch"), pairs.alias("ps"))
-        .select("batch", F.explode("ps").alias("p"))
-        .groupBy("batch", F.col("p.key_col").alias("key_col"))
-        .agg(F.sum(F.col("p.nn").cast("long")).alias("n_nonnull"))
-        .filter(F.col("n_nonnull") > 0)
-    )
-    st = store.select(
-        F.col("key_col"),
-        F.col("batch").cast("long").alias("batch"),
-        F.col("n_keys"),
-        F.col("n_bits"),
-        F.col("n_hashes"),
-        F.col("key_type"),
-        (F.size("bloom_pos").cast("long") * F.lit(1_000_000) / F.col("n_bits"))
-        .cast("long")
-        .alias("fill_ppm"),
-        # an out-of-range position can never match a probe's positions,
-        # so a corrupted row is a silent false-negative vector — the
-        # structural check belongs in the audit, not in every probe
-        (
-            (F.size("bloom_pos") == 0)
-            | (
-                (F.coalesce(F.array_min("bloom_pos"), F.lit(-1)) >= 0)
-                & (
-                    F.coalesce(F.array_max("bloom_pos"), F.lit(-1))
-                    < F.col("n_bits")
-                )
-            )
-        ).alias("pos_ok"),
-    )
+    exp = _sink_key_counts(sink, cols)
+    st = _store_rows(store)
     j = exp.join(st, ["key_col", "batch"], "full_outer")
     type_map = _col_map(
         cols, {c: sink_types.get(c) for c in cols}
@@ -613,3 +637,220 @@ def bloom_store_audit(
             & F.col("positions_ok")
         ).alias("current"),
     ).orderBy("key_col")
+
+
+def repair_bloom_store(
+    spark: SparkSession, sink_path: str, bloom_path: str
+) -> DataFrame:
+    """Detect-and-REPAIR for the per-batch Bloom store — the pairing
+    :func:`bloom_store_audit` was missing (the audit detects five
+    damage classes; this fixes them, completing the detect→repair
+    convention the manifest, erasure and compaction tiers already
+    follow). TARGETED: only the damaged (column, batch) summaries are
+    re-collected, under the store's own recorded geometry — never a
+    full rebuild. Damage classes map to actions:
+
+    * **missing** (batch holds keys, no summary row — an append the
+      store never saw) → collected;
+    * **count mismatch** (recorded ``n_keys`` no longer matches the
+      batch — a replay/overwrite after collection) → re-collected;
+    * **structural** (out-of-range positions, a row whose geometry
+      contradicts the column's resolved one, or a recorded
+      ``key_type`` differing from the sink footer's current type —
+      each a silent false-negative vector) → re-collected under the
+      resolved geometry and the sink's current type;
+    * **orphan** (summary row for a batch with no keys on disk — a
+      dropped/emptied batch whose summary survived) → dropped.
+
+    A column's geometry is resolved as the modal recorded
+    (``n_bits``, ``n_hashes``) weighted by row count (ties → larger
+    ``n_bits``, the safer filter), so one corrupted row cannot drag a
+    healthy column to its geometry. A column that vanished from the
+    sink schema entirely has every row classified orphan and is
+    dropped — the store must describe the sink, not remember it.
+
+    Scale shape: classification is the audit's one narrow key-column
+    scan full-outer-joined to the store (engine-side); ONLY the
+    damaged pairs are collected (bounded by damage count, never
+    #batches×#cols). Re-collection is one ``mergeSchema`` scan of
+    exactly the damaged batches per distinct resolved ``n_hashes``
+    (almost always 1). The partition rebuild severs lineage with a
+    ``localCheckpoint`` so the overwrite never reads the path it
+    writes, and keeps untouched (column, batch) rows of the affected
+    partitions verbatim; a partition left with zero rows is dropped
+    (the emptied-batch convention).
+
+    Returns one row per bloomed column:
+    ``(key_col, n_missing_collected, n_mismatch_recollected,
+    n_structural_recollected, n_orphan_rows_dropped, current_after)``
+    where ``current_after`` re-runs the audit post-repair (vacuously
+    true when the repair emptied the store — a sink with no keys
+    needs no summaries)."""
+    from .retention import _fs
+
+    store = spark.read.parquet(bloom_path)
+    cols = _require_meta(store, bloom_path)
+    sink = spark.read.option("basePath", sink_path).parquet(sink_path)
+    sink_types = {
+        c: sink.schema[c].dataType.simpleString()
+        for c in cols
+        if c in sink.columns
+    }
+    # resolve per-column geometry: modal recorded (n_bits, n_hashes)
+    # by row count, ties to the larger n_bits (metadata-sized collect:
+    # #cols × #distinct geometries rows)
+    geo = (
+        store.groupBy("key_col", "n_bits", "n_hashes")
+        .count()
+        .collect()
+    )
+    resolved: dict[str, tuple[int, int]] = {}
+    for c in cols:
+        cand = sorted(
+            (int(r["count"]), int(r["n_bits"]), int(r["n_hashes"]))
+            for r in geo
+            if r["key_col"] == c
+        )
+        resolved[c] = (cand[-1][1], cand[-1][2])
+    res_bits = _col_map(cols, {c: resolved[c][0] for c in cols})
+    res_hashes = _col_map(cols, {c: resolved[c][1] for c in cols})
+    type_map = _col_map(cols, {c: sink_types.get(c) for c in cols})
+    exp = _sink_key_counts(sink, cols)
+    st = _store_rows(store)
+    j = exp.join(st, ["key_col", "batch"], "full_outer")
+    dmg = j.select(
+        "key_col",
+        "batch",
+        F.when(F.col("n_keys").isNull(), F.lit("missing"))
+        .when(F.col("n_nonnull").isNull(), F.lit("orphan"))
+        .when(F.col("n_nonnull") != F.col("n_keys"), F.lit("mismatch"))
+        .when(
+            ~F.col("pos_ok")
+            | (F.col("n_bits") != F.element_at(res_bits, F.col("key_col")))
+            | (
+                F.col("n_hashes")
+                != F.element_at(res_hashes, F.col("key_col"))
+            )
+            | F.col("key_type").isNull()
+            | (
+                ~F.col("key_type").eqNullSafe(
+                    F.element_at(type_map, F.col("key_col"))
+                )
+            ),
+            F.lit("structural"),
+        )
+        .alias("damage"),
+    ).filter(F.col("damage").isNotNull())
+    # the ONLY data-row collect: one row per damaged (column, batch)
+    # pair — bounded by damage, never the store or sink inventory
+    damaged = dmg.collect()
+    counts: dict[str, dict[str, int]] = {
+        c: {"missing": 0, "mismatch": 0, "structural": 0, "orphan": 0}
+        for c in cols
+    }
+    recollect: list[tuple[str, int]] = []
+    for r in damaged:
+        counts[r["key_col"]][r["damage"]] += 1
+        if r["damage"] != "orphan":
+            recollect.append((r["key_col"], int(r["batch"])))
+    if damaged:
+        affected = sorted({int(r["batch"]) for r in damaged})
+        dmg_keys = spark.createDataFrame(
+            [(r["key_col"], int(r["batch"])) for r in damaged],
+            "key_col STRING, batch BIGINT",
+        )
+        new_frames: list[DataFrame] = []
+        # one mergeSchema scan of exactly the damaged batches per
+        # distinct resolved n_hashes (bloom_summary_rows takes one
+        # n_hashes per call; geometry differences across columns are
+        # rare and bounded by #cols)
+        by_hashes: dict[int, list[tuple[str, int]]] = {}
+        for c, b in recollect:
+            by_hashes.setdefault(resolved[c][1], []).append((c, b))
+        for nh, pairs_nh in by_hashes.items():
+            gcols = sorted({c for c, _ in pairs_nh})
+            gbatches = sorted({b for _, b in pairs_nh})
+            src = (
+                spark.read.option("basePath", sink_path)
+                .option("mergeSchema", True)
+                .parquet(*(f"{sink_path}/batch={b}" for b in gbatches))
+            )
+            present = [c for c in gcols if c in src.columns]
+            if not present:
+                continue
+            rows = bloom_summary_rows(
+                src.select("batch", *present),
+                present,
+                {c: resolved[c][0] for c in present},
+                nh,
+                group_cols=["batch"],
+            ).select(
+                F.col("batch").cast("long").alias("batch"),
+                "key_col",
+                "key_type",
+                "n_bits",
+                "n_hashes",
+                "n_keys",
+                "bloom_pos",
+            )
+            new_frames.append(
+                rows.join(dmg_keys, ["key_col", "batch"], "left_semi")
+            )
+        keep = store.select(
+            F.col("batch").cast("long").alias("batch"),
+            "key_col",
+            "key_type",
+            "n_bits",
+            "n_hashes",
+            "n_keys",
+            "bloom_pos",
+        ).filter(F.col("batch").isin(affected)).join(
+            dmg_keys, ["key_col", "batch"], "left_anti"
+        )
+        out = keep
+        for nf in new_frames:
+            out = out.unionByName(nf)
+        # sever lineage: the dynamic overwrite below reads bloom_path
+        out = out.localCheckpoint(eager=True)
+        survived = {
+            int(r["batch"])
+            for r in out.select("batch").distinct().collect()
+        }
+        if survived:
+            (
+                out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch")
+                .parquet(bloom_path)
+            )
+        fs, hpath = _fs(spark, bloom_path)
+        for b in affected:
+            if b not in survived:
+                fs.delete(hpath(f"{bloom_path}/batch={b}"), True)
+    # post-repair verdicts: re-audit unless the repair emptied the
+    # store (a sink with no keys needs no summaries — vacuously current)
+    repaired = spark.read.parquet(bloom_path)
+    if repaired.limit(1).count():
+        after = {
+            r["key_col"]: bool(r["current"])
+            for r in bloom_store_audit(spark, sink_path, bloom_path)
+            .collect()
+        }
+    else:
+        after = {}
+    return spark.createDataFrame(
+        [
+            (
+                c,
+                counts[c]["missing"],
+                counts[c]["mismatch"],
+                counts[c]["structural"],
+                counts[c]["orphan"],
+                after.get(c, True),
+            )
+            for c in cols
+        ],
+        "key_col STRING, n_missing_collected BIGINT, "
+        "n_mismatch_recollected BIGINT, n_structural_recollected BIGINT, "
+        "n_orphan_rows_dropped BIGINT, current_after BOOLEAN",
+    )

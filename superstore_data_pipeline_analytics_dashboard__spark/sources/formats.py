@@ -28,6 +28,7 @@ including decimals exactly.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -264,8 +265,20 @@ def compact_batch(
     ]
     df = spark.read.parquet(part)
     staging = f"{sink_path}/.compact_staging_batch={batch}"
+    commit_path = f"{sink_path}/.compact_commit_batch={batch}.json"
     fs.delete(hpath(staging), True)
+    fs.delete(hpath(commit_path), False)
     df.coalesce(target_files).write.parquet(staging)
+    # durability marker, written only AFTER the staging write commits —
+    # our own artifact rather than the writer's _SUCCESS file, which
+    # clusters can disable (mapreduce.fileoutputcommitter
+    # .marksuccessfuljobs=false): repair_compaction keys its
+    # complete-vs-torn decision on it, so a durable staged compaction
+    # is never misread as torn and silently discarded (the erase_rows
+    # .erase_commit.json pattern)
+    from .retention import _write_text
+
+    _write_text(spark, commit_path, json.dumps({"batch": batch}))
     # hidden (dot-prefixed) trash path: a crash between the retire-rename
     # and the final delete must leave residue INVISIBLE to Spark's
     # partition discovery — a non-hidden `{part}.trash` dir would surface
@@ -311,6 +324,7 @@ def compact_batch(
         for st in fs.listStatus(hpath(part))
         if st.getPath().getName().startswith("part-")
     )
+    fs.delete(hpath(commit_path), False)
     return files_before, files_after
 
 
@@ -323,9 +337,13 @@ def repair_compaction(
     """Recover a batch partition from a CRASHED ``compact_batch`` call.
     The swap is retire-then-land, so the crash states are unambiguous:
 
-    * live ``batch=N`` missing + staging complete (``_SUCCESS``): the
-      crash hit between the two renames — COMPLETE the swap (land the
-      staged compacted files) and drop the trash;
+    * live ``batch=N`` missing + staging durable (compact_batch's own
+      ``.compact_commit_batch=N.json`` marker — written only after the
+      staging write commits, so it works on clusters that disable the
+      writer's ``_SUCCESS`` file; ``_SUCCESS`` is accepted as a
+      fallback for pre-marker residue): the crash hit between the two
+      renames — COMPLETE the swap (land the staged compacted files)
+      and drop the trash;
     * live ``batch=N`` missing + no complete staging: the retire ran
       but the compacted copy is torn — RESTORE the partition from the
       hidden trash (it holds the only copy) and discard the staging;
@@ -343,9 +361,17 @@ def repair_compaction(
     part = f"{sink_path}/batch={batch}"
     staging = f"{sink_path}/.compact_staging_batch={batch}"
     trash = f"{sink_path}/.compact_trash_batch={batch}"
+    commit_path = f"{sink_path}/.compact_commit_batch={batch}.json"
     fs = hpath(part).getFileSystem(hconf)
+    # staged-compaction durability comes from compact_batch's own
+    # commit marker; the writer's _SUCCESS file is accepted as a
+    # fallback for residue staged before the marker existed, but the
+    # marker is what works on clusters that disable _SUCCESS
+    staged_durable = fs.exists(hpath(commit_path)) or fs.exists(
+        hpath(f"{staging}/_SUCCESS")
+    )
     if not fs.exists(hpath(part)):
-        if fs.exists(hpath(f"{staging}/_SUCCESS")):
+        if staged_durable and fs.exists(hpath(staging)):
             if not fs.rename(hpath(staging), hpath(part)):
                 raise IOError(
                     f"compaction repair failed: could not land {staging}"
@@ -369,6 +395,7 @@ def repair_compaction(
             hpath(trash), True
         )
         action = "cleaned" if cleaned else "noop"
+    fs.delete(hpath(commit_path), False)
     ok = bool(
         repair_manifest(spark, sink_path, manifest_path)
         .collect()[0]["consistent_after"]

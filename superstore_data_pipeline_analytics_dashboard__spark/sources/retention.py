@@ -127,6 +127,23 @@ def _read_text(spark: SparkSession, path: str) -> str:
         stream.close()
 
 
+def _has_parquet(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists and holds at least one parquet part
+    file (recursively). A whole-table erasure legitimately drops EVERY
+    manifest partition, and ``spark.read.parquet`` on the emptied
+    directory raises (unable to infer schema) — repair paths use this
+    guard to treat that state as nothing-left-to-reconcile instead of
+    aborting mid-phase with the journal still on disk."""
+    fs, hpath = _fs(spark, path)
+    if not fs.exists(hpath(path)):
+        return False
+    it = fs.listFiles(hpath(path), True)
+    while it.hasNext():
+        if it.next().getPath().getName().startswith("part-"):
+            return True
+    return False
+
+
 
 
 def _fresh_stat_rows(
@@ -256,11 +273,27 @@ def erase_rows(
     reports as count mismatches / orphan rows."""
     cols = [key_col] if isinstance(key_col, str) else list(key_col)
     if bloom_store_path is not None:
-        # validate BEFORE any irreversible file work: a mistyped path or
-        # an inconsistent store would otherwise abort after the swap,
+        # validate BEFORE any irreversible file work: a mistyped path,
+        # an inconsistent store, or a store-recorded column the sink no
+        # longer holds would otherwise abort after the swap (the
+        # refresh's summary collection needs every recorded column),
         # losing the erasure report and leaving the store stale despite
         # the maintenance flag
-        _load_store_geometry(spark, bloom_store_path)
+        store_bits, _ = _load_store_geometry(spark, bloom_store_path)
+        sink_union = set(
+            spark.read.option("mergeSchema", True)
+            .parquet(sink_path)
+            .columns
+        )
+        absent = sorted(set(store_bits) - sink_union)
+        if absent:
+            raise ValueError(
+                f"erase_rows: the bloom store at {bloom_store_path} "
+                f"records column(s) {absent} absent from the sink "
+                "schema — the post-swap store refresh could not collect "
+                "them; run bloom_store_audit / repair_bloom_store "
+                "before maintaining the store through an erasure"
+            )
     man = spark.read.parquet(manifest_path)
     stat_cols = [c[len("min_") :] for c in man.columns if c.startswith("min_")]
     unenveloped = [c for c in cols if c not in stat_cols]
@@ -704,15 +737,23 @@ def _refresh_bloom_store(
     live = [b for b in affected if kept_counts.get(b, 0) > 0]
     emptied = [b for b in affected if kept_counts.get(b, 0) == 0]
     refreshed: set[int] = set()
+    src = present = None
     if live:
         src = (
             spark.read.option("basePath", sink_path)
             .option("mergeSchema", True)  # evolved batches in one scan
             .parquet(*(f"{sink_path}/batch={b}" for b in live))
         )
+        # a recorded column can be legitimately absent from ALL the
+        # affected batches (pre-evolution batches never held it, so
+        # they never had summary rows for it either): collect only the
+        # present ones — bloom_summary_rows would KeyError on an
+        # absent column AFTER the swap, losing the erasure report
+        present = [c for c in sorted(bits) if c in src.columns]
+    if live and present:
         rows = bloom_summary_rows(
-            src,
-            sorted(bits),
+            src.select("batch", *present),
+            present,
             bits,
             hashes.pop(),
             group_cols=["batch"],
@@ -734,6 +775,46 @@ def _refresh_bloom_store(
     # the emptied batches
     for b in [*emptied, *(b for b in live if b not in refreshed)]:
         fs.delete(hpath(f"{bloom_store_path}/batch={b}"), True)
+
+
+def _manifest_damage(
+    spark: SparkSession, sink_path: str, man: DataFrame
+) -> DataFrame:
+    """One row per DAMAGED file: ``(batch, fname, file, damage)`` with
+    ``damage`` ∈ stale / unenveloped / mismatch — a full-outer
+    ENGINE-side join of the on-disk per-file row counts against the
+    manifest's recorded ones, on (batch, basename), the audit's
+    identity key (one multi-partition write reuses a task's file name
+    across batch dirs, so basenames are only unique within a batch).
+    ``file`` is the disk-side URI (NULL for stale rows — dropping them
+    needs no URI). This frame is what ``repair_manifest`` collects, so
+    the driver holds rows ∝ damage, never the file inventory."""
+    src = spark.read.option("basePath", sink_path).parquet(sink_path)
+    disk = (
+        src.groupBy(
+            F.input_file_name().alias("file"),
+            F.col("batch").cast("long").alias("batch"),
+        )
+        .agg(F.count(F.lit(1)).alias("disk_rows"))
+        .withColumn("fname", F.element_at(F.split("file", "/"), -1))
+    )
+    rec = man.select(
+        F.col("batch").cast("long").alias("batch"),
+        F.element_at(F.split("file", "/"), -1).alias("fname"),
+        F.col("n_rows").alias("man_rows"),
+    )
+    j = disk.select("batch", "fname", "file", "disk_rows").join(
+        rec, ["batch", "fname"], "full_outer"
+    )
+    return j.select(
+        "batch",
+        "fname",
+        "file",
+        F.when(F.col("disk_rows").isNull(), F.lit("stale"))
+        .when(F.col("man_rows").isNull(), F.lit("unenveloped"))
+        .when(F.col("disk_rows") != F.col("man_rows"), F.lit("mismatch"))
+        .alias("damage"),
+    ).filter(F.col("damage").isNotNull())
 
 
 def repair_manifest(
@@ -763,48 +844,42 @@ def repair_manifest(
     empty has its partition dropped (the emptied-batch convention).
     Detection needs the audit's per-file row counts, so the cost is
     one narrow count scan of the sink plus one stats scan of only the
-    damaged files — incident response, not a hot path.
+    damaged files — incident response, not a hot path. Damage
+    CLASSIFICATION is a full-outer DataFrame join (the audit's own
+    shape), and the driver collects only the damaged rows plus the
+    damaged BATCHES' surviving manifest rows (needed to rebuild those
+    partitions) — never the full file inventory: on a 10⁷-file sink
+    with three damaged files in one batch, the collect is three rows
+    plus that batch's row set (r12, VERDICT r11 item 3).
+
+    A manifest directory with NO partitions left (a whole-table
+    erasure drops every one) is consistent iff the sink holds no data
+    rows — there is no recorded schema to re-envelope into, so repair
+    reports rather than invents one.
 
     Returns one row: ``(n_stale_rows_dropped, n_files_reenveloped,
     n_count_refreshed, n_batches_repaired, consistent_after)`` where
     ``consistent_after`` re-runs the audit's criteria post-repair."""
     from ..streaming.audit import manifest_consistency_audit
 
-    src = spark.read.option("basePath", sink_path).parquet(sink_path)
-    disk_rows = (
-        src.groupBy(
-            F.input_file_name().alias("file"),
-            F.col("batch").cast("long").alias("batch"),
+    if not _has_parquet(spark, manifest_path):
+        sink_empty = (
+            spark.read.parquet(sink_path).limit(1).count() == 0
         )
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .collect()
-    )
+        return spark.createDataFrame(
+            [(0, 0, 0, 0, sink_empty)],
+            "n_stale_rows_dropped BIGINT, n_files_reenveloped BIGINT, "
+            "n_count_refreshed BIGINT, n_batches_repaired BIGINT, "
+            "consistent_after BOOLEAN",
+        )
     man = spark.read.parquet(manifest_path)
     man_types = {f.name: f.dataType for f in man.schema.fields}
     stat_cols = [c[len("min_") :] for c in man.columns if c.startswith("min_")]
-    man_rows = man.collect()  # metadata-sized: one row per enveloped file
-    # identity = (batch, basename): one multi-partition write reuses a
-    # task's file name across every batch dir it touches, so basenames
-    # are only unique WITHIN a batch (same key as the audit, r11)
-    base = lambda u: u.rsplit("/", 1)[1]  # noqa: E731
-    key = lambda r: (int(r["batch"]), base(r["file"]))  # noqa: E731
-    disk_by_key = {key(r): r for r in disk_rows}
-    man_by_key = {key(r): r for r in man_rows}
-    stale = [r for r in man_rows if key(r) not in disk_by_key]
-    unenv = [
-        r for kk, r in disk_by_key.items() if kk not in man_by_key
-    ]
-    mismatch = [
-        disk_by_key[kk]
-        for kk, r in man_by_key.items()
-        if kk in disk_by_key
-        and int(disk_by_key[kk]["n_rows"]) != int(r["n_rows"])
-    ]
-    affected = sorted(
-        {int(r["batch"]) for r in stale}
-        | {int(r["batch"]) for r in unenv}
-        | {int(r["batch"]) for r in mismatch}
-    )
+    dmg_rows = _manifest_damage(spark, sink_path, man).collect()
+    stale = [r for r in dmg_rows if r["damage"] == "stale"]
+    unenv = [r for r in dmg_rows if r["damage"] == "unenveloped"]
+    mismatch = [r for r in dmg_rows if r["damage"] == "mismatch"]
+    affected = sorted({int(r["batch"]) for r in dmg_rows})
     rescan = unenv + mismatch
     fresh_rows = []
     if rescan:
@@ -821,14 +896,29 @@ def repair_manifest(
         )
     if affected:
         fs, hpath = _fs(spark, manifest_path)
-        mismatch_keys = {key(r) for r in mismatch}
-        keep = [
-            r
-            for r in man_rows
-            if int(r["batch"]) in set(affected)
-            and key(r) in disk_by_key
-            and key(r) not in mismatch_keys
-        ]
+        # the damaged batches' SURVIVING rows, via anti-join against
+        # the damaged (batch, basename) keys — collected because the
+        # dynamic overwrite rebuilds whole partitions driver-side (it
+        # must not read the path it writes); bounded by the damaged
+        # batches' file counts, never the sink's
+        base = F.element_at(F.split("file", "/"), -1)
+        bad_keys = spark.createDataFrame(
+            [
+                (int(r["batch"]), r["fname"])
+                for r in dmg_rows
+                if r["damage"] != "unenveloped"
+            ]
+            or [(-1, "")],
+            "b BIGINT, fname STRING",
+        )
+        keep = (
+            man.withColumn("b", F.col("batch").cast("long"))
+            .withColumn("fname", base)
+            .filter(F.col("b").isin(affected))
+            .join(bad_keys, ["b", "fname"], "left_anti")
+            .select(man.columns)
+            .collect()
+        )
         refreshed = keep + fresh_rows
         if refreshed:
             (
@@ -851,6 +941,22 @@ def repair_manifest(
         "n_stale_rows_dropped BIGINT, n_files_reenveloped BIGINT, "
         "n_count_refreshed BIGINT, n_batches_repaired BIGINT, "
         "consistent_after BOOLEAN",
+    )
+
+
+def _audit_ok(
+    spark: SparkSession, sink_path: str, manifest_path: str
+) -> bool:
+    """The manifest-consistency verdict, defined for the emptied
+    manifest too: a manifest with no partitions left (whole-table
+    erasure) is consistent iff the sink holds no data rows."""
+    if not _has_parquet(spark, manifest_path):
+        return spark.read.parquet(sink_path).limit(1).count() == 0
+    from ..streaming.audit import manifest_consistency_audit
+
+    return bool(
+        manifest_consistency_audit(spark, sink_path, manifest_path)
+        .collect()[0]["consistent"]
     )
 
 
@@ -885,6 +991,18 @@ def repair_erasure(
        re-runs ``erase_rows`` from the journaled keys (idempotent:
        already-erased batches rewrite conservatively with zero rows
        erased), so ``consistent_after`` certifies the COMPLETE delete.
+       The journal is retired by REPAIR itself after the resume
+       returns (r12): the resumed call deletes it only when it found
+       candidate groups, so a no-op resume would otherwise leave it
+       behind as a permanent vacuum-refusal loop. A journaled
+       ``bloom_store_path`` is reconciled via
+       :func:`bloom.repair_bloom_store` BEFORE the resume — a crash
+       between the sink swap and the store refresh leaves the store
+       stale in ways a no-op resume would never touch. A manifest the
+       roll-forward fully emptied (whole-table opt-out) means nothing
+       is enveloped anywhere: the resume is skipped as
+       nothing-left-to-erase and the journal retired, with
+       ``consistent_after`` true iff the sink holds no data rows.
 
     Idempotent: a second call finds no residue and repairs nothing.
     Driver-side work is metadata-sized (journals, listings, renames);
@@ -990,28 +1108,55 @@ def repair_erasure(
     if has_intent and fs.exists(hpath(keys_path)):
         # phase 3: finish the whole delete from the resumability
         # journal — groups the crashed call never reached are still
-        # pending. The resumed call re-journals and cleans up behind
-        # itself (incl. these journal files, which it overwrites).
+        # pending.
         intent = json.loads(_read_text(spark, intent_path))
-        journaled = spark.read.parquet(keys_path).localCheckpoint(
-            eager=True  # sever lineage: the resume overwrites the path
-        )
-        rrep = erase_rows(
-            spark,
-            sink_path,
-            manifest_path,
-            intent["key_cols"],
-            journaled,
-            bloom_store_path=intent.get("bloom_store_path"),
-        ).collect()
-        resumed = True
-        resumed_erased = sum(int(r["rows_erased"]) for r in rrep)
-        from ..streaming.audit import manifest_consistency_audit
+        store_path = intent.get("bloom_store_path")
+        if store_path is not None and _has_parquet(spark, store_path):
+            # reconcile the journaled store BEFORE resuming: the crash
+            # may have hit between the sink swap and the store refresh
+            # (stale n_keys / orphan batch partitions), and the resume
+            # recomputes its candidates from the POST-erasure manifest —
+            # an empty candidate set would skip the refresh and leave
+            # the store stale while repair reports consistent. Repair
+            # also drops store rows for columns the sink no longer
+            # holds, which the resumed erase_rows' entry validation
+            # would otherwise refuse.
+            from .bloom import bloom_store_audit, repair_bloom_store
 
-        consistent = bool(
-            manifest_consistency_audit(spark, sink_path, manifest_path)
-            .collect()[0]["consistent"]
-        )
+            if not all(
+                r["current"]
+                for r in bloom_store_audit(
+                    spark, sink_path, store_path
+                ).collect()
+            ):
+                repair_bloom_store(spark, sink_path, store_path)
+        if _has_parquet(spark, manifest_path):
+            journaled = spark.read.parquet(keys_path).localCheckpoint(
+                eager=True  # sever lineage: the resume overwrites the path
+            )
+            rrep = erase_rows(
+                spark,
+                sink_path,
+                manifest_path,
+                intent["key_cols"],
+                journaled,
+                bloom_store_path=store_path,
+            ).collect()
+            resumed_erased = sum(int(r["rows_erased"]) for r in rrep)
+        # else: the crashed erasure emptied EVERY batch (whole-table
+        # opt-out) and roll-forward dropped every manifest partition —
+        # nothing is enveloped anywhere, so nothing is left to erase;
+        # resuming would abort on the schema-less manifest read.
+        resumed = True
+        # retire the journal HERE, unconditionally: the resumed call
+        # deletes it only when it found candidate groups, so a no-op
+        # resume (fully-emptied batches, keys outside every surviving
+        # envelope) would otherwise leave it forever — every later
+        # vacuum_maintenance refusing and every repair re-running a
+        # no-op, a permanent refusal loop escapable only by force
+        fs.delete(hpath(intent_path), False)
+        fs.delete(hpath(keys_path), True)
+        consistent = _audit_ok(spark, sink_path, manifest_path)
     else:
         # crash before the journal finished writing: nothing ran, the
         # leftovers are inert
@@ -1083,7 +1228,9 @@ def vacuum_maintenance(
                intent_path, keys_path, f"{sink_path}/.erase_empty"]
     for st in fs.listStatus(hpath(sink_path)):
         name = st.getPath().getName()
-        if name.startswith(".compact_staging_batch="):
+        if name.startswith(".compact_staging_batch=") or name.startswith(
+            ".compact_commit_batch="
+        ):
             residue.append(st.getPath().toString())
         elif name.startswith(".compact_trash_batch="):
             b = name.split("=", 1)[1]

@@ -369,3 +369,155 @@ def test_bloom_store_audit_flags_corrupt_positions(spark, tmp_path):
         spark, sink, str(tmp_path / "blm2")
     ).collect()[0]
     assert not rep["positions_ok"] and not rep["current"]
+
+
+def _store_snapshot(spark, blm, batches):
+    """Sorted content of the given store partitions, for byte-identity
+    assertions on batches a repair must not touch."""
+    rows = (
+        spark.read.parquet(blm)
+        .filter(F.col("batch").isin(list(batches)))
+        .collect()
+    )
+    return sorted(
+        (int(r["batch"]), r["key_col"], int(r["n_keys"]), tuple(r["bloom_pos"]))
+        for r in rows
+    )
+
+
+def test_repair_bloom_store_each_damage_class(spark, tmp_path):
+    """The detect→repair pairing for the bloom tier: each audit damage
+    class repaired individually — targeted re-collection under the
+    store's recorded geometry, orphans dropped — with the audit green
+    after and untouched batches' rows byte-identical."""
+    sink, blm = str(tmp_path / "sink"), str(tmp_path / "blm")
+
+    def land(bid, lo, hi):
+        spark.range(lo, hi).select(
+            F.col("id"), F.lit(bid).alias("batch")
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch").parquet(sink)
+
+    def rebuild_store():
+        B.collect_batch_blooms(
+            spark, sink, "id", n_bits=1 << 14
+        ).write.mode("overwrite").partitionBy("batch").parquet(blm)
+
+    for b in range(3):
+        land(b, b * 100, b * 100 + 100)
+    rebuild_store()
+
+    # a clean store: repair is a no-op (idempotence)
+    rep = B.repair_bloom_store(spark, sink, blm).collect()[0]
+    assert rep["current_after"]
+    assert (
+        rep["n_missing_collected"]
+        == rep["n_mismatch_recollected"]
+        == rep["n_structural_recollected"]
+        == rep["n_orphan_rows_dropped"]
+        == 0
+    )
+
+    # (1) missing: out-of-band append — collected, others untouched
+    land(3, 300, 400)
+    before = _store_snapshot(spark, blm, [0, 1, 2])
+    rep = B.repair_bloom_store(spark, sink, blm).collect()[0]
+    assert rep["n_missing_collected"] == 1 and rep["current_after"]
+    assert _store_snapshot(spark, blm, [0, 1, 2]) == before
+    assert bool(B.bloom_store_audit(spark, sink, blm).collect()[0]["current"])
+    # the collected row carries the store's recorded geometry, not a
+    # fresh autosize
+    got = spark.read.parquet(blm).filter(F.col("batch") == 3).collect()[0]
+    assert int(got["n_bits"]) == 1 << 14 and int(got["n_keys"]) == 100
+
+    # (2) count mismatch: replayed batch — re-collected
+    land(2, 200, 350)
+    before = _store_snapshot(spark, blm, [0, 1, 3])
+    rep = B.repair_bloom_store(spark, sink, blm).collect()[0]
+    assert rep["n_mismatch_recollected"] == 1 and rep["current_after"]
+    assert _store_snapshot(spark, blm, [0, 1, 3]) == before
+    got = spark.read.parquet(blm).filter(F.col("batch") == 2).collect()[0]
+    assert int(got["n_keys"]) == 150
+
+    # (3) orphan: dropped batch — its summary row dropped, partition gone
+    import shutil
+
+    shutil.rmtree(f"{sink}/batch=3")
+    rep = B.repair_bloom_store(spark, sink, blm).collect()[0]
+    assert rep["n_orphan_rows_dropped"] == 1 and rep["current_after"]
+    assert not (tmp_path / "blm" / "batch=3").exists()
+
+    # (4) structural: corrupted positions — re-collected
+    corrupt = spark.read.parquet(blm).withColumn(
+        "bloom_pos",
+        F.when(
+            F.col("batch") == 0,
+            F.array_union("bloom_pos", F.array(F.lit(1 << 20))),
+        ).otherwise(F.col("bloom_pos")),
+    ).localCheckpoint(eager=True)
+    corrupt.write.mode("overwrite").partitionBy("batch").parquet(blm)
+    rep = B.repair_bloom_store(spark, sink, blm).collect()[0]
+    assert rep["n_structural_recollected"] == 1 and rep["current_after"]
+
+    # (5) mixed geometry: the minority-geometry row is structural —
+    # re-collected under the column's modal (n_bits, n_hashes)
+    extra = B.collect_batch_blooms(spark, sink, "id", n_bits=1 << 12)
+    extra.filter(F.col("batch") == 0).write.mode("append").partitionBy(
+        "batch"
+    ).parquet(blm)
+    rep = B.repair_bloom_store(spark, sink, blm).collect()[0]
+    assert rep["n_structural_recollected"] >= 1 and rep["current_after"]
+    bits = {
+        int(r["n_bits"])
+        for r in spark.read.parquet(blm).select("n_bits").distinct().collect()
+    }
+    assert bits == {1 << 14}
+
+    # (6) stale recorded type: every row structural — re-collected
+    # under the sink footer's current type
+    tampered = (
+        spark.read.parquet(blm)
+        .withColumn("key_type", F.lit("int"))
+        .localCheckpoint(eager=True)
+    )
+    tampered.write.mode("overwrite").partitionBy("batch").parquet(blm)
+    rep = B.repair_bloom_store(spark, sink, blm).collect()[0]
+    assert rep["n_structural_recollected"] == 3 and rep["current_after"]
+    types = {
+        r["key_type"]
+        for r in spark.read.parquet(blm).select("key_type").distinct().collect()
+    }
+    assert types == {"bigint"}
+
+
+def test_repair_bloom_store_drops_vanished_column(spark, tmp_path):
+    """A column the sink never held (or no longer holds) is all
+    orphans — dropped outright; the healthy column is untouched."""
+    sink, blm = str(tmp_path / "sink"), str(tmp_path / "blm")
+    spark.range(200).select(
+        F.col("id"), (F.col("id") % 2).alias("batch")
+    ).write.partitionBy("batch").parquet(sink)
+    B.collect_batch_blooms(spark, sink, "id", n_bits=1 << 13).write.partitionBy(
+        "batch"
+    ).parquet(blm)
+    ghost = (
+        spark.read.parquet(blm)
+        .withColumn("key_col", F.lit("ghost"))
+        .localCheckpoint(eager=True)
+    )
+    ghost.write.mode("append").partitionBy("batch").parquet(blm)
+    rep = {
+        r["key_col"]: r
+        for r in B.repair_bloom_store(spark, sink, blm).collect()
+    }
+    assert rep["ghost"]["n_orphan_rows_dropped"] == 2
+    assert rep["ghost"]["current_after"] and rep["id"]["current_after"]
+    left = {
+        r["key_col"]
+        for r in spark.read.parquet(blm).select("key_col").distinct().collect()
+    }
+    assert left == {"id"}
+    assert bool(
+        B.bloom_store_audit(spark, sink, blm).collect()[0]["current"]
+    )

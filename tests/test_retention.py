@@ -1071,3 +1071,294 @@ def test_maintenance_lifecycle_model_based(spark, tmp_path, seed):
         elif op == "vacuum":
             R.vacuum_maintenance(spark, sink)
         check()
+
+
+def test_repair_erasure_noop_resume_retires_journal(spark, tmp_path):
+    """A resumed erasure that finds ZERO candidates (the doomed keys
+    fall in no surviving envelope) cleans up nothing itself — the
+    journal must be retired by REPAIR, or every later vacuum refuses
+    forever and every repair re-runs a no-op: a permanent refusal loop
+    escapable only by force (ADVICE r11)."""
+    sink, man = _build(spark, tmp_path)
+    _journal(spark, sink, [9999])  # outside both envelopes: no-op resume
+    rep = R.repair_erasure(spark, sink, man).collect()[0]
+    assert rep["erasure_resumed"] and rep["n_rows_erased_on_resume"] == 0
+    assert rep["consistent_after"]
+    assert not _os.path.exists(f"{sink}/.erase_intent.json")
+    assert not _os.path.exists(f"{sink}/.erase_keys")
+    # the loop is broken: vacuum no longer refuses, repair finds nothing
+    R.vacuum_maintenance(spark, sink)
+    rep2 = R.repair_erasure(spark, sink, man).collect()[0]
+    assert not rep2["found_residue"] and rep2["consistent_after"]
+
+
+def test_repair_erasure_survives_fully_emptied_manifest(spark, tmp_path):
+    """A whole-table opt-out that crashed after its roll-forward: every
+    manifest partition is dropped, and the resume's manifest read would
+    raise (unable to infer schema) — repair must treat the state as
+    nothing-left-to-erase, retire the journal and report consistent
+    instead of aborting mid-phase with the journal still on disk
+    (ADVICE r11)."""
+    sink, man = _build(spark, tmp_path)
+    # a real whole-table erasure leaves the post-roll-forward state:
+    # zero-row schema files in the sink, no manifest partitions
+    R.erase_rows(spark, sink, man, "id", _keys(spark, range(0, 250)))
+    assert spark.read.parquet(sink).count() == 0
+    # the crash window: journal written, everything else already done
+    _journal(spark, sink, list(range(0, 250)))
+    rep = R.repair_erasure(spark, sink, man).collect()[0]
+    assert rep["found_residue"] and rep["erasure_resumed"]
+    assert rep["n_rows_erased_on_resume"] == 0
+    assert rep["consistent_after"]
+    assert not _os.path.exists(f"{sink}/.erase_intent.json")
+    assert not _os.path.exists(f"{sink}/.erase_keys")
+    R.vacuum_maintenance(spark, sink)  # no refusal loop
+
+
+def test_repair_erasure_reconciles_journaled_bloom_store(spark, tmp_path):
+    """Crash between the sink swap and the store refresh of an
+    erase_rows(bloom_store_path=) call: the store is stale (count
+    mismatch) and the resume, recomputing candidates from the
+    POST-erasure manifest, can skip the refresh entirely — repair must
+    reconcile the journaled store itself (ADVICE r11 / VERDICT r11
+    item 6)."""
+    from superstore_data_pipeline_analytics_dashboard__spark.sources import (
+        bloom as B,
+    )
+
+    sink, man = _build(spark, tmp_path)
+    blm = str(tmp_path / "blm")
+    B.collect_batch_blooms(spark, sink, "id", n_bits=1 << 14).write.partitionBy(
+        "batch"
+    ).parquet(blm)
+    # the swap + manifest refresh completed (a plain erase), but the
+    # store refresh never ran and the journal survived the crash
+    R.erase_rows(spark, sink, man, "id", _keys(spark, [10, 20, 30]))
+    spark.createDataFrame(
+        [(i,) for i in (10, 20, 30)], "id BIGINT"
+    ).write.mode("overwrite").parquet(f"{sink}/.erase_keys")
+    R._write_text(
+        spark,
+        f"{sink}/.erase_intent.json",
+        _json.dumps({"key_cols": ["id"], "bloom_store_path": blm}),
+    )
+    assert not all(
+        r["current"]
+        for r in B.bloom_store_audit(spark, sink, blm).collect()
+    )
+    rep = R.repair_erasure(spark, sink, man).collect()[0]
+    assert rep["erasure_resumed"] and rep["consistent_after"]
+    # the store the caller asked to maintain is current again
+    assert all(
+        r["current"]
+        for r in B.bloom_store_audit(spark, sink, blm).collect()
+    )
+    assert not _os.path.exists(f"{sink}/.erase_intent.json")
+    assert not _os.path.exists(f"{sink}/.erase_keys")
+
+
+def test_manifest_damage_collect_bounded_by_damage(spark, tmp_path):
+    """The repair's driver-side classification is the damaged subset,
+    never the inventory: on a many-file sink with exactly two damaged
+    files, the frame repair_manifest collects holds exactly two rows
+    (VERDICT r11 item 3 — assert on the frame's count, not driver
+    memory)."""
+    from superstore_data_pipeline_analytics_dashboard__spark.sources.manifest import (
+        collect_file_stats,
+    )
+
+    sink, man = str(tmp_path / "sink"), str(tmp_path / "man")
+    for b in range(2):
+        spark.range(b * 1000, b * 1000 + 1000).select(
+            F.col("id")
+        ).repartition(20).write.parquet(f"{sink}/batch={b}")
+        stats = collect_file_stats(
+            spark, f"{sink}/batch={b}", ["id"]
+        ).withColumn("batch", F.lit(b))
+        stats.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch").parquet(man)
+    assert (
+        spark.read.parquet(man).count() >= 40
+    )  # many files, all enveloped
+    # two damaged files: one stale (deleted), one unenveloped (append)
+    f0 = _local(spark.read.parquet(f"{sink}/batch=0").inputFiles()[0])
+    _os.remove(f0)
+    spark.range(5000, 5050).select(F.col("id")).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{sink}/batch=1")
+    dmg = R._manifest_damage(spark, sink, spark.read.parquet(man))
+    assert dmg.count() == 2
+    classes = {r["damage"] for r in dmg.collect()}
+    assert classes == {"stale", "unenveloped"}
+    rep = R.repair_manifest(spark, sink, man).collect()[0]
+    assert rep["n_stale_rows_dropped"] == 1
+    assert rep["n_files_reenveloped"] == 1
+    assert rep["consistent_after"]
+
+
+def test_erase_refuses_store_with_vanished_column(spark, tmp_path):
+    """erase_rows(bloom_store_path=) pre-validates that every
+    store-recorded column still exists in the sink schema — the
+    post-swap refresh could not collect a vanished one, which would
+    abort AFTER the swap and lose the erasure report (ADVICE r11)."""
+    import pytest
+
+    from superstore_data_pipeline_analytics_dashboard__spark.sources import (
+        bloom as B,
+    )
+
+    sink, man = _build(spark, tmp_path)
+    blm = str(tmp_path / "blm")
+    B.collect_batch_blooms(spark, sink, "id", n_bits=1 << 13).write.partitionBy(
+        "batch"
+    ).parquet(blm)
+    ghost = (
+        spark.read.parquet(blm)
+        .withColumn("key_col", F.lit("ghost"))
+        .localCheckpoint(eager=True)
+    )
+    ghost.write.mode("append").partitionBy("batch").parquet(blm)
+    with pytest.raises(ValueError, match="absent from the sink"):
+        R.erase_rows(
+            spark, sink, man, "id", _keys(spark, [10]),
+            bloom_store_path=blm,
+        )
+    # the refusal came BEFORE any mutation
+    assert spark.read.parquet(sink).count() == 250
+    # repair_bloom_store drops the vanished column, after which the
+    # maintained erasure proceeds
+    B.repair_bloom_store(spark, sink, blm)
+    rep = R.erase_rows(
+        spark, sink, man, "id", _keys(spark, [10]), bloom_store_path=blm
+    )
+    assert sum(r["rows_erased"] for r in rep.collect()) == 1
+    assert all(
+        r["current"]
+        for r in B.bloom_store_audit(spark, sink, blm).collect()
+    )
+
+
+def test_erase_store_refresh_skips_absent_evolved_column(spark, tmp_path):
+    """A store column legitimately absent from ALL the affected batches
+    (pre-evolution batches never held it): the refresh collects the
+    present columns instead of raising AFTER the swap (ADVICE r11).
+    The absent column's rows in other batches stay verbatim."""
+    from superstore_data_pipeline_analytics_dashboard__spark.sources import (
+        bloom as B,
+    )
+    from superstore_data_pipeline_analytics_dashboard__spark.sources.manifest import (
+        collect_file_stats,
+    )
+
+    sink, man, blm = (
+        str(tmp_path / "sink"),
+        str(tmp_path / "man"),
+        str(tmp_path / "blm"),
+    )
+    # batch 0: id only (pre-evolution); batch 1: id + v2
+    spark.createDataFrame(
+        [(i,) for i in range(0, 100)], "id BIGINT"
+    ).coalesce(1).write.parquet(f"{sink}/batch=0")
+    spark.createDataFrame(
+        [(i, i * 10) for i in range(100, 250)], "id BIGINT, v2 BIGINT"
+    ).coalesce(1).write.parquet(f"{sink}/batch=1")
+    for b in range(2):
+        stats = collect_file_stats(
+            spark, f"{sink}/batch={b}", ["id"]
+        ).withColumn("batch", F.lit(b))
+        stats.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch").parquet(man)
+    # per-batch store rows: id for both batches, v2 only for batch 1
+    # (the collection convention: absent column, no row)
+    rows0 = B.bloom_summary_rows(
+        spark.read.parquet(f"{sink}/batch=0").withColumn(
+            "batch", F.lit(0)
+        ),
+        ["id"],
+        1 << 13,
+        group_cols=["batch"],
+    )
+    rows1 = B.bloom_summary_rows(
+        spark.read.parquet(f"{sink}/batch=1").withColumn(
+            "batch", F.lit(1)
+        ),
+        ["id", "v2"],
+        1 << 13,
+        group_cols=["batch"],
+    )
+    rows0.unionByName(rows1).write.partitionBy("batch").parquet(blm)
+    # keys confined to batch 0 by its envelope — the affected set lacks v2
+    rep = R.erase_rows(
+        spark, sink, man, "id", _keys(spark, [10, 20]),
+        bloom_store_path=blm,
+    )
+    got = {r["batch"]: r for r in rep.collect()}
+    assert got[0]["rows_erased"] == 2 and not got[1]["rewritten"]
+    store = spark.read.parquet(blm)
+    b0 = store.filter(F.col("batch") == 0).collect()
+    assert {r["key_col"] for r in b0} == {"id"}
+    assert int(b0[0]["n_keys"]) == 98  # refreshed through the delete
+    v2rows = store.filter(
+        (F.col("batch") == 1) & (F.col("key_col") == "v2")
+    ).collect()
+    assert len(v2rows) == 1 and int(v2rows[0]["n_keys"]) == 150
+
+
+def test_repair_compaction_keys_on_own_marker(spark, tmp_path):
+    """A durable staged compaction on a cluster that disables the
+    writer's _SUCCESS file must still roll FORWARD: the decision keys
+    on compact_batch's own commit marker, not _SUCCESS (ADVICE r11).
+    Without either artifact the staging is torn and the partition is
+    restored from trash."""
+    from superstore_data_pipeline_analytics_dashboard__spark.sources.formats import (
+        compact_batch,
+        repair_compaction,
+    )
+    from superstore_data_pipeline_analytics_dashboard__spark.sources.manifest import (
+        collect_file_stats,
+    )
+
+    def build(d):
+        sink, man = str(d / "sink"), str(d / "man")
+        for m in range(3):
+            spark.range(m * 50, m * 50 + 50).select(
+                F.col("id")
+            ).coalesce(1).write.mode("append").parquet(f"{sink}/batch=0")
+        stats = collect_file_stats(
+            spark, f"{sink}/batch=0", ["id"]
+        ).withColumn("batch", F.lit(0))
+        stats.write.partitionBy("batch").parquet(man)
+        return sink, man
+
+    # a successful compaction leaves no marker residue
+    sink, man = build(tmp_path / "ok")
+    compact_batch(spark, sink, man, 0)
+    assert not _os.path.exists(f"{sink}/.compact_commit_batch=0.json")
+
+    # mid-swap crash WITH the marker, _SUCCESS disabled: completed
+    sink, man = build(tmp_path / "marked")
+    spark.read.parquet(f"{sink}/batch=0").coalesce(1).write.parquet(
+        f"{sink}/.compact_staging_batch=0"
+    )
+    _os.remove(f"{sink}/.compact_staging_batch=0/_SUCCESS")
+    R._write_text(
+        spark, f"{sink}/.compact_commit_batch=0.json", '{"batch": 0}'
+    )
+    _shutil.move(f"{sink}/batch=0", f"{sink}/.compact_trash_batch=0")
+    rep = repair_compaction(spark, sink, man, 0).collect()[0]
+    assert rep["action"] == "completed" and rep["consistent_after"]
+    assert spark.read.parquet(f"{sink}/batch=0").count() == 150
+    assert not _os.path.exists(f"{sink}/.compact_commit_batch=0.json")
+
+    # mid-swap crash with NEITHER artifact: torn — restored from trash
+    sink, man = build(tmp_path / "torn")
+    spark.read.parquet(f"{sink}/batch=0").coalesce(1).write.parquet(
+        f"{sink}/.compact_staging_batch=0"
+    )
+    _os.remove(f"{sink}/.compact_staging_batch=0/_SUCCESS")
+    _shutil.move(f"{sink}/batch=0", f"{sink}/.compact_trash_batch=0")
+    rep = repair_compaction(spark, sink, man, 0).collect()[0]
+    assert rep["action"] == "restored" and rep["consistent_after"]
+    assert spark.read.parquet(f"{sink}/batch=0").count() == 150
