@@ -16374,10 +16374,15 @@ def q276_bloom_store_audit(spark: SparkSession, sf: str) -> DataFrame:
             .parquet(sink)
         )
         bad = bloom_store_audit(spark, sink, blm).collect()[0]
-        # the fix the audit directs: rebuild, then re-audit
-        collect_batch_blooms(spark, sink, "o_orderkey").write.mode(
-            "overwrite"
-        ).partitionBy("batch").parquet(blm)
+        # the fix the audit directs: the TARGETED repair (r12,
+        # sources/bloom.py:repair_bloom_store) — the missing batch is
+        # collected and the replayed batch re-collected under the
+        # store's recorded geometry, batches 0/1's rows untouched —
+        # then re-audit; a full rebuild would land the same totals,
+        # so the oracle arithmetic is unchanged
+        from ..sources.bloom import repair_bloom_store
+
+        repair_bloom_store(spark, sink, blm)
         good = bloom_store_audit(spark, sink, blm).collect()[0]
         store = spark.read.parquet(blm)
         n_keys_after = int(
