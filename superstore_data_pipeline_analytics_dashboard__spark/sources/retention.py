@@ -318,13 +318,18 @@ def erase_rows(
         .distinct()
         .persist()
     )
-    k.count()  # materialize once; reused per affected partition
-    # docstring NULL policy: a NULL opt-out key would no-op silently
-    # through every null-rejecting join below — refuse it loudly
+    # ONE job materializes the persisted key list AND counts NULL
+    # entries (docstring NULL policy: a NULL opt-out key would no-op
+    # silently through every null-rejecting join below — refuse it
+    # loudly); two separate count jobs here cost a full scheduling
+    # round-trip each on every erasure
     any_null = functools.reduce(
         lambda a, b: a | b, (F.col(f"k_{c}").isNull() for c in cols)
     )
-    if k.filter(any_null).count():
+    if int(
+        k.agg(F.sum(any_null.cast("long")).alias("n")).collect()[0]["n"]
+        or 0
+    ):
         k.unpersist()
         raise ValueError(
             "erase_rows: opt-out key list contains NULL — a NULL cannot "
