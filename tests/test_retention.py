@@ -976,20 +976,32 @@ import pytest as _pytest
 @_pytest.mark.parametrize("seed", [11, 23, 47])
 def test_maintenance_lifecycle_model_based(spark, tmp_path, seed):
     """Model-based interleaving of the whole maintenance surface:
-    append / erase / compact / mid-swap-crash+repair / vacuum in a
-    deterministic pseudo-random order, with the surviving-id set
-    tracked in a Python model. After every operation the sink must
-    equal the model and (post-repair) the audit must be green —
-    interaction bugs between the swap disciplines would surface here
-    long before a single-scenario test sees them."""
+    append / erase / compact / mid-swap-crash+repair / vacuum /
+    bloom-store repair in a deterministic pseudo-random order, with
+    the surviving-id set tracked in a Python model. After every
+    operation the sink must equal the model and (post-repair) the
+    audit must be green — interaction bugs between the swap
+    disciplines would surface here long before a single-scenario test
+    sees them.
+
+    The bloom-store tier rides along (r12): a store collected up
+    front goes stale through appends (missing batches) and unmantained
+    erasures (count mismatches); `store_repair` must always restore
+    audit-currency AND the no-false-negative guarantee against the
+    model's live ids, and a MAINTAINED erasure (bloom_store_path=)
+    must keep currency for the batches it touched."""
     import random
 
+    from superstore_data_pipeline_analytics_dashboard__spark.sources import (
+        bloom as B,
+    )
     from superstore_data_pipeline_analytics_dashboard__spark.sources import (
         formats as FM,
     )
 
     rng = random.Random(seed)
     sink, man = str(tmp_path / "sink"), str(tmp_path / "man")
+    blm = str(tmp_path / "blm")
     model: dict[int, set[int]] = {}
     next_id = 0
 
@@ -999,6 +1011,12 @@ def test_maintenance_lifecycle_model_based(spark, tmp_path, seed):
         _land_batch(spark, sink, man, bid, ids)
         model[bid] = set(ids)
         next_id += 80
+
+    def store_nonempty():
+        try:
+            return bool(spark.read.parquet(blm).limit(1).count())
+        except Exception:
+            return False
 
     def check():
         got = sorted(
@@ -1015,14 +1033,25 @@ def test_maintenance_lifecycle_model_based(spark, tmp_path, seed):
 
     land(0)
     land(1)
+    B.collect_batch_blooms(spark, sink, "id", n_bits=1 << 13).write.mode(
+        "overwrite"
+    ).partitionBy("batch").parquet(blm)
     for step in range(8):
-        op = rng.choice(["append", "erase", "compact", "crash", "vacuum"])
+        op = rng.choice(
+            ["append", "erase", "compact", "crash", "vacuum", "store_repair"]
+        )
         if op == "append":
             land(max(model) + 1)
         elif op == "erase":
             pool = sorted(i for s in model.values() for i in s)
             doomed = set(rng.sample(pool, min(25, len(pool))))
-            R.erase_rows(spark, sink, man, "id", _keys(spark, sorted(doomed)))
+            # half the erasures maintain the store through the delete,
+            # half leave it stale for store_repair to reconcile
+            maintain = rng.random() < 0.5 and store_nonempty()
+            R.erase_rows(
+                spark, sink, man, "id", _keys(spark, sorted(doomed)),
+                bloom_store_path=blm if maintain else None,
+            )
             for s in model.values():
                 s.difference_update(doomed)
         elif op == "compact":
@@ -1070,6 +1099,30 @@ def test_maintenance_lifecycle_model_based(spark, tmp_path, seed):
             model[b].difference_update(doomed)
         elif op == "vacuum":
             R.vacuum_maintenance(spark, sink)
+        elif op == "store_repair" and store_nonempty():
+            B.repair_bloom_store(spark, sink, blm)
+            if store_nonempty():
+                assert all(
+                    r["current"]
+                    for r in B.bloom_store_audit(spark, sink, blm)
+                    .collect()
+                ), step
+                # no-false-negative guarantee vs the model: every
+                # sampled live id must be a candidate for its batch
+                live = [
+                    (b, i) for b, s in model.items() for i in sorted(s)
+                ]
+                sample = rng.sample(live, min(10, len(live)))
+                keys = spark.createDataFrame(
+                    [(i,) for _, i in sample], "id BIGINT"
+                )
+                cand = {
+                    (int(r["batch"]), int(r["id"]))
+                    for r in B.bloom_candidates(
+                        spark.read.parquet(blm), keys, "id"
+                    ).collect()
+                }
+                assert set(sample) <= cand, (step, sorted(set(sample) - cand))
         check()
 
 
