@@ -349,8 +349,13 @@ def bloom_candidates(
     bp = blooms.select("batch", F.explode("bloom_pos").alias("pos"))
     return (
         bp.join(F.broadcast(kp), "pos")
+        # count DISTINCT matched positions, not matched rows: a
+        # duplicated summary row (e.g. a replayed streaming append)
+        # would otherwise double every n_hit past n_pos and silently
+        # DROP the batch's true containments — a false negative, the
+        # one failure mode a bloom must never have (r12)
         .groupBy("batch", col, "n_pos")
-        .agg(F.count("*").alias("n_hit"))
+        .agg(F.count_distinct("pos").alias("n_hit"))
         .filter(F.col("n_hit") == F.col("n_pos"))
         .select("batch", col)
     )
@@ -541,6 +546,11 @@ def bloom_store_audit(
       keys on disk (a dropped/emptied batch whose summary survived),
     * ``n_count_mismatches`` — both present but the key count changed
       (a replay/overwrite after collection),
+    * ``n_duplicate_rows`` — extra summary rows beyond one per
+      (column, batch): a replayed append. Even an IDENTICAL duplicate
+      is damage — it doubles the exploded positions, which (before the
+      r12 ``count_distinct`` hardening in ``bloom_candidates``)
+      silently false-negatived every probe of that batch,
     * ``type_ok`` — every row's recorded ``key_type`` matches the
       sink footer's current type for that column,
     * ``geometry_ok`` — the store holds exactly one
@@ -597,6 +607,17 @@ def bloom_store_audit(
                 & (F.col("n_nonnull") != F.col("n_keys"))
             ).cast("long")
         ).alias("n_count_mismatches"),
+        # more than one summary row for a (column, batch) — a replayed
+        # append: even an IDENTICAL duplicate is damage, because it
+        # doubles the exploded positions and (pre-r12
+        # count_distinct hardening) silently false-negatived every
+        # candidate probe of that batch
+        (
+            F.sum(F.col("n_keys").isNotNull().cast("long"))
+            - F.count_distinct(
+                F.when(F.col("n_keys").isNotNull(), F.col("batch"))
+            )
+        ).cast("long").alias("n_duplicate_rows"),
         F.coalesce(
             F.min(
                 (
@@ -623,6 +644,7 @@ def bloom_store_audit(
         "n_missing_batches",
         "n_orphan_batches",
         "n_count_mismatches",
+        "n_duplicate_rows",
         "type_ok",
         "geometry_ok",
         "positions_ok",
@@ -632,6 +654,7 @@ def bloom_store_audit(
             (F.col("n_missing_batches") == 0)
             & (F.col("n_orphan_batches") == 0)
             & (F.col("n_count_mismatches") == 0)
+            & (F.col("n_duplicate_rows") == 0)
             & F.col("type_ok")
             & F.col("geometry_ok")
             & F.col("positions_ok")
@@ -655,10 +678,11 @@ def repair_bloom_store(
     * **count mismatch** (recorded ``n_keys`` no longer matches the
       batch — a replay/overwrite after collection) → re-collected;
     * **structural** (out-of-range positions, a row whose geometry
-      contradicts the column's resolved one, or a recorded
-      ``key_type`` differing from the sink footer's current type —
-      each a silent false-negative vector) → re-collected under the
-      resolved geometry and the sink's current type;
+      contradicts the column's resolved one, a recorded ``key_type``
+      differing from the sink footer's current type, or DUPLICATE
+      rows for one (column, batch) — each a silent false-negative
+      vector) → re-collected under the resolved geometry and the
+      sink's current type, one row replacing however many were there;
     * **orphan** (summary row for a batch with no keys on disk — a
       dropped/emptied batch whose summary survived) → dropped.
 
@@ -717,12 +741,21 @@ def repair_bloom_store(
     type_map = _col_map(cols, {c: sink_types.get(c) for c in cols})
     exp = _sink_key_counts(sink, cols)
     st = _store_rows(store)
+    # duplicate rows for one (column, batch) — a replayed append — are
+    # structural damage: dedupe to ONE fresh row (summary-sized join)
+    st = st.join(
+        st.groupBy("key_col", "batch").agg(
+            F.count(F.lit(1)).alias("n_rows_cb")
+        ),
+        ["key_col", "batch"],
+    )
     j = exp.join(st, ["key_col", "batch"], "full_outer")
     dmg = j.select(
         "key_col",
         "batch",
         F.when(F.col("n_keys").isNull(), F.lit("missing"))
         .when(F.col("n_nonnull").isNull(), F.lit("orphan"))
+        .when(F.col("n_rows_cb") > 1, F.lit("structural"))
         .when(F.col("n_nonnull") != F.col("n_keys"), F.lit("mismatch"))
         .when(
             ~F.col("pos_ok")
@@ -740,7 +773,7 @@ def repair_bloom_store(
             F.lit("structural"),
         )
         .alias("damage"),
-    ).filter(F.col("damage").isNotNull())
+    ).filter(F.col("damage").isNotNull()).distinct()
     # the ONLY data-row collect: one row per damaged (column, batch)
     # pair — bounded by damage, never the store or sink inventory
     damaged = dmg.collect()

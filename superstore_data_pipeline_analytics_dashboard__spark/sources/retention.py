@@ -1116,7 +1116,15 @@ def repair_erasure(
         # pending.
         intent = json.loads(_read_text(spark, intent_path))
         store_path = intent.get("bloom_store_path")
-        if store_path is not None and _has_parquet(spark, store_path):
+        if store_path is not None and not _has_parquet(spark, store_path):
+            # the journaled store vanished (deleted after the crash, or
+            # a whole-table erasure dropped its every partition): there
+            # is nothing left to maintain, and resuming WITH the path
+            # would abort on the store read — with the journal still on
+            # disk, the exact refusal loop the r12 retirement fix
+            # exists to prevent
+            store_path = None
+        if store_path is not None:
             # reconcile the journaled store BEFORE resuming: the crash
             # may have hit between the sink swap and the store refresh
             # (stale n_keys / orphan batch partitions), and the resume

@@ -521,3 +521,44 @@ def test_repair_bloom_store_drops_vanished_column(spark, tmp_path):
     assert bool(
         B.bloom_store_audit(spark, sink, blm).collect()[0]["current"]
     )
+
+
+def test_duplicate_summary_row_cannot_false_negative(spark, tmp_path):
+    """A replayed append leaves TWO summary rows for one (column,
+    batch). Pre-r12 this doubled every exploded position past n_pos
+    and silently DROPPED the batch's true containments — a false
+    negative, the one failure a bloom must never have. The candidate
+    count is now position-distinct (immune), the audit flags the
+    duplicate as damage, and the repair dedupes to one fresh row."""
+    sink, blm = str(tmp_path / "sink"), str(tmp_path / "blm")
+    spark.range(200).select(
+        F.col("id"), (F.col("id") % 2).alias("batch")
+    ).write.partitionBy("batch").parquet(sink)
+    blooms = B.collect_batch_blooms(spark, sink, "id", n_bits=1 << 13)
+    keys = spark.createDataFrame([(7,), (8,)], "id BIGINT")
+    truth = {(0, 8), (1, 7)}  # id 8 is even → batch 0; id 7 odd → 1
+
+    dup = blooms.unionByName(blooms.filter(F.col("batch") == 0))
+    cand = {
+        (int(r["batch"]), int(r["id"]))
+        for r in B.bloom_candidates(dup, keys, "id").collect()
+    }
+    assert truth <= cand  # no false negatives even WITH the duplicate
+
+    dup.write.partitionBy("batch").parquet(blm)
+    audit = B.bloom_store_audit(spark, sink, blm).collect()[0]
+    assert int(audit["n_duplicate_rows"]) == 1 and not audit["current"]
+
+    rep = B.repair_bloom_store(spark, sink, blm).collect()[0]
+    assert rep["n_structural_recollected"] == 1 and rep["current_after"]
+    rows0 = (
+        spark.read.parquet(blm).filter(F.col("batch") == 0).collect()
+    )
+    assert len(rows0) == 1 and int(rows0[0]["n_keys"]) == 100
+    cand2 = {
+        (int(r["batch"]), int(r["id"]))
+        for r in B.bloom_candidates(
+            spark.read.parquet(blm), keys, "id"
+        ).collect()
+    }
+    assert truth <= cand2

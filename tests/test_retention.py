@@ -1415,3 +1415,29 @@ def test_repair_compaction_keys_on_own_marker(spark, tmp_path):
     rep = repair_compaction(spark, sink, man, 0).collect()[0]
     assert rep["action"] == "restored" and rep["consistent_after"]
     assert spark.read.parquet(f"{sink}/batch=0").count() == 150
+
+
+def test_repair_erasure_survives_vanished_journaled_store(spark, tmp_path):
+    """A journal whose recorded bloom_store_path no longer exists (the
+    store was deleted after the crash): the resume must not abort on
+    the store read with the journal still on disk — it proceeds
+    unmaintained, finishes the delete, and retires the journal."""
+    sink, man = _build(spark, tmp_path)
+    spark.createDataFrame(
+        [(10,), (110,)], "id BIGINT"
+    ).write.parquet(f"{sink}/.erase_keys")
+    R._write_text(
+        spark,
+        f"{sink}/.erase_intent.json",
+        _json.dumps(
+            {
+                "key_cols": ["id"],
+                "bloom_store_path": str(tmp_path / "no_such_store"),
+            }
+        ),
+    )
+    rep = R.repair_erasure(spark, sink, man).collect()[0]
+    assert rep["erasure_resumed"] and rep["n_rows_erased_on_resume"] == 2
+    assert rep["consistent_after"]
+    assert not _os.path.exists(f"{sink}/.erase_intent.json")
+    assert not _os.path.exists(f"{sink}/.erase_keys")
