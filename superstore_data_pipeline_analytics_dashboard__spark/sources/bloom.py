@@ -861,9 +861,15 @@ def repair_bloom_store(
             if b not in survived:
                 fs.delete(hpath(f"{bloom_path}/batch={b}"), True)
     # post-repair verdicts: re-audit unless the repair emptied the
-    # store (a sink with no keys needs no summaries — vacuously current)
-    repaired = spark.read.parquet(bloom_path)
-    if repaired.limit(1).count():
+    # store (a sink with no keys needs no summaries — vacuously
+    # current). A fully-emptied store directory is no longer
+    # parquet-readable at all (only the original write's _SUCCESS
+    # survives), so the existence check must be a listing, not a read.
+    from .retention import _has_parquet
+
+    if _has_parquet(spark, bloom_path) and spark.read.parquet(
+        bloom_path
+    ).limit(1).count():
         after = {
             r["key_col"]: bool(r["current"])
             for r in bloom_store_audit(spark, sink_path, bloom_path)

@@ -562,3 +562,31 @@ def test_duplicate_summary_row_cannot_false_negative(spark, tmp_path):
         ).collect()
     }
     assert truth <= cand2
+
+
+def test_repair_bloom_store_all_orphans_empties_store(spark, tmp_path):
+    """A sink that lost every batch leaves the whole store orphaned:
+    repair drops every partition (vacuously current — a sink with no
+    keys needs no summaries) instead of crashing on the re-audit of a
+    no-longer-readable empty directory."""
+    import shutil
+
+    sink, blm = str(tmp_path / "sink"), str(tmp_path / "blm")
+    spark.range(100).select(
+        F.col("id"), (F.col("id") % 2).alias("batch")
+    ).write.partitionBy("batch").parquet(sink)
+    B.collect_batch_blooms(spark, sink, "id", n_bits=1 << 13).write.partitionBy(
+        "batch"
+    ).parquet(blm)
+    # the sink keeps a schema-bearing zero-row file (the erasure
+    # convention: a zero-row file written INTO the batch dir) but
+    # loses every keyed batch
+    spark.createDataFrame([], "id BIGINT").coalesce(1).write.parquet(
+        f"{sink}/batch=9"
+    )
+    shutil.rmtree(f"{sink}/batch=0")
+    shutil.rmtree(f"{sink}/batch=1")
+    rep = B.repair_bloom_store(spark, sink, blm).collect()[0]
+    assert rep["n_orphan_rows_dropped"] == 2 and rep["current_after"]
+    assert not (tmp_path / "blm" / "batch=0").exists()
+    assert not (tmp_path / "blm" / "batch=1").exists()
