@@ -976,13 +976,14 @@ import pytest as _pytest
 @_pytest.mark.parametrize("seed", [11, 23, 47])
 def test_maintenance_lifecycle_model_based(spark, tmp_path, seed):
     """Model-based interleaving of the whole maintenance surface:
-    append / erase / compact / mid-swap-crash+repair / vacuum /
-    bloom-store repair in a deterministic pseudo-random order, with
-    the surviving-id set tracked in a Python model. After every
-    operation the sink must equal the model and (post-repair) the
-    audit must be green — interaction bugs between the swap
-    disciplines would surface here long before a single-scenario test
-    sees them.
+    append / erase / compact / erasure-crash+repair /
+    compaction-crash+repair / vacuum / bloom-store repair in a
+    deterministic pseudo-random order, with the surviving-id set
+    tracked in a Python model. After every operation the sink must
+    equal the model and (post-repair) the audit must be green; inside
+    BOTH crash windows a vacuum must REFUSE (the residue is
+    load-bearing) — interaction bugs between the swap disciplines
+    would surface here long before a single-scenario test sees them.
 
     The bloom-store tier rides along (r12): a store collected up
     front goes stale through appends (missing batches) and unmantained
@@ -1038,7 +1039,15 @@ def test_maintenance_lifecycle_model_based(spark, tmp_path, seed):
     ).partitionBy("batch").parquet(blm)
     for step in range(8):
         op = rng.choice(
-            ["append", "erase", "compact", "crash", "vacuum", "store_repair"]
+            [
+                "append",
+                "erase",
+                "compact",
+                "crash",
+                "ccrash",
+                "vacuum",
+                "store_repair",
+            ]
         )
         if op == "append":
             land(max(model) + 1)
@@ -1094,9 +1103,39 @@ def test_maintenance_lifecycle_model_based(spark, tmp_path, seed):
                         + u.rsplit("/", 1)[1]
                     ),
                 )
+            # the committed-staging residue is load-bearing: a vacuum
+            # mid-crash must REFUSE before the repair runs
+            with _pytest.raises(ValueError, match="repair_erasure"):
+                R.vacuum_maintenance(spark, sink)
             rep = R.repair_erasure(spark, sink, man).collect()[0]
             assert rep["consistent_after"], (step, b)
             model[b].difference_update(doomed)
+        elif op == "ccrash":
+            # a compaction mid-swap crash (durable staging with OUR
+            # marker, _SUCCESS removed, partition retired), repaired —
+            # net content must be unchanged and a mid-crash vacuum
+            # must refuse (the trash holds the only copy)
+            b = rng.choice(sorted(b for b in model if model[b]))
+            fs, hpath = R._fs(spark, sink)
+            staging = f"{sink}/.compact_staging_batch={b}"
+            spark.read.parquet(f"{sink}/batch={b}").coalesce(
+                1
+            ).write.parquet(staging)
+            fs.delete(hpath(f"{staging}/_SUCCESS"), False)
+            R._write_text(
+                spark,
+                f"{sink}/.compact_commit_batch={b}.json",
+                _json.dumps({"batch": b}),
+            )
+            fs.rename(
+                hpath(f"{sink}/batch={b}"),
+                hpath(f"{sink}/.compact_trash_batch={b}"),
+            )
+            with _pytest.raises(ValueError, match="repair_compaction"):
+                R.vacuum_maintenance(spark, sink)
+            rep = FM.repair_compaction(spark, sink, man, b).collect()[0]
+            assert rep["action"] == "completed", (step, b)
+            assert rep["consistent_after"], (step, b)
         elif op == "vacuum":
             R.vacuum_maintenance(spark, sink)
         elif op == "store_repair" and store_nonempty():
