@@ -42,6 +42,32 @@ from ..sources.catalog import load_table
 from .catalog_queries import _canon_query, _scratch
 
 
+
+def _orderkey_manifest(spark: SparkSession, sink: str, man: str) -> None:
+    """Per-file (n_rows, min/max o_orderkey) manifest rows for a
+    batch-partitioned o_orderkey sink — the landing contract the
+    erasure/repair chains read envelopes from. Built ONCE here for the
+    three crash-chain fixtures below: a drifting copy of this block
+    would be an SF-dependent parity mismatch at rotation time."""
+    src = spark.read.option("basePath", sink).parquet(sink)
+    (
+        src.select(
+            F.input_file_name().alias("file"), "batch", "o_orderkey"
+        )
+        .groupBy("file", "batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_o_orderkey"),
+            F.max("o_orderkey").alias("max_o_orderkey"),
+        )
+        .select(
+            "file", "n_rows", "min_o_orderkey", "max_o_orderkey", "batch"
+        )
+        .write.partitionBy("batch")
+        .parquet(man)
+    )
+
+
 # ------------------------------------------- targeted bloom-store repair
 #
 # q282: the r12 repair_bloom_store under the gate — all four audit
@@ -202,23 +228,7 @@ def q283_noop_resume_retirement(spark: SparkSession, sf: str) -> DataFrame:
             F.expr(f"o_orderkey div {w}").cast("int").alias("batch"),
         )
         df.write.partitionBy("batch").parquet(sink)
-        src = spark.read.option("basePath", sink).parquet(sink)
-        stats = (
-            src.select(
-                F.input_file_name().alias("file"), "batch", "o_orderkey"
-            )
-            .groupBy("file", "batch")
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.min("o_orderkey").alias("min_o_orderkey"),
-                F.max("o_orderkey").alias("max_o_orderkey"),
-            )
-            .select(
-                "file", "n_rows", "min_o_orderkey", "max_o_orderkey",
-                "batch",
-            )
-        )
-        stats.write.partitionBy("batch").parquet(man)
+        _orderkey_manifest(spark, sink, man)
         # the crash residue: a journal whose keys no surviving envelope
         # admits — the resume will be a pure no-op
         spark.createDataFrame(
@@ -308,23 +318,7 @@ def q284_wholetable_crash_repair(spark: SparkSession, sf: str) -> DataFrame:
             "o_orderkey", (F.col("o_orderkey") % 3).alias("batch")
         )
         df.write.partitionBy("batch").parquet(sink)
-        src = spark.read.option("basePath", sink).parquet(sink)
-        stats = (
-            src.select(
-                F.input_file_name().alias("file"), "batch", "o_orderkey"
-            )
-            .groupBy("file", "batch")
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.min("o_orderkey").alias("min_o_orderkey"),
-                F.max("o_orderkey").alias("max_o_orderkey"),
-            )
-            .select(
-                "file", "n_rows", "min_o_orderkey", "max_o_orderkey",
-                "batch",
-            )
-        )
-        stats.write.partitionBy("batch").parquet(man)
+        _orderkey_manifest(spark, sink, man)
         doomed = orders.select("o_orderkey")
         rep0 = erase_rows(spark, sink, man, "o_orderkey", doomed).persist()
         erased_total = int(
@@ -417,23 +411,7 @@ def q285_journaled_store_reconciliation(
             "o_orderkey", (F.col("o_orderkey") % 3).alias("batch")
         )
         df.write.partitionBy("batch").parquet(sink)
-        src = spark.read.option("basePath", sink).parquet(sink)
-        stats = (
-            src.select(
-                F.input_file_name().alias("file"), "batch", "o_orderkey"
-            )
-            .groupBy("file", "batch")
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.min("o_orderkey").alias("min_o_orderkey"),
-                F.max("o_orderkey").alias("max_o_orderkey"),
-            )
-            .select(
-                "file", "n_rows", "min_o_orderkey", "max_o_orderkey",
-                "batch",
-            )
-        )
-        stats.write.partitionBy("batch").parquet(man)
+        _orderkey_manifest(spark, sink, man)
         collect_batch_blooms(spark, sink, "o_orderkey").write.partitionBy(
             "batch"
         ).parquet(blm)

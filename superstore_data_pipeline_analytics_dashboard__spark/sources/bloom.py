@@ -773,23 +773,26 @@ def repair_bloom_store(
             F.lit("structural"),
         )
         .alias("damage"),
-    ).filter(F.col("damage").isNotNull()).distinct()
-    # the ONLY data-row collect: one row per damaged (column, batch)
-    # pair — bounded by damage, never the store or sink inventory
+    ).filter(F.col("damage").isNotNull())
+    # the ONLY data-row collect: one row per damaged store ROW (a
+    # duplicated pair contributes each of its rows, so the report's
+    # row counts stay honest) — bounded by damage, never the store or
+    # sink inventory
     damaged = dmg.collect()
     counts: dict[str, dict[str, int]] = {
         c: {"missing": 0, "mismatch": 0, "structural": 0, "orphan": 0}
         for c in cols
     }
-    recollect: list[tuple[str, int]] = []
+    recollect_set: set[tuple[str, int]] = set()
     for r in damaged:
         counts[r["key_col"]][r["damage"]] += 1
         if r["damage"] != "orphan":
-            recollect.append((r["key_col"], int(r["batch"])))
+            recollect_set.add((r["key_col"], int(r["batch"])))
+    recollect = sorted(recollect_set)
     if damaged:
         affected = sorted({int(r["batch"]) for r in damaged})
         dmg_keys = spark.createDataFrame(
-            [(r["key_col"], int(r["batch"])) for r in damaged],
+            sorted({(r["key_col"], int(r["batch"])) for r in damaged}),
             "key_col STRING, batch BIGINT",
         )
         new_frames: list[DataFrame] = []

@@ -144,6 +144,21 @@ def _has_parquet(spark: SparkSession, path: str) -> bool:
     return False
 
 
+def _require_dir(spark: SparkSession, path: str, what: str) -> None:
+    """Raise on a path that does not exist AT ALL — a mistyped
+    argument. Distinct from the legitimately-EMPTIED state (a
+    whole-table erasure drops every ``batch=`` partition but the root
+    directory, with the writer's ``_SUCCESS``, survives): an emptied
+    manifest is consistent-iff-the-sink-is-empty, a nonexistent one is
+    an operator error that must never read as 'repaired'."""
+    fs, hpath = _fs(spark, path)
+    if not fs.exists(hpath(path)):
+        raise ValueError(
+            f"{what} path {path} does not exist — mistyped argument? "
+            "(a legitimately emptied manifest keeps its root directory)"
+        )
+
+
 
 
 def _fresh_stat_rows(
@@ -280,11 +295,32 @@ def erase_rows(
         # losing the erasure report and leaving the store stale despite
         # the maintenance flag
         store_bits, _ = _load_store_geometry(spark, bloom_store_path)
-        sink_union = set(
-            spark.read.option("mergeSchema", True)
-            .parquet(sink_path)
-            .columns
-        )
+        # union schema from ONE sampled footer per batch dir
+        # (driver-side, #batches reads — the landing convention is one
+        # schema per batch, and this check is advisory fail-early: the
+        # refresh itself skips absent columns, so under-sampling can
+        # at worst delay detection, never corrupt). A full-sink
+        # mergeSchema read here would be a per-erasure footer sweep of
+        # EVERY file — the jobs-∝-inventory shape file-grain erasure
+        # exists to avoid.
+        vfs, vhp = _fs(spark, sink_path)
+        sink_union: set[str] = set()
+        for st in vfs.listStatus(vhp(sink_path)):
+            if not st.isDirectory() or not st.getPath().getName(
+            ).startswith("batch="):
+                continue
+            part = next(
+                (
+                    s.getPath().toString()
+                    for s in vfs.listStatus(st.getPath())
+                    if s.getPath().getName().startswith("part-")
+                ),
+                None,
+            )
+            if part is not None:
+                sink_union.update(
+                    f.name for f in spark.read.parquet(part).schema
+                )
         absent = sorted(set(store_bits) - sink_union)
         if absent:
             raise ValueError(
@@ -737,7 +773,6 @@ def _refresh_bloom_store(
     from .bloom import bloom_summary_rows
 
     bits, n_hashes = _load_store_geometry(spark, bloom_store_path)
-    hashes = {n_hashes}
     fs, hpath = _fs(spark, bloom_store_path)
     live = [b for b in affected if kept_counts.get(b, 0) > 0]
     emptied = [b for b in affected if kept_counts.get(b, 0) == 0]
@@ -760,7 +795,7 @@ def _refresh_bloom_store(
             src.select("batch", *present),
             present,
             bits,
-            hashes.pop(),
+            n_hashes,
             group_cols=["batch"],
         ).persist()
         refreshed = {
@@ -867,6 +902,7 @@ def repair_manifest(
     ``consistent_after`` re-runs the audit's criteria post-repair."""
     from ..streaming.audit import manifest_consistency_audit
 
+    _require_dir(spark, manifest_path, "repair_manifest: manifest")
     if not _has_parquet(spark, manifest_path):
         sink_empty = (
             spark.read.parquet(sink_path).limit(1).count() == 0
@@ -954,7 +990,10 @@ def _audit_ok(
 ) -> bool:
     """The manifest-consistency verdict, defined for the emptied
     manifest too: a manifest with no partitions left (whole-table
-    erasure) is consistent iff the sink holds no data rows."""
+    erasure) is consistent iff the sink holds no data rows. A
+    manifest path that does not exist at all raises — an operator
+    typo must never read as consistent."""
+    _require_dir(spark, manifest_path, "manifest audit: manifest")
     if not _has_parquet(spark, manifest_path):
         return spark.read.parquet(sink_path).limit(1).count() == 0
     from ..streaming.audit import manifest_consistency_audit

@@ -550,7 +550,8 @@ def test_duplicate_summary_row_cannot_false_negative(spark, tmp_path):
     assert int(audit["n_duplicate_rows"]) == 1 and not audit["current"]
 
     rep = B.repair_bloom_store(spark, sink, blm).collect()[0]
-    assert rep["n_structural_recollected"] == 1 and rep["current_after"]
+    # ROW counts: both rows of the duplicated pair are damage
+    assert rep["n_structural_recollected"] == 2 and rep["current_after"]
     rows0 = (
         spark.read.parquet(blm).filter(F.col("batch") == 0).collect()
     )
