@@ -173,6 +173,14 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    # a typo'd or still-staged name must be a loud error, not a silent
+    # skip that prints "all queries match the oracle" while executing
+    # nothing (ADVICE r12)
+    unknown = only - set(qs)
+    if unknown:
+        print(f"ERROR: not in the registry: {sorted(unknown)}")
+        sys.exit(2)
+
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
