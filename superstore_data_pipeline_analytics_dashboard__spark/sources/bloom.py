@@ -507,15 +507,24 @@ def _store_rows(store: DataFrame) -> DataFrame:
         )
         .cast("long")
         .alias("fill_ppm"),
-        (
-            (F.size("bloom_pos") == 0)
-            | (
-                (F.coalesce(F.array_min("bloom_pos"), F.lit(-1)) >= 0)
-                & (
-                    F.coalesce(F.array_max("bloom_pos"), F.lit(-1))
-                    < F.col("n_bits")
+        F.coalesce(
+            # NULL geometry (or a NULL positions array) is structural
+            # damage, not a pass: a NULL comparison would otherwise
+            # vanish inside the audit's NULL-ignoring MIN and the row
+            # would read as current while being unprobeable (ADVICE r12)
+            F.col("n_bits").isNotNull()
+            & F.col("n_hashes").isNotNull()
+            & (
+                (F.size("bloom_pos") == 0)
+                | (
+                    (F.coalesce(F.array_min("bloom_pos"), F.lit(-1)) >= 0)
+                    & (
+                        F.coalesce(F.array_max("bloom_pos"), F.lit(-1))
+                        < F.col("n_bits")
+                    )
                 )
-            )
+            ),
+            F.lit(False),
         ).alias("pos_ok"),
     )
 
@@ -730,12 +739,20 @@ def repair_bloom_store(
     )
     resolved: dict[str, tuple[int, int]] = {}
     for c in cols:
+        # a row with NULL n_bits/n_hashes cannot vote — it is itself
+        # structural damage (classified below via the hardened pos_ok),
+        # and int(None) would abort the whole repair on damage the
+        # paired audit reports calmly (ADVICE r12). A column with NO
+        # validly-recorded geometry at all falls back to the module
+        # default, the same (1 << 18, 3) bloom_positions uses.
         cand = sorted(
             (int(r["count"]), int(r["n_bits"]), int(r["n_hashes"]))
             for r in geo
             if r["key_col"] == c
+            and r["n_bits"] is not None
+            and r["n_hashes"] is not None
         )
-        resolved[c] = (cand[-1][1], cand[-1][2])
+        resolved[c] = (cand[-1][1], cand[-1][2]) if cand else (1 << 18, 3)
     res_bits = _col_map(cols, {c: resolved[c][0] for c in cols})
     res_hashes = _col_map(cols, {c: resolved[c][1] for c in cols})
     type_map = _col_map(cols, {c: sink_types.get(c) for c in cols})

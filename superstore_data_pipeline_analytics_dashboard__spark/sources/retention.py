@@ -323,6 +323,29 @@ def erase_rows(
                 )
         absent = sorted(set(store_bits) - sink_union)
         if absent:
+            # the one-footer-per-batch sample above is advisory: a
+            # batch with in-batch schema heterogeneity (or listing-order
+            # variance) can hide a column present in unsampled files.
+            # Before refusing a valid maintained erasure, confirm with
+            # ONE mergeSchema union over the batch dirs — the footer
+            # sweep is paid only on the (rare) would-be-refusal path,
+            # never per-erasure (ADVICE r12).
+            batch_dirs = [
+                st.getPath().toString()
+                for st in vfs.listStatus(vhp(sink_path))
+                if st.isDirectory()
+                and st.getPath().getName().startswith("batch=")
+            ]
+            if batch_dirs:
+                full_union = {
+                    f.name
+                    for f in spark.read.option("mergeSchema", True)
+                    .option("basePath", sink_path)
+                    .parquet(*batch_dirs)
+                    .schema
+                }
+                absent = sorted(set(store_bits) - full_union)
+        if absent:
             raise ValueError(
                 f"erase_rows: the bloom store at {bloom_store_path} "
                 f"records column(s) {absent} absent from the sink "
@@ -904,7 +927,10 @@ def repair_manifest(
 
     _require_dir(spark, manifest_path, "repair_manifest: manifest")
     if not _has_parquet(spark, manifest_path):
-        sink_empty = (
+        # a parquet-less SINK is out-of-band damage (the tool's own
+        # lifecycle always leaves zero-row schema files) — report it as
+        # empty rather than aborting the repair on an unreadable read
+        sink_empty = not _has_parquet(spark, sink_path) or (
             spark.read.parquet(sink_path).limit(1).count() == 0
         )
         return spark.createDataFrame(
@@ -995,7 +1021,12 @@ def _audit_ok(
     typo must never read as consistent."""
     _require_dir(spark, manifest_path, "manifest audit: manifest")
     if not _has_parquet(spark, manifest_path):
-        return spark.read.parquet(sink_path).limit(1).count() == 0
+        # a parquet-less sink (out-of-band damage — our own lifecycle
+        # always leaves zero-row schema files) counts as empty: the
+        # verdict must be a boolean, not an AnalysisException
+        return not _has_parquet(spark, sink_path) or (
+            spark.read.parquet(sink_path).limit(1).count() == 0
+        )
     from ..streaming.audit import manifest_consistency_audit
 
     return bool(
@@ -1195,20 +1226,33 @@ def repair_erasure(
                 bloom_store_path=store_path,
             ).collect()
             resumed_erased = sum(int(r["rows_erased"]) for r in rrep)
-        # else: the crashed erasure emptied EVERY batch (whole-table
-        # opt-out) and roll-forward dropped every manifest partition —
-        # nothing is enveloped anywhere, so nothing is left to erase;
-        # resuming would abort on the schema-less manifest read.
+            # retire the journal HERE: the resumed call deletes it only
+            # when it found candidate groups, so a no-op resume (keys
+            # outside every surviving envelope) would otherwise leave
+            # it forever — every later vacuum_maintenance refusing and
+            # every repair re-running a no-op, a permanent refusal loop
+            # escapable only by force. The resume RAN to completion, so
+            # the delete is finished regardless of candidate count.
+            fs.delete(hpath(intent_path), False)
+            fs.delete(hpath(keys_path), True)
+            consistent = _audit_ok(spark, sink_path, manifest_path)
+        else:
+            # the crashed erasure emptied EVERY batch (whole-table
+            # opt-out) and roll-forward dropped every manifest
+            # partition — nothing is enveloped anywhere, so nothing is
+            # left to erase; resuming would abort on the schema-less
+            # manifest read. Retire the journal ONLY once the audit
+            # confirms the sink holds no rows: a manifest lost
+            # OUT-OF-BAND while the sink still holds subject rows makes
+            # the journal the last record of what to erase — destroying
+            # it would leave consistent_after=false as the sole signal
+            # (ADVICE r12). Kept journal = found_residue on the next
+            # repair, so the inconsistency stays loud.
+            consistent = _audit_ok(spark, sink_path, manifest_path)
+            if consistent:
+                fs.delete(hpath(intent_path), False)
+                fs.delete(hpath(keys_path), True)
         resumed = True
-        # retire the journal HERE, unconditionally: the resumed call
-        # deletes it only when it found candidate groups, so a no-op
-        # resume (fully-emptied batches, keys outside every surviving
-        # envelope) would otherwise leave it forever — every later
-        # vacuum_maintenance refusing and every repair re-running a
-        # no-op, a permanent refusal loop escapable only by force
-        fs.delete(hpath(intent_path), False)
-        fs.delete(hpath(keys_path), True)
-        consistent = _audit_ok(spark, sink_path, manifest_path)
     else:
         # crash before the journal finished writing: nothing ran, the
         # leftovers are inert

@@ -591,3 +591,66 @@ def test_repair_bloom_store_all_orphans_empties_store(spark, tmp_path):
     assert rep["n_orphan_rows_dropped"] == 2 and rep["current_after"]
     assert not (tmp_path / "blm" / "batch=0").exists()
     assert not (tmp_path / "blm" / "batch=1").exists()
+
+
+def test_null_geometry_is_structural_damage(spark, tmp_path):
+    """A store row with NULL n_bits/n_hashes (out-of-band corruption)
+    is unprobeable — the audit must flag it (a NULL comparison would
+    otherwise vanish inside the NULL-ignoring MIN and the row would
+    read as current) and the repair must re-collect it under the
+    column's modal recorded geometry instead of crashing on int(None)
+    (ADVICE r12)."""
+    sink, blm = str(tmp_path / "sink"), str(tmp_path / "blm")
+    for b in range(3):
+        spark.range(b * 100, b * 100 + 100).select(
+            F.col("id"), F.lit(b).alias("batch")
+        ).write.mode("append").partitionBy("batch").parquet(sink)
+    B.collect_batch_blooms(spark, sink, "id", n_bits=1 << 14).write.partitionBy(
+        "batch"
+    ).parquet(blm)
+    bad = (
+        spark.read.parquet(blm)
+        .filter(F.col("batch") == 1)
+        .withColumn("n_bits", F.lit(None).cast("long"))
+        .withColumn("n_hashes", F.lit(None).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    bad.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch").parquet(blm)
+    audit = B.bloom_store_audit(spark, sink, blm).collect()[0]
+    assert not audit["positions_ok"] and not audit["current"]
+    rep = B.repair_bloom_store(spark, sink, blm).collect()[0]
+    assert rep["n_structural_recollected"] == 1
+    assert rep["current_after"]
+    fixed = (
+        spark.read.parquet(blm).filter(F.col("batch") == 1).collect()[0]
+    )
+    # re-collected under the modal geometry, not a default
+    assert int(fixed["n_bits"]) == 1 << 14 and int(fixed["n_hashes"]) == 3
+    assert B.bloom_store_audit(spark, sink, blm).collect()[0]["current"]
+
+
+def test_repair_all_null_geometry_falls_back_to_default(spark, tmp_path):
+    """A column with NO validly-recorded geometry at all (every row's
+    n_bits/n_hashes NULL) cannot resolve a modal vote — the repair
+    falls back to the module default (1 << 18, 3) rather than
+    aborting, and the re-collected store is current."""
+    sink, blm = str(tmp_path / "sink"), str(tmp_path / "blm")
+    spark.range(0, 100).select(
+        F.col("id"), F.lit(0).alias("batch")
+    ).write.partitionBy("batch").parquet(sink)
+    B.collect_batch_blooms(spark, sink, "id", n_bits=1 << 12).write.partitionBy(
+        "batch"
+    ).parquet(blm)
+    bad = (
+        spark.read.parquet(blm)
+        .withColumn("n_bits", F.lit(None).cast("long"))
+        .withColumn("n_hashes", F.lit(None).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    bad.write.mode("overwrite").partitionBy("batch").parquet(blm)
+    rep = B.repair_bloom_store(spark, sink, blm).collect()[0]
+    assert rep["n_structural_recollected"] == 1 and rep["current_after"]
+    row = spark.read.parquet(blm).collect()[0]
+    assert int(row["n_bits"]) == 1 << 18 and int(row["n_hashes"]) == 3

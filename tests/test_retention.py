@@ -1480,3 +1480,111 @@ def test_repair_erasure_survives_vanished_journaled_store(spark, tmp_path):
     assert rep["consistent_after"]
     assert not _os.path.exists(f"{sink}/.erase_intent.json")
     assert not _os.path.exists(f"{sink}/.erase_keys")
+
+
+def test_audit_parquetless_sink_reads_empty(spark, tmp_path):
+    """An emptied manifest paired with a sink directory holding NO
+    parquet at all (out-of-band damage — the tool's own lifecycle
+    always leaves zero-row schema files): the verdict must be a
+    boolean, not an AnalysisException (ADVICE r12). Empty == empty is
+    consistent."""
+    sink, man = str(tmp_path / "sink"), str(tmp_path / "man")
+    _os.makedirs(sink)
+    _os.makedirs(man)
+    assert R._audit_ok(spark, sink, man)
+    rep = R.repair_manifest(spark, sink, man).collect()[0]
+    assert rep["consistent_after"] and rep["n_batches_repaired"] == 0
+
+
+def test_skipped_resume_keeps_journal_when_sink_holds_rows(spark, tmp_path):
+    """A manifest lost OUT-OF-BAND (every partition deleted behind the
+    tool's back) while the sink still holds subject rows: the journal
+    is the LAST record of what to erase, so the skipped-resume branch
+    must not retire it (ADVICE r12) — consistent_after false and
+    found_residue on every later repair keep the damage loud, and a
+    rebuilt manifest lets the next repair finish the delete."""
+    from superstore_data_pipeline_analytics_dashboard__spark.sources.manifest import (
+        collect_file_stats,
+    )
+
+    sink, man = _build(spark, tmp_path)
+    _journal(spark, sink, [10, 20])
+    for b in range(2):
+        _shutil.rmtree(f"{man}/batch={b}")
+    rep = R.repair_erasure(spark, sink, man).collect()[0]
+    assert not rep["consistent_after"]
+    # the journal survived — the subject rows are still recorded
+    assert _os.path.exists(f"{sink}/.erase_intent.json")
+    assert _os.path.exists(f"{sink}/.erase_keys")
+    rep2 = R.repair_erasure(spark, sink, man).collect()[0]
+    assert rep2["found_residue"] and not rep2["consistent_after"]
+    # the operator rebuilds the manifest; the NEXT repair resumes from
+    # the preserved journal and finishes the compliance delete
+    for b in range(2):
+        stats = collect_file_stats(
+            spark, f"{sink}/batch={b}", ["id"]
+        ).withColumn("batch", F.lit(b))
+        stats.write.mode("append").partitionBy("batch").parquet(man)
+    rep3 = R.repair_erasure(spark, sink, man).collect()[0]
+    assert rep3["erasure_resumed"] and rep3["n_rows_erased_on_resume"] == 2
+    assert rep3["consistent_after"]
+    assert not _os.path.exists(f"{sink}/.erase_keys")
+    left = _ids(spark.read.parquet(sink))
+    assert len(left) == 248 and not {10, 20} & set(left)
+
+
+def test_erase_store_prevalidation_falls_back_to_mergeschema(
+    spark, tmp_path
+):
+    """The store-column pre-validation samples ONE footer per batch
+    dir; a batch with in-batch schema heterogeneity can hide a store
+    column in a file the sample never reads. A would-be refusal now
+    confirms with one mergeSchema union over the batch dirs before
+    raising (ADVICE r12) — the footer sweep is paid only on that rare
+    path. The evolved file is named outside the part- convention so
+    the one-footer sample deterministically misses it."""
+    from superstore_data_pipeline_analytics_dashboard__spark.sources import (
+        bloom as B,
+    )
+    from superstore_data_pipeline_analytics_dashboard__spark.sources.manifest import (
+        collect_file_stats,
+    )
+
+    sink, man, blm = (
+        str(tmp_path / "sink"),
+        str(tmp_path / "man"),
+        str(tmp_path / "blm"),
+    )
+    spark.createDataFrame(
+        [(i,) for i in range(50)], "id BIGINT"
+    ).coalesce(1).write.parquet(f"{sink}/batch=0")
+    # an out-of-band landed file carrying the evolved column
+    tmp = str(tmp_path / "evolved")
+    spark.createDataFrame(
+        [(i, i * 2) for i in range(50, 100)], "id BIGINT, extra BIGINT"
+    ).coalesce(1).write.parquet(tmp)
+    src = next(n for n in _os.listdir(tmp) if n.startswith("part-"))
+    _shutil.move(f"{tmp}/{src}", f"{sink}/batch=0/zz-evolved.parquet")
+    stats = collect_file_stats(
+        spark, f"{sink}/batch=0", ["id"]
+    ).withColumn("batch", F.lit(0))
+    stats.write.partitionBy("batch").parquet(man)
+    rows = B.bloom_summary_rows(
+        spark.read.option("mergeSchema", True)
+        .parquet(f"{sink}/batch=0")
+        .withColumn("batch", F.lit(0)),
+        ["id", "extra"],
+        1 << 13,
+        group_cols=["batch"],
+    )
+    rows.write.partitionBy("batch").parquet(blm)
+    # keys miss the envelope: no rewrite, no refresh — but pre-fix the
+    # pre-validation refused this valid maintained erasure outright
+    rep = R.erase_rows(
+        spark, sink, man, "id", _keys(spark, [9999]),
+        bloom_store_path=blm,
+    )
+    assert sum(r["rows_erased"] for r in rep.collect()) == 0
+    assert (
+        spark.read.option("mergeSchema", True).parquet(sink).count() == 100
+    )
