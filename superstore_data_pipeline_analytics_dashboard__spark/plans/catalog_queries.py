@@ -2572,8 +2572,67 @@ def q67_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q26_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup with a PARTIAL oracle (r13, the q136/q154
+    pattern — this was rows-only since r2): the exact pair set at the
+    same threshold is recomputed in-query (q20's operator, whose SQL
+    twin the oracle runs) and exported row-by-row, with two guarantee
+    booleans the oracle pins TRUE — every MinHash-verified pair is IN
+    the exact set (the verification tier recomputes exact Jaccard, so
+    a stray pair is a bug, not noise), and LSH recall over the exact
+    set ≥ 0.8 (measured 0.96–1.0 across sf0.001/0.01/0.1; the 64-hash
+    16-band S-curve sits at ~0.5, but the synthetic near-dup pairs are
+    far above the 0.2 threshold)."""
     docs = load_table(spark, sf, "documents")
-    return DD.minhash_dedup(docs, "doc_id", "text", n=3, threshold=0.2)
+    exact = (
+        DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+        .select("doc_a", "doc_b", "jaccard")
+        .persist()  # feeds the output rows AND both guarantee joins
+    )
+    found = DD.minhash_dedup(
+        docs, "doc_id", "text", n=3, threshold=0.2
+    ).select("doc_a", "doc_b")
+    hit = exact.join(found, ["doc_a", "doc_b"], "left_semi")
+    stray = found.join(exact, ["doc_a", "doc_b"], "left_anti")
+    flags = (
+        exact.agg(F.count("*").alias("__ne"))
+        .crossJoin(hit.agg(F.count("*").alias("__nf")))
+        .crossJoin(stray.agg(F.count("*").alias("__ns")))
+        .select(
+            (
+                F.col("__nf").cast("double")
+                >= F.lit(0.8) * F.col("__ne").cast("double")
+            ).alias("minhash_recall_ok"),
+            (F.col("__ns") == 0).alias("verified_subset_of_exact"),
+        )
+    )
+    return exact.crossJoin(F.broadcast(flags)).select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        "minhash_recall_ok",
+        "verified_subset_of_exact",
+    )
+
+
+def _q26_oracle_sql() -> str:
+    """Q20's inverted-index skeleton at the same 0.2 threshold + the
+    two TRUE guarantee booleans."""
+    return (
+        """
+WITH exact AS (
+"""
+        + Q20_SQL.strip()
+        + """
+)
+SELECT doc_a, doc_b, jaccard,
+       TRUE AS minhash_recall_ok,
+       TRUE AS verified_subset_of_exact
+FROM exact
+"""
+    )
+
+
+Q26_SQL = _q26_oracle_sql()
 
 
 def q27_simhash_buckets(spark: SparkSession, sf: str) -> DataFrame:
@@ -2599,9 +2658,15 @@ def q69_sign_lsh_neardup(spark: SparkSession, sf: str, threshold: float = 0.95) 
     unit-normalized, so +0.01 per element lands at cos ≈ 0.997. 64
     planes in 4 bands of 16 bits keep random collisions ~n²/65536 while
     recall at cos ≈ 0.997 stays ≈ 0.99. Deterministic (seeded planes +
-    expression perturbation) so the result is stable run-to-run, but
-    recall < 1 by design → rows-only (no exact-SQL oracle can reproduce
-    the candidate set)."""
+    expression perturbation) so the result is stable run-to-run.
+
+    PARTIAL oracle (r13, the q136/q154 pattern — rows-only before): the
+    pair list itself is recall-bound, but the planting makes three
+    claims exact — the vector/planted counts (oracle recomputes from
+    embeddings), ZERO non-planted pairs above the threshold (no
+    original pair exceeds cos 0.52, and perturbed-vs-other cosines stay
+    ≈ their source pair's), and planted-pair recall ≥ 0.95 (measured
+    0.991–0.994 across sf0.001/0.01/0.1)."""
     emb = load_table(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -2610,13 +2675,39 @@ def q69_sign_lsh_neardup(spark: SparkSession, sf: str, threshold: float = 0.95) 
         (F.col("vec_id") + F.lit(n)).alias("vec_id"),
         F.transform(F.col("embedding"), lambda x: x + F.lit(0.01)).alias("embedding"),
     )
-    pairs = SIM.sign_lsh_neardup(
-        emb.unionByName(planted), threshold - 1e-4, n_planes=64, bands=4
+    pairs = (
+        SIM.sign_lsh_neardup(
+            emb.unionByName(planted), threshold - 1e-4, n_planes=64, bands=4
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round("cos_d", 6).cast("double").alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
     )
-    return pairs.select(
-        "id_a", "id_b",
-        F.round("cos_d", 6).cast("double").alias("cos_sim"),
-    ).filter(F.col("cos_sim") >= threshold)
+    is_planted = (F.col("id_b") - F.col("id_a")) == F.lit(n)
+    return pairs.agg(
+        F.coalesce(F.sum(is_planted.cast("long")), F.lit(0)).alias("__np"),
+        F.coalesce(F.sum((~is_planted).cast("long")), F.lit(0)).alias("__nx"),
+    ).select(
+        F.lit(n).cast("bigint").alias("n_vectors"),
+        F.lit(n).cast("bigint").alias("n_planted"),
+        F.col("__nx").cast("bigint").alias("n_extra_pairs"),
+        (
+            F.col("__np").cast("double")
+            >= F.lit(0.95) * F.lit(n).cast("double")
+        ).alias("planted_recall_ok"),
+    )
+
+
+Q69_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(*) AS BIGINT) AS n_planted,
+       CAST(0 AS BIGINT) AS n_extra_pairs,
+       TRUE AS planted_recall_ok
+FROM embeddings
+"""
 
 
 def q72_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -2624,9 +2715,17 @@ def q72_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     IVF-cluster the embeddings, prune cosine-near-dups within each cell.
     Near-dups are planted exactly as in q69 (deterministic +0.01
     perturbation of every vector, cos ≈ 0.997) so the prune has real work;
-    clustering + per-cell GEMM is not SQL-expressible → rows-only. The
-    planted copy (id+n) must drop with its source as near_id; with seed
-    centroids the assignment is deterministic, so rows are stable."""
+    clustering + per-cell GEMM is not SQL-expressible. The planted copy
+    (id+n) must drop with its source as near_id; with seed centroids the
+    assignment is deterministic, so the result is stable.
+
+    PARTIAL oracle (r13, the q136/q154 pattern — rows-only before):
+    only planted pairs sit above the 0.99 threshold and the keep rule
+    is min-id, so every drop must be a planted COPY naming its source
+    as near_id (pinned TRUE — a violation is a hash mismatch), the
+    vector/planted counts are exact, and the drop fraction ≥ 0.85
+    (recall loss is confined to planted pairs straddling a cell
+    boundary; measured 0.898–0.942 across sf0.001/0.01/0.1)."""
     emb = load_table(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -2638,10 +2737,32 @@ def q72_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     out = SIM.semantic_dedup(
         emb.unionByName(planted), threshold=0.99, n_cells=8, centroids="seed"
     )
-    return out.select(
-        "vec_id", "cell", "keep", "near_id",
-        F.round("near_sim", 4).cast("double").alias("near_sim"),
+    dropped = F.col("keep") == F.lit(False)
+    bad_drop = dropped & ~(
+        (F.col("vec_id") >= F.lit(n))
+        & (F.col("near_id") == F.col("vec_id") - F.lit(n))
     )
+    return out.agg(
+        F.coalesce(F.sum(dropped.cast("long")), F.lit(0)).alias("__nd"),
+        F.coalesce(F.sum(bad_drop.cast("long")), F.lit(0)).alias("__nb"),
+    ).select(
+        F.lit(n).cast("bigint").alias("n_vectors"),
+        F.lit(n).cast("bigint").alias("n_planted"),
+        (F.col("__nb") == 0).alias("drops_are_planted_copies"),
+        (
+            F.col("__nd").cast("double")
+            >= F.lit(0.85) * F.lit(n).cast("double")
+        ).alias("drop_recall_ok"),
+    )
+
+
+Q72_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(*) AS BIGINT) AS n_planted,
+       TRUE AS drops_are_planted_copies,
+       TRUE AS drop_recall_ok
+FROM embeddings
+"""
 
 
 # LLM-pipeline: benchmark contamination + within-doc repetition (Gopher-style)
@@ -3153,31 +3274,151 @@ GROUP BY probe_key
 
 
 # KLL quantile sketch / theta distinct sketch: mergeable sublinear state
-# (the 100 TB path past exact percentiles and countDistinct). Estimates
-# are engine-internal → rows-only; tests pin accuracy vs exact answers.
+# (the 100 TB path past exact percentiles and countDistinct). The sketch
+# VALUES are engine-internal, so each query carries a PARTIAL oracle
+# (r13, the q136/q138 pattern — rows-only before): the exact answer is
+# recomputed in-query and exported (the oracle recomputes it in SQL),
+# with the |estimate − exact| ≤ band check folded in-query as a boolean
+# the oracle pins TRUE. The bands are the test-proven tolerance
+# contracts from tests/test_sketches.py, re-measured across
+# sf0.001/0.01/0.1 before conversion. The exact tier in these queries
+# exists FOR verification — at 100 TB production serves the sketch
+# alone; the band proof runs on samples/CI scales.
 
 def q81_kll_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """KLL(200) quantiles of o_totalprice, each pinned inside the exact
+    value bracket at rank q ± 2% (k=200 ⇒ ~1.3% normalized rank
+    error). Exact n is oracle-recomputed; exact percentile VALUES never
+    cross the boundary (interpolation arithmetic is not cross-engine
+    bit-stable) — only the bracket booleans do."""
     from ..operators.sketches import kll_quantiles
 
-    return kll_quantiles(_ord(spark, sf), "o_totalprice")
+    o = _ord(spark, sf)
+    kll = kll_quantiles(o, "o_totalprice", quantiles=(0.25, 0.5, 0.9))
+    br = o.agg(
+        *[
+            F.expr(f"percentile(o_totalprice, {q})").alias(a)
+            for q, a in [
+                (0.23, "lo25"),
+                (0.27, "hi25"),
+                (0.48, "lo50"),
+                (0.52, "hi50"),
+                (0.88, "lo90"),
+                (0.92, "hi90"),
+            ]
+        ]
+    )
+    return kll.crossJoin(F.broadcast(br)).select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        ((F.col("q25") >= F.col("lo25")) & (F.col("q25") <= F.col("hi25"))).alias(
+            "q25_in_band"
+        ),
+        ((F.col("q50") >= F.col("lo50")) & (F.col("q50") <= F.col("hi50"))).alias(
+            "q50_in_band"
+        ),
+        ((F.col("q90") >= F.col("lo90")) & (F.col("q90") <= F.col("hi90"))).alias(
+            "q90_in_band"
+        ),
+    )
+
+
+Q81_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       TRUE AS q25_in_band,
+       TRUE AS q50_in_band,
+       TRUE AS q90_in_band
+FROM orders
+"""
 
 
 def q82_theta_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group theta-sketch distinct estimate, pinned within
+    max(2, 5%) of the exact countDistinct (below the sketch's nominal
+    4096 entries theta is exact-mode, so the band is slack until
+    per-group cardinality passes ~4k)."""
     from ..operators.sketches import theta_distinct_per_group
 
     ev = load_table(spark, sf, "events")
-    return theta_distinct_per_group(ev, "event_type", "user_id")
+    est = theta_distinct_per_group(ev, "event_type", "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        (
+            F.abs(
+                F.col("est_distinct") - F.col("exact_distinct").cast("double")
+            )
+            <= F.greatest(
+                F.lit(2.0), F.lit(0.05) * F.col("exact_distinct").cast("double")
+            )
+        ).alias("est_in_band"),
+    )
+
+
+Q82_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       TRUE AS est_in_band
+FROM events
+GROUP BY event_type
+"""
 
 
 def q87_join_overlap_estimate(spark: SparkSession, sf: str) -> DataFrame:
-    """Join-size planning from KB of sketch: HLL inclusion-exclusion
-    estimate of the lineitem⋈orders key overlap (rows-only — HLL
-    estimates are engine-internal; test pins accuracy vs exact)."""
+    """Join-size planning from KB of sketch: HLL(lgk=14) inclusion-
+    exclusion estimate of the lineitem⋈orders key overlap, each
+    estimate pinned within max(5, 5%) of its exact count (lgk=14 ⇒
+    ~0.8% standard error; measured ≤ 0.7% across sf0.001/0.01/0.1)."""
     from ..operators.sketches import hll_join_overlap
 
     li = _li(spark, sf).select(F.col("l_orderkey").alias("k"))
-    orders = load_table(spark, sf, "orders").select(F.col("o_orderkey").alias("k"))
-    return hll_join_overlap(li, orders, "k")
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    est = hll_join_overlap(li, orders, "k")
+    ld = li.distinct().persist()  # feeds the left count AND the overlap
+    exact = (
+        ld.agg(F.count("*").alias("exact_left"))
+        .crossJoin(
+            orders.agg(F.countDistinct("k").alias("exact_right"))
+        )
+        .crossJoin(
+            ld.join(orders.distinct(), "k", "left_semi").agg(
+                F.count("*").alias("exact_overlap")
+            )
+        )
+    )
+
+    def band(est_col: str, exact_col: str) -> Column:
+        return F.abs(
+            F.col(est_col) - F.col(exact_col).cast("double")
+        ) <= F.greatest(
+            F.lit(5.0), F.lit(0.05) * F.col(exact_col).cast("double")
+        )
+
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.col("exact_left").cast("bigint").alias("exact_left"),
+        F.col("exact_right").cast("bigint").alias("exact_right"),
+        F.col("exact_overlap").cast("bigint").alias("exact_overlap"),
+        band("est_left", "exact_left").alias("left_in_band"),
+        band("est_right", "exact_right").alias("right_in_band"),
+        band("est_overlap", "exact_overlap").alias("overlap_in_band"),
+    )
+
+
+Q87_SQL = """
+WITH l AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+     r AS (SELECT DISTINCT o_orderkey AS k FROM orders)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM l) AS exact_left,
+       (SELECT CAST(count(*) AS BIGINT) FROM r) AS exact_right,
+       (SELECT CAST(count(*) AS BIGINT) FROM l JOIN r USING (k))
+         AS exact_overlap,
+       TRUE AS left_in_band,
+       TRUE AS right_in_band,
+       TRUE AS overlap_in_band
+"""
 
 
 # CDC changelog apply (operators/cdc.py): Debezium/Delta-CDF "apply
@@ -14427,6 +14668,7 @@ _CANON_SQL_CASTS: dict[str, dict[str, str]] = {
     "q15_idempotent_append": {"qty": "DOUBLE"},
     "q17_latest_order_per_customer": {"latest_total": "DOUBLE"},
     "q20_ngram_jaccard_pairs": {"jaccard": "DOUBLE"},
+    "q26_minhash_dedup": {"jaccard": "DOUBLE"},
     "q22_text_quality": {
         "punct_ratio": "DOUBLE",
         "stopword_ratio": "DOUBLE",
@@ -17689,6 +17931,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q74_embedding_quant": q74_embedding_quant,
     "q75_sequence_pack": q75_sequence_pack,
     # ================= end of the 50-query audit window =================
+    # --- r13 partial-oracle upgrades (q136/q138 band pattern, VERDICT
+    #     r12 item 2): six former rows-only queries now carry exact
+    #     counts + oracle-pinned guarantee booleans. Never hash-audited
+    #     by the driver, so they head the re-audit queue — the r14
+    #     rotation splices them into the window ---
+    "q26_minhash_dedup": q26_minhash_dedup,
+    "q69_sign_lsh_neardup": q69_sign_lsh_neardup,
+    "q72_semantic_dedup": q72_semantic_dedup,
+    "q81_kll_quantiles": q81_kll_quantiles,
+    "q82_theta_distinct": q82_theta_distinct,
+    "q87_join_overlap_estimate": q87_join_overlap_estimate,
     # --- the 19 r8-verdict queries not in the window (oldest verdicts
     #     past the window — queue head) ---
     "q76_tfidf_topterms": q76_tfidf_topterms,
@@ -17919,8 +18172,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q229_lang_confusion": q229_lang_confusion,
     "q230_share_matrix": q230_share_matrix,
     "q231_hhi_trend": q231_hhi_trend,
-    # --- rows-only (r3/r4 rows-ran verdicts; q26-q28 r2 rows-ran;
-    #     q220/q235 rows-only by design — recall < 1) ---
+    # --- rows-only (r3/r4 rows-ran verdicts; q27/q28 r2 rows-ran;
+    #     q220/q235 rows-only by design — recall < 1; the structural
+    #     reasons per query are in COVERAGE.md's entry-points note) ---
     "q102_video_frame_sample": q102_video_frame_sample,
     "q108_incremental_minhash_dedup": q108_incremental_minhash_dedup,
     "q114_bpe_merges": q114_bpe_merges,
@@ -17928,14 +18182,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q135_audio_features": q135_audio_features,
     "q38_curate_corpus": q38_curate_corpus,
     "q67_multimodal_features": q67_multimodal_features,
-    "q69_sign_lsh_neardup": q69_sign_lsh_neardup,
-    "q72_semantic_dedup": q72_semantic_dedup,
-    "q81_kll_quantiles": q81_kll_quantiles,
-    "q82_theta_distinct": q82_theta_distinct,
-    "q87_join_overlap_estimate": q87_join_overlap_estimate,
     "q220_pq_ann": q220_pq_ann,
     "q235_ivf_pq_ann": q235_ivf_pq_ann,
-    "q26_minhash_dedup": q26_minhash_dedup,
     "q27_simhash_buckets": q27_simhash_buckets,
     "q28_knn_ivf": q28_knn_ivf,
 }
@@ -18218,6 +18466,14 @@ ORACLES: dict[str, str] = {
     "q284_wholetable_crash_repair": Q284_SQL,
     "q285_journaled_store_reconciliation": Q285_SQL,
     "q286_compaction_marker_repair": Q286_SQL,
+    # --- round-13 partial-oracle upgrades (former rows-only; exact
+    #     counts oracle-recomputed + guarantee booleans pinned TRUE) ---
+    "q26_minhash_dedup": Q26_SQL,
+    "q69_sign_lsh_neardup": Q69_SQL,
+    "q72_semantic_dedup": Q72_SQL,
+    "q81_kll_quantiles": Q81_SQL,
+    "q82_theta_distinct": Q82_SQL,
+    "q87_join_overlap_estimate": Q87_SQL,
 }
 
 # apply the canonical output boundary to every query and oracle (see the

@@ -90,7 +90,7 @@ R13_WINDOW = R13_NEW + R13_R7_CANARIES + R13_R8_CANARIES
 
 def test_registry_counts():
     assert len(QUERIES) == 286
-    assert len(ORACLES) == 269
+    assert len(ORACLES) == 275
     assert set(ORACLES) <= set(QUERIES)
 
 
@@ -110,18 +110,31 @@ def test_window_composition_matches_coverage_doc():
 
 def test_queue_past_window_is_oldest_verdict_first():
     # past the window the oracled re-audit queue is monotone
-    # oldest-verdict-first (the 19 r8-block queries the 31-canary
+    # oldest-verdict-first: FIRST the six r13 partial-oracle upgrades
+    # (former rows-only — never hash-audited, so they have the oldest
+    # possible oracled verdict: none; the r14 rotation splices them
+    # into the window), then the 19 r8-block queries the 31-canary
     # window didn't re-audit, then the r9, r10, r11 and displaced r12
-    # blocks), then the rows-only tail closes the registry
+    # blocks, then the rows-only tail closes the registry
     names = list(QUERIES)
-    r8_rest = names[50:69]
+    upgraded = names[50:56]
+    assert upgraded == [
+        "q26_minhash_dedup",
+        "q69_sign_lsh_neardup",
+        "q72_semantic_dedup",
+        "q81_kll_quantiles",
+        "q82_theta_distinct",
+        "q87_join_overlap_estimate",
+    ]
+    assert all(n in ORACLES for n in upgraded)
+    r8_rest = names[56:75]
     assert r8_rest[0] == "q76_tfidf_topterms"
     assert r8_rest[-1] == "q98_order_count_histogram"
-    assert names[69] == "q251_pagerank_checkpoint_resume"  # r9 head
-    assert names[119] == "q266_lineitem_contract"  # displaced r10 head
-    assert names[169] == "q268_ledger_contract"  # displaced r11 head
+    assert names[75] == "q251_pagerank_checkpoint_resume"  # r9 head
+    assert names[125] == "q266_lineitem_contract"  # displaced r10 head
+    assert names[175] == "q268_ledger_contract"  # displaced r11 head
     i = names.index("q276_bloom_store_audit")  # displaced r12 head
-    assert i == 219
+    assert i == 225
     # the displaced r12 window, in its r12-window order: q276-q281,
     # then the 8 old-r6 + 36 r7-head canaries
     r12_band = names[i : i + 50]
@@ -138,4 +151,4 @@ def test_queue_past_window_is_oldest_verdict_first():
     assert all(n in ORACLES for n in r12_band)
     # everything after the displaced r12 block is the rows-only tail
     assert all(n not in ORACLES for n in names[i + 50 :])
-    assert len(names[i + 50 :]) == 17
+    assert len(names[i + 50 :]) == 11
