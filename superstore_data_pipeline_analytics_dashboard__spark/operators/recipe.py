@@ -44,6 +44,7 @@ __all__ = [
     "hash_order_cumsum",
     "with_temperature_weights",
     "plan_epochs",
+    "waterfill_budget",
 ]
 
 
@@ -193,4 +194,121 @@ def plan_epochs(
     )
     return weighted.withColumn("ideal_tokens", ideal).withColumn(
         "epochs", epochs
+    )
+
+
+def waterfill_budget(
+    per: DataFrame,
+    avail_col: str,
+    budget: int,
+    cap: int = 2,
+    key_cols: Sequence[str] = ("source",),
+) -> DataFrame:
+    """Capacity-aware temperature mixing — the redistribution step
+    :func:`plan_epochs` stops short of.  ``plan_epochs`` caps a small
+    source at ``cap`` epochs and silently DROPS the budget it can no
+    longer absorb; real mixing pipelines re-normalize, letting the
+    excess flow to the uncapped sources (which may then cap too, and
+    so on to a fixpoint).  This is the classic water-filling problem —
+    find the level ``lam`` such that ``alloc_i = min(capacity_i,
+    lam * w_i)`` and ``sum(alloc) = min(budget, sum(capacity))`` —
+    and it has a CLOSED FORM, no iteration: sorted by the cap ratio
+    ``r_i = capacity_i / w_i`` ascending, the capped set is a prefix,
+    and row ``i`` is capped iff the level implied by capping exactly
+    the rows before it still exceeds its own ratio::
+
+        (budget - cum_capacity_before_i) / (Z - cum_w_before_i) > r_i
+
+    (Removing a below-level element raises the pool's implied level,
+    an above-level one lowers it, so the scan's per-row verdict equals
+    the fixpoint's — pinned against an iterative reference in
+    tests/test_recipe.py.)
+
+    Boundary discipline (the q103 pattern): weights come from
+    :func:`with_temperature_weights` (sqrt is IEEE-portable, the
+    normalizer an exact decimal); every cumulative quantity in the
+    scan is an EXACT integer/decimal sum; doubles appear only as
+    correctly-rounded casts, divisions and products of those exact
+    operands, so a DuckDB oracle running the same scan reproduces the
+    allocation bit-for-bit.
+
+    Scale shape: ``per`` is per-SOURCE grain (one row per corpus
+    source/band — dozens, never documents), so the order-only window
+    is the documented bounded-grain ``Exchange SinglePartition`` and
+    every aggregate is summary-sized.  Rows with ``avail_col <= 0``
+    carry zero weight and zero capacity and are dropped (documented:
+    they could only ever allocate zero).
+
+    Returns one row per surviving input row: ``key_cols...``,
+    ``avail_col``, ``share`` / ``temp_w`` / ``z`` (from
+    :func:`with_temperature_weights`), ``capacity`` (BIGINT,
+    ``avail * cap``), ``cap_ratio`` (DOUBLE), ``capped`` (BOOLEAN),
+    ``water_level`` (DOUBLE, the final ``lam`` — identical on every
+    row), ``alloc_tokens`` (DOUBLE, ``capacity`` when capped else
+    ``lam * temp_w``)."""
+    if budget < 0:
+        raise ValueError(f"budget must be non-negative, got {budget}")
+    if cap <= 0:
+        raise ValueError(f"cap must be a positive epoch count, got {cap}")
+    weighted = with_temperature_weights(
+        per.filter(F.col(avail_col) > 0), avail_col
+    )
+    staged = weighted.withColumn(
+        "capacity",
+        (F.col(avail_col).cast("bigint") * F.lit(int(cap))).cast("bigint"),
+    ).withColumn(
+        "cap_ratio",
+        F.col("capacity").cast("double") / F.col("temp_w").cast("double"),
+    )
+    # the threshold scan: EXCLUSIVE running sums over the ratio order
+    # (total order: ratio, then key_cols) — #sources rows, bounded grain
+    w_scan = Window.orderBy("cap_ratio", *key_cols).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    scanned = staged.select(
+        "*",
+        F.coalesce(F.sum("capacity").over(w_scan), F.lit(0))
+        .cast("bigint")
+        .alias("__cum_c"),
+        F.coalesce(
+            F.sum(F.col("temp_w").cast("decimal(28,9)")).over(w_scan),
+            F.lit(0).cast("decimal(28,9)"),
+        ).alias("__cum_w"),
+    )
+    flagged = scanned.withColumn(
+        "capped",
+        (
+            (F.lit(budget) - F.col("__cum_c")).cast("double")
+            / (F.col("z") - F.col("__cum_w")).cast("double")
+        )
+        > F.col("cap_ratio"),
+    )
+    tots = flagged.agg(
+        F.coalesce(F.sum(F.when(F.col("capped"), F.col("capacity"))), F.lit(0))
+        .cast("bigint")
+        .alias("__c_cap"),
+        F.coalesce(
+            F.sum(
+                F.when(~F.col("capped"), F.col("temp_w").cast("decimal(28,9)"))
+            ),
+            F.lit(0).cast("decimal(28,9)"),
+        ).alias("__w_unc"),
+    )
+    return (
+        flagged.crossJoin(F.broadcast(tots))
+        .withColumn(
+            "water_level",
+            F.when(
+                F.col("__w_unc") > 0,
+                (F.lit(budget) - F.col("__c_cap")).cast("double")
+                / F.col("__w_unc").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "alloc_tokens",
+            F.when(F.col("capped"), F.col("capacity").cast("double")).otherwise(
+                F.col("water_level") * F.col("temp_w").cast("double")
+            ),
+        )
+        .drop("__cum_c", "__cum_w", "__c_cap", "__w_unc")
     )

@@ -21,7 +21,12 @@ crash-window fixture —
   packing sequence count cross-checked operator-vs-arithmetic;
 * q291 — vector-store erasure: a compliance delete over an embedding
   sink PROPAGATED to the serving ANN index, with index completeness
-  and doomed-free top-k probes pinned.
+  and doomed-free top-k probes pinned;
+* q292 — capacity-aware temperature mixing: the water-filling
+  redistribution ``plan_epochs`` stops short of (a capped source's
+  unused budget flows to the uncapped ones), solved in CLOSED FORM by
+  ``recipe.waterfill_budget``'s threshold scan and oracled band-exact
+  over length-band token masses.
 
 Why staged DORMANT: the round-13 audit window is a pinned contract
 (tests/test_registry_window.py — q282–q286 + the 45-query
@@ -618,6 +623,125 @@ FROM e, d
 """
 
 
+# ---------------------------------- capacity-aware temperature mixing
+#
+# q292: the redistribution step plan_epochs (q124/q139) stops short
+# of. Capping a small source at `cap` epochs leaves part of the token
+# budget unspent; real mixing recipes re-normalize so the excess flows
+# to the uncapped sources — the water-filling fixpoint, which
+# recipe.waterfill_budget solves in closed form (exclusive-cumsum
+# threshold scan over the capacity/weight ratio order; equivalence to
+# the iterative fixpoint pinned in tests/test_recipe.py). Here the mix
+# axis is document LENGTH BANDS (tok div 16) — the curriculum/packing
+# knob — whose token masses are naturally ~20x skewed, so with cap=2
+# and budget = 1.5x the corpus the short bands cap and the scan does
+# real cascade work at every scale. Every cumulative quantity is an
+# exact integer/decimal sum (the q103 boundary pattern: sqrt + decimal
+# casts, no libm); the oracle runs the identical scan, so allocations
+# cross the hash gate bit-for-bit, not as banded booleans.
+
+def q292_lengthband_waterfill(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    from ..operators.recipe import waterfill_budget
+
+    docs = load_table(spark, sf, "documents")
+    per = (
+        docs.select(T.token_count("text").cast("bigint").alias("tok"))
+        .select(F.expr("tok div 16").cast("bigint").alias("band"), "tok")
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("avail_tokens"),
+        )
+        .persist()  # feeds the weight normalizer, the scan and the totals
+    )
+    # one bounded driver scalar (the date-spine-bounds precedent):
+    # budget = 1.5x the corpus token mass, exact integer arithmetic
+    tot = int(per.agg(F.sum("avail_tokens")).collect()[0][0])
+    filled = waterfill_budget(
+        per, "avail_tokens", budget=tot * 3 // 2, cap=2, key_cols=("band",)
+    )
+    return filled.select(
+        "band",
+        "n_docs",
+        "avail_tokens",
+        "capacity",
+        "capped",
+        "alloc_tokens",
+        "water_level",
+        (F.col("alloc_tokens") / F.col("avail_tokens").cast("double")).alias(
+            "epochs_planned"
+        ),
+    )
+
+
+Q292_SQL = r"""
+WITH d AS (
+  SELECT len(list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+           x -> x <> '')) AS tok
+  FROM documents
+), per AS (
+  SELECT CAST(tok // 16 AS BIGINT) AS band,
+         count(*) AS n_docs,
+         CAST(sum(tok) AS BIGINT) AS avail_tokens
+  FROM d GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(avail_tokens) AS BIGINT) AS tot_tokens FROM per
+), shared AS (
+  SELECT band, n_docs, avail_tokens,
+         CAST(avail_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS share,
+         CAST(tot_tokens * 3 // 2 AS BIGINT) AS budget
+  FROM per CROSS JOIN tot
+), weighted AS (
+  SELECT *,
+         CAST(sqrt(share) AS DECIMAL(18,9)) AS temp_w,
+         CAST(avail_tokens * 2 AS BIGINT) AS capacity
+  FROM shared
+), norm AS (
+  SELECT sum(CAST(temp_w AS DECIMAL(28,9))) AS z FROM weighted
+), ranked AS (
+  SELECT w.*, n.z,
+         CAST(capacity AS DOUBLE) / CAST(temp_w AS DOUBLE) AS cap_ratio,
+         COALESCE(CAST(sum(capacity) OVER scan AS BIGINT), 0) AS cum_c,
+         COALESCE(sum(CAST(temp_w AS DECIMAL(28,9))) OVER scan,
+                  CAST(0 AS DECIMAL(28,9))) AS cum_w
+  FROM weighted w CROSS JOIN norm n
+  WINDOW scan AS (
+    ORDER BY CAST(capacity AS DOUBLE) / CAST(temp_w AS DOUBLE), band
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), flagged AS (
+  SELECT *,
+         (CAST(budget - cum_c AS DOUBLE) / CAST(z - cum_w AS DOUBLE))
+           > cap_ratio AS capped
+  FROM ranked
+), tots AS (
+  SELECT COALESCE(CAST(sum(CASE WHEN capped THEN capacity END) AS BIGINT),
+                  0) AS c_cap,
+         COALESCE(sum(CASE WHEN NOT capped
+                           THEN CAST(temp_w AS DECIMAL(28,9)) END),
+                  CAST(0 AS DECIMAL(28,9))) AS w_unc
+  FROM flagged
+), lam AS (
+  SELECT f.*,
+         CASE WHEN t.w_unc > 0
+              THEN CAST(f.budget - t.c_cap AS DOUBLE)
+                     / CAST(t.w_unc AS DOUBLE)
+              ELSE 0.0 END AS water_level
+  FROM flagged f CROSS JOIN tots t
+)
+SELECT band, n_docs, avail_tokens, capacity, capped,
+       CASE WHEN capped THEN CAST(capacity AS DOUBLE)
+            ELSE water_level * CAST(temp_w AS DOUBLE) END AS alloc_tokens,
+       water_level,
+       (CASE WHEN capped THEN CAST(capacity AS DOUBLE)
+             ELSE water_level * CAST(temp_w AS DOUBLE) END)
+         / CAST(avail_tokens AS DOUBLE) AS epochs_planned
+FROM lam
+"""
+
+
 # ---------------------------------------------------------- registry
 #
 # Dormant: consumed only by tests/test_catalog_r14.py until the r14
@@ -632,6 +756,7 @@ R14_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "q290_corpus_release_report": q290_corpus_release_report,
     "q291_vector_store_erasure": q291_vector_store_erasure,
+    "q292_lengthband_waterfill": q292_lengthband_waterfill,
 }
 R14_ORACLES: dict[str, str] = {
     "q287_erasure_concurrent_append": Q287_SQL,
@@ -639,6 +764,7 @@ R14_ORACLES: dict[str, str] = {
     "q289_incremental_dedup_snapshot_diff": Q289_SQL,
     "q290_corpus_release_report": Q290_SQL,
     "q291_vector_store_erasure": Q291_SQL,
+    "q292_lengthband_waterfill": Q292_SQL,
 }
 
 R14_QUERIES = {name: _canon_query(fn) for name, fn in R14_QUERIES.items()}

@@ -229,3 +229,96 @@ def test_abc_window_runs_per_shard_not_single_partition(spark):
     for s in win_specs:
         if "rev_cents" in s and "part_key" in s:
             assert "__shard" in s, f"global data-grain window:\n{s}"
+
+
+def _ref_waterfill(avails, budget, cap):
+    """Iterative water-filling fixpoint (float weights — the textbook
+    algorithm waterfill_budget's closed-form scan must reproduce):
+    repeat {lam = remaining budget / uncapped weight; cap every source
+    whose capacity falls below its lam-share} until stable."""
+    import math
+
+    tot = sum(avails.values())
+    w = {k: math.sqrt(a / tot) for k, a in avails.items()}
+    cap_tok = {k: a * cap for k, a in avails.items()}
+    capped: set = set()
+    while True:
+        w_unc = sum(w[k] for k in w if k not in capped)
+        if w_unc == 0:
+            lam = 0.0
+            break
+        lam = (budget - sum(cap_tok[k] for k in capped)) / w_unc
+        new = {
+            k for k in w if k not in capped and cap_tok[k] < lam * w[k]
+        }
+        if not new:
+            break
+        capped |= new
+    alloc = {
+        k: (float(cap_tok[k]) if k in capped else lam * w[k]) for k in w
+    }
+    return capped, alloc
+
+
+def test_waterfill_matches_iterative_fixpoint(spark):
+    """The closed-form threshold scan IS the fixpoint: same capped set,
+    same allocations (within the decimal(18,9) weight quantization),
+    and conservation sum(alloc) == min(budget, total capacity) — over
+    a deterministic grid of skews, budgets and caps including the
+    all-capped, none-capped and zero-budget corners."""
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.recipe import (
+        waterfill_budget,
+    )
+
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(8):
+        n = rng.randint(1, 10)
+        avails = {
+            f"s{i}": rng.randint(1, 10 ** rng.randint(1, 6))
+            for i in range(n)
+        }
+        tot = sum(avails.values())
+        budget = [0, tot // 2, tot, 3 * tot // 2, 3 * tot, 10 * tot][
+            trial % 6
+        ]
+        cap = [1, 2, 4][trial % 3]
+        per = spark.createDataFrame(
+            list(avails.items()), "source STRING, avail BIGINT"
+        )
+        out = {
+            r["source"]: r
+            for r in waterfill_budget(
+                per, "avail", budget, cap=cap
+            ).collect()
+        }
+        ref_capped, ref_alloc = _ref_waterfill(avails, budget, cap)
+        got_capped = {k for k, r in out.items() if r["capped"]}
+        assert got_capped == ref_capped, (
+            f"trial {trial}: capped set {sorted(got_capped)} != "
+            f"fixpoint {sorted(ref_capped)}"
+        )
+        for k, r in out.items():
+            assert abs(r["alloc_tokens"] - ref_alloc[k]) <= max(
+                1e-6 * max(budget, 1), 1e-6
+            ), f"trial {trial}/{k}: {r['alloc_tokens']} vs {ref_alloc[k]}"
+        tot_alloc = sum(r["alloc_tokens"] for r in out.values())
+        target = min(budget, cap * tot)
+        assert abs(tot_alloc - target) <= 1e-6 * max(target, 1)
+
+
+def test_waterfill_drops_zero_avail_and_validates(spark):
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.recipe import (
+        waterfill_budget,
+    )
+
+    per = spark.createDataFrame(
+        [("a", 100), ("b", 0), ("c", 300)], "source STRING, avail BIGINT"
+    )
+    out = waterfill_budget(per, "avail", 500, cap=2).collect()
+    assert sorted(r["source"] for r in out) == ["a", "c"]
+    with pytest.raises(ValueError, match="budget"):
+        waterfill_budget(per, "avail", -1)
+    with pytest.raises(ValueError, match="cap"):
+        waterfill_budget(per, "avail", 10, cap=0)
