@@ -45,6 +45,7 @@ __all__ = [
     "with_temperature_weights",
     "plan_epochs",
     "waterfill_budget",
+    "integer_apportion",
 ]
 
 
@@ -311,4 +312,86 @@ def waterfill_budget(
             ),
         )
         .drop("__cum_c", "__cum_w", "__c_cap", "__w_unc")
+    )
+
+
+_EXACT_WEIGHT_TYPES = ("decimal", "int", "bigint", "smallint", "tinyint")
+
+
+def integer_apportion(
+    per: DataFrame,
+    weight_col: str,
+    total: int,
+    key_cols: Sequence[str] = ("source",),
+) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment: split an integer
+    ``total`` across rows proportionally to ``weight_col`` so the
+    parts are INTEGERS that sum to EXACTLY ``total`` — the
+    schedule-building step after mixing (a sampling plan needs "how
+    many sequences from each source", not 8883.91 tokens).  Each row
+    gets ``floor(total * w / W)``; the ``total - sum(floors)``
+    leftover units go one each to the largest fractional parts
+    (ties broken by ``key_cols`` — a total order, so the result is
+    deterministic and engine-portable).
+
+    ``weight_col`` must be DECIMAL or integral.  DOUBLE weights are
+    REFUSED: their normalizer would be a sum of doubles, which is
+    order-dependent under parallel aggregation — nondeterministic on
+    one engine, unreproducible across two.  (Exact-typed weights make
+    ``W`` an exact sum; the per-row quota is then a product and a
+    division of identical exact operands, floor/fraction of a
+    correctly-rounded double is bit-portable, and the remainder rank
+    is a total order — the same boundary discipline as
+    :func:`waterfill_budget`.)
+
+    Zero-weight rows allocate zero and take no part in the remainder
+    lottery (their quota is exactly 0.0; they stay in the output).
+    Scale shape: per-source grain, bounded-grain windows only.
+
+    Returns the input columns plus ``quota`` (DOUBLE, the real-valued
+    entitlement), ``base`` (BIGINT floor), ``extra`` (0/1 leftover
+    unit) and ``alloc`` (BIGINT, ``base + extra``; ``sum(alloc) ==
+    total`` whenever ``total >= 0`` and the weights are not all
+    zero)."""
+    if total < 0:
+        raise ValueError(f"total must be non-negative, got {total}")
+    wtype = per.schema[weight_col].dataType.simpleString()
+    if not wtype.startswith(_EXACT_WEIGHT_TYPES):
+        raise TypeError(
+            f"integer_apportion needs an exact-typed weight column "
+            f"(DECIMAL or integer); {weight_col!r} is {wtype}. A double "
+            "weight would make the normalizer an order-dependent "
+            "parallel sum — cast to DECIMAL at a chosen scale first."
+        )
+    w_exact = F.col(weight_col).cast("decimal(38,9)")
+    norm = per.agg(F.sum(w_exact).alias("__W"))
+    quota = (
+        F.lit(int(total)).cast("double")
+        * F.col(weight_col).cast("double")
+        / F.col("__W").cast("double")
+    )
+    based = (
+        per.crossJoin(F.broadcast(norm))
+        .withColumn("quota", quota)
+        .withColumn("base", F.floor("quota").cast("bigint"))
+        .withColumn("__frac", F.col("quota") - F.col("base").cast("double"))
+    )
+    leftover = based.agg(
+        (F.lit(int(total)) - F.coalesce(F.sum("base"), F.lit(0)))
+        .cast("bigint")
+        .alias("__rem")
+    )
+    w_rank = Window.orderBy(F.col("__frac").desc(), *key_cols)
+    return (
+        based.crossJoin(F.broadcast(leftover))
+        .withColumn("__rk", F.row_number().over(w_rank))
+        .withColumn(
+            "extra",
+            (
+                (F.col("__rk") <= F.col("__rem"))
+                & (F.col(weight_col).cast("decimal(38,9)") > 0)
+            ).cast("bigint"),
+        )
+        .withColumn("alloc", F.col("base") + F.col("extra"))
+        .drop("__W", "__frac", "__rem", "__rk")
     )

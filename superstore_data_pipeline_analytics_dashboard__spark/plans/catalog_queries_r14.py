@@ -26,7 +26,12 @@ crash-window fixture —
   redistribution ``plan_epochs`` stops short of (a capped source's
   unused budget flows to the uncapped ones), solved in CLOSED FORM by
   ``recipe.waterfill_budget``'s threshold scan and oracled band-exact
-  over length-band token masses.
+  over length-band token masses;
+* q293 — integer sampling-schedule quotas: Hamilton largest-remainder
+  apportionment (``recipe.integer_apportion``) turns the temperature
+  weights into per-band sequence COUNTS that sum to exactly the
+  schedule size — double weights refused by design (order-dependent
+  parallel sums), so the allocation is engine-exact.
 
 Why staged DORMANT: the round-13 audit window is a pinned contract
 (tests/test_registry_window.py — q282–q286 + the 45-query
@@ -742,6 +747,96 @@ FROM lam
 """
 
 
+# ------------------------------------ integer sampling-schedule quotas
+#
+# q293: the step AFTER mixing — a sampling plan needs "how many
+# sequences from each band", an INTEGER that sums to exactly the
+# schedule size, not 8883.91 tokens. recipe.integer_apportion is
+# Hamilton largest-remainder apportionment: floor everyone's
+# real-valued entitlement, then hand the leftover units to the
+# largest fractional parts (total-order tie-break on band). The
+# operator REFUSES double weights — their normalizer would be an
+# order-dependent parallel sum, nondeterministic on one engine and
+# unreproducible across two — so the query feeds it the exact
+# decimal(18,9) temperature weights; quota/floor/fraction are then
+# correctly-rounded doubles of identical exact operands and the
+# integer allocations cross the hash gate exactly.
+
+def q293_apportion_schedule(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    from ..operators.recipe import integer_apportion, with_temperature_weights
+
+    docs = load_table(spark, sf, "documents")
+    per = (
+        docs.select(T.token_count("text").cast("bigint").alias("tok"))
+        .select(F.expr("tok div 16").cast("bigint").alias("band"), "tok")
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("avail_tokens"),
+        )
+        .persist()  # feeds the weight normalizer and the apportionment
+    )
+    tot = int(per.agg(F.sum("avail_tokens")).collect()[0][0])
+    # q292's token budget, cut into 512-token schedule slots
+    total_seqs = (tot * 3 // 2) // 512
+    weighted = with_temperature_weights(per, "avail_tokens")
+    out = integer_apportion(
+        weighted, "temp_w", total_seqs, key_cols=("band",)
+    )
+    return out.select(
+        "band", "n_docs", "avail_tokens", "quota", "base", "extra", "alloc"
+    )
+
+
+Q293_SQL = r"""
+WITH d AS (
+  SELECT len(list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+           x -> x <> '')) AS tok
+  FROM documents
+), per AS (
+  SELECT CAST(tok // 16 AS BIGINT) AS band,
+         count(*) AS n_docs,
+         CAST(sum(tok) AS BIGINT) AS avail_tokens
+  FROM d GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(avail_tokens) AS BIGINT) AS tot_tokens FROM per
+), shared AS (
+  SELECT band, n_docs, avail_tokens,
+         CAST(avail_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS share,
+         CAST((tot_tokens * 3 // 2) // 512 AS BIGINT) AS total_seqs
+  FROM per CROSS JOIN tot
+), weighted AS (
+  SELECT *, CAST(sqrt(share) AS DECIMAL(18,9)) AS temp_w
+  FROM shared
+), norm AS (
+  SELECT sum(CAST(temp_w AS DECIMAL(38,9))) AS w_norm FROM weighted
+), based AS (
+  SELECT w.*,
+         CAST(total_seqs AS DOUBLE) * CAST(temp_w AS DOUBLE)
+           / CAST(n.w_norm AS DOUBLE) AS quota
+  FROM weighted w CROSS JOIN norm n
+), fl AS (
+  SELECT *, CAST(floor(quota) AS BIGINT) AS base,
+         quota - CAST(CAST(floor(quota) AS BIGINT) AS DOUBLE) AS frac
+  FROM based
+), rem AS (
+  SELECT CAST((SELECT min(total_seqs) FROM fl) - sum(base) AS BIGINT)
+           AS leftover
+  FROM fl
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY frac DESC, band) AS rk
+  FROM fl
+)
+SELECT band, n_docs, avail_tokens, quota, base,
+       CAST((rk <= leftover AND temp_w > 0) AS BIGINT) AS extra,
+       base + CAST((rk <= leftover AND temp_w > 0) AS BIGINT) AS alloc
+FROM ranked CROSS JOIN rem
+"""
+
+
 # ---------------------------------------------------------- registry
 #
 # Dormant: consumed only by tests/test_catalog_r14.py until the r14
@@ -757,6 +852,7 @@ R14_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q290_corpus_release_report": q290_corpus_release_report,
     "q291_vector_store_erasure": q291_vector_store_erasure,
     "q292_lengthband_waterfill": q292_lengthband_waterfill,
+    "q293_apportion_schedule": q293_apportion_schedule,
 }
 R14_ORACLES: dict[str, str] = {
     "q287_erasure_concurrent_append": Q287_SQL,
@@ -765,6 +861,7 @@ R14_ORACLES: dict[str, str] = {
     "q290_corpus_release_report": Q290_SQL,
     "q291_vector_store_erasure": Q291_SQL,
     "q292_lengthband_waterfill": Q292_SQL,
+    "q293_apportion_schedule": Q293_SQL,
 }
 
 R14_QUERIES = {name: _canon_query(fn) for name, fn in R14_QUERIES.items()}

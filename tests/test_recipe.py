@@ -322,3 +322,60 @@ def test_waterfill_drops_zero_avail_and_validates(spark):
         waterfill_budget(per, "avail", -1)
     with pytest.raises(ValueError, match="cap"):
         waterfill_budget(per, "avail", 10, cap=0)
+
+
+def test_integer_apportion_sums_exactly_and_orders_remainders(spark):
+    """Hamilton apportionment: allocs are integers summing to EXACTLY
+    the total, each within 1 of its real-valued quota (the classic
+    quota property largest-remainder satisfies), leftovers go to the
+    largest fractional parts, and zero-weight rows allocate zero."""
+    from decimal import Decimal
+
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.recipe import (
+        integer_apportion,
+    )
+
+    import random
+
+    rng = random.Random(77)
+    for trial in range(6):
+        n = rng.randint(1, 12)
+        weights = {f"s{i}": rng.randint(0, 1000) for i in range(n)}
+        if sum(weights.values()) == 0:
+            weights["s0"] = 1
+        total = rng.choice([0, 1, 7, 100, 12345])
+        per = spark.createDataFrame(
+            [(k, Decimal(v)) for k, v in weights.items()],
+            "source STRING, w DECIMAL(18,9)",
+        )
+        out = {
+            r["source"]: r
+            for r in integer_apportion(per, "w", total).collect()
+        }
+        assert sum(r["alloc"] for r in out.values()) == total
+        W = sum(weights.values())
+        for k, r in out.items():
+            q = total * weights[k] / W
+            assert r["alloc"] >= int(q) - 0 and r["alloc"] <= int(q) + 1, (
+                f"trial {trial}/{k}: alloc {r['alloc']} vs quota {q}"
+            )
+            if weights[k] == 0:
+                assert r["alloc"] == 0
+
+
+def test_integer_apportion_refuses_double_weights(spark):
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.recipe import (
+        integer_apportion,
+    )
+
+    per = spark.createDataFrame(
+        [("a", 1.5), ("b", 2.5)], "source STRING, w DOUBLE"
+    )
+    with pytest.raises(TypeError, match="order-dependent"):
+        integer_apportion(per, "w", 10)
+    with pytest.raises(ValueError, match="total"):
+        integer_apportion(
+            spark.createDataFrame([("a", 1)], "source STRING, w BIGINT"),
+            "w",
+            -5,
+        )
