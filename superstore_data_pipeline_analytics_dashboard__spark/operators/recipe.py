@@ -365,10 +365,24 @@ def integer_apportion(
         )
     w_exact = F.col(weight_col).cast("decimal(38,9)")
     norm = per.agg(F.sum(w_exact).alias("__W"))
-    quota = (
+    # all-zero weights would hit ANSI DIVIDE_BY_ZERO with Spark's
+    # generic message; assert_true turns it into a NAMED refusal at
+    # zero extra job cost (nvl2(assert, ...) evaluates the assert
+    # per-row inside the same projection: NULL when passing, throw
+    # when not — the column itself is never materialized)
+    quota = F.nvl2(
+        F.assert_true(
+            F.col("__W") > 0,
+            F.lit(
+                "integer_apportion: the weights sum to zero — there is "
+                "no proportion to apportion by; drop the all-zero input "
+                "or choose a different weight column"
+            ),
+        ),
+        F.lit(None).cast("double"),
         F.lit(int(total)).cast("double")
         * F.col(weight_col).cast("double")
-        / F.col("__W").cast("double")
+        / F.col("__W").cast("double"),
     )
     based = (
         per.crossJoin(F.broadcast(norm))

@@ -379,3 +379,18 @@ def test_integer_apportion_refuses_double_weights(spark):
             "w",
             -5,
         )
+
+
+def test_integer_apportion_refuses_all_zero_weights(spark):
+    from decimal import Decimal
+
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.recipe import (
+        integer_apportion,
+    )
+
+    per = spark.createDataFrame(
+        [("a", Decimal(0)), ("b", Decimal(0))],
+        "source STRING, w DECIMAL(18,9)",
+    )
+    with pytest.raises(Exception, match="no proportion to apportion"):
+        integer_apportion(per, "w", 10).collect()
