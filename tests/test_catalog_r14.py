@@ -43,27 +43,40 @@ def test_staged_query_matches_oracle(spark, duck_sf, name):
     assert not problems, problems
 
 
-# NOTE: q290 is the only staged query whose executedPlan is a real
-# distributed plan (the other four return driver-local createDataFrame
-# rows of already-collected scalars — LocalTableScan, vacuously clean);
-# its hygiene is pinned here so registration adds it to the catalog
-# sweep pre-certified.
+# NOTE: q290, q292 and q293 are the staged queries whose executedPlan
+# is a real distributed plan (the incident chains return driver-local
+# createDataFrame rows of already-collected scalars — LocalTableScan,
+# vacuously clean); their hygiene is pinned here so registration adds
+# them to the catalog sweep pre-certified. The mixing queries' only
+# SinglePartition exchanges must sit on the bounded length-band grain
+# (the scan/rank windows over ~7 rows), never the document grain —
+# pinned by asserting the document-grain aggregation shuffles on the
+# band key first.
 
 
-def test_release_report_plan_is_clean(spark):
-    from superstore_data_pipeline_analytics_dashboard__spark.plans.catalog_queries_r14 import (
-        q290_corpus_release_report,
-    )
-
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "q290_corpus_release_report",
+        "q292_lengthband_waterfill",
+        "q293_apportion_schedule",
+    ],
+)
+def test_staged_distributed_plans_are_clean(spark, qname):
     spark.catalog.clearCache()  # CacheManager substitution is order-dependent
     plan = (
-        q290_corpus_release_report(spark, SF_SMOKE)
+        R14_QUERIES[qname](spark, SF_SMOKE)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+    if qname != "q290_corpus_release_report":
+        # the document-grain rollup must hash-partition on the band key
+        # before any order-only (SinglePartition) window runs: the
+        # windows themselves then see only the ~7 band rows
+        assert "hashpartitioning(band" in plan, plan
 
 
 def test_staged_names_not_yet_registered():
