@@ -315,7 +315,6 @@ def waterfill_budget(
     )
 
 
-_EXACT_WEIGHT_TYPES = ("decimal", "int", "bigint", "smallint", "tinyint")
 
 
 def integer_apportion(
@@ -353,30 +352,42 @@ def integer_apportion(
     unit) and ``alloc`` (BIGINT, ``base + extra``; ``sum(alloc) ==
     total`` whenever ``total >= 0`` and the weights are not all
     zero)."""
+    from pyspark.sql.types import DecimalType, IntegralType
+
     if total < 0:
         raise ValueError(f"total must be non-negative, got {total}")
-    wtype = per.schema[weight_col].dataType.simpleString()
-    if not wtype.startswith(_EXACT_WEIGHT_TYPES):
+    wtype = per.schema[weight_col].dataType
+    # isinstance, not a simpleString prefix: "interval day to second"
+    # startswith "int" and would slip a non-numeric column past the
+    # named refusal into a raw downstream AnalysisException (review r13)
+    if not isinstance(wtype, (DecimalType, IntegralType)):
         raise TypeError(
             f"integer_apportion needs an exact-typed weight column "
-            f"(DECIMAL or integer); {weight_col!r} is {wtype}. A double "
-            "weight would make the normalizer an order-dependent "
-            "parallel sum — cast to DECIMAL at a chosen scale first."
+            f"(DECIMAL or integer); {weight_col!r} is "
+            f"{wtype.simpleString()}. A double weight would make the "
+            "normalizer an order-dependent parallel sum — cast to "
+            "DECIMAL at a chosen scale first."
         )
     w_exact = F.col(weight_col).cast("decimal(38,9)")
-    norm = per.agg(F.sum(w_exact).alias("__W"))
+    norm = per.agg(
+        F.sum(w_exact).alias("__W"), F.min(w_exact).alias("__w_min")
+    )
     # all-zero weights would hit ANSI DIVIDE_BY_ZERO with Spark's
-    # generic message; assert_true turns it into a NAMED refusal at
-    # zero extra job cost (nvl2(assert, ...) evaluates the assert
-    # per-row inside the same projection: NULL when passing, throw
-    # when not — the column itself is never materialized)
+    # generic message, and a NEGATIVE weight silently breaks the
+    # sum(alloc) == total contract (its floor can undershoot by more
+    # than the remainder lottery can repay — review r13); assert_true
+    # turns both into NAMED refusals at zero extra job cost
+    # (nvl2(assert, ...) evaluates the assert per-row inside the same
+    # projection: NULL when passing, throw when not — the column
+    # itself is never materialized)
     quota = F.nvl2(
         F.assert_true(
-            F.col("__W") > 0,
+            (F.col("__W") > 0) & (F.col("__w_min") >= 0),
             F.lit(
-                "integer_apportion: the weights sum to zero — there is "
-                "no proportion to apportion by; drop the all-zero input "
-                "or choose a different weight column"
+                "integer_apportion: weights must be non-negative and "
+                "must not all be zero — a negative weight breaks the "
+                "exact-sum guarantee and an all-zero set has no "
+                "proportion to apportion by"
             ),
         ),
         F.lit(None).cast("double"),

@@ -196,9 +196,13 @@ def q288_ivf_snapshot_maintenance(
 
     with _scratch("q288_ivf_") as base:
         sink, man, log = f"{base}/sink", f"{base}/man", f"{base}/log"
-        emb = load_table(spark, sf, "embeddings").select(
-            "vec_id",
-            F.col("embedding").cast("array<double>").alias("embedding"),
+        emb = (
+            load_table(spark, sf, "embeddings")
+            .select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("embedding"),
+            )
+            .persist()  # feeds v1/arriving, the full rebuild and the count
         )
         v1 = emb.filter(F.col("vec_id") % 2 == 0)
         arriving = emb.filter(F.col("vec_id") % 2 == 1)
@@ -246,12 +250,14 @@ def q288_ivf_snapshot_maintenance(
             int(r["version"]): int(r["rows_added"])
             for r in snapshot_ledger(spark, log).collect()
         }
+        n_vectors = emb.count()
         a1.unpersist()
         cents.unpersist()
+        emb.unpersist()
         return spark.createDataFrame(
             [
                 (
-                    emb.count(),
+                    n_vectors,
                     v1_rows,
                     diff_rows,
                     v2_rows,
@@ -534,9 +540,13 @@ def q291_vector_store_erasure(spark: SparkSession, sf: str) -> DataFrame:
 
     with _scratch("q291_vec_") as base:
         sink, man = f"{base}/sink", f"{base}/man"
-        emb = load_table(spark, sf, "embeddings").select(
-            "vec_id",
-            F.col("embedding").cast("array<double>").alias("embedding"),
+        emb = (
+            load_table(spark, sf, "embeddings")
+            .select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("embedding"),
+            )
+            .persist()  # feeds count/max, the sink write and the opt-outs
         )
         n = emb.count()
         hi = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
@@ -562,6 +572,7 @@ def q291_vector_store_erasure(spark: SparkSession, sf: str) -> DataFrame:
         rep = erase_rows(spark, sink, man, "vec_id", doomed).persist()
         n_erased = int(rep.agg(F.sum("rows_erased")).collect()[0][0])
         rep.unpersist()
+        emb.unpersist()
         consistent = bool(
             manifest_consistency_audit(spark, sink, man)
             .collect()[0]["consistent"]
@@ -695,10 +706,15 @@ WITH d AS (
 ), tot AS (
   SELECT CAST(sum(avail_tokens) AS BIGINT) AS tot_tokens FROM per
 ), shared AS (
+  -- mirror waterfill_budget's avail > 0 drop: a zero-token band
+  -- carries zero weight and zero capacity on the Spark side and is
+  -- excluded from the fill (its tokens add nothing to tot_tokens, so
+  -- the shares and budget are unchanged by the filter)
   SELECT band, n_docs, avail_tokens,
          CAST(avail_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS share,
          CAST(tot_tokens * 3 // 2 AS BIGINT) AS budget
   FROM per CROSS JOIN tot
+  WHERE avail_tokens > 0
 ), weighted AS (
   SELECT *,
          CAST(sqrt(share) AS DECIMAL(18,9)) AS temp_w,

@@ -129,18 +129,37 @@ def _read_text(spark: SparkSession, path: str) -> str:
 
 def _has_parquet(spark: SparkSession, path: str) -> bool:
     """True iff ``path`` exists and holds at least one parquet part
-    file (recursively). A whole-table erasure legitimately drops EVERY
-    manifest partition, and ``spark.read.parquet`` on the emptied
-    directory raises (unable to infer schema) — repair paths use this
-    guard to treat that state as nothing-left-to-reconcile instead of
-    aborting mid-phase with the journal still on disk."""
+    file that SPARK WOULD READ (recursively, skipping files under
+    hidden ``.``/``_`` path components — Spark's reader ignores
+    those). A whole-table erasure legitimately drops EVERY manifest
+    partition, and ``spark.read.parquet`` on the emptied directory
+    raises (unable to infer schema) — repair paths use this guard to
+    treat that state as nothing-left-to-reconcile instead of aborting
+    mid-phase with the journal still on disk. The hidden-component
+    skip matters for exactly that guard: a sink whose visible data
+    was lost out-of-band may still hold the erasure journal's OWN
+    parquet (``.erase_keys/part-*``) or staging/trash residue, and
+    counting those would re-raise the AnalysisException this function
+    exists to pre-empt (review r13)."""
     fs, hpath = _fs(spark, path)
-    if not fs.exists(hpath(path)):
+    root = hpath(path)
+    if not fs.exists(root):
         return False
-    it = fs.listFiles(hpath(path), True)
+    root_str = fs.makeQualified(root).toString().rstrip("/")
+    it = fs.listFiles(root, True)
     while it.hasNext():
-        if it.next().getPath().getName().startswith("part-"):
-            return True
+        p = it.next().getPath()
+        if not p.getName().startswith("part-"):
+            continue
+        rel = p.toString()[len(root_str):].strip("/")
+        # directory components between the root and the file: any
+        # hidden one (.erase_keys, .compact_staging_*, _tmp...) means
+        # Spark's reader would never see this file
+        if any(
+            c.startswith((".", "_")) for c in rel.split("/")[:-1]
+        ):
+            continue
+        return True
     return False
 
 

@@ -394,3 +394,28 @@ def test_integer_apportion_refuses_all_zero_weights(spark):
     )
     with pytest.raises(Exception, match="no proportion to apportion"):
         integer_apportion(per, "w", 10).collect()
+
+
+def test_integer_apportion_refuses_negative_and_interval_weights(spark):
+    """Review r13: a negative weight silently breaks the exact-sum
+    contract (its floor undershoots by more than the remainder lottery
+    can repay), and the old simpleString-prefix type check let
+    interval types ('interval...' startswith 'int') slip past the
+    named refusal into a raw downstream error."""
+    from decimal import Decimal
+
+    from superstore_data_pipeline_analytics_dashboard__spark.operators.recipe import (
+        integer_apportion,
+    )
+
+    neg = spark.createDataFrame(
+        [("a", Decimal(-1)), ("b", Decimal(3))],
+        "source STRING, w DECIMAL(18,9)",
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        integer_apportion(neg, "w", 7).collect()
+    iv = spark.sql(
+        "SELECT 'a' AS source, INTERVAL '1' DAY AS w"
+    )
+    with pytest.raises(TypeError, match="DECIMAL or integer"):
+        integer_apportion(iv, "w", 10)

@@ -1588,3 +1588,30 @@ def test_erase_store_prevalidation_falls_back_to_mergeschema(
     assert (
         spark.read.option("mergeSchema", True).parquet(sink).count() == 100
     )
+
+
+def test_audit_ignores_journal_residue_parquet(spark, tmp_path):
+    """The parquet-less guards must count only parquet SPARK WOULD
+    READ: a sink whose visible data was lost out-of-band may still
+    hold the erasure journal's OWN parquet (.erase_keys/part-*) or
+    staging residue under hidden directories, which spark.read.parquet
+    ignores — counting them re-raises the AnalysisException the guard
+    exists to pre-empt, stranding the journal in the permanent
+    refusal loop (review r13, confirmed by reproduction against the
+    pre-fix guard)."""
+    sink, man = str(tmp_path / "sink"), str(tmp_path / "man")
+    _os.makedirs(sink)
+    _os.makedirs(man)
+    _journal(spark, sink, [10, 20])
+    # hidden residue only — no visible parquet anywhere
+    assert not R._has_parquet(spark, sink)
+    assert R._audit_ok(spark, sink, man)  # boolean, not AnalysisException
+    rep = R.repair_erasure(spark, sink, man).collect()[0]
+    # nothing visible to erase and the audit confirms empty == empty:
+    # the repair completes and retires the journal instead of looping
+    assert rep["found_residue"] and rep["consistent_after"]
+    assert not _os.path.exists(f"{sink}/.erase_intent.json")
+    assert not _os.path.exists(f"{sink}/.erase_keys")
+    # a visible part- file outside hidden dirs still counts
+    spark.range(3).coalesce(1).write.parquet(f"{sink}/batch=0")
+    assert R._has_parquet(spark, sink)
