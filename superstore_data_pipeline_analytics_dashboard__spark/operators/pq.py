@@ -255,13 +255,16 @@ def pq_adc_recall(
     dsub = d // m
 
     qrows = quant.filter(query_pred).select("vec_id", "q", "nq").collect()
+    # ADC scoring keeps the one-row array-of-structs + explode shape
+    # DELIBERATELY (r13 A/B): a |Q|-row broadcast join was probed and
+    # regressed ~20% — its join output materializes the m·k-long lookup
+    # table per (vector, query) row, where this form computes `est`
+    # inside the transform and explodes only (qid, est).
     tables = _adc_tables(qrows, codebooks, m, dsub)
     tdf = spark.createDataFrame(
         [(tables,)],
         "qt array<struct<qid: bigint, tbl: array<array<bigint>>>>",
     )
-
-    # ADC scoring: fold the m table lookups per (vector, query)
     scored = codes.crossJoin(F.broadcast(tdf)).select(
         "vec_id",
         F.explode(
@@ -288,37 +291,31 @@ def pq_adc_recall(
         F.col("rnk") <= k_top
     )
 
-    # exact tier on the SAME int8 grid: integer distances, same ties
+    # exact tier on the SAME int8 grid: integer distances, same ties —
+    # same r13 restructure (|Q|-row broadcast frame + zip_with fold dot;
+    # rows and integer values identical to the exploded form)
     qvec = spark.createDataFrame(
-        [([(int(r["vec_id"]), list(r["q"]), int(r["nq"])) for r in qrows],)],
-        "qs array<struct<qid: bigint, q: array<bigint>, nq: bigint>>",
+        [(int(r["vec_id"]), list(r["q"]), int(r["nq"])) for r in qrows],
+        "qid BIGINT, qq ARRAY<BIGINT>, qnq BIGINT",
     )
-    exact = quant.crossJoin(F.broadcast(qvec)).select(
-        "vec_id",
-        F.explode(
-            F.transform(
-                "qs",
-                lambda s: F.struct(
-                    s["qid"].alias("qid"),
-                    (
-                        F.col("nq")
-                        + s["nq"]
-                        - F.lit(2).cast("long")
-                        * F.aggregate(
-                            F.zip_with(
-                                F.col("q"), s["q"], lambda a, b: a * b
-                            ),
-                            F.lit(0).cast("long"),
-                            lambda acc, x: acc + x,
-                        )
-                    ).alias("dist"),
-                ),
-            )
-        ).alias("s"),
-    ).select(
-        "vec_id", F.col("s.qid").alias("qid"), F.col("s.dist").alias("dist")
+    qdot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("qq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
-    exact = exact.filter(F.col("vec_id") != F.col("qid"))
+    exact = (
+        quant.crossJoin(F.broadcast(qvec))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "vec_id",
+            "qid",
+            (
+                F.col("nq")
+                + F.col("qnq")
+                - F.lit(2).cast("long") * qdot
+            ).alias("dist"),
+        )
+    )
     we = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
     exact_top = exact.withColumn("rnk", F.row_number().over(we)).filter(
         F.col("rnk") <= k_top
@@ -442,34 +439,31 @@ def ivf_pq_recall(
         F.count("*").cast("bigint").alias("n_scored")
     )
 
-    # exact integer tier over the FULL corpus (same grid, same ties)
+    # exact integer tier over the FULL corpus (same grid, same ties) —
+    # r13 restructure: |Q|-row broadcast frame + zip_with fold dot; rows
+    # and integer values identical to the exploded form
     qvec = spark.createDataFrame(
-        [([(int(r["vec_id"]), list(r["q"]), int(r["nq"])) for r in qrows],)],
-        "qs array<struct<qid: bigint, q: array<bigint>, nq: bigint>>",
+        [(int(r["vec_id"]), list(r["q"]), int(r["nq"])) for r in qrows],
+        "qid BIGINT, qq ARRAY<BIGINT>, qnq BIGINT",
     )
-    exact = quant.crossJoin(F.broadcast(qvec)).select(
-        "vec_id",
-        F.explode(
-            F.transform(
-                "qs",
-                lambda s: F.struct(
-                    s["qid"].alias("qid"),
-                    (
-                        F.col("nq")
-                        + s["nq"]
-                        - F.lit(2).cast("long")
-                        * F.aggregate(
-                            F.zip_with(F.col("q"), s["q"], lambda a, b: a * b),
-                            F.lit(0).cast("long"),
-                            lambda acc, x: acc + x,
-                        )
-                    ).alias("dist"),
-                ),
-            )
-        ).alias("s"),
-    ).select(
-        "vec_id", F.col("s.qid").alias("qid"), F.col("s.dist").alias("dist")
-    ).filter(F.col("vec_id") != F.col("qid"))
+    qdot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("qq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        quant.crossJoin(F.broadcast(qvec))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "vec_id",
+            "qid",
+            (
+                F.col("nq")
+                + F.col("qnq")
+                - F.lit(2).cast("long") * qdot
+            ).alias("dist"),
+        )
+    )
     we = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
     exact_top = exact.withColumn("rnk", F.row_number().over(we)).filter(
         F.col("rnk") <= k_top
