@@ -233,6 +233,43 @@ def _adc_tables(
     return tables
 
 
+def _exact_int_top(
+    quant: DataFrame, qrows, k_top: int
+) -> DataFrame:
+    """Exact integer reference tier, shared by both recall evals (the
+    two copies had drifted into verbatim duplicates — ADVICE r13): the
+    |Q|-row broadcast query frame (r13 restructure), the zip_with fold
+    dot, the squared-L2 distance on the int8 grid, and the per-query
+    top-``k_top`` window with the lowest-vec_id tie-break."""
+    spark = quant.sparkSession
+    qvec = spark.createDataFrame(
+        [(int(r["vec_id"]), list(r["q"]), int(r["nq"])) for r in qrows],
+        "qid BIGINT, qq ARRAY<BIGINT>, qnq BIGINT",
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("qq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        quant.crossJoin(F.broadcast(qvec))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "vec_id",
+            "qid",
+            (
+                F.col("nq")
+                + F.col("qnq")
+                - F.lit(2).cast("long") * qdot
+            ).alias("dist"),
+        )
+    )
+    we = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return exact.withColumn("rnk", F.row_number().over(we)).filter(
+        F.col("rnk") <= k_top
+    )
+
+
 def pq_adc_recall(
     emb: DataFrame,
     query_pred: Column,
@@ -251,8 +288,9 @@ def pq_adc_recall(
     the same documented collect class as IVF's centroid seeds."""
     codes, codebooks, quant = pq_train_encode(emb, m=m, k=k, iters=iters)
     spark = emb.sparkSession
-    d = len(quant.select("q").first()[0])
-    dsub = d // m
+    # subvector width from the trained codebooks — re-probing it via
+    # quant.select("q").first() was one redundant cached-scan job (r14)
+    dsub = len(codebooks[0][0][1])
 
     qrows = quant.filter(query_pred).select("vec_id", "q", "nq").collect()
     # ADC scoring keeps the one-row array-of-structs + explode shape
@@ -292,34 +330,9 @@ def pq_adc_recall(
     )
 
     # exact tier on the SAME int8 grid: integer distances, same ties —
-    # same r13 restructure (|Q|-row broadcast frame + zip_with fold dot;
-    # rows and integer values identical to the exploded form)
-    qvec = spark.createDataFrame(
-        [(int(r["vec_id"]), list(r["q"]), int(r["nq"])) for r in qrows],
-        "qid BIGINT, qq ARRAY<BIGINT>, qnq BIGINT",
-    )
-    qdot = F.aggregate(
-        F.zip_with(F.col("q"), F.col("qq"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    exact = (
-        quant.crossJoin(F.broadcast(qvec))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "vec_id",
-            "qid",
-            (
-                F.col("nq")
-                + F.col("qnq")
-                - F.lit(2).cast("long") * qdot
-            ).alias("dist"),
-        )
-    )
-    we = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
-    exact_top = exact.withColumn("rnk", F.row_number().over(we)).filter(
-        F.col("rnk") <= k_top
-    )
+    # r13 restructure (|Q|-row broadcast frame + zip_with fold dot; rows
+    # and integer values identical to the exploded form)
+    exact_top = _exact_int_top(quant, qrows, k_top)
 
     overlap = (
         adc_top.select("qid", "vec_id")
@@ -337,7 +350,14 @@ def pq_adc_recall(
             "qid",
         )
     )
-    out = (
+    # returned LAZY as one plan (r14, VERDICT r13 item 8): the old
+    # collect + createDataFrame round-trip hid the whole eval behind a
+    # `Scan ExistingRDD` final plan, so the census could not see it.
+    # `quant` stays persisted (one-shot driver semantics — the repo's
+    # standing persist rule; the caller's single action reads it once,
+    # and unpersisting here would let a lazy consumer retrain from
+    # scratch). Values identical: same plan, same integer arithmetic.
+    return (
         bests.join(overlap, "qid", "left")
         .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)))
         .select(
@@ -350,9 +370,6 @@ def pq_adc_recall(
             ),
         )
     )
-    rows = out.collect()
-    quant.unpersist()
-    return spark.createDataFrame(rows, out.schema)
 
 
 def ivf_pq_recall(
@@ -385,8 +402,9 @@ def ivf_pq_recall(
 
     spark = emb.sparkSession
     codes, codebooks, quant = pq_train_encode(emb, m=m, k=k, iters=iters)
-    d = len(quant.select("q").first()[0])
-    dsub = d // m
+    # subvector width from the trained codebooks (r14, same as
+    # pq_adc_recall: drops one redundant cached-scan job)
+    dsub = len(codebooks[0][0][1])
 
     cents = seed_centroids(emb, n_cells)
     cells = ivf_assign(emb, cents).select("vec_id", "cell")
@@ -442,32 +460,7 @@ def ivf_pq_recall(
     # exact integer tier over the FULL corpus (same grid, same ties) —
     # r13 restructure: |Q|-row broadcast frame + zip_with fold dot; rows
     # and integer values identical to the exploded form
-    qvec = spark.createDataFrame(
-        [(int(r["vec_id"]), list(r["q"]), int(r["nq"])) for r in qrows],
-        "qid BIGINT, qq ARRAY<BIGINT>, qnq BIGINT",
-    )
-    qdot = F.aggregate(
-        F.zip_with(F.col("q"), F.col("qq"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    exact = (
-        quant.crossJoin(F.broadcast(qvec))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "vec_id",
-            "qid",
-            (
-                F.col("nq")
-                + F.col("qnq")
-                - F.lit(2).cast("long") * qdot
-            ).alias("dist"),
-        )
-    )
-    we = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
-    exact_top = exact.withColumn("rnk", F.row_number().over(we)).filter(
-        F.col("rnk") <= k_top
-    )
+    exact_top = _exact_int_top(quant, qrows, k_top)
 
     overlap = (
         adc_top.select("qid", "vec_id")
@@ -485,7 +478,10 @@ def ivf_pq_recall(
             "qid",
         )
     )
-    out = (
+    # returned LAZY as one plan (r14, VERDICT r13 item 8) — same
+    # rationale as pq_adc_recall: the census sees the real tree, quant
+    # stays persisted under the one-shot persist rule
+    return (
         bests.join(n_scored, "qid")
         .join(overlap, "qid", "left")
         .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)))
@@ -500,6 +496,3 @@ def ivf_pq_recall(
             ),
         )
     )
-    rows = out.collect()
-    quant.unpersist()
-    return spark.createDataFrame(rows, out.schema)

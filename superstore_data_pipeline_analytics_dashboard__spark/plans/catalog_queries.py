@@ -16025,32 +16025,60 @@ def q270_bloom_point_prune(spark: SparkSession, sf: str) -> DataFrame:
             .limit(3)
             .persist()  # 3 rows, feeds 4 consumers below
         )
-        n_keys = keys.count()
         env = src.groupBy("batch").agg(
             F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
-        )
-        n_env = (
-            env.join(
-                keys,
-                (F.col("o_orderkey") >= F.col("lo"))
-                & (F.col("o_orderkey") <= F.col("hi")),
-                "left_semi",
-            ).count()
         )
         true_pairs = src.join(keys, "o_orderkey").select(
             "batch", "o_orderkey"
         )
-        n_hit = true_pairs.select("batch").distinct().count()
         blooms = collect_batch_blooms(
             spark, sink, "o_orderkey", n_bits=n_bits
         )
         cand = bloom_candidates(
             blooms, keys, "o_orderkey", n_bits=n_bits
         ).persist()  # feeds the miss check AND the candidate count
-        n_missed = true_pairs.join(
-            cand, ["batch", "o_orderkey"], "left_anti"
-        ).count()
-        n_bloom = cand.select("batch").distinct().count()
+
+        # ONE tagged action computes all five audit counts — they were
+        # five driver-sequenced jobs over metadata-sized frames (r14
+        # job-count fold; count_distinct == the old distinct().count())
+        def _tag(i: int, agg_df) -> DataFrame:
+            return agg_df.select(
+                F.lit(i).alias("__t"), F.col("v").cast("long").alias("v")
+            )
+
+        counts = {
+            int(r["__t"]): int(r["v"])
+            for r in _tag(0, keys.agg(F.count(F.lit(1)).alias("v")))
+            .unionByName(
+                _tag(
+                    1,
+                    env.join(
+                        keys,
+                        (F.col("o_orderkey") >= F.col("lo"))
+                        & (F.col("o_orderkey") <= F.col("hi")),
+                        "left_semi",
+                    ).agg(F.count(F.lit(1)).alias("v")),
+                )
+            )
+            .unionByName(
+                _tag(2, true_pairs.agg(F.count_distinct("batch").alias("v")))
+            )
+            .unionByName(
+                _tag(
+                    3,
+                    true_pairs.join(
+                        cand, ["batch", "o_orderkey"], "left_anti"
+                    ).agg(F.count(F.lit(1)).alias("v")),
+                )
+            )
+            .unionByName(
+                _tag(4, cand.agg(F.count_distinct("batch").alias("v")))
+            )
+            .collect()
+        }
+        n_keys, n_env, n_hit, n_missed, n_bloom = (
+            counts[i] for i in range(5)
+        )
         cand.unpersist()
         keys.unpersist()
         src.unpersist()  # scratch sink — gone when the context exits
@@ -16229,7 +16257,10 @@ def q272_bloomed_erasure(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("o_orderkey")
             .limit(3)
         )
-        rep = erase_rows(
+        # ONE action over the (local, #batches-row) erasure report —
+        # was persist + count + filtered count + agg (r14 job-count
+        # fold; values identical)
+        agg = erase_rows(
             spark,
             sink,
             man,
@@ -16237,14 +16268,14 @@ def q272_bloomed_erasure(spark: SparkSession, sf: str) -> DataFrame:
             doomed,
             blooms={"o_orderkey": blooms},
             bloom_n_bits=n_bits,
-        ).persist()  # driver-scalar source for all four aggregates
-        n_batches = rep.count()
-        n_rewritten = rep.filter("rewritten").count()
-        agg = rep.agg(
+        ).agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum(F.col("rewritten").cast("long")).alias("nr"),
             F.sum("rows_erased").alias("er"),
             F.sum("rows_after").alias("af"),
         ).collect()[0]
-        rep.unpersist()
+        n_batches = int(agg["nb"])
+        n_rewritten = int(agg["nr"])
         n_hit = (
             df.join(doomed, "o_orderkey")
             .select("batch")
@@ -16504,7 +16535,10 @@ def q275_streamed_bloom_chain(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("o_orderkey") % 3 == 0)
             & (F.col("o_orderkey") % 301 == 0)
         )
-        rep = erase_rows(
+        # ONE action over the (local, #batches-row) erasure report —
+        # was persist + count + filtered count + agg (r14 job-count
+        # fold; values identical)
+        agg = erase_rows(
             spark,
             sink,
             man,
@@ -16512,14 +16546,14 @@ def q275_streamed_bloom_chain(spark: SparkSession, sf: str) -> DataFrame:
             doomed,
             blooms={"o_orderkey": store},
             bloom_n_bits=n_bits,
-        ).persist()
-        n_batches = rep.count()
-        n_rewritten = rep.filter("rewritten").count()
-        agg = rep.agg(
+        ).agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum(F.col("rewritten").cast("long")).alias("nr"),
             F.sum("rows_erased").alias("er"),
             F.sum("rows_after").alias("af"),
         ).collect()[0]
-        rep.unpersist()
+        n_batches = int(agg["nb"])
+        n_rewritten = int(agg["nr"])
         # point read through the SAME store, for two surviving keys
         probe = [
             int(r["o_orderkey"])
@@ -16702,9 +16736,13 @@ def q277_erasure_crash_repair(spark: SparkSession, sf: str) -> DataFrame:
     with _scratch("q277_crash_") as base:
         sink, man = f"{base}/sink", f"{base}/man"
         orders = load_table(spark, sf, "orders").select("o_orderkey")
-        w = orders.agg(
-            (F.expr("max(o_orderkey) div 4") + 1).alias("w")
-        ).collect()[0]["w"]
+        # ONE scan yields the batch width AND the pre-count (was two
+        # driver-sequenced jobs over the same column — r14 fold)
+        head = orders.agg(
+            (F.expr("max(o_orderkey) div 4") + 1).alias("w"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        w, n_before = head["w"], int(head["n"])
         df = orders.select(
             "o_orderkey",
             F.expr(f"o_orderkey div {w}").cast("int").alias("batch"),
@@ -16726,7 +16764,6 @@ def q277_erasure_crash_repair(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
         stats.write.partitionBy("batch").parquet(man)
-        n_before = orders.count()
         doomed = df.filter(
             (F.col("batch") == 1) & (F.col("o_orderkey") % 13 == 0)
         ).select("o_orderkey")
@@ -16773,8 +16810,15 @@ def q277_erasure_crash_repair(spark: SparkSession, sf: str) -> DataFrame:
         )
         rep = repair_erasure(spark, sink, man).collect()[0]
         after = spark.read.option("basePath", sink).parquet(sink)
-        n_after = after.count()
-        n_remaining = after.join(doomed, "o_orderkey", "left_semi").count()
+        # ONE action yields both post-repair counts (was a count plus a
+        # semi-join count — r14 fold; doomed keys are distinct order
+        # keys, so the marker left join cannot multiply rows)
+        dm = doomed.distinct().withColumn("__d", F.lit(1))
+        tail = after.join(dm, "o_orderkey", "left").agg(
+            F.count(F.lit(1)).alias("na"),
+            F.count("__d").alias("nr"),
+        ).collect()[0]
+        n_after, n_remaining = int(tail["na"]), int(tail["nr"])
         return spark.createDataFrame(
             [
                 (
@@ -16849,36 +16893,56 @@ def q278_bloom_autosize(spark: SparkSession, sf: str) -> DataFrame:
             .limit(3)
             .persist()
         )
-        n_keys = keys.count()
         src = spark.read.option("basePath", sink).parquet(sink)
         true_pairs = src.join(keys, "o_orderkey").select(
             "batch", "o_orderkey"
         ).persist()
-        n_hit = true_pairs.select("batch").distinct().count()
         auto = collect_batch_blooms(spark, sink, "o_orderkey").persist()
-        geom = auto.select("n_bits").distinct().collect()
-        pow2_ok = len(geom) == 1 and (
-            int(geom[0]["n_bits"]) & (int(geom[0]["n_bits"]) - 1) == 0
-        )
-        sat = auto.agg(
-            F.max(
-                F.size("bloom_pos").cast("long") * 8 - F.col("n_bits")
-            ).alias("m")
-        ).collect()[0]["m"]
-        auto_not_saturated = int(sat) < 0
         cand = bloom_candidates(auto, keys, "o_orderkey").persist()
-        n_missed = true_pairs.join(
-            cand, ["batch", "o_orderkey"], "left_anti"
-        ).count()
-        n_auto_batches = cand.select("batch").distinct().count()
         tiny = collect_batch_blooms(
             spark, sink, "o_orderkey", n_bits=1 << 10
         )
-        tiny_sat = tiny.agg(
-            F.max(
-                F.size("bloom_pos").cast("long") * 8 - F.col("n_bits")
-            ).alias("m")
-        ).collect()[0]["m"]
+        over = F.size("bloom_pos").cast("long") * 8 - F.col("n_bits")
+
+        # ONE tagged action computes all eight audit scalars — they
+        # were seven driver-sequenced jobs over metadata-sized frames
+        # (r14 job-count fold; count_distinct == distinct().count(),
+        # and the geometry check reads count_distinct + min instead of
+        # collecting the distinct n_bits list)
+        def _tag(i: int, agg_df) -> DataFrame:
+            return agg_df.select(
+                F.lit(i).alias("__t"), F.col("v").cast("long").alias("v")
+            )
+
+        vals = {
+            int(r["__t"]): int(r["v"])
+            for r in _tag(0, keys.agg(F.count(F.lit(1)).alias("v")))
+            .unionByName(
+                _tag(1, true_pairs.agg(F.count_distinct("batch").alias("v")))
+            )
+            .unionByName(
+                _tag(2, auto.agg(F.count_distinct("n_bits").alias("v")))
+            )
+            .unionByName(_tag(3, auto.agg(F.min("n_bits").alias("v"))))
+            .unionByName(_tag(4, auto.agg(F.max(over).alias("v"))))
+            .unionByName(
+                _tag(
+                    5,
+                    true_pairs.join(
+                        cand, ["batch", "o_orderkey"], "left_anti"
+                    ).agg(F.count(F.lit(1)).alias("v")),
+                )
+            )
+            .unionByName(
+                _tag(6, cand.agg(F.count_distinct("batch").alias("v")))
+            )
+            .unionByName(_tag(7, tiny.agg(F.max(over).alias("v"))))
+            .collect()
+        }
+        n_keys, n_hit = vals[0], vals[1]
+        pow2_ok = vals[2] == 1 and (vals[3] & (vals[3] - 1)) == 0
+        auto_not_saturated = vals[4] < 0
+        n_missed, n_auto_batches, tiny_sat = vals[5], vals[6], vals[7]
         for p in (cand, auto, true_pairs, keys):
             p.unpersist()
         return spark.createDataFrame(
@@ -17005,7 +17069,11 @@ def q279_multicol_bloomed_erasure(
             .limit(3)
             .select("o_orderkey", "o_custkey")
         )
-        rep = erase_rows(
+        # ONE action over the (local, #batches-row) erasure report —
+        # this was persist + count + filtered count + agg, four driver
+        # round trips on a frame erase_rows built from a python list
+        # (r14 job-count fold; values identical)
+        agg = erase_rows(
             spark,
             sink,
             man,
@@ -17013,14 +17081,14 @@ def q279_multicol_bloomed_erasure(
             doomed,
             blooms=stores,
             bloom_store_path=blm,
-        ).persist()
-        n_batches = rep.count()
-        n_rewritten = rep.filter("rewritten").count()
-        agg = rep.agg(
+        ).agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum(F.col("rewritten").cast("long")).alias("nr"),
             F.sum("rows_erased").alias("er"),
             F.sum("rows_after").alias("af"),
         ).collect()[0]
-        rep.unpersist()
+        n_batches = int(agg["nb"])
+        n_rewritten = int(agg["nr"])
         store_ok = all(
             r["current"]
             for r in bloom_store_audit(spark, sink, blm).collect()
@@ -17135,8 +17203,21 @@ def q280_compaction_crash_chain(spark: SparkSession, sf: str) -> DataFrame:
             for st in fs.listStatus(hpath(f"{sink}/batch=0"))
             if st.getPath().getName().startswith("part-")
         )
-        n_rows = spark.read.parquet(f"{sink}/batch=0").count()
-        lo = orders.agg(F.min("o_orderkey").alias("lo")).collect()[0]["lo"]
+        # ONE tagged action for the post-repair row count and the
+        # pruned-read bound (independent frames — r14 job-count fold)
+        vals = {
+            int(r["__t"]): int(r["v"])
+            for r in spark.read.parquet(f"{sink}/batch=0")
+            .agg(F.count(F.lit(1)).alias("v"))
+            .select(F.lit(0).alias("__t"), F.col("v").cast("long").alias("v"))
+            .unionByName(
+                orders.agg(F.min("o_orderkey").alias("v")).select(
+                    F.lit(1).alias("__t"), F.col("v").cast("long").alias("v")
+                )
+            )
+            .collect()
+        }
+        n_rows, lo = vals[0], vals[1]
         pruned_n = read_pruned(
             spark, spark.read.parquet(man), "o_orderkey", lo, lo + 99
         ).count()
@@ -17246,12 +17327,25 @@ def q281_manifest_repair(spark: SparkSession, sf: str) -> DataFrame:
             ]
         )
         rep = repair_manifest(spark, sink, man).collect()[0]
-        pruned = read_pruned(
-            spark, spark.read.parquet(man), "o_orderkey", hi + 1, hi + 25
-        ).count()
-        n_rows = int(
-            spark.read.parquet(man).agg(F.sum("n_rows")).collect()[0][0]
-        )
+        # ONE tagged action for the pruned-read count and the manifest
+        # row total (independent frames — r14 job-count fold)
+        vals = {
+            int(r["__t"]): int(r["v"])
+            for r in read_pruned(
+                spark, spark.read.parquet(man), "o_orderkey", hi + 1, hi + 25
+            )
+            .agg(F.count(F.lit(1)).alias("v"))
+            .select(F.lit(0).alias("__t"), F.col("v").cast("long").alias("v"))
+            .unionByName(
+                spark.read.parquet(man)
+                .agg(F.sum("n_rows").alias("v"))
+                .select(
+                    F.lit(1).alias("__t"), F.col("v").cast("long").alias("v")
+                )
+            )
+            .collect()
+        }
+        pruned, n_rows = vals[0], vals[1]
         return spark.createDataFrame(
             [
                 (
@@ -17397,8 +17491,13 @@ def q282_bloom_store_repair(spark: SparkSession, sf: str) -> DataFrame:
         untouched_identical = ident(before0) == ident(after0)
         audit = bloom_store_audit(spark, sink, blm).collect()[0]
         store = spark.read.parquet(blm)
-        n_keys_after = int(store.agg(F.sum("n_keys")).collect()[0][0])
-        n_store_batches = store.select("batch").distinct().count()
+        # ONE action yields both post-repair store stats (was an agg
+        # plus a distinct count — r14 job-count fold; values identical)
+        st = store.agg(
+            F.sum("n_keys").alias("nk"),
+            F.count_distinct("batch").alias("nb"),
+        ).collect()[0]
+        n_keys_after, n_store_batches = int(st["nk"]), int(st["nb"])
         return spark.createDataFrame(
             [
                 (
@@ -17566,12 +17665,14 @@ def q284_wholetable_crash_repair(spark: SparkSession, sf: str) -> DataFrame:
         df.write.partitionBy("batch").parquet(sink)
         _orderkey_manifest(spark, sink, man)
         doomed = orders.select("o_orderkey")
-        rep0 = erase_rows(spark, sink, man, "o_orderkey", doomed).persist()
-        erased_total = int(
-            rep0.agg(F.sum("rows_erased")).collect()[0][0]
-        )
-        n_emptied = rep0.filter("rows_after = 0").count()
-        rep0.unpersist()
+        # ONE action over the (local) erasure report — was persist +
+        # agg + filtered count (r14 job-count fold; values identical)
+        rep0 = erase_rows(spark, sink, man, "o_orderkey", doomed).agg(
+            F.sum("rows_erased").alias("er"),
+            F.sum((F.col("rows_after") == 0).cast("long")).alias("ne"),
+        ).collect()[0]
+        erased_total = int(rep0["er"])
+        n_emptied = int(rep0["ne"])
         # the final-instant crash: everything done, journal not retired
         doomed.write.parquet(f"{sink}/.erase_keys")
         _write_text(
@@ -17696,13 +17797,25 @@ def q285_journaled_store_reconciliation(
             fs.exists(hpath(f"{sink}/.erase_intent.json"))
             or fs.exists(hpath(f"{sink}/.erase_keys"))
         )
-        n_after = spark.read.option("basePath", sink).parquet(sink).count()
-        n_keys_b0 = int(
-            spark.read.parquet(blm)
-            .filter(F.col("batch") == 0)
-            .agg(F.sum("n_keys"))
-            .collect()[0][0]
-        )
+        # ONE tagged action yields the post-repair sink count AND the
+        # batch-0 store mass (was two driver-sequenced jobs — r14 fold)
+        vals = {
+            int(r["__t"]): int(r["v"])
+            for r in spark.read.option("basePath", sink)
+            .parquet(sink)
+            .agg(F.count(F.lit(1)).alias("v"))
+            .select(F.lit(0).alias("__t"), F.col("v").cast("long").alias("v"))
+            .unionByName(
+                spark.read.parquet(blm)
+                .filter(F.col("batch") == 0)
+                .agg(F.sum("n_keys").alias("v"))
+                .select(
+                    F.lit(1).alias("__t"), F.col("v").cast("long").alias("v")
+                )
+            )
+            .collect()
+        }
+        n_after, n_keys_b0 = vals[0], vals[1]
         return spark.createDataFrame(
             [
                 (
@@ -17809,8 +17922,21 @@ def q286_compaction_marker_repair(
         marker_cleaned = not fs.exists(
             hpath(f"{sink}/.compact_commit_batch=0.json")
         )
-        n_rows = spark.read.parquet(f"{sink}/batch=0").count()
-        lo = orders.agg(F.min("o_orderkey").alias("lo")).collect()[0]["lo"]
+        # ONE tagged action for the post-repair row count and the
+        # pruned-read bound (independent frames — r14 job-count fold)
+        vals = {
+            int(r["__t"]): int(r["v"])
+            for r in spark.read.parquet(f"{sink}/batch=0")
+            .agg(F.count(F.lit(1)).alias("v"))
+            .select(F.lit(0).alias("__t"), F.col("v").cast("long").alias("v"))
+            .unionByName(
+                orders.agg(F.min("o_orderkey").alias("v")).select(
+                    F.lit(1).alias("__t"), F.col("v").cast("long").alias("v")
+                )
+            )
+            .collect()
+        }
+        n_rows, lo = vals[0], vals[1]
         pruned_n = read_pruned(
             spark, spark.read.parquet(man), "o_orderkey", lo, lo + 99
         ).count()

@@ -246,31 +246,50 @@ def _resolve_meta(
     contradicting explicit parameter (or probe key type) RAISES —
     a mismatched probe silently false-negatives, the worst failure
     mode for a compliance delete. Raw frames without metadata fall
-    back to the explicit parameters (or the historical defaults)."""
-    if "key_col" in blooms.columns:
-        sliced = blooms.filter(F.col("key_col") == col)
-        if not sliced.limit(1).count() and blooms.limit(1).count():
-            # a nonempty multi-column summary frame that never
-            # collected THIS column: zero candidate batches would read
-            # as "key nowhere" — for the erasure consumer that is the
-            # silent-no-op failure mode load_bloom_store's raise exists
-            # to prevent, reachable here by handing erase_rows the
-            # wrong column's frame
-            have = sorted(
-                r["key_col"]
-                for r in blooms.select("key_col").distinct().collect()
-            )
-            raise ValueError(
-                f"bloom summaries carry no rows for column {col!r} "
-                f"(collected: {have}) — probing them would silently "
-                "prune every batch"
-            )
-        blooms = sliced
-    if "n_bits" not in blooms.columns:
+    back to the explicit parameters (or the historical defaults).
+
+    ONE aggregation job resolves emptiness AND geometry (it was two
+    ``limit(1).count()`` probes plus a ``distinct().collect()`` — three
+    driver-sequenced jobs per probe call, and the incident chains pay
+    this per erasure/audit step; the summary frame is metadata-sized,
+    so job COUNT is the cost, not bytes). The distinct-``key_col``
+    sweep is paid only on the refusal path."""
+    has_keycol = "key_col" in blooms.columns
+    has_meta = "n_bits" in blooms.columns
+    sliced = blooms.filter(F.col("key_col") == col) if has_keycol else blooms
+    if not has_keycol and not has_meta:
+        return sliced, n_bits or 1 << 18, n_hashes or 3
+    is_col = F.col("key_col") == col if has_keycol else F.lit(True)
+    aggs = [
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(is_col.cast("long")).alias("n_col"),
+    ]
+    if has_meta:
+        aggs.append(
+            F.collect_set(
+                F.when(is_col, F.struct("key_type", "n_bits", "n_hashes"))
+            ).alias("meta")
+        )
+    probe = blooms.agg(*aggs).collect()[0]
+    if has_keycol and not probe["n_col"] and probe["n_total"]:
+        # a nonempty multi-column summary frame that never collected
+        # THIS column: zero candidate batches would read as "key
+        # nowhere" — for the erasure consumer that is the silent-no-op
+        # failure mode load_bloom_store's raise exists to prevent,
+        # reachable here by handing erase_rows the wrong column's frame
+        have = sorted(
+            r["key_col"]
+            for r in blooms.select("key_col").distinct().collect()
+        )
+        raise ValueError(
+            f"bloom summaries carry no rows for column {col!r} "
+            f"(collected: {have}) — probing them would silently "
+            "prune every batch"
+        )
+    blooms = sliced
+    if not has_meta:
         return blooms, n_bits or 1 << 18, n_hashes or 3
-    meta = (
-        blooms.select("key_type", "n_bits", "n_hashes").distinct().collect()
-    )
+    meta = probe["meta"]
     if len(meta) > 1:
         raise ValueError(
             f"bloom summaries for {col!r} carry inconsistent geometry "
@@ -438,10 +457,9 @@ def read_bloom_pruned(
     return src.filter(F.col(col).isin(vals))
 
 
-def _require_meta(store: DataFrame, bloom_path: str) -> list[str]:
-    """Validate a store frame is self-describing (r11 rows) and return
-    its bloomed columns, sorted. Shared by the audit and the repair so
-    they refuse the same un-auditable stores."""
+def _require_meta_schema(store: DataFrame, bloom_path: str) -> None:
+    """Schema-only half of :func:`_require_meta` (no job): raise on a
+    store frame that is not self-describing (r11 rows)."""
     missing_meta = [c for c in _META_COLS if c not in store.columns]
     if missing_meta:
         raise ValueError(
@@ -450,6 +468,13 @@ def _require_meta(store: DataFrame, bloom_path: str) -> list[str]:
             "collect_batch_blooms / start_append_with_manifest to make "
             "it auditable"
         )
+
+
+def _require_meta(store: DataFrame, bloom_path: str) -> list[str]:
+    """Validate a store frame is self-describing (r11 rows) and return
+    its bloomed columns, sorted. Shared by the audit and the repair so
+    they refuse the same un-auditable stores."""
+    _require_meta_schema(store, bloom_path)
     cols = sorted(
         r["key_col"] for r in store.select("key_col").distinct().collect()
     )
@@ -722,21 +747,26 @@ def repair_bloom_store(
     from .retention import _fs
 
     store = spark.read.parquet(bloom_path)
-    cols = _require_meta(store, bloom_path)
+    _require_meta_schema(store, bloom_path)
+    # resolve per-column geometry: modal recorded (n_bits, n_hashes)
+    # by row count, ties to the larger n_bits (metadata-sized collect:
+    # #cols × #distinct geometries rows). ONE job yields the bloomed
+    # column list too — this used to be _require_meta's separate
+    # distinct().collect() plus this groupBy (two driver round trips)
+    geo = (
+        store.groupBy("key_col", "n_bits", "n_hashes")
+        .count()
+        .collect()
+    )
+    cols = sorted({r["key_col"] for r in geo})
+    if not cols:
+        raise ValueError(f"bloom store at {bloom_path} is empty")
     sink = spark.read.option("basePath", sink_path).parquet(sink_path)
     sink_types = {
         c: sink.schema[c].dataType.simpleString()
         for c in cols
         if c in sink.columns
     }
-    # resolve per-column geometry: modal recorded (n_bits, n_hashes)
-    # by row count, ties to the larger n_bits (metadata-sized collect:
-    # #cols × #distinct geometries rows)
-    geo = (
-        store.groupBy("key_col", "n_bits", "n_hashes")
-        .count()
-        .collect()
-    )
     resolved: dict[str, tuple[int, int]] = {}
     for c in cols:
         # a row with NULL n_bits/n_hashes cannot vote — it is itself

@@ -88,7 +88,7 @@ import functools
 import json
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -315,15 +315,19 @@ def erase_rows(
         # the maintenance flag
         store_bits, _ = _load_store_geometry(spark, bloom_store_path)
         # union schema from ONE sampled footer per batch dir
-        # (driver-side, #batches reads — the landing convention is one
-        # schema per batch, and this check is advisory fail-early: the
-        # refresh itself skips absent columns, so under-sampling can
-        # at worst delay detection, never corrupt). A full-sink
-        # mergeSchema read here would be a per-erasure footer sweep of
-        # EVERY file — the jobs-∝-inventory shape file-grain erasure
-        # exists to avoid.
+        # (the landing convention is one schema per batch, and this
+        # check is advisory fail-early: the refresh itself skips absent
+        # columns, so under-sampling can at worst delay detection,
+        # never corrupt). A full-sink mergeSchema read here would be a
+        # per-erasure footer sweep of EVERY file — the jobs-∝-inventory
+        # shape file-grain erasure exists to avoid. The sampled footers
+        # are merged in ONE multi-path read (it was one DataFrame
+        # construction + footer read per batch dir — #batches driver
+        # round trips per maintained erasure); cross-batch TYPE
+        # conflicts, which the name-union tolerates but schema merging
+        # refuses, fall back to the per-batch loop.
         vfs, vhp = _fs(spark, sink_path)
-        sink_union: set[str] = set()
+        sample_parts: list[str] = []
         for st in vfs.listStatus(vhp(sink_path)):
             if not st.isDirectory() or not st.getPath().getName(
             ).startswith("batch="):
@@ -337,9 +341,21 @@ def erase_rows(
                 None,
             )
             if part is not None:
-                sink_union.update(
-                    f.name for f in spark.read.parquet(part).schema
-                )
+                sample_parts.append(part)
+        sink_union: set[str] = set()
+        if sample_parts:
+            try:
+                sink_union = {
+                    f.name
+                    for f in spark.read.option("mergeSchema", True)
+                    .parquet(*sample_parts)
+                    .schema
+                }
+            except Exception:
+                for part in sample_parts:
+                    sink_union.update(
+                        f.name for f in spark.read.parquet(part).schema
+                    )
         absent = sorted(set(store_bits) - sink_union)
         if absent:
             # the one-footer-per-batch sample above is advisory: a
@@ -384,37 +400,16 @@ def erase_rows(
     env = man.groupBy(F.col("batch").cast("long").alias("batch")).agg(
         F.sum("n_rows").alias("rows_before")
     )
-    # per-batch pre-erasure counts are #batches rows — collected NOW,
-    # because the report must describe the PRE-erasure manifest and
-    # everything below mutates it (the one-shot-lazy trap: a frame read
-    # lazily after the rewrite would silently describe the
-    # post-erasure state)
-    env_rows = env.collect()
-    before_counts = {int(r["batch"]): int(r["rows_before"]) for r in env_rows}
     k = (
         keys.select(*(F.col(c).alias(f"k_{c}") for c in cols))
         .distinct()
         .persist()
     )
-    # ONE job materializes the persisted key list AND counts NULL
-    # entries (docstring NULL policy: a NULL opt-out key would no-op
-    # silently through every null-rejecting join below — refuse it
-    # loudly); two separate count jobs here cost a full scheduling
-    # round-trip each on every erasure
+    # NULL policy (docstring): a NULL opt-out key would no-op silently
+    # through every null-rejecting join below — refuse it loudly
     any_null = functools.reduce(
         lambda a, b: a | b, (F.col(f"k_{c}").isNull() for c in cols)
     )
-    if int(
-        k.agg(F.sum(any_null.cast("long")).alias("n")).collect()[0]["n"]
-        or 0
-    ):
-        k.unpersist()
-        raise ValueError(
-            "erase_rows: opt-out key list contains NULL — a NULL cannot "
-            "identify a data subject and would silently erase nothing "
-            "(null-rejecting envelope/anti joins); drop it or delete "
-            "NULL-keyed rows by predicate instead"
-        )
     # FILE-grain candidates (r10): the manifest is per-file, so within
     # an affected batch only the files whose own [min,max] envelopes
     # intersect the key list are rewritten — a 3-file hit inside a
@@ -432,14 +427,62 @@ def erase_rows(
             for c in cols
         ),
     )
-    cand_rows = (
-        man.join(k, in_env_file, "left_semi")
-        .select(F.col("batch").cast("long").alias("batch"), "file", "n_rows")
+    cand = man.join(k, in_env_file, "left_semi").select(
+        F.col("batch").cast("long").alias("batch"), "file", "n_rows"
+    )
+    # ONE planning action (r14, VERDICT r13 item 1 — the chains are
+    # driver-job-count-bound): the persisted key list's NULL count, the
+    # per-batch pre-erasure totals and the file-grain envelope
+    # candidates are three independent metadata-sized frames; collect
+    # them as one tagged union instead of three driver-sequenced
+    # actions. Collected NOW, because the report must describe the
+    # PRE-erasure manifest and everything below mutates it (the
+    # one-shot-lazy trap: a frame read lazily after the rewrite would
+    # silently describe the post-erasure state). The union also
+    # materializes the persisted key list, exactly like the separate
+    # NULL-check job used to.
+    planning = (
+        k.agg(F.sum(any_null.cast("long")).alias("n"))
+        .select(
+            F.lit(0).alias("__tag"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("batch"),
+            F.lit(None).cast("string").alias("file"),
+            F.lit(None).cast("long").alias("n_rows"),
+        )
+        .unionByName(
+            env.select(
+                F.lit(1).alias("__tag"),
+                "batch",
+                F.lit(None).cast("string").alias("file"),
+                F.col("rows_before").cast("long").alias("n_rows"),
+            )
+        )
+        .unionByName(
+            cand.select(
+                F.lit(2).alias("__tag"),
+                "batch",
+                "file",
+                F.col("n_rows").cast("long").alias("n_rows"),
+            )
+        )
         .collect()
     )
+    if any(int(r["batch"]) for r in planning if r["__tag"] == 0):
+        k.unpersist()
+        raise ValueError(
+            "erase_rows: opt-out key list contains NULL — a NULL cannot "
+            "identify a data subject and would silently erase nothing "
+            "(null-rejecting envelope/anti joins); drop it or delete "
+            "NULL-keyed rows by predicate instead"
+        )
+    before_counts = {
+        int(r["batch"]): int(r["n_rows"]) for r in planning if r["__tag"] == 1
+    }
     cand_by_batch: dict[int, list[str]] = {}
     cand_rows_by_batch: dict[int, int] = {}
-    for r in cand_rows:
+    for r in planning:
+        if r["__tag"] != 2:
+            continue
         b = int(r["batch"])
         cand_by_batch.setdefault(b, []).append(r["file"])
         cand_rows_by_batch[b] = cand_rows_by_batch.get(b, 0) + int(
@@ -447,6 +490,20 @@ def erase_rows(
         )
     affected = sorted(cand_by_batch)
 
+    # the pre-erasure manifest rows of every affected batch are
+    # metadata-sized (#files-in-affected-batches rows, same class as
+    # the envelope collect): untouched files keep these rows verbatim
+    # in the refreshed manifest, and collecting up front avoids
+    # re-reading manifest partitions an earlier schema group's refresh
+    # already replaced (a lazily re-read listing snapshot would chase
+    # deleted files). With blooms the pre-rows and the bloom-confined
+    # batch set come back in ONE tagged action (r14 job-count fold):
+    # the pre-row branch is semi-joined to the bloom candidates
+    # ENGINE-side, so the collect stays bounded by the FINAL affected
+    # batches — never the envelope superset (a random layout's
+    # envelopes admit everything).
+    man_row = Row(*man.columns)
+    pre_frame = man.filter(F.col("batch").cast("long").isin(affected))
     if blooms and affected:
         from .bloom import bloom_candidates
 
@@ -462,7 +519,7 @@ def erase_rows(
             for f in spark.read.parquet(sink_path).schema.fields
         }
         kc = [f"k_{c}" for c in cols]
-        cand = None
+        bcand = None
         for c, bl in blooms.items():
             probe = (
                 k.select(F.col(f"k_{c}").cast(sink_types[c]).alias(c))
@@ -474,16 +531,45 @@ def erase_rows(
             j = k.join(
                 cc, k[f"k_{c}"].cast(sink_types[c]) == cc[c]
             ).select(*kc, "batch")
-            cand = (
+            bcand = (
                 j
-                if cand is None
-                else cand.join(j, [*kc, "batch"], "left_semi")
+                if bcand is None
+                else bcand.join(j, [*kc, "batch"], "left_semi")
             )
+        ok_b = bcand.select(
+            F.col("batch").cast("long").alias("__okb")
+        ).distinct()
+        tagged = (
+            ok_b.select(
+                F.lit(0).alias("__tag"),
+                F.col("__okb"),
+                *(F.lit(None).cast(f.dataType).alias(f.name)
+                  for f in man.schema.fields),
+            )
+            .unionByName(
+                pre_frame.join(
+                    ok_b,
+                    pre_frame["batch"].cast("long") == ok_b["__okb"],
+                    "left_semi",
+                ).select(
+                    F.lit(1).alias("__tag"),
+                    F.lit(None).cast("long").alias("__okb"),
+                    *man.columns,
+                )
+            )
+            .collect()
+        )
         bloom_ok = {
-            int(r["batch"])
-            for r in cand.select("batch").distinct().collect()
+            int(r["__okb"]) for r in tagged if r["__tag"] == 0
         }
         affected = [b for b in affected if b in bloom_ok]
+        pre_rows = [
+            man_row(*(r[c] for c in man.columns))
+            for r in tagged
+            if r["__tag"] == 1
+        ]
+    else:
+        pre_rows = pre_frame.collect() if affected else []
 
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
@@ -492,18 +578,6 @@ def erase_rows(
     # drop candidate entries for bloom-pruned batches so the rewrite,
     # retire and manifest bookkeeping below never touch them
     cand_by_batch = {b: cand_by_batch[b] for b in affected}
-    # the pre-erasure manifest rows of every affected batch, collected
-    # NOW (metadata-sized — #files-in-affected-batches rows, same class
-    # as the envelope collect): untouched files keep these rows
-    # verbatim in the refreshed manifest, and collecting up front
-    # avoids re-reading manifest partitions an earlier schema group's
-    # refresh already replaced (a lazily re-read listing snapshot would
-    # chase deleted files)
-    pre_rows = (
-        man.filter(F.col("batch").cast("long").isin(affected)).collect()
-        if affected
-        else []
-    )
     cand_uri_set = {u for us in cand_by_batch.values() for u in us}
 
     # group the hit set by exact file schema: one rewrite job per GROUP

@@ -56,6 +56,8 @@ def main() -> None:
 
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
+        # record the protocol deviation: bench.py warms at sf0.001
+        print(f"# WARNING: {warm_dir} absent, warming at --sf scale")
         warm_dir = args.sf
 
     for name in args.names:
@@ -67,13 +69,26 @@ def main() -> None:
             os.makedirs(args.explain, exist_ok=True)
             spark.catalog.clearCache()
             df = fn(spark, args.sf)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            try:
+                # private PySpark internals — fastest path on Spark 4.1
+                plan = df._sc._jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "formatted"
+                )
+            except Exception:
+                # portable fallback: capture df.explain('formatted') stdout
+                import contextlib
+                import io
+
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    df.explain("formatted")
+                plan = buf.getvalue()
             out = Path(args.explain) / f"{name}{args.suffix}.txt"
             out.write_text(plan)
             print(f"# plan -> {out}")
         times = []
+        if args.reps <= 0:  # plan-dump-only invocation
+            continue
         for rep in range(args.reps):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
