@@ -536,9 +536,16 @@ def erase_rows(
                 if bcand is None
                 else bcand.join(j, [*kc, "batch"], "left_semi")
             )
-        ok_b = bcand.select(
-            F.col("batch").cast("long").alias("__okb")
-        ).distinct()
+        # persisted: BOTH union branches below read it (the ok_b rows
+        # themselves and the pre-row semi-join's build side) — without
+        # the persist each branch would re-run the whole per-column
+        # bloom-candidate pipeline (measured: q279's tagged collect was
+        # 52 jobs unpersisted)
+        ok_b = (
+            bcand.select(F.col("batch").cast("long").alias("__okb"))
+            .distinct()
+            .persist()
+        )
         tagged = (
             ok_b.select(
                 F.lit(0).alias("__tag"),
@@ -559,6 +566,7 @@ def erase_rows(
             )
             .collect()
         )
+        ok_b.unpersist()  # the collect above materialized every reader
         bloom_ok = {
             int(r["__okb"]) for r in tagged if r["__tag"] == 0
         }

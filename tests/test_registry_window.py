@@ -13,84 +13,88 @@ from superstore_data_pipeline_analytics_dashboard__spark.plans.catalog_queries i
     QUERIES,
 )
 
-# Round-13 window (VERDICT r12 item 1): positions 1-5 are the FIVE new
-# queries — q282-q286, the r12 repair-hardening tier (targeted
-# bloom-store repair over four damage classes planted at once,
-# no-op-resume journal retirement, whole-table erasure crash repair
-# over a fully-emptied manifest, journaled bloom-store reconciliation
-# through a swap/refresh crash, marker-keyed compaction repair with
-# _SUCCESS deleted), staged dormant through round 12 and parity-tested
-# at sf0.001 + sf0.01 before registration.
-# Positions 6-50: the 45 oldest-verdict canaries — the 14 remaining
-# r7-verdict queries, then the first 31 queries of the r8-verdict
-# block, unchanged relative order. Displaced r12-window entries keep
-# their pass(r12) verdicts and queue at the back of the
-# oldest-verdict-first re-audit order.
-R13_NEW = [
-    "q282_bloom_store_repair",
-    "q283_noop_resume_retirement",
-    "q284_wholetable_crash_repair",
-    "q285_journaled_store_reconciliation",
-    "q286_compaction_marker_repair",
+# Round-14 window (VERDICT r13 item 6): positions 1-7 are the SEVEN new
+# data-plane compositions q287-q293 (erasure racing a concurrent
+# re-ingest append, IVF grown incrementally under frozen centroids
+# pinned equal to a full rebuild, incremental exact dedup fed by
+# snapshot_diff, the corpus release report, vector-store erasure
+# propagated to the serving ANN index, closed-form water-filling
+# temperature mixing, Hamilton largest-remainder apportionment), staged
+# dormant through round 13 and tri-scale parity-tested before
+# registration. Positions 8-13 are the six r13 partial-oracle upgrades
+# (former rows-only — never hash-audited, the oldest possible oracled
+# verdict). Positions 14-50: the 37 oldest-verdict canaries — the 19
+# remaining r8-verdict queries, then the first 18 of the r9-verdict
+# block, unchanged relative order.
+R14_NEW = [
+    "q287_erasure_concurrent_append",
+    "q288_ivf_snapshot_maintenance",
+    "q289_incremental_dedup_snapshot_diff",
+    "q290_corpus_release_report",
+    "q291_vector_store_erasure",
+    "q292_lengthband_waterfill",
+    "q293_apportion_schedule",
 ]
-R13_R7_CANARIES = [
-    # the 14 r7-verdict queries no earlier window re-audited,
+R14_UPGRADES = [
+    # the six r13 partial-oracle upgrades, hash-audited for the first
+    # time this round
+    "q26_minhash_dedup",
+    "q69_sign_lsh_neardup",
+    "q72_semantic_dedup",
+    "q81_kll_quantiles",
+    "q82_theta_distinct",
+    "q87_join_overlap_estimate",
+]
+R14_R8_CANARIES = [
+    # the 19 r8-verdict queries no earlier window re-audited,
     # unchanged relative order
-    "q232_tokenizer_fertility",
-    "q233_review_queue",
-    "q234_gate_ablation",
-    "q236_reorder_survival",
-    "q237_vocab_growth",
-    "q238_fd_audit",
-    "q239_lsh_param_planner",
-    "q240_margin_sample",
-    "q241_join_cost_audit",
-    "q242_seasonal_decomposition",
-    "q244_discount_cap_whatif",
-    "q245_order_fill_rate",
-    "q246_acquisition_curve",
-    "q247_top_customer_share",
+    "q76_tfidf_topterms",
+    "q77_source_mix",
+    "q78_event_funnel",
+    "q79_heavy_join_keys",
+    "q80_cms_heavy_hitters",
+    "q83_cdc_apply",
+    "q84_length_outliers",
+    "q85_zorder_key",
+    "q86_token_chunks",
+    "q89_apply_source_mix",
+    "q90_profit_by_nation_year",
+    "q91_bilateral_volume",
+    "q92_hierarchy_shares",
+    "q93_incremental_rollup",
+    "q94_distinct_under_rollup",
+    "q95_order_history_nested",
+    "q96_gap_filled_daily_revenue",
+    "q97_drift_chi2",
+    "q98_order_count_histogram",
 ]
-R13_R8_CANARIES = [
-    # the first 31 of the r8-verdict block, unchanged relative order
-    "q248_charset_audit",
-    "q249_lead_time_stats",
-    "q250_unbilled_orders",
-    "q103_temperature_mix",
-    "q124_epoch_plan",
-    "q139_epoch_execute",
-    "q01_typed_staging",
-    "q02_date_dim",
-    "q10_customer_cohort",
-    "q11_suspicious_discounts",
-    "q12_qa_load_issues",
-    "q13_geo_dim",
-    "q14_scd2_first_load",
-    "q16_semi_join_active",
-    "q18_nullsafe_geo_lookup",
-    "q19_exact_dedup",
-    "q21_lang_id",
-    "q23_token_stats",
-    "q24_doc_fingerprint",
-    "q35_approx_distinct",
-    "q36_order_cadence",
-    "q39_messy_line_repair",
-    "q40_rolling_hash",
-    "q41_copurchase_pairs",
-    "q43_fuzzy_part_names",
-    "q44_set_ops_active_customers",
-    "q70_contamination_check",
-    "q71_doc_repetition",
-    "q73_pii_redaction",
-    "q74_embedding_quant",
-    "q75_sequence_pack",
+R14_R9_CANARIES = [
+    # the first 18 of the r9-verdict block, unchanged relative order
+    "q251_pagerank_checkpoint_resume",
+    "q252_grouped_topk_verified",
+    "q253_topk_state_rollup",
+    "q254_delivery_ledger",
+    "q255_snapshot_as_of",
+    "q256_snapshot_ledger",
+    "q257_targeted_erasure",
+    "q258_snapshot_diff",
+    "q259_snapshot_drift_audit",
+    "q260_manifest_consistency_audit",
+    "q261_schema_evolution_pin",
+    "q262_grid_erasure",
+    "q263_late_event_audit",
+    "q264_log_retention_ledger",
+    "q265_incremental_rollup_via_diff",
+    "q99_split_leakage",
+    "q100_event_throttle",
+    "q101_rolling_distinct_users",
 ]
-R13_WINDOW = R13_NEW + R13_R7_CANARIES + R13_R8_CANARIES
+R14_WINDOW = R14_NEW + R14_UPGRADES + R14_R8_CANARIES + R14_R9_CANARIES
 
 
 def test_registry_counts():
-    assert len(QUERIES) == 286
-    assert len(ORACLES) == 275
+    assert len(QUERIES) == 293
+    assert len(ORACLES) == 282
     assert set(ORACLES) <= set(QUERIES)
 
 
@@ -104,51 +108,35 @@ def test_window_is_50_and_fully_oracled():
 
 def test_window_composition_matches_coverage_doc():
     window = list(QUERIES)[:50]
-    assert len(R13_WINDOW) == 50
-    assert window == R13_WINDOW
+    assert len(R14_WINDOW) == 50
+    assert window == R14_WINDOW
 
 
 def test_queue_past_window_is_oldest_verdict_first():
     # past the window the oracled re-audit queue is monotone
-    # oldest-verdict-first: FIRST the six r13 partial-oracle upgrades
-    # (former rows-only — never hash-audited, so they have the oldest
-    # possible oracled verdict: none; the r14 rotation splices them
-    # into the window), then the 19 r8-block queries the 31-canary
-    # window didn't re-audit, then the r9, r10, r11 and displaced r12
-    # blocks, then the rows-only tail closes the registry
+    # oldest-verdict-first: the 32 r9-block queries the 18-canary
+    # window slice didn't re-audit, then the r10, r11, r12 and
+    # displaced r13 blocks, then the rows-only tail closes the registry
     names = list(QUERIES)
-    upgraded = names[50:56]
-    assert upgraded == [
-        "q26_minhash_dedup",
-        "q69_sign_lsh_neardup",
-        "q72_semantic_dedup",
-        "q81_kll_quantiles",
-        "q82_theta_distinct",
-        "q87_join_overlap_estimate",
+    assert names[50] == "q104_vocab_oov"  # r9-block rest head
+    assert names[82] == "q266_lineitem_contract"  # displaced r10 head
+    assert names[132] == "q268_ledger_contract"  # displaced r11 head
+    assert names[182] == "q276_bloom_store_audit"  # displaced r12 head
+    i = names.index("q282_bloom_store_repair")  # displaced r13 head
+    assert i == 232
+    # the displaced r13 window, in its r13-window order: q282-q286,
+    # then the 14 r7-verdict + 31 r8-head canaries
+    r13_band = names[i : i + 50]
+    assert r13_band[:5] == [
+        "q282_bloom_store_repair",
+        "q283_noop_resume_retirement",
+        "q284_wholetable_crash_repair",
+        "q285_journaled_store_reconciliation",
+        "q286_compaction_marker_repair",
     ]
-    assert all(n in ORACLES for n in upgraded)
-    r8_rest = names[56:75]
-    assert r8_rest[0] == "q76_tfidf_topterms"
-    assert r8_rest[-1] == "q98_order_count_histogram"
-    assert names[75] == "q251_pagerank_checkpoint_resume"  # r9 head
-    assert names[125] == "q266_lineitem_contract"  # displaced r10 head
-    assert names[175] == "q268_ledger_contract"  # displaced r11 head
-    i = names.index("q276_bloom_store_audit")  # displaced r12 head
-    assert i == 225
-    # the displaced r12 window, in its r12-window order: q276-q281,
-    # then the 8 old-r6 + 36 r7-head canaries
-    r12_band = names[i : i + 50]
-    assert r12_band[:6] == [
-        "q276_bloom_store_audit",
-        "q277_erasure_crash_repair",
-        "q278_bloom_autosize",
-        "q279_multicol_bloomed_erasure",
-        "q280_compaction_crash_chain",
-        "q281_manifest_repair",
-    ]
-    assert r12_band[6] == "q192_dead_stock"
-    assert r12_band[-1] == "q231_hhi_trend"
-    assert all(n in ORACLES for n in r12_band)
-    # everything after the displaced r12 block is the rows-only tail
+    assert r13_band[5] == "q232_tokenizer_fertility"
+    assert r13_band[-1] == "q75_sequence_pack"
+    assert all(n in ORACLES for n in r13_band)
+    # everything after the displaced r13 block is the rows-only tail
     assert all(n not in ORACLES for n in names[i + 50 :])
     assert len(names[i + 50 :]) == 11
