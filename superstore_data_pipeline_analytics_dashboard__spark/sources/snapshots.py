@@ -160,18 +160,22 @@ def snapshot_diff(
         raise ValueError(
             f"from_version must be older: got {from_version} >= {to_version}"
         )
-    old = {
-        r["batch"]
-        for r in _load_version(spark, log_path, from_version)
-        .select("batch")
+    # ONE tagged action fetches both versions' member lists (was two
+    # driver-sequenced collects over bounded metadata — r14 job-count
+    # fold; values identical, membership still validated per version
+    # by _load_version before the plan is built)
+    members = (
+        _load_version(spark, log_path, from_version)
+        .select(F.lit(0).alias("__t"), "batch")
+        .unionByName(
+            _load_version(spark, log_path, to_version).select(
+                F.lit(1).alias("__t"), "batch"
+            )
+        )
         .collect()
-    }
-    to_members = [
-        r["batch"]
-        for r in _load_version(spark, log_path, to_version)
-        .select("batch")
-        .collect()
-    ]
+    )
+    old = {r["batch"] for r in members if r["__t"] == 0}
+    to_members = [r["batch"] for r in members if r["__t"] == 1]
     if not to_members:
         # mirror read_as_of: a memberless pin has no schema to shape
         # even an empty delta with — fail the same way, not with a
