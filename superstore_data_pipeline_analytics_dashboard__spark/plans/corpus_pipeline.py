@@ -165,11 +165,25 @@ def curate(
     ).cache()
 
     spark = docs.sparkSession
-    counts = [
-        ("input", docs.count()),
-        ("after_quality_gate", gated.count()),
-        ("after_exact_dedup", exact.count()),
-        ("after_near_dedup", curated.count()),
+    # ONE tagged action computes all four audit counts — they were four
+    # driver-sequenced count() jobs (r14 job-count fold; the caches
+    # still materialize inside this action, in dependency order, so
+    # later consumers of `curated` hit them exactly as before)
+    stages = [
+        ("input", docs),
+        ("after_quality_gate", gated),
+        ("after_exact_dedup", exact),
+        ("after_near_dedup", curated),
     ]
-    audit = spark.createDataFrame(counts, "stage STRING, n_docs BIGINT")
+    tagged = None
+    for name, frame in stages:
+        one = frame.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(name).alias("stage"), F.col("n_docs").cast("long")
+        )
+        tagged = one if tagged is None else tagged.unionByName(one)
+    counts = {r["stage"]: int(r["n_docs"]) for r in tagged.collect()}
+    audit = spark.createDataFrame(
+        [(name, counts[name]) for name, _ in stages],
+        "stage STRING, n_docs BIGINT",
+    )
     return {"annotated": annotated, "curated": curated, "audit": audit}
