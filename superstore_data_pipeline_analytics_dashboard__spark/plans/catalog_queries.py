@@ -18012,9 +18012,12 @@ def q287_erasure_concurrent_append(
         doomed = (
             orders.orderBy("o_orderkey").limit(50).select("o_orderkey")
         )
-        rep1 = erase_rows(spark, sink, man, "o_orderkey", doomed).persist()
-        erased1 = int(rep1.agg(F.sum("rows_erased")).collect()[0][0])
-        rep1.unpersist()
+        # single consumer of a local report frame: no persist needed
+        erased1 = int(
+            erase_rows(spark, sink, man, "o_orderkey", doomed)
+            .agg(F.sum("rows_erased"))
+            .collect()[0][0]
+        )
         # the concurrent append: the same subject rows land as batch 3
         # AFTER the delete completed, with the appender's manifest rows
         (
@@ -18034,9 +18037,12 @@ def q287_erasure_concurrent_append(
             manifest_consistency_audit(spark, sink, man)
             .collect()[0]["consistent"]
         )
-        rep2 = erase_rows(spark, sink, man, "o_orderkey", doomed).persist()
-        r2 = {int(r["batch"]): r for r in rep2.collect()}
-        rep2.unpersist()
+        r2 = {
+            int(r["batch"]): r
+            for r in erase_rows(
+                spark, sink, man, "o_orderkey", doomed
+            ).collect()
+        }
         erased2 = sum(int(r["rows_erased"]) for r in r2.values())
         n_rewritten2 = sum(1 for r in r2.values() if r["rewritten"])
         batch0_spared = (0 not in r2) or (not r2[0]["rewritten"])
@@ -18143,24 +18149,39 @@ def q288_ivf_snapshot_maintenance(
             .parquet(man)
         )
         v2 = commit_snapshot(spark, man, log)
-        v1_rows = read_as_of(spark, sink, log, 1).count()
-        diff_rows = snapshot_diff(spark, sink, log, 1, v2).count()
         stored = spark.read.option("basePath", sink).parquet(sink)
-        v2_rows = stored.count()
         full = ivf_assign(emb, cents)
-        n_mismatch = (
+        mismatch = (
             stored.select("vec_id", "cell")
             .join(
                 full.select("vec_id", F.col("cell").alias("c2")), "vec_id"
             )
             .filter(F.col("cell") != F.col("c2"))
-            .count()
         )
+
+        # ONE tagged action computes all five verification counts —
+        # they were five driver-sequenced count() jobs (r14 job-count
+        # fold; values identical)
+        def _tcnt(i: int, frame: DataFrame) -> DataFrame:
+            return frame.agg(F.count(F.lit(1)).alias("v")).select(
+                F.lit(i).alias("__t"), F.col("v").cast("long").alias("v")
+            )
+
+        vals = {
+            int(r["__t"]): int(r["v"])
+            for r in _tcnt(0, read_as_of(spark, sink, log, 1))
+            .unionByName(_tcnt(1, snapshot_diff(spark, sink, log, 1, v2)))
+            .unionByName(_tcnt(2, stored))
+            .unionByName(_tcnt(3, mismatch))
+            .unionByName(_tcnt(4, emb))
+            .collect()
+        }
+        v1_rows, diff_rows, v2_rows = vals[0], vals[1], vals[2]
+        n_mismatch, n_vectors = vals[3], vals[4]
         ledger = {
             int(r["version"]): int(r["rows_added"])
             for r in snapshot_ledger(spark, log).collect()
         }
-        n_vectors = emb.count()
         a1.unpersist()
         cents.unpersist()
         emb.unpersist()
@@ -18232,7 +18253,6 @@ def q289_incremental_dedup_snapshot_diff(
             )
             commit_snapshot(spark, man, log)
         v1_docs = read_as_of(spark, sink, log, 1)
-        n_v1 = v1_docs.count()
         # the pin is deduplicated before it becomes state (exact_state's
         # precondition): keep the lowest id per fingerprint
         v1_fp = v1_docs.select(
@@ -18242,33 +18262,59 @@ def q289_incremental_dedup_snapshot_diff(
         v1_kept_docs = v1_docs.join(
             v1_keep.select("doc_id"), "doc_id", "left_semi"
         )
-        n_v1_kept = v1_keep.count()
         state = exact_state(v1_kept_docs)
         delta = snapshot_diff(spark, sink, log, 1, 2)
-        n_delta = delta.count()
         inc = exact_increment(delta, state)
         kept_new = inc["kept"].select("doc_id").persist()
-        n_new_kept = kept_new.count()
         # dropped decomposition, engine-side: within-batch collapse vs
         # already-in-corpus
         d_fp = delta.select("doc_id", T.fingerprint("text").alias("f"))
         d_first = d_fp.groupBy("f").agg(F.min("doc_id").alias("doc_id"))
-        n_within = n_delta - d_first.count()
-        n_cross = (
-            d_first.join(v1_fp.select("f").distinct(), "f", "left_semi")
-            .count()
-        )
         # sequential == batch at ID grain (range split ⇒ guaranteed)
         all_fp = docs.select("doc_id", T.fingerprint("text").alias("f"))
         batch_keep = all_fp.groupBy("f").agg(
             F.min("doc_id").alias("doc_id")
         ).select("doc_id")
         seq_keep = v1_keep.select("doc_id").unionByName(kept_new)
-        seq_eq_batch = (
-            seq_keep.join(batch_keep, "doc_id", "left_anti").count() == 0
-            and batch_keep.join(seq_keep, "doc_id", "left_anti").count()
-            == 0
+
+        # ONE tagged action computes all eight verification counts —
+        # they were eight driver-sequenced count() jobs (r14 job-count
+        # fold; values identical, the persisted frames materialize
+        # inside it exactly as the first of the old counts did)
+        def _tcnt(i: int, frame: DataFrame) -> DataFrame:
+            return frame.agg(F.count(F.lit(1)).alias("v")).select(
+                F.lit(i).alias("__t"), F.col("v").cast("long").alias("v")
+            )
+
+        vals = {
+            int(r["__t"]): int(r["v"])
+            for r in _tcnt(0, v1_docs)
+            .unionByName(_tcnt(1, v1_keep))
+            .unionByName(_tcnt(2, delta))
+            .unionByName(_tcnt(3, kept_new))
+            .unionByName(_tcnt(4, d_first))
+            .unionByName(
+                _tcnt(
+                    5,
+                    d_first.join(
+                        v1_fp.select("f").distinct(), "f", "left_semi"
+                    ),
+                )
+            )
+            .unionByName(
+                _tcnt(6, seq_keep.join(batch_keep, "doc_id", "left_anti"))
+            )
+            .unionByName(
+                _tcnt(7, batch_keep.join(seq_keep, "doc_id", "left_anti"))
+            )
+            .collect()
+        }
+        n_v1, n_v1_kept, n_delta, n_new_kept = (
+            vals[0], vals[1], vals[2], vals[3],
         )
+        n_within = n_delta - vals[4]
+        n_cross = vals[5]
+        seq_eq_batch = vals[6] == 0 and vals[7] == 0
         v1_fp.unpersist()
         kept_new.unpersist()
         return spark.createDataFrame(
@@ -18458,8 +18504,12 @@ def q291_vector_store_erasure(spark: SparkSession, sf: str) -> DataFrame:
             )
             .persist()  # feeds count/max, the sink write and the opt-outs
         )
-        n = emb.count()
-        hi = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
+        # ONE scan yields the vector count AND the id ceiling (was two
+        # driver-sequenced jobs over the persisted frame — r14 fold)
+        head = emb.agg(
+            F.count(F.lit(1)).alias("n"), F.max("vec_id").alias("m")
+        ).collect()[0]
+        n, hi = int(head["n"]), head["m"]
         w = hi // 4 + 1
         df = emb.select(
             "vec_id",
@@ -18479,9 +18529,12 @@ def q291_vector_store_erasure(spark: SparkSession, sf: str) -> DataFrame:
                 .parquet(man)
             )
         doomed = emb.filter(F.col("vec_id") % 17 == 0).select("vec_id")
-        rep = erase_rows(spark, sink, man, "vec_id", doomed).persist()
-        n_erased = int(rep.agg(F.sum("rows_erased")).collect()[0][0])
-        rep.unpersist()
+        # single consumer of a local report frame: no persist needed
+        n_erased = int(
+            erase_rows(spark, sink, man, "vec_id", doomed)
+            .agg(F.sum("rows_erased"))
+            .collect()[0][0]
+        )
         emb.unpersist()
         consistent = bool(
             manifest_consistency_audit(spark, sink, man)
@@ -18495,25 +18548,48 @@ def q291_vector_store_erasure(spark: SparkSession, sf: str) -> DataFrame:
         )
         cents = seed_centroids(survivors, 8)
         index = ivf_assign(survivors, cents).persist()
-        n_index = index.count()
-        complete = (
-            index.select("vec_id")
-            .join(survivors.select("vec_id"), "vec_id", "left_anti")
-            .count()
-            == 0
-            and survivors.select("vec_id")
-            .join(index.select("vec_id"), "vec_id", "left_anti")
-            .count()
-            == 0
-        )
         queries = survivors.orderBy("vec_id").limit(5)
         topk = knn_bruteforce(
             index.select("vec_id", "embedding"), queries, k=10
         ).persist()
-        n_topk = topk.count()
-        n_doomed_hits = topk.filter(
-            F.col("neighbor_id") % 17 == 0
-        ).count()
+
+        # ONE tagged action computes all five serving-index checks —
+        # they were five driver-sequenced count() jobs (r14 job-count
+        # fold; values identical, the persisted index/topk frames
+        # materialize inside it)
+        def _tcnt(i: int, frame: DataFrame) -> DataFrame:
+            return frame.agg(F.count(F.lit(1)).alias("v")).select(
+                F.lit(i).alias("__t"), F.col("v").cast("long").alias("v")
+            )
+
+        vals = {
+            int(r["__t"]): int(r["v"])
+            for r in _tcnt(0, index)
+            .unionByName(
+                _tcnt(
+                    1,
+                    index.select("vec_id").join(
+                        survivors.select("vec_id"), "vec_id", "left_anti"
+                    ),
+                )
+            )
+            .unionByName(
+                _tcnt(
+                    2,
+                    survivors.select("vec_id").join(
+                        index.select("vec_id"), "vec_id", "left_anti"
+                    ),
+                )
+            )
+            .unionByName(_tcnt(3, topk))
+            .unionByName(
+                _tcnt(4, topk.filter(F.col("neighbor_id") % 17 == 0))
+            )
+            .collect()
+        }
+        n_index = vals[0]
+        complete = vals[1] == 0 and vals[2] == 0
+        n_topk, n_doomed_hits = vals[3], vals[4]
         topk.unpersist()
         index.unpersist()
         survivors.unpersist()
