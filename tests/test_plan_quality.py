@@ -134,49 +134,6 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     assert joined.first()["total_qty"] is not None
 
 
-def test_no_complex_types_at_catalog_boundary(spark):
-    """The external gate canonicalizes results through pandas, which
-    cannot sort/hash list- or struct-typed cells (round-2's q67 crash:
-    TypeError: unhashable type 'list'). Every catalog query must emit
-    only scalar/string columns — arrays flatten to f0..fN or serialize
-    to sorted strings BEFORE the registry boundary."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
-
-    offenders = {}
-    for name, fn in Q.QUERIES.items():
-        bad = [
-            f.name
-            for f in fn(spark, SF_SMOKE).schema.fields
-            if isinstance(f.dataType, (ArrayType, MapType, StructType))
-        ]
-        if bad:
-            offenders[name] = bad
-    assert not offenders, offenders
-
-
-def test_no_python_udfs_anywhere_in_catalog(spark):
-    """No row-at-a-time Python anywhere. Arrow-batched MapInPandas is
-    allowed ONLY where documented as the right tool (q33's all-pairs
-    BLAS block and q69's hyperplane projection — see
-    similarity.all_pairs_cosine / sign_lsh_neardup) and multimodal."""
-    arrow_allowed = {
-        "q33_embedding_neardup",
-        "q67_multimodal_features",
-        "q69_sign_lsh_neardup",
-        "q102_video_frame_sample",
-        # bpe_encode: Python encoder over DISTINCT WORDS only (the
-        # industry-standard tokenizer-driver shape), corpus joins JVM-side
-        "q127_bpe_encode",
-        # audio byte decode (RIFF parser), same contract as the image side
-        "q135_audio_features",
-    }
-    for name, fn in Q.QUERIES.items():
-        plan = _executed_plan(fn(spark, SF_SMOKE))
-        assert "BatchEvalPython" not in plan, name
-        if name not in arrow_allowed:
-            assert "MapInPandas" not in plan, name
-
-
 def test_sequence_pack_runs_per_shard_windows(spark):
     """q75's running sum must partition by shard (independent per-shard
     cumulative scans) — never collapse to a single-partition window."""
@@ -463,11 +420,23 @@ def test_q243_shingle_frame_built_once(spark):
 
 def test_catalog_wide_plan_hygiene(spark):
     """Global anti-pattern audit over EVERY registry query at smoke
-    scale: no row-at-a-time Python (BatchEvalPython) anywhere, no
-    CartesianProduct (one-row normalizer crossJoins compile to
-    BroadcastNestedLoopJoin over a single-row side, which is fine), and
-    Arrow-batched Python only in the queries documented to need it
-    (byte codecs, GEMM, BPE encode)."""
+    scale, in ONE construction+plan pass (r14: this used to be three
+    separate catalog sweeps — plan hygiene, the no-Python-UDF audit and
+    the complex-boundary-type audit — and each sweep runs the eager
+    operators inside the query bodies, so the trio cost ~12 min of the
+    suite; same assertions, one pass):
+
+    * no row-at-a-time Python (BatchEvalPython) anywhere;
+    * no CartesianProduct (one-row normalizer crossJoins compile to
+      BroadcastNestedLoopJoin over a single-row side, which is fine);
+    * Arrow-batched Python only in the queries documented to need it
+      (byte codecs, GEMM, BPE encode), with MapInPandas under the
+      stricter documented-tool list;
+    * no list/struct/map column survives to the registry boundary
+      (the external gate canonicalizes through pandas, which cannot
+      sort/hash such cells — round-2's q67 crash)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     ARROW_OK = {
         "q67_multimodal_features",
         "q69_sign_lsh_neardup",  # plane-projection GEMM (similarity.py:216)
@@ -476,17 +445,38 @@ def test_catalog_wide_plan_hygiene(spark):
         "q127_bpe_encode",
         "q135_audio_features",
     }
+    # MapInPandas specifically: the documented right-tool list (BLAS
+    # block GEMM, hyperplane projection, byte codecs, the BPE
+    # distinct-word encoder)
+    MAPINPANDAS_OK = {
+        "q33_embedding_neardup",
+        "q67_multimodal_features",
+        "q69_sign_lsh_neardup",
+        "q102_video_frame_sample",
+        "q127_bpe_encode",
+        "q135_audio_features",
+    }
     failures = []
     for name, fn in Q.QUERIES.items():
         try:
-            plan = _executed_plan(fn(spark, SF_SMOKE))
+            df = fn(spark, SF_SMOKE)
+            plan = _executed_plan(df)
         except Exception as e:  # pragma: no cover - any failure is a bug
             failures.append((name, f"plan build failed: {e}"))
             continue
+        bad_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad_cols:
+            failures.append((name, f"complex boundary type(s): {bad_cols}"))
         if "BatchEvalPython" in plan:
             failures.append((name, "row-at-a-time Python UDF in plan"))
         if "CartesianProduct" in plan:
             failures.append((name, "CartesianProduct in plan"))
+        if name not in MAPINPANDAS_OK and "MapInPandas" in plan:
+            failures.append((name, "undocumented MapInPandas stage"))
         if name not in ARROW_OK and (
             "ArrowEvalPython" in plan
             or "MapInPandas" in plan
